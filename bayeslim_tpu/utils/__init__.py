@@ -1,0 +1,13 @@
+"""Core substrate: dtypes, pytree modules, ParamDict, healpix, interpolation."""
+from .dtypes import (
+    _float, _cfloat, set_default_dtype, viewreal, viewcomp, isreal_view,
+    D2R, R2D, C_MS,
+)
+from .paramdict import ParamDict, read_pdict, write_pdict
+from .module import Module, Sequential, model2pdict, tree_replace
+from .indexing import (
+    AntposDict, blnum2ants, ants2blnum, make_hex, split_into_groups,
+    flatten, white_noise, gauss_taper, tukey_taper,
+)
+from .interp import PixInterp, interp_gather, bipoly_interp_weights
+from . import healpix

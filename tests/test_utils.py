@@ -1,0 +1,144 @@
+"""Tests for the core substrate: ParamDict, Module pytree, indexing utils."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayeslim_tpu.utils import (
+    ParamDict, Module, model2pdict, blnum2ants, ants2blnum, make_hex,
+    split_into_groups, AntposDict, white_noise, viewreal, viewcomp,
+)
+
+
+def test_paramdict_algebra():
+    a = ParamDict({"x": jnp.arange(3.0), "y": jnp.ones((2, 2))})
+    b = ParamDict({"x": jnp.ones(3), "y": 2 * jnp.ones((2, 2))})
+    c = a + b * 2 - 1.0
+    assert np.allclose(c["x"], np.arange(3.0) + 2 - 1)
+    assert np.allclose(c["y"], 1 + 4 - 1)
+    d = (-a) / 2.0
+    assert np.allclose(d["x"], -np.arange(3.0) / 2)
+    # ravel/unravel round trip
+    flat = a.ravel()
+    assert flat.shape == (7,)
+    a2 = a.unravel(flat)
+    for k in a:
+        assert np.allclose(a[k], a2[k])
+
+
+def test_paramdict_pytree():
+    a = ParamDict({"x": jnp.arange(3.0), "y": jnp.ones(2)})
+    out = jax.jit(lambda p: (p * 2.0))(a)
+    assert isinstance(out, ParamDict)
+    assert np.allclose(out["x"], 2 * np.arange(3.0))
+    # grad through a ParamDict
+    g = jax.grad(lambda p: jnp.sum(p["x"] ** 2) + jnp.sum(p["y"]))(a)
+    assert np.allclose(g["x"], 2 * np.arange(3.0))
+    assert np.allclose(g["y"], 1.0)
+
+
+class Affine(Module):
+    def __init__(self, w, b, tag="affine"):
+        super().__init__(name=tag)
+        self.w = w
+        self.b = b
+        self.set_param("w")
+
+    def forward(self, x, prior_cache=None, **kwargs):
+        return self.w @ x + self.b
+
+
+class Chain(Module):
+    def __init__(self, inner, scale):
+        super().__init__(name="chain")
+        self.inner = inner
+        self.scale = scale  # static python float
+        self.set_param("scale_arr")
+        self.scale_arr = jnp.asarray(scale)
+
+    def forward(self, x, prior_cache=None, **kwargs):
+        return self.inner(x) * self.scale_arr
+
+
+def test_module_pytree_jit_grad():
+    m = Chain(Affine(jnp.eye(2) * 3.0, jnp.ones(2)), 2.0)
+    x = jnp.asarray([1.0, 2.0])
+
+    # model flows through jit directly
+    y = jax.jit(lambda mod, xx: mod(xx))(m, x)
+    assert np.allclose(y, (3 * x + 1) * 2)
+
+    # params gather/scatter
+    pd = model2pdict(m)
+    assert set(pd.keys()) == {"inner.w", "scale_arr"}
+
+    def loss(pdict):
+        mm = m.updated(pdict)
+        return jnp.sum(mm(x) ** 2)
+
+    g = jax.grad(loss)(pd)
+    assert g["inner.w"].shape == (2, 2)
+    assert np.isfinite(np.asarray(g["scale_arr"])).all()
+    # numerical check on scale gradient
+    eps = 1e-6
+    pd2 = pd.copy()
+    pd2["scale_arr"] = pd["scale_arr"] + eps
+    num = (loss(pd2) - loss(pd)) / eps
+    assert np.allclose(g["scale_arr"], num, rtol=1e-4)
+
+
+def test_module_dotted_access():
+    m = Chain(Affine(jnp.eye(2), jnp.zeros(2)), 1.0)
+    w = m["inner.w"]
+    assert w.shape == (2, 2)
+    m["inner.b"] = jnp.ones(2)
+    assert np.allclose(m.inner.b, 1.0)
+    m2 = m.updated({"inner.w": jnp.eye(2) * 5})
+    assert np.allclose(m2["inner.w"], np.eye(2) * 5)
+    assert np.allclose(m["inner.w"], np.eye(2))  # original untouched
+
+
+def test_blnum_codec():
+    assert ants2blnum((1, 2)) == 101102
+    assert blnum2ants(101102) == (1, 2)
+    bls = [(0, 1), (10, 230)]
+    nums = ants2blnum(bls)
+    assert list(nums) == [100101, 110330]
+    assert blnum2ants(list(nums)) == bls
+
+
+def test_make_hex():
+    ants, antvecs = make_hex(3, D=15.0)
+    assert len(ants) == 19  # hera19
+    assert antvecs.shape == (19, 3)
+    # spacing of first two ants is D
+    assert np.isclose(np.linalg.norm(antvecs[1] - antvecs[0]), 15.0)
+
+
+def test_antpos_dict():
+    ants, antvecs = make_hex(2)
+    ap = AntposDict(ants, antvecs)
+    assert len(ap) == 7
+    assert np.allclose(ap[ants[3]], antvecs[3])
+    assert np.allclose(ap[[ants[0], ants[2]]], antvecs[[0, 2]])
+    # pytree round trip
+    leaves, treedef = jax.tree_util.tree_flatten(ap)
+    ap2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert ap2.ants == ap.ants
+
+
+def test_white_noise_and_views():
+    key = jax.random.PRNGKey(0)
+    z = white_noise((10000,), key=key, complex=True)
+    assert np.isclose(np.var(np.asarray(z)), 1.0, atol=0.05)
+    r = viewreal(z)
+    assert r.shape == (10000, 2)
+    z2 = viewcomp(r)
+    assert np.allclose(z, z2)
+
+
+def test_split_into_groups():
+    g = split_into_groups(list(range(10)), Nelem=3)
+    assert g == [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9]]
+    g = split_into_groups(list(range(10)), Ngroup=2)
+    assert len(g) == 2
