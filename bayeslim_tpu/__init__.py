@@ -21,3 +21,19 @@ from .utils import (
     ParamDict, Module, Sequential, model2pdict,
     _float, _cfloat, viewreal, viewcomp,
 )
+from . import ops
+from . import data
+from . import models
+
+# reference-style module aliases (bayeslim.telescope_model etc.)
+from .models import telescope as telescope_model
+from .models import sky as sky_model
+from .models import beam as beam_model
+from .models import rime as rime_model
+from .models import linear_model
+from .data import containers as dataset
+from .data.containers import VisData, MapData, CalData
+from .models.rime import RIME
+from .models.telescope import TelescopeModel, ArrayModel
+from .models.sky import PointSky, PixelSky
+from .models.beam import PixelBeam

@@ -1,0 +1,5 @@
+"""Data containers and IO."""
+from .containers import (
+    TensorData, VisData, MapData, CalData,
+    concat_VisData, concat_MapData, concat_CalData, load_data,
+)

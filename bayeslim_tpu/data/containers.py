@@ -1,0 +1,881 @@
+"""
+Data containers: TensorData, VisData, MapData, CalData.
+
+Reference parity: bayeslim/dataset.py (TensorData :15-287, VisData
+:289-1866, MapData :1867-2461, CalData :2462-3322). Shape conventions are
+preserved exactly:
+
+- visibilities (Npol, Npol, Nbls, Ntimes, Nfreqs), complex
+- sky maps     (Npol, 1, Nfreqs, Npix) with angs (2, Npix) [RA, Dec deg]
+- gains        (Npol, Npol, Nants, Ntimes, Nfreqs), complex
+
+TPU-first: containers are host-side metadata shells around jnp arrays and
+are registered as pytrees (data/flags/cov/icov are leaves, metadata is
+static aux), so jitted model functions can take and return them directly.
+All selection logic computes numpy index arrays on host; `select` returns
+new containers (functional style; the reference's inplace flag is kept for
+API compat but defaults to returning a new object).
+"""
+from __future__ import annotations
+
+import copy as _copy
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import AntposDict, ants2blnum, blnum2ants
+from ..utils.dtypes import _float, _cfloat
+
+__all__ = [
+    "TensorData", "VisData", "MapData", "CalData",
+    "concat_VisData", "concat_MapData", "concat_CalData", "load_data",
+]
+
+_LEAF_FIELDS = ("data", "flags", "cov", "icov")
+
+
+def _register_container(cls):
+    """Register a container class as a pytree: array fields are leaves."""
+    def flatten(obj):
+        children = tuple(getattr(obj, f, None) for f in _LEAF_FIELDS)
+        aux = {k: v for k, v in obj.__dict__.items() if k not in _LEAF_FIELDS}
+        return children, _AuxDict(aux)
+
+    def unflatten(aux, children):
+        new = object.__new__(cls)
+        new.__dict__.update(aux.d)
+        for f, c in zip(_LEAF_FIELDS, children):
+            setattr(new, f, c)
+        return new
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+class _AuxDict:
+    """Hashable-by-identity aux wrapper for container metadata."""
+
+    __slots__ = ("d",)
+
+    def __init__(self, d):
+        self.d = d
+
+    def __eq__(self, other):
+        if not isinstance(other, _AuxDict):
+            return NotImplemented
+        if set(self.d) != set(other.d):
+            return False
+        for k, v in self.d.items():
+            w = other.d[k]
+            try:
+                same = bool(np.all(v == w))
+            except Exception:
+                same = v is w
+            if not same:
+                return False
+        return True
+
+    def __hash__(self):
+        return hash(tuple(sorted(self.d.keys())))
+
+
+def _to_list_of_slices_or_array(idx):
+    if isinstance(idx, slice):
+        return idx
+    return np.asarray(idx)
+
+
+def _take(arr, idx, axis):
+    """Index arr along axis with a slice or integer array."""
+    if arr is None:
+        return None
+    if isinstance(idx, slice):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = idx
+        return arr[tuple(sl)]
+    return jnp.take(arr, jnp.asarray(idx), axis=axis) if isinstance(arr, jax.Array) \
+        else np.take(arr, idx, axis=axis)
+
+
+@_register_container
+class TensorData:
+    """Base container: data/flags/cov/icov + arithmetic with flag
+    propagation (reference dataset.py:15-287)."""
+
+    def __init__(self):
+        self.data = None
+        self.flags = None
+        self.cov = None
+        self.icov = None
+        self.cov_axis = None
+        self.cov_ndim = None
+        self.cov_logdet = None
+        self.history = ""
+
+    def setup_data(self, data=None, flags=None, cov=None, cov_axis=None,
+                   icov=None, history=""):
+        self.data = data
+        self.flags = flags
+        self.set_cov(cov, cov_axis, icov=icov)
+        self.history = history
+
+    # --- covariance bookkeeping --------------------------------------------
+    def set_cov(self, cov, cov_axis, icov=None):
+        """Set covariance, its modeled axis, ndim & logdet (reference :70)."""
+        self.cov = cov
+        self.icov = icov
+        self.cov_axis = cov_axis
+        if cov is not None:
+            if cov_axis is None:
+                # variance with shape of data
+                self.cov_ndim = int(np.prod(np.shape(cov)))
+                self.cov_logdet = float(np.sum(np.log(np.asarray(cov).real)))
+            else:
+                n = np.shape(cov)[-1]
+                nblocks = int(np.prod(np.shape(cov)[:-2]))
+                self.cov_ndim = nblocks * n
+                sign, logdet = np.linalg.slogdet(np.asarray(cov))
+                self.cov_logdet = float(np.sum(logdet))
+        else:
+            self.cov_ndim = None
+            self.cov_logdet = None
+
+    def compute_icov(self, inv="pinv", **kwargs):
+        """Compute and store icov from cov (reference :126)."""
+        from ..ops.linalg import invert_matrix
+        assert self.cov is not None
+        if self.cov_axis is None:
+            self.icov = 1.0 / self.cov
+        else:
+            self.icov = invert_matrix(self.cov, method=inv, **kwargs)
+        return self.icov
+
+    # --- accessors ------------------------------------------------------------
+    def get_data(self, **kwargs):
+        return self.data
+
+    def get_flags(self, **kwargs):
+        return self.flags
+
+    def get_cov(self, **kwargs):
+        return self.cov
+
+    def get_icov(self, **kwargs):
+        return self.icov
+
+    def copy(self, copydata=False, **kwargs):
+        new = _copy.copy(self)
+        if copydata and self.data is not None:
+            new.data = jnp.array(self.data)
+        return new
+
+    @staticmethod
+    def _propflags(a, b):
+        fa = getattr(a, "flags", None)
+        fb = getattr(b, "flags", None)
+        if fa is None:
+            return fb
+        if fb is None:
+            return fa
+        return fa | fb
+
+    def _binary(self, other, op):
+        new = self.copy()
+        if isinstance(other, TensorData):
+            new.data = op(self.data, other.data)
+            new.flags = self._propflags(self, other)
+        else:
+            new.data = op(self.data, other)
+        return new
+
+    def __add__(self, other):
+        return self._binary(other, lambda a, b: a + b)
+
+    def __sub__(self, other):
+        return self._binary(other, lambda a, b: a - b)
+
+    def __mul__(self, other):
+        return self._binary(other, lambda a, b: a * b)
+
+    def __truediv__(self, other):
+        return self._binary(other, lambda a, b: a / b)
+
+    def push(self, device, return_obj=False):
+        for f in _LEAF_FIELDS:
+            v = getattr(self, f, None)
+            if v is not None:
+                setattr(self, f, jax.device_put(v, device))
+        if return_obj:
+            return self
+
+
+def _ind_combine(*inds):
+    """Combine per-axis indices; keep slices cheap, arrays via take."""
+    return inds
+
+
+class VisData(TensorData):
+    """Visibility container (Npol, Npol, Nbls, Ntimes, Nfreqs)
+    (reference dataset.py:289-1866)."""
+
+    def __init__(self):
+        super().__init__()
+        self.atol = 1e-10
+        self.setup_meta()
+        self.blnums = None
+        self.times = None
+        self.freqs = None
+        self.pol = None
+
+    def setup_meta(self, telescope=None, antpos=None):
+        self.telescope = telescope
+        if antpos is not None and not isinstance(antpos, AntposDict):
+            antpos = AntposDict(list(antpos.keys()), np.stack([np.asarray(v) for v in antpos.values()]))
+        self.antpos = antpos
+        self.ants = antpos.ants if antpos is not None else None
+
+    def setup_data(self, bls, times, freqs, pol=None, data=None, flags=None,
+                   cov=None, cov_axis=None, icov=None, history="", file=None):
+        self._set_bls(bls)
+        self.times = np.asarray(times)
+        self.freqs = np.asarray(freqs)
+        self.pol = pol.lower() if isinstance(pol, str) else pol
+        if isinstance(pol, str):
+            assert pol.lower() in ("ee", "nn"), "1pol mode needs pol 'ee'|'nn'"
+        self.data = data
+        self.flags = flags
+        self.set_cov(cov, cov_axis, icov=icov)
+        self.history = history
+        self._file = file
+
+    def _set_bls(self, bls):
+        if isinstance(bls, np.ndarray) and bls.ndim == 1:
+            self.blnums = bls.astype(np.int64)
+        else:
+            self.blnums = np.asarray(ants2blnum(list(bls)), dtype=np.int64)
+
+    # --- properties -------------------------------------------------------------
+    @property
+    def bls(self):
+        return blnum2ants(self.blnums)
+
+    @property
+    def Nbls(self):
+        return len(self.blnums)
+
+    @property
+    def Ntimes(self):
+        return len(self.times)
+
+    @property
+    def Nfreqs(self):
+        return len(self.freqs)
+
+    @property
+    def Npol(self):
+        return 1 if self.pol is not None else 2
+
+    def get_bl_vecs(self, bls=None):
+        bls = self.bls if bls is None else bls
+        ap = self.antpos
+        return jnp.stack([ap[bl[1]] - ap[bl[0]] for bl in bls])
+
+    # --- index helpers ------------------------------------------------------------
+    def _bl2ind(self, bl):
+        if isinstance(bl, tuple):
+            bl = [bl]
+        if isinstance(bl, list) and len(bl) and isinstance(bl[0], tuple):
+            nums = np.asarray(ants2blnum(bl))
+        else:
+            nums = np.atleast_1d(np.asarray(bl, dtype=np.int64))
+        lookup = {int(b): i for i, b in enumerate(self.blnums)}
+        try:
+            return np.asarray([lookup[int(n)] for n in nums])
+        except KeyError as e:
+            raise ValueError(f"baseline {e} not found in data") from None
+
+    def _time2ind(self, time, atol=None):
+        atol = atol if atol is not None else self.atol
+        time = np.atleast_1d(np.asarray(time))
+        out = []
+        for t in time:
+            idx = np.where(np.isclose(self.times, t, atol=atol, rtol=0))[0]
+            out.extend(idx.tolist())
+        return np.asarray(out, dtype=np.int64)
+
+    def _freq2ind(self, freq, atol=1.0):
+        freq = np.atleast_1d(np.asarray(freq))
+        out = []
+        for f in freq:
+            idx = np.where(np.isclose(self.freqs, f, atol=atol, rtol=0))[0]
+            out.extend(idx.tolist())
+        return np.asarray(out, dtype=np.int64)
+
+    def _pol2ind(self, pol):
+        pol = pol.lower()
+        if self.Npol == 1:
+            assert pol == self.pol, f"data is {self.pol}, asked for {pol}"
+            return (slice(0, 1), slice(0, 1))
+        p = {"e": 0, "n": 1}
+        return (slice(p[pol[0]], p[pol[0]] + 1), slice(p[pol[1]], p[pol[1]] + 1))
+
+    def get_inds(self, bl=None, times=None, freqs=None, pol=None):
+        """Per-axis indices (pol1, pol2, bl, time, freq) (reference :776)."""
+        p1 = p2 = slice(None)
+        if pol is not None:
+            p1, p2 = self._pol2ind(pol)
+        b = self._bl2ind(bl) if bl is not None else slice(None)
+        t = self._time2ind(times) if times is not None else slice(None)
+        f = self._freq2ind(freqs) if freqs is not None else slice(None)
+        return p1, p2, b, t, f
+
+    def _index_arr(self, arr, inds, squeeze=False):
+        if arr is None:
+            return None
+        p1, p2, b, t, f = inds
+        out = arr[p1][:, p2]
+        out = _take(out, b, 2)
+        out = _take(out, t, 3)
+        out = _take(out, f, 4)
+        if squeeze:
+            out = out[0, 0] if out.shape[0] == 1 and out.shape[1] == 1 else out
+        return out
+
+    def get_data(self, bl=None, times=None, freqs=None, pol=None,
+                 squeeze=True, data=None, **kwargs):
+        arr = self.data if data is None else data
+        inds = self.get_inds(bl=bl, times=times, freqs=freqs, pol=pol)
+        out = self._index_arr(arr, inds, squeeze=squeeze)
+        if squeeze and bl is not None and isinstance(bl, tuple):
+            out = out[..., 0, :, :] if out.ndim >= 3 and out.shape[-3] == 1 else out
+        return out
+
+    def get_flags(self, **kwargs):
+        kwargs.setdefault("data", self.flags)
+        return self.get_data(**kwargs) if self.flags is not None else None
+
+    def get_icov(self, **kwargs):
+        kwargs.setdefault("data", self.icov)
+        return self.get_data(**kwargs) if self.icov is not None else None
+
+    def __getitem__(self, bl):
+        return self.get_data(bl)
+
+    def select(self, bl=None, times=None, freqs=None, pol=None,
+               inplace=False, **kwargs):
+        """Down-select; returns a new VisData (reference :1087)."""
+        inds = self.get_inds(bl=bl, times=times, freqs=freqs, pol=pol)
+        obj = self if inplace else self.copy()
+        p1, p2, b, t, f = inds
+        obj.data = self._index_arr(self.data, inds)
+        obj.flags = self._index_arr(self.flags, inds)
+        if self.cov is not None and self.cov_axis is None:
+            obj.cov = self._index_arr(self.cov, inds)
+        if self.icov is not None and self.cov_axis is None:
+            obj.icov = self._index_arr(self.icov, inds)
+        obj.blnums = self.blnums[b] if not isinstance(b, slice) else self.blnums
+        obj.times = self.times[t] if not isinstance(t, slice) else self.times
+        obj.freqs = self.freqs[f] if not isinstance(f, slice) else self.freqs
+        if pol is not None:
+            obj.pol = pol.lower()
+        return obj
+
+    # --- physics ops -------------------------------------------------------------
+    def apply_cal(self, cd, undo=False, inplace=False, cal_2pol=False):
+        """Apply (or undo) gains to the data (reference :1184)."""
+        from ..models.calibration import apply_cal as _apply
+        obj = self if inplace else self.copy()
+        g = cd.get_data_for_bls(self.bls)
+        obj.data = _apply(self.data, g, undo=undo, cal_2pol=cal_2pol)
+        return obj
+
+    def chisq(self, other_vis=None, dof=None, icov=None, axis=None):
+        """Chi-square of residual (reference :1221)."""
+        res = self.data if other_vis is None else self.data - other_vis.data
+        ic = icov if icov is not None else self.icov
+        if ic is None:
+            ic = 1.0
+        x = (res.conj() * ic * res).real
+        x = jnp.sum(x, axis=axis) if axis is not None else jnp.sum(x)
+        if dof is not None:
+            x = x / dof
+        return x
+
+    def bl_average(self, reds=None, wgts=None, inplace=False):
+        """Average over redundant baseline groups (reference :1257).
+
+        reds: list of lists of bl tuples; default: group identical blnums.
+        """
+        if reds is None:
+            reds = [[bl] for bl in self.bls]
+        obj = self if inplace else self.copy()
+        new_blnums, chunks = [], []
+        ic = self.icov if (self.icov is not None and self.cov_axis is None) else None
+        new_icov = [] if ic is not None else None
+        for red in reds:
+            idx = self._bl2ind(red)
+            d = jnp.take(self.data, jnp.asarray(idx), axis=2)
+            if wgts is not None:
+                w = jnp.take(jnp.asarray(wgts), jnp.asarray(idx), axis=0)
+                w = w.reshape((1, 1, -1, 1, 1))
+            elif ic is not None:
+                w = jnp.take(ic, jnp.asarray(idx), axis=2)
+            else:
+                w = jnp.ones((1, 1, len(idx), 1, 1), dtype=d.real.dtype)
+            wsum = jnp.sum(w, axis=2, keepdims=True)
+            avg = jnp.sum(d * w, axis=2, keepdims=True) / wsum
+            chunks.append(avg)
+            new_blnums.append(int(ants2blnum(tuple(red[0]))))
+            if new_icov is not None:
+                new_icov.append(wsum)
+        obj.data = jnp.concatenate(chunks, axis=2)
+        obj.blnums = np.asarray(new_blnums, dtype=np.int64)
+        obj.flags = None
+        if new_icov is not None:
+            obj.icov = jnp.concatenate(new_icov, axis=2)
+            obj.cov = 1.0 / obj.icov
+        return obj
+
+    def lst_rephase(self, dtime=None, dLST=None, inplace=False):
+        """Rephase zenith drift-scan data by dLST [rad] (reference :1363)."""
+        from ..models.telescope import vis_rephase
+        assert self.telescope is not None and self.antpos is not None
+        if dLST is None:
+            dLST = np.asarray(dtime) * 2 * np.pi / 0.9972696 / 1.0  # days->rad
+        lat = self.telescope.location[1]
+        blvecs = self.get_bl_vecs()
+        phs = vis_rephase(jnp.atleast_1d(jnp.asarray(dLST)), lat, blvecs,
+                          jnp.asarray(self.freqs))
+        # phs (Nbls, Nlst, Nfreqs); broadcast Nlst over time axis
+        obj = self if inplace else self.copy()
+        obj.data = self.data * phs[None, None]
+        return obj
+
+    def inflate_by_redundancy(self, bls, bl2red=None, red_bls=None):
+        """Copy each redundant-group visibility onto physical baselines.
+
+        reference :1604. `bls` are the target baselines; bl2red maps any bl
+        tuple to a redundant-group index matching the current Nbls axis
+        (i.e. self must hold one vis per redundant group, ordered by group
+        index), or `red_bls` lists the representative bl per current row.
+        """
+        if bl2red is None:
+            assert red_bls is not None
+        if red_bls is not None:
+            # map current rows by their redundant representative
+            rep_idx = {tuple(b): i for i, b in enumerate(red_bls)}
+            idx = np.asarray([rep_idx[tuple(b)] for b in bls])
+        else:
+            idx = np.asarray([bl2red[tuple(b)] for b in bls])
+        obj = self.copy()
+        obj.data = jnp.take(self.data, jnp.asarray(idx), axis=2)
+        if self.flags is not None:
+            obj.flags = np.take(np.asarray(self.flags), idx, axis=2)
+        obj._set_bls(bls)
+        return obj
+
+    # --- IO ----------------------------------------------------------------------
+    def write_hdf5(self, fname, overwrite=False):
+        """Write to HDF5 (reference :1642)."""
+        import os
+        if os.path.exists(fname) and not overwrite:
+            raise FileExistsError(fname)
+        with h5py.File(fname, "w") as f:
+            f.attrs["obj"] = "VisData"
+            f.attrs["history"] = self.history or ""
+            if self.pol is not None:
+                f.attrs["pol"] = self.pol
+            f.create_dataset("data", data=np.asarray(self.data))
+            if self.flags is not None:
+                f.create_dataset("flags", data=np.asarray(self.flags))
+            if self.cov is not None:
+                f.create_dataset("cov", data=np.asarray(self.cov))
+                f.attrs["cov_axis"] = self.cov_axis or "none"
+            if self.icov is not None:
+                f.create_dataset("icov", data=np.asarray(self.icov))
+            f.create_dataset("blnums", data=self.blnums)
+            f.create_dataset("times", data=self.times)
+            f.create_dataset("freqs", data=self.freqs)
+            if self.antpos is not None:
+                f.create_dataset("ants", data=np.asarray(self.antpos.ants))
+                f.create_dataset("antvecs", data=np.asarray(self.antpos.antvecs))
+            if self.telescope is not None:
+                f.attrs["tloc"] = np.asarray(self.telescope.location)
+
+    @classmethod
+    def read_hdf5(cls, fname, read_data=True, bl=None, times=None,
+                  freqs=None, pol=None, lazy=False):
+        """Read from HDF5, optionally lazily / partially (reference :1683)."""
+        obj = cls()
+        f = h5py.File(fname, "r")
+        try:
+            antpos = None
+            if "ants" in f:
+                antpos = AntposDict([int(a) for a in f["ants"][:]], f["antvecs"][:])
+            telescope = None
+            if "tloc" in f.attrs:
+                from ..models.telescope import TelescopeModel
+                telescope = TelescopeModel(tuple(f.attrs["tloc"]))
+            obj.setup_meta(telescope=telescope, antpos=antpos)
+            data = None
+            if read_data and not lazy:
+                data = jnp.asarray(f["data"][:])
+            elif lazy:
+                data = HDF5Tensor(fname, "data")
+            flags = jnp.asarray(f["flags"][:]) if "flags" in f and read_data and not lazy else None
+            cov = jnp.asarray(f["cov"][:]) if "cov" in f and read_data and not lazy else None
+            icov = jnp.asarray(f["icov"][:]) if "icov" in f and read_data and not lazy else None
+            cov_axis = f.attrs.get("cov_axis", None)
+            if cov_axis == "none":
+                cov_axis = None
+            obj.setup_data(f["blnums"][:], f["times"][:], f["freqs"][:],
+                           pol=f.attrs.get("pol", None), data=data,
+                           flags=flags, cov=cov, cov_axis=cov_axis, icov=icov,
+                           history=str(f.attrs.get("history", "")))
+        finally:
+            if not lazy:
+                f.close()
+        if (bl, times, freqs, pol) != (None, None, None, None):
+            obj = obj.select(bl=bl, times=times, freqs=freqs, pol=pol)
+        return obj
+
+
+class MapData(TensorData):
+    """Sky-map container (Npol, 1, Nfreqs, Npix) (reference :1867-2461)."""
+
+    def __init__(self):
+        super().__init__()
+        self.name = None
+        self.angs = None
+        self.freqs = None
+        self.pols = None
+        self.df = None
+        self.px_area = None
+
+    def setup_meta(self, name=None):
+        self.name = name
+
+    def setup_data(self, freqs, df=None, pols=None, data=None, angs=None,
+                   flags=None, cov=None, cov_axis=None, icov=None,
+                   norm=None, history="", px_area=None):
+        self.freqs = np.asarray(freqs)
+        self.df = df
+        self.pols = pols
+        self.data = data
+        self.angs = angs if angs is None else jnp.asarray(angs)
+        self.flags = flags
+        self.set_cov(cov, cov_axis, icov=icov)
+        self.norm = norm
+        self.history = history
+        self.px_area = px_area
+
+    @property
+    def Nfreqs(self):
+        return len(self.freqs)
+
+    @property
+    def Npix(self):
+        return self.data.shape[-1] if self.data is not None else (
+            self.angs.shape[-1] if self.angs is not None else None)
+
+    def _freq2ind(self, freq, atol=1.0):
+        freq = np.atleast_1d(np.asarray(freq))
+        out = []
+        for fq in freq:
+            out.extend(np.where(np.isclose(self.freqs, fq, atol=atol, rtol=0))[0].tolist())
+        return np.asarray(out, dtype=np.int64)
+
+    def get_inds(self, angs=None, freqs=None, pols=None):
+        p = slice(None)
+        if pols is not None and self.pols is not None:
+            p = np.asarray([list(self.pols).index(x) for x in np.atleast_1d(pols)])
+        f = self._freq2ind(freqs) if freqs is not None else slice(None)
+        a = slice(None)
+        if angs is not None:
+            tgt = np.asarray(angs)
+            cur = np.asarray(self.angs)
+            a = []
+            for i in range(tgt.shape[1]):
+                d = np.abs(cur[0] - tgt[0, i]) + np.abs(cur[1] - tgt[1, i])
+                a.append(int(np.argmin(d)))
+            a = np.asarray(a)
+        return p, f, a
+
+    def get_data(self, angs=None, freqs=None, pols=None, squeeze=True,
+                 data=None, **kwargs):
+        arr = self.data if data is None else data
+        p, f, a = self.get_inds(angs=angs, freqs=freqs, pols=pols)
+        out = _take(arr, p, 0)
+        out = _take(out, f, 2)
+        out = _take(out, a, 3)
+        return out
+
+    def select(self, angs=None, freqs=None, pols=None, inplace=False):
+        obj = self if inplace else self.copy()
+        p, f, a = self.get_inds(angs=angs, freqs=freqs, pols=pols)
+        obj.data = self.get_data(angs=angs, freqs=freqs, pols=pols, squeeze=False)
+        if not isinstance(f, slice):
+            obj.freqs = self.freqs[f]
+        if not isinstance(a, slice) and self.angs is not None:
+            obj.angs = self.angs[:, a]
+        if pols is not None:
+            obj.pols = list(np.atleast_1d(pols))
+        return obj
+
+    def write_hdf5(self, fname, overwrite=False):
+        import os
+        if os.path.exists(fname) and not overwrite:
+            raise FileExistsError(fname)
+        with h5py.File(fname, "w") as f:
+            f.attrs["obj"] = "MapData"
+            f.attrs["history"] = self.history or ""
+            if self.name:
+                f.attrs["name"] = self.name
+            f.create_dataset("data", data=np.asarray(self.data))
+            f.create_dataset("freqs", data=self.freqs)
+            if self.angs is not None:
+                f.create_dataset("angs", data=np.asarray(self.angs))
+            if self.flags is not None:
+                f.create_dataset("flags", data=np.asarray(self.flags))
+
+    @classmethod
+    def read_hdf5(cls, fname, **kwargs):
+        obj = cls()
+        with h5py.File(fname, "r") as f:
+            obj.setup_meta(name=f.attrs.get("name", None))
+            obj.setup_data(f["freqs"][:],
+                           data=jnp.asarray(f["data"][:]),
+                           angs=jnp.asarray(f["angs"][:]) if "angs" in f else None,
+                           flags=jnp.asarray(f["flags"][:]) if "flags" in f else None,
+                           history=str(f.attrs.get("history", "")))
+        return obj
+
+
+class CalData(TensorData):
+    """Gain container (Npol, Npol, Nants, Ntimes, Nfreqs)
+    (reference dataset.py:2462-3322)."""
+
+    def __init__(self):
+        super().__init__()
+        self.setup_meta()
+        self.ants = None
+        self.times = None
+        self.freqs = None
+        self.pol = None
+
+    def setup_meta(self, telescope=None, antpos=None):
+        self.telescope = telescope
+        if antpos is not None and not isinstance(antpos, AntposDict):
+            antpos = AntposDict(list(antpos.keys()), np.stack([np.asarray(v) for v in antpos.values()]))
+        self.antpos = antpos
+
+    def setup_data(self, ants, times, freqs, pol=None, data=None, flags=None,
+                   cov=None, cov_axis=None, icov=None, history=""):
+        self.ants = [int(a) for a in ants]
+        self.times = np.asarray(times)
+        self.freqs = np.asarray(freqs)
+        self.pol = pol.lower() if isinstance(pol, str) else pol
+        self.data = data
+        self.flags = flags
+        self.set_cov(cov, cov_axis, icov=icov)
+        self.history = history
+
+    @property
+    def Nants(self):
+        return len(self.ants)
+
+    @property
+    def Ntimes(self):
+        return len(self.times)
+
+    @property
+    def Nfreqs(self):
+        return len(self.freqs)
+
+    @property
+    def Npol(self):
+        return 1 if self.pol is not None else 2
+
+    def _ant2ind(self, ant):
+        if isinstance(ant, (int, np.integer)):
+            ant = [ant]
+        lookup = {a: i for i, a in enumerate(self.ants)}
+        return np.asarray([lookup[int(a)] for a in ant])
+
+    def get_inds(self, ant=None, times=None, freqs=None, pol=None):
+        a = self._ant2ind(ant) if ant is not None else slice(None)
+        t = slice(None)
+        if times is not None:
+            t = np.concatenate([np.where(np.isclose(self.times, x, atol=1e-10, rtol=0))[0]
+                                for x in np.atleast_1d(times)])
+        f = slice(None)
+        if freqs is not None:
+            f = np.concatenate([np.where(np.isclose(self.freqs, x, atol=1.0, rtol=0))[0]
+                                for x in np.atleast_1d(freqs)])
+        return a, t, f
+
+    def get_data(self, ant=None, times=None, freqs=None, pol=None,
+                 squeeze=True, data=None, **kwargs):
+        arr = self.data if data is None else data
+        a, t, f = self.get_inds(ant=ant, times=times, freqs=freqs, pol=pol)
+        out = _take(arr, a, 2)
+        out = _take(out, t, 3)
+        out = _take(out, f, 4)
+        if squeeze and isinstance(ant, (int, np.integer)):
+            out = out[:, :, 0]
+        return out
+
+    def get_data_for_bls(self, bls):
+        """Gain products g_p g_q* per baseline: (Npol,Npol,Nbls,Nt,Nf)."""
+        a1 = self._ant2ind([bl[0] for bl in bls])
+        a2 = self._ant2ind([bl[1] for bl in bls])
+        g1 = jnp.take(self.data, jnp.asarray(a1), axis=2)
+        g2 = jnp.take(self.data, jnp.asarray(a2), axis=2)
+        return g1 * g2.conj()
+
+    def select(self, ants=None, times=None, freqs=None, pol=None,
+               inplace=False, **kwargs):
+        obj = self if inplace else self.copy()
+        a, t, f = self.get_inds(ant=ants, times=times, freqs=freqs, pol=pol)
+        d = _take(self.data, a, 2)
+        d = _take(d, t, 3)
+        obj.data = _take(d, f, 4)
+        if ants is not None:
+            obj.ants = [int(x) for x in np.atleast_1d(ants)]
+        if not isinstance(t, slice):
+            obj.times = self.times[t]
+        if not isinstance(f, slice):
+            obj.freqs = self.freqs[f]
+        return obj
+
+    def rephase_to_refant(self, refant, inplace=False):
+        """Divide out the phase of a reference antenna (reference :3073)."""
+        obj = self if inplace else self.copy()
+        i = self._ant2ind(refant)[0]
+        phs = jnp.angle(self.data[:, :, i:i + 1])
+        obj.data = self.data * jnp.exp(-1j * phs)
+        return obj
+
+    def write_hdf5(self, fname, overwrite=False):
+        import os
+        if os.path.exists(fname) and not overwrite:
+            raise FileExistsError(fname)
+        with h5py.File(fname, "w") as f:
+            f.attrs["obj"] = "CalData"
+            f.attrs["history"] = self.history or ""
+            if self.pol is not None:
+                f.attrs["pol"] = self.pol
+            f.create_dataset("data", data=np.asarray(self.data))
+            f.create_dataset("ants", data=np.asarray(self.ants))
+            f.create_dataset("times", data=self.times)
+            f.create_dataset("freqs", data=self.freqs)
+            if self.flags is not None:
+                f.create_dataset("flags", data=np.asarray(self.flags))
+
+    @classmethod
+    def read_hdf5(cls, fname, **kwargs):
+        obj = cls()
+        with h5py.File(fname, "r") as f:
+            obj.setup_data([int(a) for a in f["ants"][:]], f["times"][:],
+                           f["freqs"][:], pol=f.attrs.get("pol", None),
+                           data=jnp.asarray(f["data"][:]),
+                           flags=jnp.asarray(f["flags"][:]) if "flags" in f else None,
+                           history=str(f.attrs.get("history", "")))
+        return obj
+
+
+class HDF5Tensor:
+    """Lazy HDF5-backed array: slices load on __getitem__ (reference :3323).
+
+    On TPU the right pattern is host-side h5py + jax.device_put of slices;
+    this class defers the read until indexing, then returns a jnp array.
+    """
+
+    def __init__(self, fname, dset, dtype=None):
+        self.fname = fname
+        self.dset = dset
+        self._dtype = dtype
+        with h5py.File(fname, "r") as f:
+            self._shape = f[self.dset].shape
+            self._file_dtype = f[self.dset].dtype
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def ndim(self):
+        return len(self._shape)
+
+    def __len__(self):
+        return self._shape[0]
+
+    def __getitem__(self, idx):
+        with h5py.File(self.fname, "r") as f:
+            out = f[self.dset][idx]
+        return jnp.asarray(out, dtype=self._dtype)
+
+    def load(self):
+        return self[...]
+
+    def __repr__(self):
+        return f"HDF5Tensor({self.fname}:{self.dset}, shape={self._shape})"
+
+
+def _concat(objs, axis_name, data_axis, meta_attr):
+    out = objs[0].copy()
+    out.data = jnp.concatenate([o.data for o in objs], axis=data_axis)
+    if all(o.flags is not None for o in objs):
+        out.flags = np.concatenate([np.asarray(o.flags) for o in objs], axis=data_axis)
+    if all(o.icov is not None and o.cov_axis is None for o in objs):
+        out.icov = jnp.concatenate([o.icov for o in objs], axis=data_axis)
+    return out
+
+
+def concat_VisData(vds, axis):
+    """Concatenate VisData along 'bl' | 'time' | 'freq' (reference :3739)."""
+    ax = {"bl": 2, "time": 3, "freq": 4}[axis]
+    out = _concat(vds, axis, ax, None)
+    if axis == "bl":
+        out.blnums = np.concatenate([v.blnums for v in vds])
+    elif axis == "time":
+        out.times = np.concatenate([v.times for v in vds])
+    elif axis == "freq":
+        out.freqs = np.concatenate([v.freqs for v in vds])
+    return out
+
+
+def concat_MapData(mds, axis="freq"):
+    ax = {"freq": 2, "pix": 3}[axis]
+    out = _concat(mds, axis, ax, None)
+    if axis == "freq":
+        out.freqs = np.concatenate([m.freqs for m in mds])
+    else:
+        out.angs = jnp.concatenate([m.angs for m in mds], axis=1)
+    return out
+
+
+def concat_CalData(cds, axis):
+    ax = {"ant": 2, "time": 3, "freq": 4}[axis]
+    out = _concat(cds, axis, ax, None)
+    if axis == "ant":
+        out.ants = sum([c.ants for c in cds], [])
+    elif axis == "time":
+        out.times = np.concatenate([c.times for c in cds])
+    else:
+        out.freqs = np.concatenate([c.freqs for c in cds])
+    return out
+
+
+def load_data(fname, **kwargs):
+    """Load VisData/MapData/CalData from an hdf5 file by its 'obj' attr."""
+    if isinstance(fname, (VisData, MapData, CalData)):
+        return fname
+    if isinstance(fname, (list, tuple)):
+        return [load_data(f, **kwargs) for f in fname]
+    with h5py.File(fname, "r") as f:
+        obj = f.attrs.get("obj", "VisData")
+    cls = {"VisData": VisData, "MapData": MapData, "CalData": CalData}[obj]
+    return cls.read_hdf5(fname, **kwargs)

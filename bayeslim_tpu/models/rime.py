@@ -1,0 +1,297 @@
+"""
+RIME forward model: V_pq = sum_pix A_p I A_q^H K_pq.
+
+Reference parity: bayeslim/rime_model.py (RIME :13-482). Minibatch
+semantics preserved: batches iterate (time groups x baseline groups) with
+Nbatch / batch_idx (rime_model.py:253-289); redundant sim_bls -> data_bls
+expansion via an index map (:148-226); run_batches sweeps and concatenates
+(:442-482).
+
+TPU-first redesign of the forward pass (vs the reference's per-time Python
+loop with astropy calls and hash caches, rime_model.py:291-440):
+
+1. All time/angle-dependent host work is done ONCE at construction
+   (`precompute`): eq2top per (time, sky pixel), the static-shape padded
+   FOV cut (indices + mask), unit pointing vectors s, and the beam
+   response's interpolation ctx. These are stored as stacked constant
+   arrays (Ntimes, ...).
+2. `forward` is pure and jit-friendly: it lax.map's over the stacked
+   per-time constants; each step is beam-eval + apply_beam + fringe
+   reduction (`ops.rime_kernel.rime_reduce`, pixel-streaming).
+3. Gradients flow through sky params, beam params and antenna positions
+   (via tau = b.s/c) exactly as in the reference.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import Module
+from ..utils.dtypes import C_MS, _float
+from ..utils.indexing import flatten as _flatten
+from ..data.containers import VisData, concat_VisData
+from ..ops.rime_kernel import rime_reduce
+from .beam import cut_sky_fov
+
+__all__ = ["RIME"]
+
+
+class RIME(Module):
+    """The sky-integral RIME forward model (reference rime_model.py:13)."""
+
+    def __init__(self, sky, telescope, beam, array, sim_bls, times, freqs,
+                 data_bls=None, name=None, pix_chunk=1024, remat=False,
+                 verbose=False):
+        super().__init__(name=name)
+        self.sky = sky
+        self.telescope = telescope
+        self.beam = beam
+        self.array = array
+        self.pix_chunk = pix_chunk
+        self.remat = remat
+        self.verbose = verbose
+        self.setup_freqs(freqs)
+        self.setup_sim_bls(sim_bls, data_bls)
+        self.setup_sim_times(times)
+        self.precompute()
+
+    # ------------------------------------------------------------------ setup
+    def setup_freqs(self, freqs):
+        self.freqs = np.asarray(freqs, dtype=np.float64)
+        self.Nfreqs = len(self.freqs)
+        self.array.set_freqs(self.freqs)
+
+    def setup_sim_bls(self, sim_bls, data_bls=None):
+        """Group baselines; build sim->data redundancy expansion index
+        (reference :148-226)."""
+        if isinstance(sim_bls, dict):
+            groups = {k: [tuple(b) for b in v] for k, v in sim_bls.items()}
+        elif isinstance(sim_bls[0], tuple):
+            groups = {0: [tuple(b) for b in sim_bls]}
+        else:
+            groups = {i: [tuple(b) for b in g] for i, g in enumerate(sim_bls)}
+        self.sim_bl_groups = groups
+        self.all_sim_bls = _flatten(groups.values())
+        self.Nbl_groups = len(groups)
+        self.bl_group_id = 0
+
+        # baseline vectors per group: differentiable through array.antvecs,
+        # so store index pairs and compute vectors inside forward
+        self._blidx_groups = {k: self.array.bl_index(v)
+                              for k, v in groups.items()}
+
+        if data_bls is None:
+            self.data_bl_groups = dict(groups)
+            self._sim2data = {k: None for k in groups}
+        else:
+            data_bls = [tuple(b) for b in data_bls]
+            self._sim2data = {}
+            self.data_bl_groups = {}
+            for k, blg in groups.items():
+                sim_red = [self.array.bl2red[bl] for bl in blg]
+                dbls = [bl for bl in data_bls
+                        if self.array.bl2red[bl] in sim_red]
+                data_red = [self.array.bl2red[bl] for bl in dbls]
+                assert set(sim_red) == set(data_red), \
+                    "non-overlapping bl type(s) in data_bls and sim_bls"
+                self.data_bl_groups[k] = dbls
+                self._sim2data[k] = np.asarray(
+                    [sim_red.index(i) for i in data_red], dtype=np.int32)
+
+    def setup_sim_times(self, times):
+        if isinstance(times, dict):
+            groups = {k: np.asarray(v, dtype=np.float64)
+                      for k, v in times.items()}
+        elif isinstance(times, (list,)) and np.ndim(times[0]) > 0:
+            groups = {i: np.asarray(t, dtype=np.float64)
+                      for i, t in enumerate(times)}
+        else:
+            t = np.atleast_1d(np.asarray(times, dtype=np.float64))
+            groups = {0: t} if t.ndim == 1 else \
+                {i: t[i] for i in range(t.shape[0])}
+        self.sim_time_groups = groups
+        self.all_sim_times = np.concatenate(list(groups.values()))
+        self.Ntime_groups = len(groups)
+        self.time_group_id = 0
+
+    # ------------------------------------------------------------ batching API
+    @property
+    def Ntimes_all(self):
+        return len(self.all_sim_times)
+
+    @property
+    def Nbls_all(self):
+        return len(self.all_sim_bls)
+
+    @property
+    def Nbatch(self):
+        return self.Nbl_groups * self.Ntime_groups
+
+    @property
+    def batch_idx(self):
+        return self.time_group_id * self.Nbl_groups + self.bl_group_id
+
+    @batch_idx.setter
+    def batch_idx(self, val):
+        assert 0 <= val < self.Nbatch
+        self.time_group_id = int(val // self.Nbl_groups)
+        self.bl_group_id = int(val % self.Nbl_groups)
+
+    @property
+    def sim_bls(self):
+        return self.sim_bl_groups[self.bl_group_id]
+
+    @property
+    def data_bls(self):
+        return self.data_bl_groups[self.bl_group_id]
+
+    @property
+    def sim_times(self):
+        return self.sim_time_groups[self.time_group_id]
+
+    # ------------------------------------------------------------- precompute
+    def _sky_components(self):
+        """Static info about the sky components (host)."""
+        from .sky import CompositeModel
+        if isinstance(self.sky, CompositeModel):
+            return list(self.sky.models.values())
+        return [self.sky]
+
+    def precompute(self):
+        """Host precompute per (time group, sky component): zen/az, padded
+        FOV indices+mask, s-vectors, beam interp ctx. Replaces the
+        reference's runtime arr_hash caches (telescope_model.py:89-131,
+        utils.py:742-813, beam_model.py:538-567)."""
+        self._pre = {}
+        comps = self._sky_components()
+        rdt = _float()
+        for tg, times in self.sim_time_groups.items():
+            for ci, comp in enumerate(comps):
+                angs = np.asarray(comp.angs, dtype=np.float64)
+                ra, dec = angs[0], angs[1]
+                zen_list, az_list, cut_list, mask_list = [], [], [], []
+                ncut = 0
+                raw = []
+                for t in times:
+                    zen, az = self.telescope.eq2top(t, ra, dec)
+                    raw.append((zen, az))
+                    ncut = max(ncut, int((zen < self.beam.fov / 2).sum()))
+                # pad to a multiple of the pixel chunk (or 8)
+                base = self.pix_chunk if ncut >= self.pix_chunk else 8
+                pad = int(np.ceil(max(ncut, 1) / base) * base)
+                ctx_list = []
+                for (zen, az) in raw:
+                    cut, mask = self.beam.fov_cut(zen, pad_to=pad)
+                    zen_c, az_c = zen[cut], az[cut]
+                    zen_list.append(zen_c)
+                    az_list.append(az_c)
+                    cut_list.append(cut)
+                    mask_list.append(mask)
+                    if hasattr(self.beam.R, "precompute"):
+                        ctx_list.append(self.beam.R.precompute(zen_c, az_c))
+                s = np.stack([self.array.s_vector(z, a)
+                              for z, a in zip(zen_list, az_list)])
+                pre = dict(
+                    zen=jnp.asarray(np.stack(zen_list), dtype=rdt),
+                    az=jnp.asarray(np.stack(az_list), dtype=rdt),
+                    cut=jnp.asarray(np.stack(cut_list)),
+                    mask=jnp.asarray(np.stack(mask_list)),
+                    s=jnp.asarray(s, dtype=rdt),
+                )
+                if ctx_list:
+                    pre["ctx"] = (
+                        jnp.asarray(np.stack([c[0] for c in ctx_list])),
+                        jnp.asarray(np.stack([c[1] for c in ctx_list]), dtype=rdt),
+                    )
+                self._pre[(tg, ci)] = pre
+
+        # model-pair indices per bl group
+        self._mp_groups = {k: self.beam.modelpair_index(v)
+                           for k, v in self.sim_bl_groups.items()}
+
+    # ---------------------------------------------------------------- forward
+    def _sim_component(self, sky_data, pre, blvecs, m1, m2, sim2data):
+        """Simulate one sky component over the current time group.
+
+        sky_data: (Nstokes, 1|Nvec, Nfreqs, Npix); returns
+        (Npol, Npol, Ndata_bls, Ntimes, Nfreqs) complex.
+        """
+        freqs = self.freqs
+        chunk = self.pix_chunk
+        beam = self.beam
+        has_ctx = "ctx" in pre
+
+        def one_time(xs):
+            if has_ctx:
+                zen, az, cut, mask, s, ctx = xs
+            else:
+                zen, az, cut, mask, s = xs
+                ctx = None
+            csky = cut_sky_fov(sky_data, cut)
+            csky = csky * mask.astype(csky.real.dtype)
+            b = beam.gen_beam(zen, az, ctx=ctx)      # (Np,Nv,Nm,Nf,Ncut)
+            psky = beam.apply_beam(b, m1, m2, csky)  # (Np,Np,Nb,Nf,Ncut)
+            tau = (blvecs @ s) / C_MS                # (Nbls, Ncut)
+            return rime_reduce(psky, tau, freqs, chunk=chunk)
+
+        if self.remat:
+            one_time = jax.checkpoint(one_time)
+
+        xs = (pre["zen"], pre["az"], pre["cut"], pre["mask"], pre["s"])
+        if has_ctx:
+            xs = xs + (pre["ctx"],)
+        vis_t = jax.lax.map(one_time, xs)            # (Nt, Np,Np,Nb,Nf)
+        vis = jnp.moveaxis(vis_t, 0, 3)              # (Np,Np,Nb,Nt,Nf)
+        if sim2data is not None:
+            vis = jnp.take(vis, jnp.asarray(sim2data), axis=2)
+        return vis
+
+    def forward(self, *args, prior_cache=None, **kwargs):
+        """Forward model -> VisData (reference :291-440)."""
+        sky_comps = self.sky.forward(prior_cache=prior_cache)
+        if not isinstance(sky_comps, list):
+            sky_comps = [sky_comps]
+
+        tg, bg = self.time_group_id, self.bl_group_id
+        a1, a2 = self._blidx_groups[bg]
+        blvecs = self.array.antvecs[a2] - self.array.antvecs[a1]
+        m1, m2 = self._mp_groups[bg]
+        sim2data = self._sim2data[bg]
+
+        vis = None
+        for ci, comp in enumerate(sky_comps):
+            pre = self._pre[(tg, ci)]
+            v = self._sim_component(comp.data, pre, blvecs, m1, m2, sim2data)
+            vis = v if vis is None else vis + v
+
+        # prior on beam params (sky priors were evaluated in sky.forward)
+        self.beam.eval_prior(prior_cache, inp_params=self.beam.params)
+
+        pol = None
+        if self.beam.Npol == 1 and self.beam.pol is not None:
+            pol = f"{self.beam.pol}{self.beam.pol}"
+        vd = VisData()
+        vd.setup_meta(self.telescope, self.array.to_antpos())
+        vd.setup_data(self.data_bls, self.sim_times, self.freqs, pol=pol,
+                      data=vis, history=f"RIME forward ({self.name})")
+        return vd
+
+    def run_batches(self, concat=True):
+        """Sweep all batches and concatenate (reference :442-482)."""
+        vis_times, vis_bls = [], []
+        for i in range(self.Nbatch):
+            self.batch_idx = i
+            vis = self.forward()
+            vis_bls.append(vis)
+            if self.Nbatch == 1:
+                vis_times.append(vis)
+            elif self.bl_group_id == self.Nbl_groups - 1:
+                if concat:
+                    vis_times.append(concat_VisData(vis_bls, "bl"))
+                else:
+                    vis_times.extend(vis_bls)
+                vis_bls = []
+        out = concat_VisData(vis_times, "time") if concat else vis_times
+        self.batch_idx = 0
+        return out

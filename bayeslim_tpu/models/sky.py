@@ -1,0 +1,352 @@
+"""
+Sky models: point-source and pixelized skies with composable response
+functions.
+
+Reference parity: bayeslim/sky_model.py (SkyBase :13, PointSky :154,
+PointSkyResponse :289, PixelSky :389, PixelSkyResponse :510,
+CompositeModel :778, Stokes2Coherency :1160, read/write_catalogue
+:1007,1088, Jy2K :1140).
+
+Conventions preserved: sky data (Nstokes, 1, Nfreqs, Nsources); angs are
+(2, Nsources) equatorial [RA, Dec] in degrees; PixelSky multiplies pixel
+solid angle so the output is flux density [Jy].
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+import yaml
+
+from ..utils import Module
+from ..utils.dtypes import _float, viewcomp
+from ..data.containers import MapData
+
+__all__ = [
+    "SkyBase", "DefaultResponse", "PointSky", "PointSkyResponse",
+    "PixelSky", "PixelSkyResponse", "CompositeModel", "Stokes2Coherency",
+    "read_catalogue", "write_catalogue", "Jy2K", "stokes2coherency",
+]
+
+
+class DefaultResponse(Module):
+    """Identity response (reference sky_model.py:133-151)."""
+
+    def __init__(self, freqs=None):
+        super().__init__()
+        self.freqs = None if freqs is None else np.asarray(freqs)
+        self.freq_mode = "channel"
+
+    def forward(self, params, **kwargs):
+        return params
+
+
+class SkyBase(Module):
+    """Base sky block: output = R(params + p0) (reference :13-128)."""
+
+    def __init__(self, params, angs, R=None, name=None, parameter=True,
+                 p0=None):
+        super().__init__(name=name)
+        self.params = jnp.asarray(params)
+        self.p0 = None if p0 is None else jnp.asarray(p0)
+        self.R = R if R is not None else DefaultResponse()
+        self.angs = jnp.asarray(angs)
+        if parameter:
+            self.set_param("params")
+
+    def _response(self, params):
+        if params is None:
+            params = self.params
+        p = params + self.p0 if self.p0 is not None else params
+        return self.R(p)
+
+    def forward(self, params=None, prior_cache=None, **kwargs):
+        sky = self._response(params)
+        self.eval_prior(prior_cache, inp_params=self.params, out_params=sky)
+        md = MapData()
+        md.setup_meta(name=self.name)
+        md.setup_data(freqs=self.R.freqs, data=sky, angs=self.angs)
+        return md
+
+    def freq_interp(self, freqs, kind="linear"):
+        """Interpolate channel-mode params onto new freqs (reference :99)."""
+        from scipy.interpolate import interp1d
+        freqs = np.asarray(freqs)
+        if self.R.freq_mode == "channel":
+            f = interp1d(np.asarray(self.R.freqs), np.asarray(self.params),
+                         axis=2, kind=kind, fill_value="extrapolate")
+            self.params = jnp.asarray(f(freqs), dtype=self.params.dtype)
+        self.R.freqs = freqs
+
+
+class PointSky(SkyBase):
+    """Fixed-position point sources with variable flux (reference :154-287)."""
+
+    def forward(self, params=None, prior_cache=None, **kwargs):
+        return super().forward(params=params, prior_cache=prior_cache, **kwargs)
+
+
+class PointSkyResponse(Module):
+    """Frequency response for PointSky (reference :289-387).
+
+    freq_mode: 'channel' | 'linear' | 'powerlaw'. params shape
+    (Nstokes, 1, Ncoeff, Nsources); powerlaw uses Ncoeff=2 (amp, spix).
+    """
+
+    def __init__(self, freqs, freq_mode="channel", log=False, LM=None,
+                 freq_LM=None, f0=None):
+        super().__init__()
+        self.freqs = np.asarray(freqs, dtype=np.float64)
+        self.freq_mode = freq_mode
+        self.log = log
+        self.LM = LM
+        self.freq_LM = freq_LM
+        self.f0 = f0
+        self._freqs_arr = jnp.asarray(self.freqs, dtype=_float())
+
+    def forward(self, params, **kwargs):
+        if self.LM is not None:
+            params = self.LM(params)
+        if self.freq_mode == "channel":
+            pass
+        elif self.freq_mode == "linear":
+            params = self.freq_LM(params)
+        elif self.freq_mode == "powerlaw":
+            amp = params[..., 0:1, :]
+            if self.log:
+                amp = jnp.exp(amp)
+            params = amp * (self._freqs_arr[:, None] / self.f0) ** params[..., 1:2, :]
+        if self.log and self.freq_mode in ("channel", "linear"):
+            params = jnp.exp(params)
+        return params
+
+
+class PixelSky(SkyBase):
+    """Pixelized sky brightness; output multiplied by pixel solid angle
+    (reference :389-508)."""
+
+    def __init__(self, params, angs, px_area, R=None, name=None,
+                 parameter=True, p0=None):
+        super().__init__(params, angs, R=R, name=name, parameter=parameter,
+                         p0=p0)
+        self.px_area = jnp.asarray(px_area)
+
+    def forward(self, params=None, prior_cache=None, **kwargs):
+        sky = self._response(params)
+        self.eval_prior(prior_cache, inp_params=self.params, out_params=sky)
+        md = MapData()
+        md.setup_meta(name=self.name)
+        md.setup_data(freqs=self.R.freqs, data=sky * self.px_area,
+                      angs=self.angs, px_area=self.px_area)
+        return md
+
+
+class PixelSkyResponse(Module):
+    """Spatial x frequency response for PixelSky (reference :510-733).
+
+    spatial_mode: 'pixel' | 'linear' | 'alm' (spat_LM is a LinearModel or
+    AlmModel). freq_mode: 'channel' | 'linear' | 'powerlaw' | 'bessel'
+    (gln dict of per-l radial design matrices, kbins alongside).
+    transform_order 0: spatial then freq; 1: freq then spatial.
+    """
+
+    def __init__(self, freqs, comp_params=False, spatial_mode="pixel",
+                 freq_mode="channel", transform_order=0, cosmo=None,
+                 spat_LM=None, freq_LM=None, f0=None, gln=None, kbins=None,
+                 log=False, real_output=True, abs_output=False, LM=None,
+                 sky0=None):
+        super().__init__()
+        self.freqs = np.asarray(freqs, dtype=np.float64)
+        self.Nfreqs = len(self.freqs)
+        self.comp_params = comp_params
+        self.spatial_mode = spatial_mode
+        self.freq_mode = freq_mode
+        self.transform_order = transform_order
+        self.log = log
+        self.real_output = real_output
+        self.abs_output = abs_output
+        self.LM = LM
+        self.spat_LM = spat_LM
+        self.freq_LM = freq_LM
+        self.f0 = f0
+        self.gln = gln
+        self.kbins = kbins
+        self.sky0 = None if sky0 is None else jnp.asarray(sky0)
+        self._freqs_arr = jnp.asarray(self.freqs, dtype=_float())
+        if freq_mode == "bessel":
+            if cosmo is None:
+                from .cosmology import Cosmology
+                cosmo = Cosmology()
+            self.cosmo = cosmo
+            self.l_arr = np.unique(np.concatenate([np.atleast_1d(k) for k in gln.keys()]))
+
+    def spatial_transform(self, params):
+        if self.comp_params and not jnp.iscomplexobj(params):
+            params = viewcomp(params)
+        if self.spatial_mode == "pixel":
+            return params
+        return self.spat_LM(params)
+
+    def freq_transform(self, params):
+        if self.comp_params and not jnp.iscomplexobj(params):
+            params = viewcomp(params)
+        if self.freq_mode == "channel":
+            return params
+        if self.freq_mode == "linear":
+            return self.freq_LM(params)
+        if self.freq_mode == "powerlaw":
+            return params[..., 0:1, :] * (self._freqs_arr[:, None] / self.f0) ** params[..., 1:2, :]
+        if self.freq_mode == "bessel":
+            assert self.transform_order == 1, \
+                "bessel freq mode requires transform_order=1"
+            out = jnp.zeros(params.shape[:-2] + (self.Nfreqs,) + params.shape[-1:],
+                            dtype=params.dtype)
+            for l, g in self.gln.items():
+                inds = np.where(self.l_arr == l)[0]
+                # g: (Nfreqs, Nn); params slice (..., Nn, Nl_modes)
+                contrib = jnp.einsum("fn,...nc->...fc", jnp.asarray(g),
+                                     params[..., :, inds])
+                out = out.at[..., inds].add(contrib)
+            return out
+        raise ValueError(f"unknown freq_mode {self.freq_mode}")
+
+    def forward(self, params, **kwargs):
+        if self.LM is not None:
+            params = self.LM(params)
+        if self.transform_order == 0:
+            params = self.spatial_transform(params)
+            params = self.freq_transform(params)
+        else:
+            params = self.freq_transform(params)
+            params = self.spatial_transform(params)
+        if self.real_output and jnp.iscomplexobj(params):
+            params = params.real
+        if self.log:
+            params = jnp.exp(params)
+        if self.sky0 is not None:
+            params = params + self.sky0
+        if self.abs_output:
+            params = jnp.abs(params)
+        return params
+
+
+class CompositeModel(Module):
+    """Multiple sky components, optionally summed (reference :778-936).
+
+    If sum_output, all components must share angs/freqs shapes.
+    """
+
+    def __init__(self, models, sum_output=False, name=None):
+        super().__init__(name=name)
+        self.models = dict(models) if isinstance(models, dict) else \
+            {m.name: m for m in models}
+        self.sum_output = sum_output
+
+    def forward(self, prior_cache=None, **kwargs):
+        outs = [m.forward(prior_cache=prior_cache, **kwargs)
+                for m in self.models.values()]
+        if self.sum_output:
+            md = outs[0]
+            md.data = sum([o.data for o in outs[1:]], md.data)
+            return md
+        return outs
+
+
+def stokes2coherency(S):
+    """Stokes vector (4, 1, ...) or (Nstokes<=4, 1, ...) -> 2x2 coherency B.
+
+    B = 0.5 [[I+Q, U+iV], [U-iV, I-Q]] (linear feed basis). Reference
+    parity: sky_model.py Stokes2Coherency (:1160-1355).
+    """
+    ns = S.shape[0]
+    I = S[0, 0]
+    Q = S[1, 0] if ns > 1 else 0.0
+    U = S[2, 0] if ns > 2 else 0.0
+    V = S[3, 0] if ns > 3 else 0.0
+    B00 = 0.5 * (I + Q)
+    B11 = 0.5 * (I - Q)
+    B01 = 0.5 * (U + 1j * V)
+    B10 = 0.5 * (U - 1j * V)
+    row0 = jnp.stack([jnp.asarray(B00, dtype=jnp.result_type(B00, 1j)),
+                      jnp.asarray(B01)], axis=0)
+    row1 = jnp.stack([jnp.asarray(B10), jnp.asarray(B11, dtype=jnp.result_type(B11, 1j))], axis=0)
+    return jnp.stack([row0, row1], axis=0)
+
+
+class Stokes2Coherency(Module):
+    """Block converting a Stokes sky MapData to coherency form
+    (reference :1160-1355)."""
+
+    def forward(self, sky_comp, prior_cache=None, **kwargs):
+        if isinstance(sky_comp, list):
+            return [self.forward(s) for s in sky_comp]
+        md = sky_comp.copy()
+        md.data = stokes2coherency(sky_comp.data)
+        return md
+
+
+def read_catalogue(catfile, freqs=None, device=None, parameter=False):
+    """Read a YAML point-source catalogue (reference :1007-1086).
+
+    Returns (params, angs, meta) arrays ready for PointSky; powerlaw
+    catalogues yield params (1, 1, 2, Nsource) [amp, spix] and need a
+    PointSkyResponse(freq_mode='powerlaw', f0=meta['f0']).
+    """
+    with open(catfile) as f:
+        cat = yaml.safe_load(f)
+    sources = cat["sources"]
+    names = list(sources.keys())
+    ra = np.asarray([sources[n]["ra"] for n in names], dtype=np.float64)
+    dec = np.asarray([sources[n]["dec"] for n in names], dtype=np.float64)
+    angs = np.stack([ra, dec])
+    mode = cat.get("freq_mode", "powerlaw")
+    if mode == "powerlaw":
+        amp = np.asarray([np.atleast_1d(sources[n]["amp"]) for n in names]).T
+        spix = np.asarray([np.atleast_1d(sources[n].get("spix", 0.0)).ravel()[0]
+                           for n in names])
+        nstokes = amp.shape[0]
+        params = np.zeros((nstokes, 1, 2, len(names)))
+        params[:, 0, 0] = amp
+        params[:, 0, 1] = spix
+        meta = dict(f0=float(cat.get("f0", 150e6)), freq_mode="powerlaw",
+                    names=names)
+    else:
+        amp = np.asarray([np.atleast_2d(sources[n]["amp"]) for n in names])
+        params = np.moveaxis(amp, 0, -1)[None]
+        meta = dict(freq_mode="channel", names=names)
+    return jnp.asarray(params, dtype=_float()), jnp.asarray(angs), meta
+
+
+def write_catalogue(catfile, params, angs, names=None, freq_mode="powerlaw",
+                    f0=150e6, overwrite=False):
+    """Write a YAML point-source catalogue (reference :1088-1138)."""
+    import os
+    if os.path.exists(catfile) and not overwrite:
+        raise FileExistsError(catfile)
+    params = np.asarray(params)
+    angs = np.asarray(angs)
+    n = angs.shape[1]
+    names = names if names is not None else [f"src{i}" for i in range(n)]
+    sources = {}
+    for i, name in enumerate(names):
+        if freq_mode == "powerlaw":
+            sources[name] = dict(ra=float(angs[0, i]), dec=float(angs[1, i]),
+                                 amp=params[:, 0, 0, i].tolist(),
+                                 spix=float(params[0, 0, 1, i]))
+        else:
+            sources[name] = dict(ra=float(angs[0, i]), dec=float(angs[1, i]),
+                                 amp=params[:, 0, :, i].tolist())
+    with open(catfile, "w") as f:
+        yaml.safe_dump(dict(freq_mode=freq_mode, f0=float(f0),
+                            sources=sources), f)
+
+
+def Jy2K(freqs, px_area):
+    """Jy -> Kelvin conversion factor per frequency (reference :1140-1158).
+
+    K = Jy * 1e-26 * c^2 / (2 kB nu^2 Omega_px)
+    """
+    kb = 1.380649e-23
+    c = 2.99792458e8
+    freqs = np.asarray(freqs, dtype=np.float64)
+    return 1e-26 * c ** 2 / (2 * kb * freqs ** 2 * px_area)

@@ -129,8 +129,8 @@ def _earth_velocity(jd):
 
 
 def _radec_to_vec(ra_deg, dec_deg):
-    ra = np.asarray(ra_deg, dtype=np.float64) * D2R
-    dec = np.asarray(dec_deg, dtype=np.float64) * D2R
+    ra = np.atleast_1d(np.asarray(ra_deg, dtype=np.float64)) * D2R
+    dec = np.atleast_1d(np.asarray(dec_deg, dtype=np.float64)) * D2R
     cd = np.cos(dec)
     return np.stack([cd * np.cos(ra), cd * np.sin(ra), np.sin(dec)], axis=0)
 
@@ -181,8 +181,8 @@ def eq2top(location, time, ra, dec, apparent=True):
 def top2eq(location, time, zen, az, apparent=True):
     """Topocentric zen/az [deg] -> ICRS RA/Dec [deg] (inverse of eq2top)."""
     lon, lat = location[0], location[1]
-    zen_r = np.asarray(zen, dtype=np.float64) * D2R
-    az_r = np.asarray(az, dtype=np.float64) * D2R
+    zen_r = np.atleast_1d(np.asarray(zen, dtype=np.float64)) * D2R
+    az_r = np.atleast_1d(np.asarray(az, dtype=np.float64)) * D2R
     lat_r = lat * D2R
     # ENU -> (H, dec)
     e = np.sin(zen_r) * np.sin(az_r)

@@ -183,10 +183,11 @@ def get_interp_weights(nside, theta, phi):
     reference's PixInterp, bayeslim/utils.py:765): interpolate between the
     two phi-adjacent pixels on the ring above and the ring below.
 
-    Near the poles (|z| above the first/last ring) all weight is assigned
-    to the nearest ring's two phi-neighbors (weights split across the same
-    two pixels twice), a simplification w.r.t. healpy's polar treatment
-    that only affects targets within ~1 pixel of a pole.
+    Near the poles (|z| above the first/last ring) we use healpy's polar
+    scheme: the two phi-adjacent pixels on the polar ring get weight
+    wt*w_phi (wt = theta/theta_ring), and the two opposite-side (phi+pi)
+    pixels share (1-wt) equally, so the interpolant is continuous at the
+    pole (value -> ring average of opposite pixels).
 
     Returns
     -------
@@ -234,4 +235,24 @@ def get_interp_weights(nside, theta, phi):
         (1 - wz) * (1 - wa), (1 - wz) * wa,
         wz * (1 - wb), wz * wb,
     ])
+
+    # polar caps: replace the duplicate ring with opposite-side pixels
+    theta_r1 = np.arccos(zr[0])
+    north = theta < theta_r1
+    south = theta > np.arccos(zr[-1])
+    for mask, ring, tring in ((north, 0, theta_r1),
+                              (south, nring - 1, np.pi - np.arccos(zr[-1]))):
+        if not np.any(mask):
+            continue
+        tt = theta[mask] if ring == 0 else (np.pi - theta[mask])
+        wt = tt / tring
+        p0, p1, wphi = ring_neighbors(np.full(mask.sum(), ring), phi[mask])
+        o0, o1, _ = ring_neighbors(np.full(mask.sum(), ring),
+                                   phi[mask] + np.pi)
+        pix[0, mask], pix[1, mask] = p0, p1
+        pix[2, mask], pix[3, mask] = o0, o1
+        wgts[0, mask] = wt * (1 - wphi)
+        wgts[1, mask] = wt * wphi
+        wgts[2, mask] = (1 - wt) / 2
+        wgts[3, mask] = (1 - wt) / 2
     return pix, wgts

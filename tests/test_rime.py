@@ -1,0 +1,189 @@
+"""End-to-end RIME forward tests (reference tests/test_rime.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import bayeslim_tpu as bl
+from bayeslim_tpu.models import telescope as tm
+from bayeslim_tpu.models.sky import PointSky, PointSkyResponse, PixelSky, PixelSkyResponse
+from bayeslim_tpu.models.beam import PixelBeam, GaussResponse, UniformResponse, AiryResponse
+from bayeslim_tpu.models.rime import RIME
+from bayeslim_tpu.utils import make_hex, AntposDict, healpix as hp
+
+HERA_LOC = (21.428305555, -30.72152777, 1073.0)
+JD0 = 2458168.3
+
+
+def setup_Telescope():
+    return tm.TelescopeModel(HERA_LOC)
+
+
+def setup_Array(N=2, freqs=None):
+    ants, antvecs = make_hex(N, D=15.0)
+    return tm.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+
+
+def setup_PointSky(telescope, Nsource=5, Nfreqs=8, seed=0):
+    """Random bright point sources placed above the horizon at JD0."""
+    rng = np.random.default_rng(seed)
+    freqs = np.linspace(100e6, 120e6, Nfreqs)
+    # scatter sources around zenith
+    ra0 = telescope.JD2RA(JD0)
+    ra = ra0 + rng.uniform(-20, 20, Nsource)
+    dec = HERA_LOC[1] + rng.uniform(-20, 20, Nsource)
+    angs = np.stack([ra, dec])
+    amp = rng.uniform(1, 10, Nsource)
+    params = np.zeros((1, 1, 2, Nsource))
+    params[0, 0, 0] = amp
+    params[0, 0, 1] = -2.2
+    R = PointSkyResponse(freqs, freq_mode="powerlaw", f0=freqs[0])
+    sky = PointSky(jnp.asarray(params), jnp.asarray(angs), R=R)
+    return sky, freqs
+
+
+def setup_GaussBeam(freqs):
+    params = jnp.ones((1, 1, 1, len(freqs), 2)) * 0.5
+    return PixelBeam(params, freqs, R=GaussResponse(), pol="e",
+                     powerbeam=True, fov=180.0)
+
+
+def setup_UniformBeam(freqs, fov=180.0):
+    params = jnp.ones((1, 1, 1, 1, 1))
+    return PixelBeam(params, freqs, R=UniformResponse(), pol="e",
+                     powerbeam=True, fov=fov)
+
+
+def test_rime_pointsky_analytic():
+    """Uniform beam + point sources: V = sum_s S_s(f) exp(2pi i f b.s/c)."""
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_UniformBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:5]
+    times = np.asarray([JD0, JD0 + 0.001])
+
+    rime = RIME(sky, T, beam, arr, bls, times, freqs)
+    vd = rime.forward()
+    assert vd.data.shape == (1, 1, 5, 2, len(freqs))
+
+    # analytic truth
+    angs = np.asarray(sky.angs)
+    S = np.asarray(sky.params[0, 0, 0])  # amplitudes
+    spec = S[None, :] * (freqs[:, None] / freqs[0]) ** -2.2  # (Nf, Ns)
+    blvecs = np.asarray(arr.get_blvecs(bls))
+    truth = np.zeros((5, 2, len(freqs)), dtype=complex)
+    for ti, t in enumerate(times):
+        zen, az = T.eq2top(t, angs[0], angs[1])
+        s = arr.s_vector(zen, az)  # (3, Ns)
+        tau = blvecs @ s / 2.99792458e8  # (Nbl, Ns)
+        fr = np.exp(2j * np.pi * freqs[None, :, None] * tau[:, None, :])
+        truth[:, ti, :] = (fr * spec[None]).sum(-1)
+    err = np.abs(np.asarray(vd.data[0, 0]) - truth).max() / np.abs(truth).max()
+    assert err < 1e-10, f"RIME analytic mismatch {err:.2e}"
+
+
+def test_rime_batched_equals_unbatched():
+    """Minibatched (time and bl groups) forward == single batch
+    (reference tests/test_rime.py:29-51, tolerance 1e-10)."""
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    times = np.asarray([JD0, JD0 + 5e-4, JD0 + 1e-3, JD0 + 1.5e-3])
+
+    rime_full = RIME(sky, T, beam, arr, bls, times, freqs)
+    vd_full = rime_full.forward()
+
+    # batch: 2 bl groups x 2 time groups
+    rime_b = RIME(sky, T, beam, arr, [bls[:3], bls[3:]],
+                  [times[:2], times[2:]], freqs)
+    assert rime_b.Nbatch == 4
+    vd_b = rime_b.run_batches(concat=True)
+
+    assert vd_b.data.shape == vd_full.data.shape
+    assert np.allclose(np.asarray(vd_b.data), np.asarray(vd_full.data),
+                       atol=1e-10)
+    assert np.allclose(vd_b.times, vd_full.times)
+    assert (vd_b.blnums == vd_full.blnums).all()
+
+
+def test_rime_fov_cut_pixelsky():
+    """PixelSky + FOV cut: pixels below fov/2 contribute, others don't."""
+    T = setup_Telescope()
+    nside = 8
+    npix = hp.nside2npix(nside)
+    freqs = np.linspace(100e6, 110e6, 4)
+    theta, phi = hp.pix2ang(nside, np.arange(npix))
+    ra = phi * 180 / np.pi
+    dec = 90.0 - theta * 180 / np.pi
+    angs = np.stack([ra, dec])
+    rng = np.random.default_rng(1)
+    params = jnp.asarray(rng.uniform(1, 2, (1, 1, len(freqs), npix)))
+    px_area = hp.nside2pixarea(nside)
+    R = PixelSkyResponse(freqs, spatial_mode="pixel", freq_mode="channel")
+    sky = PixelSky(params, jnp.asarray(angs), px_area, R=R)
+
+    arr = setup_Array(N=2, freqs=freqs)
+    beam90 = setup_UniformBeam(freqs, fov=90.0)
+    bls = [(0, 1), (0, 2)]
+    rime = RIME(sky, T, beam90, arr, bls, np.asarray([JD0]), freqs)
+    vd = rime.forward()
+
+    # manual: only pixels with zen < 45
+    zen, az = T.eq2top(JD0, ra, dec)
+    cut = zen < 45.0
+    s = arr.s_vector(zen[cut], az[cut])
+    blvecs = np.asarray(arr.get_blvecs(bls))
+    tau = blvecs @ s / 2.99792458e8
+    fr = np.exp(2j * np.pi * freqs[None, :, None] * tau[:, None, :])
+    truth = (fr * (np.asarray(params)[0, 0][None, :, cut] * px_area)).sum(-1)
+    err = np.abs(np.asarray(vd.data[0, 0, :, 0]) - truth).max() / np.abs(truth).max()
+    assert err < 1e-10
+
+
+def test_rime_jit_and_grad():
+    """The whole forward jits; gradients flow to sky params + beam params."""
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:4]
+    rime = RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+
+    from bayeslim_tpu import model2pdict
+
+    pd = model2pdict(rime)
+    assert "sky.params" in pd and "beam.params" in pd
+
+    def loss(pdict):
+        out = rime.updated(pdict).forward()
+        return jnp.sum(jnp.abs(out.data) ** 2)
+
+    g = jax.jit(jax.grad(loss))(pd)
+    assert np.isfinite(np.asarray(g["sky.params"])).all()
+    assert np.isfinite(np.asarray(g["beam.params"])).all()
+    assert np.abs(np.asarray(g["sky.params"])).max() > 0
+    assert np.abs(np.asarray(g["beam.params"])).max() > 0
+
+    # finite-difference check one sky param
+    eps = 1e-4
+    pd2 = pd.copy()
+    p = np.asarray(pd["sky.params"])
+    p2 = p.copy()
+    p2[0, 0, 0, 0] += eps
+    pd2["sky.params"] = jnp.asarray(p2)
+    num = (loss(pd2) - loss(pd)) / eps
+    assert np.isclose(np.asarray(g["sky.params"])[0, 0, 0, 0], num, rtol=1e-4)
+
+
+def test_rime_chunked_equals_unchunked():
+    """Pixel-chunked reduction == direct reduction."""
+    from bayeslim_tpu.ops.rime_kernel import rime_reduce, rime_reduce_ref
+    rng = np.random.default_rng(0)
+    psky = jnp.asarray(rng.normal(size=(1, 1, 3, 4, 256)))
+    tau = jnp.asarray(rng.uniform(-1e-5, 1e-5, (3, 256)))
+    freqs = np.linspace(100e6, 110e6, 4)
+    a = rime_reduce_ref(psky, tau, freqs)
+    b = rime_reduce(psky, tau, freqs, chunk=64)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)

@@ -1,0 +1,154 @@
+"""Tests for telescope/array models (reference tests/test_telescope.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayeslim_tpu.models import telescope as tm
+from bayeslim_tpu.utils import make_hex, AntposDict
+from bayeslim_tpu.ops.phase import fringe_cycles, mod1
+
+HERA_LOC = (21.428305555, -30.72152777, 1073.0)  # lon, lat, alt
+
+
+def setup_Telescope():
+    return tm.TelescopeModel(HERA_LOC)
+
+
+def setup_Array(N=2, D=15.0):
+    ants, antvecs = make_hex(N, D=D)
+    antpos = AntposDict(ants, antvecs)
+    return tm.ArrayModel(antpos, freqs=np.linspace(100e6, 120e6, 16))
+
+
+def test_sidereal_time_sanity():
+    # LST advances ~360.9856 deg per day
+    jd = 2458168.5
+    lst1 = tm.JD2LST(jd, HERA_LOC[0])
+    lst2 = tm.JD2LST(jd + 1.0, HERA_LOC[0])
+    dlst = np.mod(lst2 - lst1, 2 * np.pi) * 180 / np.pi
+    assert np.isclose(dlst, 0.98565, atol=1e-3)
+
+
+def test_eq2top_roundtrip():
+    T = setup_Telescope()
+    jd = 2458168.3
+    ra = np.asarray([30.0, 100.0, 250.0])
+    dec = np.asarray([-30.7, 10.0, -75.0])
+    zen, az = T.eq2top(jd, ra, dec)
+    ra2, dec2 = T.top2eq(jd, zen, az)
+    assert np.allclose(np.mod(ra2 - ra, 360.0), 0.0, atol=1e-6) or \
+        np.allclose(np.abs(np.mod(ra2 - ra + 180, 360) - 180), 0, atol=1e-6)
+    assert np.allclose(dec2, dec, atol=1e-6)
+
+
+def test_eq2top_zenith():
+    # a source at the zenith RA/Dec should have zen ~ 0
+    T = setup_Telescope()
+    jd = 2458168.3
+    ra0 = T.JD2RA(jd)
+    zen, az = T.eq2top(jd, np.asarray([ra0]), np.asarray([HERA_LOC[1]]))
+    assert zen[0] < 0.02  # within ~1 arcmin of zenith
+
+
+def test_hex_redundancies():
+    # hera19 (hex N=3) has 30 unique cross bl types + 1 auto = 31 red groups
+    # (reference tests/test_telescope.py:41-47)
+    arr = setup_Array(N=3)
+    assert len(arr.ants) == 19
+    assert len(arr.reds) == 31
+    # bl2red consistency
+    for i, red in enumerate(arr.reds):
+        for bl in red:
+            assert arr.bl2red[bl] == i
+    # every red group has consistent blvec
+    for red, rvec in zip(arr.reds, arr.redvecs):
+        for bl in red:
+            v = np.asarray(arr.get_antpos(bl[1]) - arr.get_antpos(bl[0]))
+            assert np.linalg.norm(v - np.asarray(rvec)) < 1.0
+
+
+def test_build_reds_matches_bruteforce():
+    # compare fast lattice grouping against brute force O(N^2)
+    rng = np.random.default_rng(3)
+    ants, antvecs = make_hex(3)
+    antvecs = antvecs + rng.normal(0, 0.01, antvecs.shape)  # small jitter
+    ap = AntposDict(ants, antvecs)
+    reds, redvecs, bl2red, bls, lens, angs, tags = tm.build_reds(ap, redtol=1.0)
+    # brute force check: any two bls in the same group are within redtol;
+    # any two in different groups differ by more
+    vecs = {bl: np.asarray(ap[bl[1]] - ap[bl[0]]) for bl in bls}
+    for red in reds:
+        for bl in red[1:]:
+            assert np.linalg.norm(vecs[bl] - vecs[red[0]]) < 1.5
+    reps = [vecs[red[0]] for red in reds]
+    for i in range(len(reps)):
+        for j in range(i + 1, len(reps)):
+            assert np.linalg.norm(reps[i] - reps[j]) > 0.5
+
+
+def test_gen_fringe_analytic():
+    arr = setup_Array(N=2)
+    freqs = np.linspace(100e6, 120e6, 16)
+    arr.set_freqs(freqs)
+    bls = [(0, 1), (0, 3)]
+    blvecs = arr.get_blvecs(bls)
+    zen = np.asarray([0.0, 30.0, 60.0])
+    az = np.asarray([0.0, 90.0, 180.0])
+    s = arr.s_vector(zen, az)
+    fr = arr.gen_fringe(blvecs, s=jnp.asarray(s))
+    assert fr.shape == (2, 16, 3)
+    # analytic: exp(2pi i f b.s / c)
+    tau = (np.asarray(blvecs) @ s) / 2.99792458e8
+    truth = np.exp(2j * np.pi * freqs[None, :, None] * tau[:, None, :])
+    assert np.abs(np.asarray(fr) - truth).max() < 1e-10
+    # conjugation
+    frc = arr.gen_fringe(blvecs, s=jnp.asarray(s), conj=True)
+    assert np.abs(np.asarray(frc) - truth.conj()).max() < 1e-10
+
+
+def test_fringe_cycles_f32_accuracy():
+    # the mod-1 reduction must keep phase accurate in float32
+    rng = np.random.default_rng(0)
+    tau = rng.uniform(-1e-5, 1e-5, 256)  # up to 3 km delays
+    freqs = np.linspace(100e6, 200e6, 128)
+    truth = np.mod(tau[:, None] * freqs[None, :], 1.0)
+    cyc32 = np.asarray(fringe_cycles(jnp.asarray(tau, dtype=jnp.float32), freqs))
+    # phase error in radians
+    d = np.abs(cyc32 - truth)
+    d = np.minimum(d, 1 - d) * 2 * np.pi
+    assert d.max() < 5e-3, f"f32 phase error {d.max():.2e} rad"
+    # f64 path is exact
+    cyc64 = np.asarray(fringe_cycles(jnp.asarray(tau), freqs))
+    d64 = np.abs(cyc64 - truth)
+    d64 = np.minimum(d64, 1 - d64)
+    assert d64.max() < 1e-12
+
+
+def test_fringe_grad_antpos():
+    # gradient of fringe w.r.t. antenna positions flows and is correct
+    arr = setup_Array(N=2)
+    freqs = np.asarray([150e6])
+    arr.set_freqs(freqs)
+    zen = np.asarray([40.0])
+    az = np.asarray([120.0])
+    s = jnp.asarray(arr.s_vector(zen, az))
+
+    def f(antvecs):
+        blvec = antvecs[1:2] - antvecs[0:1]
+        fr = arr.gen_fringe(blvec, s=s)
+        return jnp.angle(fr[0, 0, 0])
+
+    g = jax.grad(f)(arr.antvecs)
+    # d(phase)/d(antvec1) = 2 pi f s / c
+    expected = 2 * np.pi * freqs[0] * np.asarray(s)[:, 0] / 2.99792458e8
+    assert np.allclose(np.asarray(g)[1], expected, rtol=1e-8)
+    assert np.allclose(np.asarray(g)[0], -expected, rtol=1e-8)
+
+
+def test_vis_rephase_identity():
+    arr = setup_Array(N=2)
+    freqs = np.linspace(100e6, 120e6, 4)
+    blvecs = arr.get_blvecs([(0, 1)])
+    phs = tm.vis_rephase(jnp.asarray([0.0]), HERA_LOC[1], blvecs, freqs)
+    assert np.allclose(np.asarray(phs), 1.0, atol=1e-12)
