@@ -1,0 +1,467 @@
+"""
+Priors and the (negative) log-posterior engine.
+
+Reference parity: bayeslim/optim.py (BaseLogPrior :17, LogUniformPrior :77,
+LogTaperedUniformPrior :134, LogGaussPrior :217, LogLaplacePrior :314,
+LogProb :385-1389, apply_icov :1836-1915).
+
+TPU-first: LogProb is a functional object. Its core is::
+
+    loss, grads = prob.value_and_grad(pdict)       # jitted, ParamDict in/out
+
+where pdict holds the trainable leaves of the wrapped model (the analog of
+the reference's main_params gather/scatter machinery, optim.py:485-911 —
+ravel_pytree replaces index bookkeeping). Minibatch semantics preserved:
+grad_type 'accumulate' sums gradients over all (time x bl) batches;
+'stochastic' evaluates the current batch only. The prior is counted once
+(at batch 0), matching optim.py:1202-1226.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import Module, ParamDict, model2pdict
+from ..data.containers import TensorData, VisData, MapData
+
+__all__ = [
+    "BaseLogPrior", "LogUniformPrior", "LogTaperedUniformPrior",
+    "LogGaussPrior", "LogLaplacePrior", "apply_icov", "LogProb",
+]
+
+
+# ---------------------------------------------------------------------------
+# priors
+# ---------------------------------------------------------------------------
+
+class BaseLogPrior(Module):
+    """Base prior: optional pre-indexing and transform (optim.py:17-74)."""
+
+    def __init__(self, index=None, func=None, fkwargs=None, name=None):
+        super().__init__(name=name)
+        self.index = index
+        self.func = func
+        self.fkwargs = fkwargs if fkwargs is not None else {}
+
+    def _index_func(self, params):
+        if self.index is not None:
+            params = params[self.index]
+        if self.func is not None:
+            params = self.func(params, **self.fkwargs)
+        return params
+
+    def forward(self, params, **kwargs):
+        raise NotImplementedError
+
+
+class LogUniformPrior(BaseLogPrior):
+    """Hard-bounds uniform prior (optim.py:77-131).
+
+    jit-friendly: returns -inf (instead of raising) when out of bounds.
+    """
+
+    def __init__(self, lower_bound, upper_bound, index=None, func=None,
+                 fkwargs=None):
+        super().__init__(index, func, fkwargs)
+        self.lower_bound = jnp.asarray(lower_bound)
+        self.upper_bound = jnp.asarray(upper_bound)
+        self.norm = jnp.sum(jnp.log(1.0 / (self.upper_bound - self.lower_bound)))
+
+    def forward(self, params, **kwargs):
+        params = self._index_func(params)
+        inb = jnp.all((params >= self.lower_bound) & (params <= self.upper_bound))
+        # keep graph connection to params like the reference does
+        anchor = jnp.sum(params) * 0.0
+        return jnp.where(inb, self.norm + anchor, -jnp.inf + anchor)
+
+
+class LogTaperedUniformPrior(BaseLogPrior):
+    """Sigmoid/tanh-tapered uniform prior (optim.py:134-214)."""
+
+    def __init__(self, lower_bound=None, upper_bound=None, kind="sigmoid",
+                 alpha=10000.0, index=None, func=None, fkwargs=None):
+        super().__init__(index, func, fkwargs)
+        assert lower_bound is not None or upper_bound is not None
+        self.lower_bound = None if lower_bound is None else jnp.asarray(lower_bound)
+        self.upper_bound = None if upper_bound is None else jnp.asarray(upper_bound)
+        if self.lower_bound is not None and self.upper_bound is not None:
+            dbound = self.upper_bound - self.lower_bound
+        else:
+            dbound = 1.0
+        self.coeff = jnp.asarray(alpha) / dbound
+        self.kind = kind
+
+    def forward(self, params, **kwargs):
+        params = self._index_func(params)
+        f = jax.nn.sigmoid if self.kind == "sigmoid" else jnp.tanh
+        prob = 1.0
+        if self.lower_bound is not None:
+            prob = prob * f(self.coeff * (params - self.lower_bound))
+        if self.upper_bound is not None:
+            prob = prob * f(-self.coeff * (params - self.upper_bound))
+        return jnp.sum(jnp.log(prob))
+
+
+class LogGaussPrior(BaseLogPrior):
+    """Gaussian prior, diagonal or dense icov (optim.py:217-311)."""
+
+    def __init__(self, mean, cov, diag_cov=True, side="both", density=True,
+                 index=None, func=None, fkwargs=None):
+        super().__init__(index, func, fkwargs)
+        self.mean = jnp.asarray(mean)
+        self.cov = jnp.asarray(cov)
+        self.diag_cov = diag_cov
+        self.side = side  # 'both' | 'upper' | 'lower' (half-Gaussians)
+        self.density = density
+        if diag_cov:
+            self.icov = 1.0 / self.cov
+            self.logdet = jnp.sum(jnp.log(self.cov))
+            self.ndim = self.mean.size
+        else:
+            self.icov = jnp.linalg.pinv(self.cov)
+            self.logdet = jnp.linalg.slogdet(self.cov)[1]
+            self.ndim = self.cov.shape[0]
+        self.norm = 0.5 * (self.ndim * jnp.log(2 * jnp.pi) + self.logdet)
+
+    def forward(self, params, **kwargs):
+        params = self._index_func(params)
+        res = params - self.mean
+        if self.side == "upper":
+            res = jnp.where(res < 0, 0.0, res)
+        elif self.side == "lower":
+            res = jnp.where(res > 0, 0.0, res)
+        if self.diag_cov:
+            chisq = 0.5 * jnp.sum(jnp.abs(res) ** 2 * self.icov)
+        else:
+            r = res.ravel()
+            chisq = 0.5 * jnp.real(r.conj() @ self.icov @ r)
+        out = -chisq
+        if self.density:
+            out = out - self.norm
+        return out
+
+
+class LogLaplacePrior(BaseLogPrior):
+    """Laplacian prior (optim.py:314-382)."""
+
+    def __init__(self, mean, scale, density=True, index=None, func=None,
+                 fkwargs=None):
+        super().__init__(index, func, fkwargs)
+        self.mean = jnp.asarray(mean)
+        self.scale = jnp.asarray(scale)
+        self.density = density
+        self.norm = jnp.sum(jnp.log(2 * self.scale))
+
+    def forward(self, params, **kwargs):
+        params = self._index_func(params)
+        out = -jnp.sum(jnp.abs(params - self.mean) / self.scale)
+        if self.density:
+            out = out - self.norm
+        return out
+
+
+# ---------------------------------------------------------------------------
+# chi-square with structured covariances
+# ---------------------------------------------------------------------------
+
+def apply_icov(data, icov, cov_axis, mode="vis"):
+    """data^H Sigma^-1 data for the supported covariance structures
+    (reference optim.py:1836-1915).
+
+    cov_axis: None (diagonal, icov matches data shape), 'full'
+    (icov (N, N) over data.ravel()), or a named axis:
+      vis: 'bl' (Npol,Npol,Ntimes,Nfreqs,Nbl,Nbl),
+           'time' (Npol,Npol,Nbls,Nfreqs,Ntimes,Ntimes),
+           'freq' (Npol,Npol,Nbls,Ntimes,Nfreqs,Nfreqs)
+      map: 'freq' (Npol,1,Npix,Nfreqs,Nfreqs), 'pix' (Npol,1,Nfreqs,Npix,Npix)
+    """
+    d = data
+    if cov_axis is None:
+        out = d.conj() * d if icov is None else d.conj() * d * icov
+    elif cov_axis == "full":
+        r = d.ravel()
+        out = r.conj() @ icov @ r
+    elif cov_axis == "bl":
+        out = jnp.einsum("ijklm,ijlmkn,ijnlm->ijlm", d.conj(), icov, d)
+    elif cov_axis == "time":
+        out = jnp.einsum("ijklm,ijklmn,ijknm->ijkm", d.conj(), icov, d)
+    elif cov_axis == "freq":
+        if mode == "vis":
+            out = jnp.einsum("ijklm,ijklmn,ijkln->ijkl", d.conj(), icov, d)
+        else:
+            out = jnp.einsum("ijkl,ijlkn,ijnl->ijl", d.conj(), icov, d)
+    elif cov_axis == "pix":
+        out = jnp.einsum("ijkl,ijkln,ijkn->ijk", d.conj(), icov, d)
+    else:
+        raise ValueError(f"unknown cov_axis {cov_axis}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LogProb
+# ---------------------------------------------------------------------------
+
+class LogProb(Module):
+    """(Negative) log-posterior of a forward model vs target data
+    (reference optim.py:385-1389).
+
+    Gaussian likelihood; complex_circular=True uses
+    -ln L = chi^2 + n ln(pi) + ln det C (optim.py:1055-1069).
+    """
+
+    def __init__(self, model, target, start_inp=None, prior_dict=None,
+                 compute="post", negate=True, grad_type="accumulate",
+                 complex_circular=True, LM=None, name=None):
+        super().__init__(name=name)
+        self.model = model
+        self.target = target if isinstance(target, (list, tuple)) else [target]
+        self.start_inp = start_inp
+        self.prior_dict = prior_dict
+        self.compute = compute
+        self.negate = negate
+        self.grad_type = grad_type
+        self.complex_circular = complex_circular
+        self.LM = LM  # optional DictLM preconditioner on pdict entries
+        self.closure_eval = 0
+        self._jit_cache = {}
+
+    # --- batching ---------------------------------------------------------
+    @property
+    def Nbatch(self):
+        return getattr(self.model, "Nbatch", 1) or 1
+
+    @property
+    def batch_idx(self):
+        return getattr(self.model, "batch_idx", 0) or 0
+
+    @batch_idx.setter
+    def batch_idx(self, val):
+        if hasattr(self.model, "batch_idx"):
+            self.model.batch_idx = val
+        elif val > 0:
+            raise ValueError("model is not batched")
+
+    def get_batch_data(self, idx=None):
+        if idx is not None:
+            self.batch_idx = idx
+        tgt = self.target[self.batch_idx % len(self.target)]
+        inp = None
+        if self.start_inp is not None:
+            inp = self.start_inp[self.batch_idx % len(self.start_inp)]
+        return tgt, inp
+
+    # --- parameter plumbing ----------------------------------------------------
+    def collect_main_params(self):
+        """ParamDict of the model's trainable leaves (the 'main params').
+
+        Keys are dotted paths relative to the model, e.g. 'sky.params',
+        matching the reference's main_params naming (optim.py:485-911).
+        """
+        return model2pdict(self.model)
+
+    def _apply_LM(self, pdict):
+        if self.LM is None:
+            return pdict
+        return ParamDict({k: self.LM(k, v) for k, v in pdict.items()})
+
+    # --- core functional evaluation ---------------------------------------------
+    def forward_chisq(self, pdict=None, idx=None, sum_chisq=True):
+        """Chi-square of model prediction vs target batch (optim.py:959)."""
+        tgt, inp = self.get_batch_data(idx)
+        data = tgt.get_data()
+        icov = tgt.get_icov() if hasattr(tgt, "icov") else None
+        cov_axis = getattr(tgt, "cov_axis", None)
+
+        model = self.model
+        prior_cache = {}
+        if pdict is not None:
+            model = model.updated(self._apply_LM(pdict))
+        out = model.forward(inp, prior_cache=prior_cache)
+        if isinstance(out, (TensorData, VisData, MapData)):
+            out = out.data
+        res = out - data
+        chisq = apply_icov(res, icov, cov_axis)
+        if sum_chisq:
+            chisq = jnp.sum(chisq)
+        if jnp.iscomplexobj(chisq):
+            chisq = chisq.real
+        return chisq, res, prior_cache
+
+    def forward_like(self, pdict=None, idx=None):
+        """(negative) Gaussian log-likelihood of a batch (optim.py:1032)."""
+        chisq, res, prior_cache = self.forward_chisq(pdict, idx)
+        tgt, _ = self.get_batch_data()
+        if getattr(tgt, "icov", None) is not None and tgt.cov_logdet is not None:
+            if self.complex_circular:
+                norm = tgt.cov_ndim * np.log(np.pi) + tgt.cov_logdet
+            else:
+                norm = 0.5 * (tgt.cov_ndim * np.log(2 * np.pi) + tgt.cov_logdet)
+        else:
+            norm = 0.0
+        loglike = (-chisq - norm) if self.complex_circular else (-0.5 * chisq - norm)
+        return loglike, prior_cache
+
+    def forward_prior(self, pdict=None, prior_cache=None):
+        """Log prior (counted once across batches) (optim.py:1076-1131)."""
+        model = self.model
+        if pdict is not None:
+            model = model.updated(self._apply_LM(pdict))
+        logprior = jnp.asarray(0.0)
+        if self.prior_dict is not None:
+            for key, pr in self.prior_dict.items():
+                prs = pr if isinstance(pr, (list, tuple)) else [pr]
+                val = model[key]
+                for p in prs:
+                    logprior = logprior + p(val)
+        else:
+            if prior_cache is None or len(prior_cache) == 0:
+                prior_cache = {} if prior_cache is None else prior_cache
+                _walk_priors(model, prior_cache)
+            for k in prior_cache:
+                logprior = logprior + prior_cache[k]
+        return logprior
+
+    def forward(self, pdict=None, idx=None, **kwargs):
+        """(negative) log posterior for one batch (optim.py:1133-1190)."""
+        assert self.compute in ("post", "like", "prior")
+        if idx is not None:
+            self.batch_idx = idx
+        prob = jnp.asarray(0.0)
+        prior_cache = None
+        if self.compute in ("post", "like"):
+            loglike, prior_cache = self.forward_like(pdict)
+            prob = prob + loglike
+        if self.compute in ("post", "prior") and self.batch_idx == 0:
+            prob = prob + self.forward_prior(pdict, prior_cache)
+        return -prob if self.negate else prob
+
+    # --- jitted closures ----------------------------------------------------------
+    # The model and target arrays are passed as explicit jit arguments (not
+    # captured constants): nothing is baked into executables and no
+    # device->host transfer happens at trace time.
+    def _batch_fn(self, idx):
+        tgt, inp = self.get_batch_data(idx)
+        cov_axis = getattr(tgt, "cov_axis", None)
+        cov_ndim = getattr(tgt, "cov_ndim", None)
+        cov_logdet = getattr(tgt, "cov_logdet", None)
+        compute, negate, cc = self.compute, self.negate, self.complex_circular
+        prior_dict = self.prior_dict
+        LM = self.LM
+        include_prior = (idx == 0)
+
+        def fn(pdict, model, data, icov):
+            if LM is not None:
+                pdict = ParamDict({k: LM(k, v) for k, v in pdict.items()})
+            m = model.updated(pdict)
+            prob = jnp.asarray(0.0)
+            prior_cache = {}
+            if compute in ("post", "like"):
+                out = m.forward(inp, prior_cache=prior_cache)
+                if isinstance(out, (TensorData, VisData, MapData)):
+                    out = out.data
+                res = out - data
+                chisq = jnp.sum(apply_icov(res, icov, cov_axis))
+                if jnp.iscomplexobj(chisq):
+                    chisq = chisq.real
+                if icov is not None and cov_logdet is not None:
+                    if cc:
+                        norm = cov_ndim * np.log(np.pi) + cov_logdet
+                    else:
+                        norm = 0.5 * (cov_ndim * np.log(2 * np.pi) + cov_logdet)
+                else:
+                    norm = 0.0
+                loglike = (-chisq - norm) if cc else (-0.5 * chisq - norm)
+                prob = prob + loglike
+            if compute in ("post", "prior") and include_prior:
+                logprior = jnp.asarray(0.0)
+                if prior_dict is not None:
+                    for key, pr in prior_dict.items():
+                        prs = pr if isinstance(pr, (list, tuple)) else [pr]
+                        val = m[key]
+                        for p in prs:
+                            logprior = logprior + p(val)
+                else:
+                    if compute == "prior" or len(prior_cache) == 0:
+                        _walk_priors(m, prior_cache)
+                    for k in prior_cache:
+                        logprior = logprior + prior_cache[k]
+                prob = prob + logprior
+            return -prob if negate else prob
+
+        return fn
+
+    def _vg_fn(self, idx):
+        """Cached jitted value_and_grad for a batch index."""
+        key = ("vg", idx, self.compute, self.negate)
+        if key not in self._jit_cache:
+            fn = self._batch_fn(idx)
+            self._jit_cache[key] = jax.jit(jax.value_and_grad(fn))
+        return self._jit_cache[key]
+
+    def _val_fn(self, idx):
+        key = ("v", idx, self.compute, self.negate)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._batch_fn(idx))
+        return self._jit_cache[key]
+
+    def _batch_args(self, idx):
+        tgt, _ = self.get_batch_data(idx)
+        data = tgt.get_data()
+        icov = tgt.get_icov() if hasattr(tgt, "icov") else None
+        return data, icov
+
+    def value_and_grad(self, pdict=None):
+        """Loss and ParamDict gradient, accumulated over batches if
+        grad_type='accumulate' (optim.py closure :1191-1226)."""
+        self.closure_eval += 1
+        if pdict is None:
+            pdict = self.collect_main_params()
+        if self.grad_type == "accumulate" and self.Nbatch > 1:
+            loss, grads = None, None
+            for i in range(self.Nbatch):
+                self.batch_idx = i
+                data, icov = self._batch_args(i)
+                v, g = self._vg_fn(i)(pdict, self.model, data, icov)
+                loss = v if loss is None else loss + v
+                grads = g if grads is None else grads + g
+            self.batch_idx = 0
+            return loss / self.Nbatch, grads
+        idx = self.batch_idx
+        data, icov = self._batch_args(idx)
+        v, g = self._vg_fn(idx)(pdict, self.model, data, icov)
+        return v, g
+
+    def __call__(self, pdict=None, idx=None, **kwargs):
+        if pdict is None:
+            pdict = self.collect_main_params()
+        if idx is not None:
+            self.batch_idx = idx
+        data, icov = self._batch_args(self.batch_idx)
+        return self._val_fn(self.batch_idx)(pdict, self.model, data, icov)
+
+    def closure(self, pdict=None):
+        """Reference-style closure: returns (loss, grads)."""
+        return self.value_and_grad(pdict)
+
+    def update(self, pdict):
+        """Write a ParamDict back into the wrapped model (host-side)."""
+        for k, v in pdict.items():
+            self.model[k] = self.LM(k, v) if self.LM is not None else v
+
+
+def _walk_priors(model, prior_cache):
+    """Populate prior_cache from modules that attach priors but whose
+    forward wasn't called with a cache (optim.py:1120-1127)."""
+    if isinstance(model, Module):
+        if hasattr(model, "params") and (model.priors_inp_params or
+                                         model.priors_out_params):
+            model.eval_prior(prior_cache, inp_params=getattr(model, "params", None))
+        for v in model.__dict__.values():
+            _walk_priors(v, prior_cache)
+    elif isinstance(model, dict):
+        for v in model.values():
+            _walk_priors(v, prior_cache)
+    elif isinstance(model, (list, tuple)):
+        for v in model:
+            _walk_priors(v, prior_cache)

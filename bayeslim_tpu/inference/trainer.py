@@ -1,0 +1,84 @@
+"""
+Training loop over a LogProb: epochs, loss/time history, chain tracking
+and rollback.
+
+Reference parity: bayeslim/optim.py Trainer (:1631-1833). Optimizers:
+any optax GradientTransformation (adam, sgd, optax.lbfgs, ...) or the
+inference.bfgs BFGS/LBFGS classes (which own their loop).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+import optax
+
+from ..utils import ParamDict
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    """Epoch loop: step the optimizer against prob.value_and_grad
+    (reference optim.py:1631)."""
+
+    def __init__(self, prob, optimizer=None, track=False, track_norm=False,
+                 Nreport=None, verbose=True):
+        self.prob = prob
+        self.opt = optimizer if optimizer is not None else optax.adam(1e-2)
+        self.pdict = prob.collect_main_params()
+        self.opt_state = self.opt.init(self.pdict)
+        self.loss_history = []
+        self.time_history = []
+        self.track = track
+        self.track_norm = track_norm
+        self.chain = {k: [] for k in self.pdict} if track else None
+        self.Nreport = Nreport
+        self.verbose = verbose
+        self._step = self._build_step()
+
+    def _build_step(self):
+        opt = self.opt
+
+        def step(pdict, opt_state, grads):
+            updates, opt_state = opt.update(grads, opt_state, pdict)
+            pdict = optax.apply_updates(pdict, updates)
+            return pdict, opt_state
+
+        return jax.jit(step)
+
+    def train(self, Nepochs=1):
+        """Run Nepochs of optimization (reference optim.py:1714-1790)."""
+        start = time.time()
+        for epoch in range(Nepochs):
+            loss, grads = self.prob.value_and_grad(self.pdict)
+            self.pdict, self.opt_state = self._step(self.pdict,
+                                                    self.opt_state, grads)
+            self.loss_history.append(float(loss))
+            self.time_history.append(time.time() - start)
+            if self.track:
+                for k in self.pdict:
+                    v = np.asarray(self.pdict[k])
+                    self.chain[k].append(np.linalg.norm(v) if self.track_norm
+                                         else v.copy())
+            if self.verbose and self.Nreport and (epoch % self.Nreport == 0):
+                print(f"epoch {epoch:5d} | loss {float(loss):.6e} | "
+                      f"{self.time_history[-1]:.1f}s")
+        # push final params into the model
+        self.prob.update(self.pdict)
+        return self.loss_history
+
+    def revert_chain(self, N):
+        """Roll parameters back N epochs from the tracked chain
+        (reference optim.py:1796-1825)."""
+        assert self.track and not self.track_norm, "need full chain tracking"
+        assert N >= 1
+        import jax.numpy as jnp
+        idx = -N
+        for k in self.pdict:
+            self.pdict[k] = jnp.asarray(self.chain[k][idx])
+            self.chain[k] = self.chain[k][:idx]
+        self.loss_history = self.loss_history[:idx]
+        self.time_history = self.time_history[:idx]
+        self.prob.update(self.pdict)

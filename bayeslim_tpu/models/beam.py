@@ -320,6 +320,27 @@ class PixelBeam(Module):
         m2 = np.asarray([self.ant2beam[bl[1]] for bl in bls], dtype=np.int32)
         return m1, m2
 
+    def modelpairs(self, bls):
+        """Unique model pairs + baseline->pair index (host-side).
+
+        Returns (mp1, mp2, mp_idx): mp1/mp2 (Nmp,) index the Nmodel axis
+        for each unique (beam_p, beam_q) pair; mp_idx (Nbls,) maps each
+        baseline to its pair — or None when Nmp == 1 (shared beam), in
+        which case the per-baseline expansion is skipped entirely
+        (TPU-first replacement for the reference's expand at
+        beam_model.py:363-370).
+        """
+        m1, m2 = self.modelpair_index(bls)
+        pairs = sorted(set(zip(m1.tolist(), m2.tolist())))
+        mp1 = np.asarray([p[0] for p in pairs], dtype=np.int32)
+        mp2 = np.asarray([p[1] for p in pairs], dtype=np.int32)
+        if len(pairs) == 1:
+            return mp1, mp2, None
+        lut = {p: i for i, p in enumerate(pairs)}
+        mp_idx = np.asarray([lut[(a, b)] for a, b in zip(m1, m2)],
+                            dtype=np.int32)
+        return mp1, mp2, mp_idx
+
     # --- device ops ---------------------------------------------------------------
     def gen_beam(self, zen, az, prior_cache=None, ctx=None, params=None):
         """Evaluate the beam response at angles (device, jit-friendly).
@@ -333,6 +354,18 @@ class PixelBeam(Module):
         beam = self.R(p, zen, az, self.freqs, ctx=ctx)
         self.eval_prior(prior_cache, inp_params=self.params, out_params=None)
         return beam
+
+    def apply_beam_mp(self, beam, mp1, mp2, sky):
+        """Model-pair space psky: like apply_beam but indexed by unique
+        model pairs (Nmp) instead of baselines — no per-baseline blowup.
+
+        beam : (Npol, Nvec, Nmodel, Nfreqs, Npix)
+        mp1, mp2 : (Nmp,) int arrays into the Nmodel axis
+        sky : (Nvec, Nvec, Nfreqs, Npix) coherency / (1,1,...) Stokes-I
+
+        Returns psky (Npol, Npol, Nmp, Nfreqs, Npix).
+        """
+        return self.apply_beam(beam, mp1, mp2, sky)
 
     def apply_beam(self, beam, m1, m2, sky):
         """psky = A_p B A_q^H for each baseline (reference :273-372).

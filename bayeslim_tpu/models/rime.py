@@ -42,7 +42,14 @@ class RIME(Module):
 
     def __init__(self, sky, telescope, beam, array, sim_bls, times, freqs,
                  data_bls=None, name=None, pix_chunk=1024, remat=False,
-                 verbose=False):
+                 time_mode="scan", vis_sharding=None, verbose=False):
+        """time_mode: 'scan' (lax.map over times; memory-light, single
+        chip) or 'vmap' (all times at once; required for sharding the time
+        axis over a mesh). vis_sharding: optional
+        jax.sharding.NamedSharding/PartitionSpec applied to the per-time
+        visibility block (Npol, Npol, Nbls, Nfreqs) via
+        with_sharding_constraint, letting XLA partition baselines/freqs
+        across mesh axes (see parallel.sharding)."""
         super().__init__(name=name)
         self.sky = sky
         self.telescope = telescope
@@ -50,6 +57,8 @@ class RIME(Module):
         self.array = array
         self.pix_chunk = pix_chunk
         self.remat = remat
+        self.time_mode = time_mode
+        self.vis_sharding = vis_sharding
         self.verbose = verbose
         self.setup_freqs(freqs)
         self.setup_sim_bls(sim_bls, data_bls)
@@ -206,12 +215,13 @@ class RIME(Module):
                     )
                 self._pre[(tg, ci)] = pre
 
-        # model-pair indices per bl group
-        self._mp_groups = {k: self.beam.modelpair_index(v)
+        # unique model pairs + bl->pair map per bl group
+        self._mp_groups = {k: self.beam.modelpairs(v)
                            for k, v in self.sim_bl_groups.items()}
 
     # ---------------------------------------------------------------- forward
-    def _sim_component(self, sky_data, pre, blvecs, m1, m2, sim2data):
+    def _sim_component(self, sky_data, pre, blvecs, mp1, mp2, mp_idx,
+                       sim2data):
         """Simulate one sky component over the current time group.
 
         sky_data: (Nstokes, 1|Nvec, Nfreqs, Npix); returns
@@ -230,10 +240,10 @@ class RIME(Module):
                 ctx = None
             csky = cut_sky_fov(sky_data, cut)
             csky = csky * mask.astype(csky.real.dtype)
-            b = beam.gen_beam(zen, az, ctx=ctx)      # (Np,Nv,Nm,Nf,Ncut)
-            psky = beam.apply_beam(b, m1, m2, csky)  # (Np,Np,Nb,Nf,Ncut)
-            tau = (blvecs @ s) / C_MS                # (Nbls, Ncut)
-            return rime_reduce(psky, tau, freqs, chunk=chunk)
+            b = beam.gen_beam(zen, az, ctx=ctx)           # (Np,Nv,Nm,Nf,Ncut)
+            psky = beam.apply_beam_mp(b, mp1, mp2, csky)  # (Np,Np,Nmp,Nf,Ncut)
+            tau = (blvecs @ s) / C_MS                     # (Nbls, Ncut)
+            return rime_reduce(psky, tau, freqs, mp_idx=mp_idx, chunk=chunk)
 
         if self.remat:
             one_time = jax.checkpoint(one_time)
@@ -241,7 +251,13 @@ class RIME(Module):
         xs = (pre["zen"], pre["az"], pre["cut"], pre["mask"], pre["s"])
         if has_ctx:
             xs = xs + (pre["ctx"],)
-        vis_t = jax.lax.map(one_time, xs)            # (Nt, Np,Np,Nb,Nf)
+        if self.time_mode == "vmap":
+            vis_t = jax.vmap(one_time)(xs)           # (Nt, Np,Np,Nb,Nf)
+        else:
+            vis_t = jax.lax.map(one_time, xs)        # (Nt, Np,Np,Nb,Nf)
+        if self.vis_sharding is not None:
+            # partition (Nt, Npol, Npol, Nbls, Nfreqs) across the mesh
+            vis_t = jax.lax.with_sharding_constraint(vis_t, self.vis_sharding)
         vis = jnp.moveaxis(vis_t, 0, 3)              # (Np,Np,Nb,Nt,Nf)
         if sim2data is not None:
             vis = jnp.take(vis, jnp.asarray(sim2data), axis=2)
@@ -256,13 +272,14 @@ class RIME(Module):
         tg, bg = self.time_group_id, self.bl_group_id
         a1, a2 = self._blidx_groups[bg]
         blvecs = self.array.antvecs[a2] - self.array.antvecs[a1]
-        m1, m2 = self._mp_groups[bg]
+        mp1, mp2, mp_idx = self._mp_groups[bg]
         sim2data = self._sim2data[bg]
 
         vis = None
         for ci, comp in enumerate(sky_comps):
             pre = self._pre[(tg, ci)]
-            v = self._sim_component(comp.data, pre, blvecs, m1, m2, sim2data)
+            v = self._sim_component(comp.data, pre, blvecs, mp1, mp2,
+                                    mp_idx, sim2data)
             vis = v if vis is None else vis + v
 
         # prior on beam params (sky priors were evaluated in sky.forward)

@@ -1,17 +1,27 @@
 """
-The RIME pixel reduction: V[..., b, f] = sum_pix psky[..., b, f, pix] *
-exp(2 pi i f tau[b, pix]).
+The RIME pixel reduction: V[..., b, f] = sum_pix psky[..., mp(b), f, pix] *
+exp(+/- 2 pi i f tau[b, pix]).
 
 This is the framework's hot op (reference rime_model.py:391-440
-_prod_and_sum: materialize fringe (Nbls, Nfreqs, Npix), multiply by the
-beam-weighted sky and reduce over pixels). Implementations:
+_prod_and_sum). The reference materializes the fringe (Nbls, Nfreqs, Npix)
+AND expands the beam-weighted sky to per-baseline shape; at HERA scale
+that is O(50 GB). TPU-first redesign:
 
-- `rime_reduce_ref`: straightforward XLA version (materializes the fringe;
-  used for correctness tests and as autodiff reference).
-- `rime_reduce`: pixel-chunked lax.scan version — streams the pixel axis so
-  the (Nbls, Nfreqs, Npix) fringe is never materialized; HBM traffic drops
-  to the psky tile reads. This is the default device path; a fused Pallas
-  kernel (rime_pallas.py) replaces the inner block on real TPUs.
+1. psky stays in *model-pair* space (..., Nmp, Nfreqs, Npix). For the
+   common shared-beam case Nmp == 1 and the per-baseline expansion never
+   happens (the reference's torch `expand` view trick, beam_model.py:367,
+   becomes simply not gathering at all).
+2. The pixel axis is processed in chunks with lax.scan; each chunk builds
+   cos/sin fringe factors (Nbls, chunk, Nfreqs-batched) and contracts over
+   pixels with einsum -> batched real matmuls on the MXU:
+       V_re[..., f, b] (+)= psky[..., f, c] @ cos[b, c, f)
+   Chunks are wrapped in jax.checkpoint so the backward pass recomputes
+   the fringe instead of storing it: peak memory is O(Nbls * chunk *
+   Nfreqs), independent of Npix.
+3. Phases use ops.phase.fringe_cycles (float32-safe mod-1 reduction).
+
+A fused Pallas kernel (ops/rime_pallas.py) replaces the chunk body on
+real TPU hardware for additional HBM-traffic savings.
 """
 from __future__ import annotations
 
@@ -31,43 +41,101 @@ def _phasor(tau, freqs, conj=False):
     return jax.lax.complex(jnp.cos(ang), s * jnp.sin(ang))
 
 
-def rime_reduce_ref(psky, tau, freqs, conj=False):
-    """Reference XLA implementation.
+def rime_reduce_ref(psky, tau, freqs, mp_idx=None, conj=False):
+    """Reference XLA implementation (materializes the fringe).
 
-    psky : (..., Nbls, Nfreqs, Npix) beam-weighted sky (complex or real)
+    psky : (..., Nmp, Nfreqs, Npix) or (..., Nbls, Nfreqs, Npix) if
+        mp_idx is None and psky's third-to-last dim == Nbls
     tau : (Nbls, Npix) geometric delay b.s/c [s]
     freqs : (Nfreqs,) static numpy array [Hz]
+    mp_idx : optional (Nbls,) int array mapping baseline -> model pair
 
     Returns (..., Nbls, Nfreqs) complex visibilities.
     """
-    fr = jnp.moveaxis(_phasor(tau, freqs, conj=conj), -1, -2)  # (Nbls, Nf, Npix)
+    fr = jnp.moveaxis(_phasor(tau, freqs, conj=conj), -1, -2)  # (Nb, Nf, Np)
+    nbls = tau.shape[0]
+    if mp_idx is not None:
+        psky = jnp.take(psky, jnp.asarray(mp_idx), axis=-3)
+    elif psky.shape[-3] == 1 and nbls != 1:
+        pass  # broadcast below
     return jnp.sum(psky * fr, axis=-1)
 
 
-def rime_reduce(psky, tau, freqs, conj=False, chunk=1024):
-    """Pixel-chunked RIME reduction (streaming over the sky axis).
+def _chunk_body(psky_c, tau_c, freqs, mp_idx, conj, out_dtype):
+    """Reduce one pixel chunk: returns (..., Nbls, Nfreqs) complex."""
+    cyc = fringe_cycles(tau_c, freqs)          # (Nb, C, F)
+    ang = (2 * np.pi) * cyc
+    cosf = jnp.cos(ang)
+    sinf = -jnp.sin(ang) if conj else jnp.sin(ang)
 
-    Same contract as rime_reduce_ref. `chunk` pixels are processed per
-    scan step; the pixel axis must be a multiple of the chunk (callers pad
-    with masked pixels). Memory high-water: O(Nbls * Nfreqs * chunk).
+    nmp = psky_c.shape[-3]
+    if mp_idx is None and nmp == 1:
+        ps = psky_c[..., 0, :, :]              # (..., F, C)
+        if jnp.iscomplexobj(ps):
+            # (..., F, C) x (B, C, F): contract C, batch F
+            re = jnp.einsum("...fc,bcf->...bf", ps.real, cosf) - \
+                jnp.einsum("...fc,bcf->...bf", ps.imag, sinf)
+            im = jnp.einsum("...fc,bcf->...bf", ps.real, sinf) + \
+                jnp.einsum("...fc,bcf->...bf", ps.imag, cosf)
+        else:
+            re = jnp.einsum("...fc,bcf->...bf", ps, cosf)
+            im = jnp.einsum("...fc,bcf->...bf", ps, sinf)
+    else:
+        ps = psky_c if mp_idx is None else \
+            jnp.take(psky_c, jnp.asarray(mp_idx), axis=-3)  # (..., B, F, C)
+        if jnp.iscomplexobj(ps):
+            re = jnp.einsum("...bfc,bcf->...bf", ps.real, cosf) - \
+                jnp.einsum("...bfc,bcf->...bf", ps.imag, sinf)
+            im = jnp.einsum("...bfc,bcf->...bf", ps.real, sinf) + \
+                jnp.einsum("...bfc,bcf->...bf", ps.imag, cosf)
+        else:
+            re = jnp.einsum("...bfc,bcf->...bf", ps, cosf)
+            im = jnp.einsum("...bfc,bcf->...bf", ps, sinf)
+    return jax.lax.complex(re, im).astype(out_dtype)
+
+
+def rime_reduce(psky, tau, freqs, mp_idx=None, conj=False, chunk=1024,
+                remat=True):
+    """Pixel-chunked, remat'ed RIME reduction.
+
+    Same contract as rime_reduce_ref (psky in model-pair space). `chunk`
+    pixels per scan step; if Npix is not divisible the remainder runs as
+    one extra unrolled block.
     """
     npix = psky.shape[-1]
-    if npix <= chunk or npix % chunk != 0:
-        return rime_reduce_ref(psky, tau, freqs, conj=conj)
-    nchunks = npix // chunk
+    freqs = np.asarray(freqs, dtype=np.float64)
+    rdtype = jnp.result_type(psky.real.dtype, tau.dtype)
+    out_dtype = jnp.result_type(rdtype, jnp.complex64)
 
-    # reshape pixel axis -> (nchunks, chunk), scan over chunks
-    psky_c = jnp.moveaxis(
-        psky.reshape(psky.shape[:-1] + (nchunks, chunk)), -2, 0)
-    tau_c = jnp.moveaxis(tau.reshape(tau.shape[:-1] + (nchunks, chunk)), -2, 0)
+    def body(ps, tc):
+        return _chunk_body(ps, tc, freqs, mp_idx, conj, out_dtype)
 
-    cdtype = jnp.result_type(psky.dtype, jnp.complex64)
+    if remat:
+        body = jax.checkpoint(body)
+
+    if npix <= chunk:
+        return body(psky, tau)
+
+    nfull = npix // chunk
+    rem = npix - nfull * chunk
+
+    # main chunks via scan
+    ps_main = psky[..., :nfull * chunk]
+    ps_c = jnp.moveaxis(
+        ps_main.reshape(ps_main.shape[:-1] + (nfull, chunk)), -2, 0)
+    tau_c = jnp.moveaxis(
+        tau[..., :nfull * chunk].reshape(tau.shape[:-1] + (nfull, chunk)),
+        -2, 0)
 
     def step(acc, xs):
         ps, tc = xs
-        fr = jnp.moveaxis(_phasor(tc, freqs, conj=conj), -1, -2)
-        return acc + jnp.sum(ps * fr, axis=-1), None
+        return acc + body(ps, tc), None
 
-    init = jnp.zeros(psky.shape[:-1], dtype=cdtype)
-    out, _ = jax.lax.scan(step, init, (psky_c, tau_c))
+    nb = tau.shape[0]
+    out_shape = psky.shape[:-3] + (nb, psky.shape[-2])
+    init = jnp.zeros(out_shape, dtype=out_dtype)
+    out, _ = jax.lax.scan(step, init, (ps_c, tau_c))
+
+    if rem:
+        out = out + body(psky[..., -rem:], tau[..., -rem:])
     return out

@@ -1,0 +1,4 @@
+"""Device-mesh parallelism: sharded posterior, mesh helpers."""
+from .sharding import (
+    make_mesh, shard_rime, shard_visdata, ShardedLogProb, replicate,
+)

@@ -51,12 +51,18 @@ class _StaticBox:
     def __eq__(self, other):
         if not isinstance(other, _StaticBox):
             return NotImplemented
+        if isinstance(self.v, np.ndarray) or isinstance(other.v, np.ndarray):
+            return isinstance(self.v, np.ndarray) and \
+                isinstance(other.v, np.ndarray) and \
+                np.array_equal(self.v, other.v)
         try:
             return bool(self.v == other.v)
         except Exception:
             return self.v is other.v
 
     def __hash__(self):
+        if isinstance(self.v, np.ndarray):
+            return hash((self.v.shape, str(self.v.dtype)))
         try:
             return hash(self.v)
         except TypeError:
@@ -67,8 +73,14 @@ class _StaticBox:
 
 
 def _is_dynamic(v):
-    """Classify an attribute value as pytree-child (True) or static aux."""
-    if isinstance(v, (jax.Array, np.ndarray, np.generic, Module, ParamDict)):
+    """Classify an attribute value as pytree-child (True) or static aux.
+
+    Convention: jnp arrays (jax.Array) are traced device data; plain
+    numpy arrays are STATIC host metadata (frequency grids, index tables,
+    blnums) embedded in the treedef. Use jnp for anything that must be
+    traced/differentiated, np for configuration.
+    """
+    if isinstance(v, (jax.Array, Module, ParamDict)):
         return True
     if isinstance(v, (list, tuple)) and len(v) > 0:
         return all(_is_dynamic(x) for x in v)

@@ -1,0 +1,197 @@
+"""Inference engine tests: priors, LogProb, BFGS/LBFGS, Trainer
+(reference tests/test_bfgs.py, test_optim-style checks)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import bayeslim_tpu as bl
+from bayeslim_tpu.utils import Module, ParamDict
+from bayeslim_tpu.inference import (
+    LogProb, LogGaussPrior, LogUniformPrior, LogTaperedUniformPrior,
+    LogLaplacePrior, BFGS, LBFGS, Trainer, apply_icov,
+)
+from bayeslim_tpu.data.containers import VisData
+
+
+class GaussModel(Module):
+    """Multivariate-Gaussian toy model: 'prediction' = params
+    (reference tests/test_bfgs.py setup_NormalProb :23-46)."""
+
+    def __init__(self, params):
+        super().__init__(name="gauss")
+        self.params = params
+        self.set_param("params")
+
+    def forward(self, inp=None, prior_cache=None, **kwargs):
+        class _Out:
+            pass
+        out = _Out()
+        out.data = self.params
+        return self.params
+
+
+def setup_NormalProb(N=50, seed=0, correlated=True):
+    """LogProb whose MAP is a known mean with known covariance."""
+    rng = np.random.default_rng(seed)
+    mean = jnp.asarray(rng.normal(0, 1, N))
+    if correlated:
+        A = rng.normal(0, 1, (N, N)) / np.sqrt(N)
+        cov = A @ A.T + np.eye(N) * 0.5
+    else:
+        cov = np.diag(rng.uniform(0.5, 2.0, N))
+    icov = np.linalg.inv(cov)
+
+    model = GaussModel(jnp.zeros(N))
+
+    from bayeslim_tpu.data.containers import TensorData
+    tgt = TensorData()
+    tgt.setup_data(data=mean, cov=jnp.asarray(cov), cov_axis="full",
+                   icov=jnp.asarray(icov))
+    prob = LogProb(model, tgt, complex_circular=False)
+    return prob, mean, cov
+
+
+def test_logprob_gradient():
+    prob, mean, cov = setup_NormalProb(N=10)
+    pd = prob.collect_main_params()
+    v, g = prob.value_and_grad(pd)
+    # -dlogL/dx = icov (x - mean); at x=0: -icov mean... negate=True so
+    # gradient of 0.5 (x-m)^T C^-1 (x-m) = C^-1 (x - m)
+    icov = np.linalg.inv(cov)
+    expected = icov @ (np.zeros(len(mean)) - np.asarray(mean))
+    assert np.allclose(np.asarray(g["params"]), expected, atol=1e-8)
+
+
+def test_bfgs_converges():
+    """BFGS convergence on 50-dim correlated Gaussian
+    (reference tests/test_bfgs.py:49-70: rms < 1e-7 after 40 iters,
+    recovered inv Hessian diag within 2x of true cov)."""
+    prob, mean, cov = setup_NormalProb(N=50)
+    opt = BFGS(prob)
+    opt.minimize(40)
+    rms = float(np.sqrt(np.mean((np.asarray(opt.pdict["params"]) -
+                                 np.asarray(mean)) ** 2)))
+    assert rms < 1e-7, f"BFGS rms {rms:.2e}"
+    # recovered inverse Hessian approximates covariance
+    Hdiag = np.diag(np.asarray(opt.H))
+    cdiag = np.diag(cov)
+    ratio = Hdiag / cdiag
+    assert (ratio > 0.5).all() and (ratio < 2.0).all()
+
+
+def test_lbfgs_converges():
+    prob, mean, cov = setup_NormalProb(N=50)
+    opt = LBFGS(prob, history_size=20)
+    opt.minimize(60)
+    rms = float(np.sqrt(np.mean((np.asarray(opt.pdict["params"]) -
+                                 np.asarray(mean)) ** 2)))
+    assert rms < 1e-6, f"LBFGS rms {rms:.2e}"
+
+
+def test_trainer_adam():
+    import optax
+    prob, mean, cov = setup_NormalProb(N=20, correlated=False)
+    tr = Trainer(prob, optax.adam(0.1), track=True)
+    losses = tr.train(200)
+    assert losses[-1] < losses[0]
+    err = np.abs(np.asarray(tr.pdict["params"]) - np.asarray(mean)).max()
+    assert err < 0.05
+    # chain rollback
+    p_last = np.asarray(tr.pdict["params"]).copy()
+    tr.revert_chain(10)
+    assert len(tr.loss_history) == 190
+    assert not np.allclose(np.asarray(tr.pdict["params"]), p_last)
+
+
+def test_priors():
+    x = jnp.asarray([0.5, 0.7])
+    lu = LogUniformPrior(0.0, 1.0)
+    assert np.isfinite(float(lu(x)))
+    assert float(lu(jnp.asarray([1.5, 0.5]))) == -np.inf
+
+    lg = LogGaussPrior(jnp.zeros(2), jnp.ones(2))
+    # N(0,1): logpdf(0.5) per element
+    expected = -0.5 * (0.25 + 0.49) - np.log(2 * np.pi)
+    assert np.isclose(float(lg(x)), expected)
+
+    lt = LogTaperedUniformPrior(0.0, 1.0, alpha=1000.0)
+    assert float(lt(x)) > float(lt(jnp.asarray([1.2, 0.5])))
+
+    # norm = sum(log(2*scale)) over the scale tensor (scalar here), matching
+    # the reference (optim.py LogLaplacePrior)
+    ll = LogLaplacePrior(0.0, 1.0)
+    assert np.isclose(float(ll(x)), -(0.5 + 0.7) - np.log(2.0))
+    ll2 = LogLaplacePrior(jnp.zeros(2), jnp.ones(2))
+    assert np.isclose(float(ll2(x)), -(0.5 + 0.7) - 2 * np.log(2.0))
+
+
+def test_prior_in_logprob():
+    """Priors attached to modules affect the posterior."""
+    prob, mean, cov = setup_NormalProb(N=5)
+    pd = prob.collect_main_params()
+    v0 = float(prob(pd))
+    prob.model.set_priors([LogGaussPrior(jnp.zeros(5), jnp.ones(5) * 1e-4)])
+    prob._jit_cache = {}
+    v1 = float(prob(pd))
+    assert v1 != v0  # prior contributes
+    # prior_dict path supersedes
+    prob2, _, _ = setup_NormalProb(N=5)
+    prob2.prior_dict = {"params": LogGaussPrior(jnp.zeros(5), jnp.ones(5))}
+    assert np.isfinite(float(prob2(prob2.collect_main_params())))
+
+
+def test_apply_icov_axes():
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=(1, 1, 3, 2, 4)) +
+                    1j * rng.normal(size=(1, 1, 3, 2, 4)))
+    # diagonal
+    ic = jnp.asarray(rng.uniform(1, 2, d.shape))
+    out = apply_icov(d, ic, None)
+    assert np.allclose(np.asarray(out), np.abs(np.asarray(d)) ** 2 * np.asarray(ic))
+    # full
+    n = d.size
+    icf = jnp.eye(n) * 2.0
+    out = apply_icov(d, icf, "full")
+    assert np.isclose(float(out.real), 2 * float(jnp.sum(jnp.abs(d) ** 2)))
+    # freq axis
+    icfreq = jnp.asarray(np.tile(np.eye(4) * 3.0, (1, 1, 3, 2, 1, 1)))
+    out = apply_icov(d, icfreq, "freq")
+    assert np.allclose(np.asarray(out), 3 * np.sum(np.abs(np.asarray(d)) ** 2, -1))
+
+
+def test_rime_logprob_end_to_end():
+    """Full pipeline: simulate vis, perturb sky params, recover by Adam."""
+    import optax
+    from tests.test_rime import (setup_Telescope, setup_PointSky,
+                                 setup_Array, setup_UniformBeam, JD0)
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=2, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_UniformBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:8]
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+
+    truth_vd = rime.forward()
+    truth_params = np.asarray(sky.params).copy()
+
+    tgt = truth_vd.copy()
+    tgt.setup_data(bls, truth_vd.times, freqs, pol="ee", data=truth_vd.data,
+                   cov=jnp.ones(truth_vd.data.shape), cov_axis=None,
+                   icov=jnp.ones(truth_vd.data.shape))
+
+    # perturb amplitudes
+    p0 = truth_params.copy()
+    p0[0, 0, 0] *= 1.3
+    rime.sky.params = jnp.asarray(p0)
+    # only fit the sky (fix beam)
+    rime.beam.unset_param("params")
+
+    prob = LogProb(rime, tgt)
+    opt = LBFGS(prob)
+    losses = opt.minimize(25)
+    # at the MAP the loss equals the likelihood normalization n ln(pi)
+    norm = tgt.cov_ndim * np.log(np.pi)
+    assert losses[-1] - norm < 1e-8 * losses[0]
+    rec = np.asarray(opt.pdict["sky.params"])
+    assert np.allclose(rec, truth_params, atol=1e-8)
