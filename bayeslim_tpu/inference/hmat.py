@@ -1,0 +1,382 @@
+"""
+Matrix-free structured-operator algebra for HMC mass matrices and
+Hessian approximations.
+
+Reference parity: bayeslim/hmat.py (BaseMat :13, DenseMat :71, DiagMat
+:218, HadamardMat :349, TriangMat :461, SparseMat :593, ZeroMat :865,
+OneMat :945, TransposedMat :1038, PartitionedMat :1129, SolveMat :1391,
+MatDict :1575-1924, HierMat/HODLR :1925-2354).
+
+All operators act on jnp arrays and are jit-compatible (methods are pure).
+The HODLR hierarchy (HierMat) is implemented as a recursive 2x2 block
+structure with low-rank off-diagonal blocks.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "BaseMat", "DenseMat", "DiagMat", "HadamardMat", "TriangMat",
+    "SparseMat", "ZeroMat", "OneMat", "TransposedMat", "PartitionedMat",
+    "SolveMat", "MatDict", "HierMat", "make_hodlr",
+]
+
+
+class BaseMat:
+    """Operator interface (reference hmat.py:13-68)."""
+
+    shape = None
+
+    def mat_vec_mul(self, v):
+        raise NotImplementedError
+
+    def mat_mat_mul(self, M):
+        return jax.vmap(self.mat_vec_mul, in_axes=1, out_axes=1)(M)
+
+    def to_dense(self):
+        n = self.shape[1]
+        return self.mat_mat_mul(jnp.eye(n))
+
+    def diagonal(self):
+        return jnp.diagonal(self.to_dense())
+
+    def scalar_mul(self, a):
+        raise NotImplementedError
+
+    def __call__(self, v):
+        return self.mat_vec_mul(v) if v.ndim == 1 else self.mat_mat_mul(v)
+
+    def __matmul__(self, v):
+        return self(v)
+
+
+class DenseMat(BaseMat):
+    """Dense matrix operator (reference :71)."""
+
+    def __init__(self, A):
+        self.A = jnp.asarray(A)
+        self.shape = self.A.shape
+
+    def mat_vec_mul(self, v):
+        return self.A @ v
+
+    def mat_mat_mul(self, M):
+        return self.A @ M
+
+    def to_dense(self):
+        return self.A
+
+    def diagonal(self):
+        return jnp.diagonal(self.A)
+
+    def scalar_mul(self, a):
+        return DenseMat(self.A * a)
+
+
+class DiagMat(BaseMat):
+    """Diagonal operator stored as a vector (reference :218)."""
+
+    def __init__(self, d):
+        self.d = jnp.asarray(d)
+        self.shape = (len(self.d), len(self.d))
+
+    def mat_vec_mul(self, v):
+        return self.d * v
+
+    def mat_mat_mul(self, M):
+        return self.d[:, None] * M
+
+    def to_dense(self):
+        return jnp.diag(self.d)
+
+    def diagonal(self):
+        return self.d
+
+    def scalar_mul(self, a):
+        return DiagMat(self.d * a)
+
+
+class HadamardMat(BaseMat):
+    """Elementwise (Hadamard) multiply operator (reference :349): acts on
+    a matrix-shaped state by elementwise product with H."""
+
+    def __init__(self, H):
+        self.H = jnp.asarray(H)
+        self.shape = self.H.shape
+
+    def mat_vec_mul(self, v):
+        return self.H * v  # elementwise on matching shape
+
+    def mat_mat_mul(self, M):
+        return self.H * M
+
+    def to_dense(self):
+        return self.H
+
+    def scalar_mul(self, a):
+        return HadamardMat(self.H * a)
+
+
+class TriangMat(BaseMat):
+    """Triangular matrix operator (reference :461)."""
+
+    def __init__(self, L, lower=True):
+        self.L = jnp.asarray(L)
+        self.lower = lower
+        self.shape = self.L.shape
+
+    def mat_vec_mul(self, v):
+        return self.L @ v
+
+    def mat_mat_mul(self, M):
+        return self.L @ M
+
+    def to_dense(self):
+        return self.L
+
+    def scalar_mul(self, a):
+        return TriangMat(self.L * a, lower=self.lower)
+
+
+class SparseMat(BaseMat):
+    """Low-rank + diagonal: A = U V^T + diag(d) (reference :593)."""
+
+    def __init__(self, U, V=None, d=None):
+        self.U = jnp.asarray(U)
+        self.V = self.U if V is None else jnp.asarray(V)
+        self.d = d if d is None else jnp.asarray(d)
+        self.shape = (self.U.shape[0], self.V.shape[0])
+
+    def mat_vec_mul(self, v):
+        out = self.U @ (self.V.T @ v)
+        if self.d is not None:
+            out = out + self.d * v
+        return out
+
+    def to_dense(self):
+        out = self.U @ self.V.T
+        if self.d is not None:
+            out = out + jnp.diag(self.d)
+        return out
+
+    def diagonal(self):
+        out = jnp.sum(self.U * self.V, axis=1)
+        if self.d is not None:
+            out = out + self.d
+        return out
+
+    def scalar_mul(self, a):
+        return SparseMat(self.U * a, self.V,
+                         None if self.d is None else self.d * a)
+
+
+class ZeroMat(BaseMat):
+    """Zero operator (reference :865)."""
+
+    def __init__(self, shape):
+        self.shape = tuple(shape)
+
+    def mat_vec_mul(self, v):
+        return jnp.zeros(self.shape[0], dtype=v.dtype)
+
+    def mat_mat_mul(self, M):
+        return jnp.zeros((self.shape[0], M.shape[1]), dtype=M.dtype)
+
+    def to_dense(self):
+        return jnp.zeros(self.shape)
+
+    def scalar_mul(self, a):
+        return self
+
+
+class OneMat(BaseMat):
+    """Constant (rank-1 ones * value) operator (reference :945)."""
+
+    def __init__(self, shape, value=1.0):
+        self.shape = tuple(shape)
+        self.value = value
+
+    def mat_vec_mul(self, v):
+        return jnp.full(self.shape[0], jnp.sum(v) * self.value,
+                        dtype=v.dtype)
+
+    def to_dense(self):
+        return jnp.full(self.shape, self.value)
+
+    def scalar_mul(self, a):
+        return OneMat(self.shape, self.value * a)
+
+
+class TransposedMat(BaseMat):
+    """Lazy transpose of another operator (reference :1038)."""
+
+    def __init__(self, mat):
+        self.mat = mat
+        self.shape = (mat.shape[1], mat.shape[0])
+
+    def mat_vec_mul(self, v):
+        return self.mat.to_dense().T @ v
+
+    def to_dense(self):
+        return self.mat.to_dense().T
+
+    def scalar_mul(self, a):
+        return TransposedMat(self.mat.scalar_mul(a))
+
+
+class SolveMat(BaseMat):
+    """Inverse-as-solve operator: A^-1 v via triangular/Cholesky solves
+    (reference :1391-1470)."""
+
+    def __init__(self, A=None, chol=None, lower=True):
+        if chol is None:
+            assert A is not None
+            chol = jnp.linalg.cholesky(jnp.asarray(A))
+        self.L = jnp.asarray(chol)
+        self.lower = lower
+        self.shape = self.L.shape
+
+    def mat_vec_mul(self, v):
+        y = jax.scipy.linalg.solve_triangular(self.L, v, lower=self.lower)
+        return jax.scipy.linalg.solve_triangular(
+            self.L.conj().T, y, lower=not self.lower)
+
+    def forward_sub(self, v):
+        """L^-1 v (forward substitution)."""
+        return jax.scipy.linalg.solve_triangular(self.L, v, lower=self.lower)
+
+    def back_sub(self, v):
+        """L^-T v (back substitution)."""
+        return jax.scipy.linalg.solve_triangular(self.L.conj().T, v,
+                                                 lower=not self.lower)
+
+    def to_dense(self):
+        return self.mat_mat_mul(jnp.eye(self.shape[0], dtype=self.L.dtype))
+
+    def scalar_mul(self, a):
+        return SolveMat(chol=self.L / jnp.sqrt(a), lower=self.lower)
+
+
+class PartitionedMat(BaseMat):
+    """Block-partitioned operator (reference :1129-1250): blocks[i][j]
+    are BaseMats; matvec evaluates column sums."""
+
+    def __init__(self, blocks):
+        self.blocks = blocks
+        rows = sum(b[0].shape[0] for b in blocks)
+        cols = sum(blocks[0][j].shape[1] for j in range(len(blocks[0])))
+        self.shape = (rows, cols)
+        self._col_sizes = [blocks[0][j].shape[1] for j in range(len(blocks[0]))]
+
+    def mat_vec_mul(self, v):
+        splits = np.cumsum(self._col_sizes)[:-1]
+        vs = jnp.split(v, splits)
+        out = []
+        for i, row in enumerate(self.blocks):
+            acc = None
+            for j, blk in enumerate(row):
+                y = blk.mat_vec_mul(vs[j])
+                acc = y if acc is None else acc + y
+            out.append(acc)
+        return jnp.concatenate(out)
+
+    def to_dense(self):
+        return jnp.concatenate(
+            [jnp.concatenate([b.to_dense() for b in row], axis=1)
+             for row in self.blocks], axis=0)
+
+    def scalar_mul(self, a):
+        return PartitionedMat([[b.scalar_mul(a) for b in row]
+                               for row in self.blocks])
+
+
+class MatDict:
+    """Dict of operators keyed by parameter name, acting on ParamDicts
+    (reference MatDict :1836-1924)."""
+
+    def __init__(self, mats):
+        self.mats = dict(mats)
+
+    def __getitem__(self, k):
+        return self.mats[k]
+
+    def __contains__(self, k):
+        return k in self.mats
+
+    def mat_vec_mul(self, pdict):
+        from ..utils import ParamDict
+        out = {}
+        for k, v in pdict.items():
+            if k in self.mats:
+                out[k] = self.mats[k].mat_vec_mul(v.ravel()).reshape(v.shape)
+            else:
+                out[k] = v
+        return ParamDict(out)
+
+    def __call__(self, pdict):
+        return self.mat_vec_mul(pdict)
+
+
+class HierMat(BaseMat):
+    """Recursive 2x2 HODLR block operator (reference :1925-2210):
+    diagonal blocks are HierMat/DenseMat, off-diagonals low-rank
+    SparseMat."""
+
+    def __init__(self, A11, A22, A12=None, A21=None):
+        self.A11 = A11
+        self.A22 = A22
+        self.A12 = A12
+        self.A21 = A21
+        self.shape = (A11.shape[0] + A22.shape[0],
+                      A11.shape[1] + A22.shape[1])
+
+    def mat_vec_mul(self, v):
+        n1 = self.A11.shape[1]
+        v1, v2 = v[:n1], v[n1:]
+        o1 = self.A11.mat_vec_mul(v1)
+        o2 = self.A22.mat_vec_mul(v2)
+        if self.A12 is not None:
+            o1 = o1 + self.A12.mat_vec_mul(v2)
+        if self.A21 is not None:
+            o2 = o2 + self.A21.mat_vec_mul(v1)
+        return jnp.concatenate([o1, o2])
+
+    def to_dense(self):
+        n1, n2 = self.A11.shape[0], self.A22.shape[0]
+        top = jnp.concatenate([
+            self.A11.to_dense(),
+            self.A12.to_dense() if self.A12 is not None
+            else jnp.zeros((n1, self.A22.shape[1]))], axis=1)
+        bot = jnp.concatenate([
+            self.A21.to_dense() if self.A21 is not None
+            else jnp.zeros((n2, self.A11.shape[1])),
+            self.A22.to_dense()], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    def scalar_mul(self, a):
+        return HierMat(self.A11.scalar_mul(a), self.A22.scalar_mul(a),
+                       None if self.A12 is None else self.A12.scalar_mul(a),
+                       None if self.A21 is None else self.A21.scalar_mul(a))
+
+
+def make_hodlr(A, min_size=64, rank=8, depth=None):
+    """Compress a dense matrix into a HODLR HierMat via truncated SVD of
+    the off-diagonal blocks (reference make_hodlr :2355-2377)."""
+    A = jnp.asarray(A)
+    n = A.shape[0]
+    if n <= min_size or (depth is not None and depth <= 0):
+        return DenseMat(A)
+    h = n // 2
+    A11 = make_hodlr(A[:h, :h], min_size, rank,
+                     None if depth is None else depth - 1)
+    A22 = make_hodlr(A[h:, h:], min_size, rank,
+                     None if depth is None else depth - 1)
+
+    def lowrank(B):
+        U, s, Vt = jnp.linalg.svd(B, full_matrices=False)
+        r = min(rank, len(s))
+        return SparseMat(U[:, :r] * s[:r], Vt[:r].T)
+
+    return HierMat(A11, A22, lowrank(A[:h, h:]), lowrank(A[h:, :h]))

@@ -1,0 +1,483 @@
+"""
+MCMC samplers: HMC, NUTS, RecycledHMC with mass-matrix support and
+chain checkpointing.
+
+Reference parity: bayeslim/sampler.py (SamplerBase :16-178, HMC :181-757,
+RecycledHMC :759, NUTS :956-1337, Potential :1338, leapfrog :1433,
+StepSize/DynamicStepSize :1586-1863).
+
+TPU-first: positions/momenta are ParamDict pytrees; each leapfrog step
+evaluates the jitted LogProb value_and_grad (the whole-trajectory
+lax.while_loop fusion is left to the Pallas/scan roadmap — the dominant
+cost is the forward+backward itself, already jitted). Mass matrices are
+diagonal ParamDicts or hmat operators (Cholesky factors), including
+implicit solves (SolveMat) and HODLR (HierMat).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import ParamDict
+from .hmat import MatDict
+
+__all__ = ["SamplerBase", "Potential", "leapfrog", "HMC", "NUTS",
+           "RecycledHMC", "DynamicStepSize"]
+
+
+class Potential:
+    """U(x) = -log p(x) and its gradient, wrapping a LogProb
+    (reference sampler.py:1338-1432). The wrapped prob must have
+    negate=True so closure returns -log posterior."""
+
+    def __init__(self, prob):
+        self.prob = prob
+
+    def __call__(self, x):
+        """Returns (U, gradU) with gradU a ParamDict."""
+        U, g = self.prob.value_and_grad(x)
+        return U, g
+
+    def value(self, x):
+        return self.prob(x)
+
+
+def leapfrog(q, p, dUdq, eps, N, Minv=None):
+    """Leapfrog integrator (reference sampler.py:1433-1585).
+
+    q, p : ParamDicts; dUdq(q) -> (U, grad ParamDict); eps : step size
+    (float or ParamDict); Minv : callable(ParamDict)->ParamDict applying
+    the inverse mass matrix (None = identity).
+
+    Returns (q_new, p_new, U_new, gradU_new, n_grad_evals).
+    """
+    Minv = Minv if Minv is not None else (lambda x: x)
+    U, grad = dUdq(q)
+    # half step momentum
+    p = p - grad * (eps / 2)
+    for i in range(N):
+        q = q + Minv(p) * eps
+        U, grad = dUdq(q)
+        if i < N - 1:
+            p = p - grad * eps
+    p = p - grad * (eps / 2)
+    return q, p, U, grad, N + 1
+
+
+class SamplerBase:
+    """Chain bookkeeping, sampling loop, npz checkpoints
+    (reference sampler.py:16-178)."""
+
+    def __init__(self, x0):
+        self.x = x0.copy()
+        self.chain = {k: [] for k in x0.keys()}
+        self._acceptances = []
+        self._divergences = []
+        self.Usteps = []
+
+    @property
+    def Nsamples(self):
+        k = next(iter(self.chain))
+        return len(self.chain[k])
+
+    @property
+    def acceptance_rate(self):
+        if not self._acceptances:
+            return 0.0
+        return float(np.mean(self._acceptances))
+
+    def append_chain(self, x):
+        for k in self.chain:
+            self.chain[k].append(np.asarray(x[k]))
+
+    def step(self):
+        raise NotImplementedError
+
+    def sample(self, Nsample, Ncheck=None, outfile=None, verbose=False):
+        """Run the sampler, checkpointing every Ncheck samples
+        (reference :59-142)."""
+        for i in range(Nsample):
+            self.step()
+            if verbose and (i + 1) % max(Nsample // 10, 1) == 0:
+                print(f"sample {i+1}/{Nsample} "
+                      f"accept={self.acceptance_rate:.2f}")
+            if Ncheck and outfile and (i + 1) % Ncheck == 0:
+                self.write_chain(outfile, overwrite=True)
+        if outfile:
+            self.write_chain(outfile, overwrite=True)
+
+    def get_chain(self, burn=0):
+        return {k: np.stack(v[burn:]) for k, v in self.chain.items()}
+
+    def write_chain(self, fname, overwrite=False, attrs=None):
+        """Checkpoint the chain to .npz (reference :82-142)."""
+        if os.path.exists(fname) and not overwrite:
+            raise FileExistsError(fname)
+        payload = {f"chain__{k}": np.stack(v) if len(v) else np.zeros(0)
+                   for k, v in self.chain.items()}
+        payload["acceptances"] = np.asarray(self._acceptances)
+        payload["divergences"] = np.asarray(self._divergences, dtype=float)
+        for k, v in (attrs or {}).items():
+            payload[f"attr__{k}"] = v
+        np.savez(fname, **payload)
+
+    def load_chain(self, fname):
+        """Resume from a checkpoint (reference :144-178)."""
+        f = np.load(fname, allow_pickle=True)
+        for key in f.files:
+            if key.startswith("chain__"):
+                k = key[len("chain__"):]
+                self.chain[k] = list(f[key])
+        self._acceptances = list(f["acceptances"])
+        self._divergences = list(f["divergences"])
+        # restart position = last sample
+        if self.Nsamples:
+            self.x = ParamDict({k: jnp.asarray(v[-1])
+                                for k, v in self.get_chain().items()})
+
+
+class _Mass:
+    """Mass-matrix plumbing: identity, diagonal ParamDict, or hmat
+    Cholesky factors per parameter (MatDict)."""
+
+    def __init__(self, mass=None, chol=None, invchol=None):
+        """mass: ParamDict of diagonal M entries; chol: MatDict of L with
+        M = L L^T; invchol: MatDict of L' with M^-1 = L' L'^T."""
+        self.mass = mass
+        self.chol = chol
+        self.invchol = invchol
+
+    def sample_momentum(self, key, template):
+        """p ~ N(0, M)."""
+        keys = jax.random.split(key, len(template.keys()))
+        xi = ParamDict({k: jax.random.normal(kk, template[k].shape,
+                                             template[k].dtype)
+                        for k, kk in zip(template.keys(), keys)})
+        if self.mass is not None:
+            return xi * self.mass.operator(jnp.sqrt)
+        if self.chol is not None:
+            return ParamDict({
+                k: (self.chol[k].mat_vec_mul(xi[k].ravel()).reshape(xi[k].shape)
+                    if k in self.chol else xi[k]) for k in xi})
+        if self.invchol is not None:
+            # M^{1/2} xi = L'^-T xi for M^-1 = L' L'^T
+            out = {}
+            for k in xi:
+                if k in self.invchol:
+                    op = self.invchol[k]
+                    if hasattr(op, "back_sub"):
+                        out[k] = op.back_sub(xi[k].ravel()).reshape(xi[k].shape)
+                    else:
+                        L = op.to_dense()
+                        out[k] = jnp.linalg.solve(L.T, xi[k].ravel()).reshape(xi[k].shape)
+                else:
+                    out[k] = xi[k]
+            return ParamDict(out)
+        return xi
+
+    def minv(self, p):
+        """M^-1 p."""
+        if self.mass is not None:
+            return p / self.mass
+        if self.invchol is not None:
+            # M^-1 = L' L'^T
+            out = {}
+            for k in p:
+                if k in self.invchol:
+                    op = self.invchol[k]
+                    y = _t_matvec(op, p[k].ravel())
+                    out[k] = op.mat_vec_mul(y).reshape(p[k].shape)
+                else:
+                    out[k] = p[k]
+            return ParamDict(out)
+        if self.chol is not None:
+            out = {}
+            for k in p:
+                if k in self.chol:
+                    op = self.chol[k]
+                    if hasattr(op, "forward_sub"):
+                        y = op.forward_sub(p[k].ravel())
+                        out[k] = op.back_sub(y).reshape(p[k].shape)
+                    else:
+                        L = op.to_dense()
+                        y = jax.scipy.linalg.solve_triangular(L, p[k].ravel(),
+                                                              lower=True)
+                        out[k] = jax.scipy.linalg.solve_triangular(
+                            L.T, y, lower=False).reshape(p[k].shape)
+                else:
+                    out[k] = p[k]
+            return ParamDict(out)
+        return p
+
+    def kinetic(self, p):
+        """K = 0.5 p^T M^-1 p (+ const logdet, dropped: cancels in MH
+        for a fixed mass matrix)."""
+        minv_p = self.minv(p)
+        return 0.5 * sum(float(jnp.sum((p[k].conj() * minv_p[k]).real))
+                         for k in p)
+
+
+def _t_matvec(op, v):
+    """op^T @ v for hmat operators."""
+    return op.to_dense().T @ v
+
+
+class DynamicStepSize:
+    """Dual-averaging step-size adaptation (Hoffman & Gelman 2014,
+    reference sampler.py:1586-1863)."""
+
+    def __init__(self, eps0=0.1, target=0.8, gamma=0.05, t0=10, kappa=0.75,
+                 Nadapt=None):
+        self.eps = eps0
+        self.mu = np.log(10 * eps0)
+        self.target = target
+        self.gamma = gamma
+        self.t0 = t0
+        self.kappa = kappa
+        self.t = 0
+        self.Hbar = 0.0
+        self.log_eps_bar = np.log(eps0)
+        self.Nadapt = Nadapt
+        self.frozen = False
+
+    def update(self, accept_prob):
+        if self.frozen:
+            return self.eps
+        self.t += 1
+        if self.Nadapt is not None and self.t > self.Nadapt:
+            self.frozen = True
+            self.eps = float(np.exp(self.log_eps_bar))
+            return self.eps
+        eta = 1.0 / (self.t + self.t0)
+        self.Hbar = (1 - eta) * self.Hbar + eta * (self.target - accept_prob)
+        log_eps = self.mu - np.sqrt(self.t) / self.gamma * self.Hbar
+        w = self.t ** (-self.kappa)
+        self.log_eps_bar = w * log_eps + (1 - w) * self.log_eps_bar
+        self.eps = float(np.exp(log_eps))
+        return self.eps
+
+
+class HMC(SamplerBase):
+    """Hamiltonian Monte Carlo (reference sampler.py:181-757)."""
+
+    def __init__(self, potential, x0, eps=0.1, Nstep=10, mass=None,
+                 chol=None, invchol=None, dHmax=1000.0, seed=0,
+                 adapt_eps=False, adapt_kwargs=None, jitter_Nstep=False):
+        super().__init__(x0)
+        self.potential = potential
+        self.eps = eps
+        self.Nstep = Nstep
+        self.mass = _Mass(mass, chol, invchol)
+        self.dHmax = dHmax
+        self.key = jax.random.PRNGKey(seed)
+        self.fn_evals = 0
+        self.jitter_Nstep = jitter_Nstep
+        self.stepsize = DynamicStepSize(eps, **(adapt_kwargs or {})) \
+            if adapt_eps else None
+        self._U = None
+        self._grad = None
+
+    def dUdx(self, x):
+        self.fn_evals += 1
+        return self.potential(x)
+
+    def _energy(self, U, p):
+        return float(U) + self.mass.kinetic(p)
+
+    def step(self):
+        """One HMC step with Metropolis accept and divergence recovery
+        (reference :548-626)."""
+        self.key, kp, ka = jax.random.split(self.key, 3)
+        p = self.mass.sample_momentum(kp, self.x)
+        if self._U is None:
+            self._U, self._grad = self.dUdx(self.x)
+        H0 = self._energy(self._U, p)
+
+        nstep = self.Nstep
+        if self.jitter_Nstep:
+            self.key, kn = jax.random.split(self.key)
+            nstep = int(jax.random.randint(kn, (), 1, self.Nstep + 1))
+
+        q_new, p_new, U_new, grad_new, ne = leapfrog(
+            self.x, p, self.dUdx, self.eps, nstep, self.mass.minv)
+        H1 = self._energy(U_new, p_new)
+        dH = H1 - H0
+
+        # divergence: restart from a random chain sample (reference
+        # :595-609)
+        if not np.isfinite(dH) or dH > self.dHmax:
+            self._divergences.append(self.Nsamples)
+            if self.Nsamples > 1:
+                self.key, kr = jax.random.split(self.key)
+                idx = int(jax.random.randint(kr, (), 0, self.Nsamples))
+                self.x = ParamDict({k: jnp.asarray(self.chain[k][idx])
+                                    for k in self.chain})
+                self._U = None
+            self.append_chain(self.x)
+            self._acceptances.append(0.0)
+            if self.stepsize is not None:
+                self.eps = self.stepsize.update(0.0)
+            return False
+
+        accept_prob = min(1.0, float(np.exp(-dH)))
+        u = float(jax.random.uniform(ka))
+        accepted = u < accept_prob
+        if accepted:
+            self.x = q_new
+            self._U, self._grad = U_new, grad_new
+        self.append_chain(self.x)
+        self._acceptances.append(accept_prob)
+        self.Usteps.append(float(self._U))
+        if self.stepsize is not None:
+            self.eps = self.stepsize.update(accept_prob)
+        return accepted
+
+    def estimate_cov(self, burn=0, diag=True):
+        """Estimate parameter covariance from the chain for mass-matrix
+        tuning (reference :673-713)."""
+        ch = self.get_chain(burn)
+        if diag:
+            return ParamDict({k: jnp.asarray(np.var(v.reshape(len(v), -1),
+                                                    axis=0).reshape(v.shape[1:]))
+                              for k, v in ch.items()})
+        return {k: np.cov(v.reshape(len(v), -1).T) for k, v in ch.items()}
+
+
+class RecycledHMC(HMC):
+    """Recycled-momentum HMC (Nishimura & Dunson 2020; reference
+    sampler.py:759-954): stores all intermediate leapfrog states as
+    (weighted) samples."""
+
+    def step(self):
+        self.key, kp, ka = jax.random.split(self.key, 3)
+        p = self.mass.sample_momentum(kp, self.x)
+        if self._U is None:
+            self._U, self._grad = self.dUdx(self.x)
+        H0 = self._energy(self._U, p)
+
+        # integrate step by step, recording each state
+        q, mom = self.x, p
+        states = []
+        U, grad = self._U, self._grad
+        for i in range(self.Nstep):
+            q, mom, U, grad, _ = leapfrog(q, mom, self.dUdx, self.eps, 1,
+                                          self.mass.minv)
+            H = self._energy(U, mom)
+            states.append((q, U, grad, H))
+        # accept each state independently vs H0
+        any_acc = False
+        for (q, U, grad, H) in states:
+            dH = H - H0
+            if not np.isfinite(dH):
+                continue
+            ap = min(1.0, float(np.exp(-dH)))
+            self.key, ku = jax.random.split(self.key)
+            if float(jax.random.uniform(ku)) < ap:
+                self.x, self._U, self._grad = q, U, grad
+                any_acc = True
+            self.append_chain(self.x)
+            self._acceptances.append(ap)
+        return any_acc
+
+
+class NUTS(SamplerBase):
+    """No-U-Turn Sampler with recursive tree doubling and slice sampling
+    (Hoffman & Gelman 2014 Alg. 3; reference sampler.py:956-1337)."""
+
+    def __init__(self, potential, x0, eps=0.1, mass=None, chol=None,
+                 invchol=None, max_treedepth=8, dHmax=1000.0, seed=0,
+                 adapt_eps=False, adapt_kwargs=None):
+        super().__init__(x0)
+        self.potential = potential
+        self.eps = eps
+        self.mass = _Mass(mass, chol, invchol)
+        self.max_treedepth = max_treedepth
+        self.dHmax = dHmax
+        self.key = jax.random.PRNGKey(seed)
+        self.fn_evals = 0
+        self.stepsize = DynamicStepSize(eps, **(adapt_kwargs or {})) \
+            if adapt_eps else None
+        self.tree_depths = []
+
+    def dUdx(self, x):
+        self.fn_evals += 1
+        return self.potential(x)
+
+    def _uturn(self, q_minus, q_plus, p_minus, p_plus):
+        """Hoffman u-turn criterion (reference :1402-1432)."""
+        dq = (q_plus - q_minus).ravel()
+        return (float(dq @ self.mass.minv(p_minus).ravel()) < 0) or \
+               (float(dq @ self.mass.minv(p_plus).ravel()) < 0)
+
+    def _leap1(self, q, p, direction):
+        q2, p2, U2, g2, _ = leapfrog(q, p, self.dUdx, direction * self.eps,
+                                     1, self.mass.minv)
+        return q2, p2, U2
+
+    def _build_tree(self, q, p, logu, direction, depth, H0):
+        """Recursive doubling (Alg. 3)."""
+        if depth == 0:
+            q2, p2, U2 = self._leap1(q, p, direction)
+            H2 = float(U2) + self.mass.kinetic(p2)
+            n2 = int(logu <= -H2)
+            s2 = int(logu < self.dHmax - H2)
+            return q2, p2, q2, p2, q2, n2, s2, min(1.0, np.exp(H0 - H2)), 1
+        qm, pm, qp, pp, q2, n2, s2, a2, na2 = self._build_tree(
+            q, p, logu, direction, depth - 1, H0)
+        if s2:
+            if direction == -1:
+                qm, pm, _, _, q3, n3, s3, a3, na3 = self._build_tree(
+                    qm, pm, logu, direction, depth - 1, H0)
+            else:
+                _, _, qp, pp, q3, n3, s3, a3, na3 = self._build_tree(
+                    qp, pp, logu, direction, depth - 1, H0)
+            self.key, ku = jax.random.split(self.key)
+            if n3 > 0 and float(jax.random.uniform(ku)) < n3 / max(n2 + n3, 1):
+                q2 = q3
+            a2 += a3
+            na2 += na3
+            s2 = s3 * int(not self._uturn(qm, qp, pm, pp))
+            n2 += n3
+        return qm, pm, qp, pp, q2, n2, s2, a2, na2
+
+    def step(self):
+        self.key, kp, ku = jax.random.split(self.key, 3)
+        p0 = self.mass.sample_momentum(kp, self.x)
+        U0, _ = self.dUdx(self.x)
+        H0 = float(U0) + self.mass.kinetic(p0)
+        # slice variable
+        logu = -H0 + float(np.log(float(jax.random.uniform(ku)) + 1e-300))
+
+        qm = qp = self.x
+        pm = pp = p0
+        q_keep = self.x
+        n, s, depth = 1, 1, 0
+        alpha, nalpha = 0.0, 0
+        while s and depth < self.max_treedepth:
+            self.key, kd, ks = jax.random.split(self.key, 3)
+            direction = 1 if float(jax.random.uniform(kd)) < 0.5 else -1
+            if direction == -1:
+                qm, pm, _, _, q2, n2, s2, a2, na2 = self._build_tree(
+                    qm, pm, logu, direction, depth, H0)
+            else:
+                _, _, qp, pp, q2, n2, s2, a2, na2 = self._build_tree(
+                    qp, pp, logu, direction, depth, H0)
+            if s2 and float(jax.random.uniform(ks)) < min(1.0, n2 / max(n, 1)):
+                q_keep = q2
+            n += n2
+            alpha += a2
+            nalpha += na2
+            s = s2 * int(not self._uturn(qm, qp, pm, pp))
+            depth += 1
+
+        self.x = q_keep
+        self.append_chain(self.x)
+        ap = alpha / max(nalpha, 1)
+        self._acceptances.append(ap)
+        self.tree_depths.append(depth)
+        if self.stepsize is not None:
+            self.eps = self.stepsize.update(ap)
+        return True

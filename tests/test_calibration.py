@@ -1,0 +1,200 @@
+"""Calibration tests: Jones gains, apply_cal, redcal degeneracies,
+end-to-end gain solve (reference tests/test_calibration.py +
+BASELINE config #3)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import bayeslim_tpu as bl
+from bayeslim_tpu.models.calibration import (
+    JonesModel, JonesResponse, VisModel, RedVisModel, VisModelResponse,
+    apply_cal, params2complex, complex2params, compute_redcal_degen,
+    redcal_degen_gains, remove_redcal_degen, rephase_to_refant,
+)
+from bayeslim_tpu.utils import make_hex, AntposDict, white_noise
+from bayeslim_tpu.data.containers import VisData
+from bayeslim_tpu.inference import LogProb, LBFGS
+
+
+def _mock_vis(Nbls=6, Ntimes=2, Nfreqs=4, seed=0, Nants=5):
+    rng = np.random.default_rng(seed)
+    bls = [(i, j) for i in range(Nants) for j in range(i + 1, Nants)][:Nbls]
+    data = jnp.asarray(rng.normal(size=(1, 1, len(bls), Ntimes, Nfreqs)) +
+                       1j * rng.normal(size=(1, 1, len(bls), Ntimes, Nfreqs)))
+    vd = VisData()
+    vd.setup_data(bls, np.arange(Ntimes) * 1.0, np.linspace(100e6, 110e6, Nfreqs),
+                  pol="ee", data=data)
+    return vd, bls
+
+
+def test_params2complex_roundtrip():
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(1, 1, 3, 2, 4)) +
+                    1j * rng.normal(size=(1, 1, 3, 2, 4)))
+    for ptype in ["com", "amp", "phs", "amp_phs"]:
+        p = complex2params(g, ptype)
+        g2 = params2complex(p, ptype)
+        if ptype == "com":
+            assert np.allclose(np.asarray(g2), np.asarray(g))
+        elif ptype == "amp":
+            assert np.allclose(np.abs(np.asarray(g2)), np.abs(np.asarray(g)))
+        elif ptype == "phs":
+            assert np.allclose(np.angle(np.asarray(g2)), np.angle(np.asarray(g)))
+        else:
+            assert np.allclose(np.asarray(g2), np.asarray(g))
+    # dly type
+    freqs = np.linspace(100e6, 110e6, 4)
+    tau = jnp.ones((1, 1, 3, 2, 1)) * 5.0  # ns
+    g = params2complex(tau, "dly", freqs=freqs)
+    expected = np.exp(2j * np.pi * freqs * 5e-9)
+    assert np.allclose(np.asarray(g)[0, 0, 0, 0], expected)
+
+
+def test_jones_apply_undo():
+    vd, bls = _mock_vis()
+    ants = sorted(set([a for bl in bls for a in bl]))
+    rng = np.random.default_rng(1)
+    gains = jnp.asarray(rng.normal(1, 0.1, (1, 1, len(ants), 2, 4)) +
+                        1j * rng.normal(0, 0.1, (1, 1, len(ants), 2, 4)))
+    J = JonesModel(gains, ants, R=JonesResponse())
+    vcal = J(vd)
+    # manual check
+    g = np.asarray(gains)
+    d = np.asarray(vd.data)
+    for k, (a1, a2) in enumerate(bls):
+        i1, i2 = ants.index(a1), ants.index(a2)
+        expected = g[:, :, i1] * d[:, :, k] * g[:, :, i2].conj()
+        assert np.allclose(np.asarray(vcal.data)[:, :, k], expected)
+    # undo recovers
+    vun = J(vcal, undo=True)
+    assert np.allclose(np.asarray(vun.data), d, atol=1e-12)
+
+
+def test_apply_cal_function():
+    vd, bls = _mock_vis()
+    ants = sorted(set([a for bl in bls for a in bl]))
+    rng = np.random.default_rng(2)
+    gains = jnp.asarray(rng.normal(1, 0.1, (1, 1, len(ants), 2, 4)) +
+                        1j * 0.0)
+    out, cov = apply_cal(vd.data, bls, gains, ants,
+                         cov=jnp.ones(vd.data.shape))
+    assert out.shape == vd.data.shape
+    assert cov is not None and (np.asarray(cov) > 0).all()
+
+
+def test_refant_phase():
+    ants = [0, 1, 2, 3]
+    rng = np.random.default_rng(3)
+    gains = jnp.asarray(rng.normal(1, 0.2, (1, 1, 4, 1, 3)) +
+                        1j * rng.normal(0, 0.2, (1, 1, 4, 1, 3)))
+    J = JonesModel(gains, ants, refant=1)
+    jones = J.get_jones()
+    phs = np.angle(np.asarray(jones)[0, 0, 1])
+    assert np.abs(phs).max() < 1e-10
+
+
+def test_redcal_degen():
+    ants, antvecs = make_hex(2)
+    antpos = AntposDict(ants, antvecs)
+    rng = np.random.default_rng(4)
+    # gains with known degeneracy: amp = exp(eta), phase = r . Phi
+    eta = 0.3
+    Phi = np.asarray([0.01, -0.02])
+    A = np.asarray(antvecs)[:, :2]
+    g = np.exp(eta + 1j * (A @ Phi))[None, None, :, None, None]
+    g = jnp.asarray(np.tile(g, (1, 1, 1, 2, 3)))
+    aa, ps = compute_redcal_degen(g, ants, antpos)
+    assert np.allclose(np.asarray(aa), eta, atol=1e-8)
+    assert np.allclose(np.asarray(ps)[0, 0, :, 0, 0], Phi, atol=1e-8)
+    # removing degens yields unity gains
+    newg, _, dg = remove_redcal_degen(g, ants, antpos)
+    assert np.allclose(np.asarray(newg), 1.0 + 0j, atol=1e-8)
+
+
+def test_visperbl_and_redvis_models():
+    vd, bls = _mock_vis()
+    rng = np.random.default_rng(5)
+    vis = jnp.asarray(rng.normal(size=vd.data.shape) +
+                      1j * rng.normal(size=vd.data.shape))
+    vm = VisModel(vis)
+    out = vm(vd)
+    assert np.allclose(np.asarray(out.data), np.asarray(vd.data + vis))
+    back = vm(out, undo=True)
+    assert np.allclose(np.asarray(back.data), np.asarray(vd.data))
+
+    # redundant model: 2 groups
+    bl2red = {bl: (0 if i < 3 else 1) for i, bl in enumerate(bls)}
+    redvis = jnp.asarray(rng.normal(size=(1, 1, 2, 2, 4)) + 0j)
+    rv = RedVisModel(redvis, bl2red)
+    out = rv(vd)
+    for i, bl in enumerate(bls):
+        expected = np.asarray(vd.data)[:, :, i] + np.asarray(redvis)[:, :, bl2red[bl]]
+        assert np.allclose(np.asarray(out.data)[:, :, i], expected)
+
+
+def test_gain_solve_end_to_end():
+    """BASELINE config #3: per-antenna complex gain solve on simulated
+    vis with a refant and known truth."""
+    vd, bls = _mock_vis(Nbls=10, Ntimes=1, Nfreqs=4, Nants=5)
+    ants = sorted(set([a for bl in bls for a in bl]))
+    rng = np.random.default_rng(6)
+    true_g = jnp.asarray(
+        1.0 + 0.1 * rng.normal(size=(1, 1, len(ants), 1, 4)) +
+        1j * 0.1 * rng.normal(size=(1, 1, len(ants), 1, 4)))
+    # refant phase zero in truth for identifiability
+    i0 = 0
+    true_g = true_g * jnp.exp(-1j * jnp.angle(true_g[:, :, i0:i0 + 1]))
+
+    Jtrue = JonesModel(true_g, ants, parameter=False)
+    vobs = Jtrue(vd)
+
+    # model: Sequential(vis-model fixed at truth, jones to solve)
+    from bayeslim_tpu.utils import Sequential
+
+    class FixedVis(bl.Module):
+        def __init__(self, vd):
+            super().__init__(name="fixedvis")
+            self.vd = vd
+
+        def forward(self, inp=None, prior_cache=None, **kwargs):
+            return self.vd
+
+    # trainable complex params are stored as real pairs (..., 2) and
+    # converted by the response (reference viewreal convention)
+    g0 = bl.viewreal(jnp.ones_like(true_g))
+    J = JonesModel(g0, ants, refant=ants[i0])
+    model = Sequential({"vis": FixedVis(vd), "cal": J})
+
+    tgt = vobs.copy()
+    tgt.setup_data(bls, vd.times, vd.freqs, pol="ee", data=vobs.data,
+                   cov=jnp.ones(vobs.data.shape), cov_axis=None,
+                   icov=jnp.ones(vobs.data.shape))
+    prob = LogProb(model, tgt, complex_circular=True)
+    opt = LBFGS(prob)
+    losses = opt.minimize(40)
+
+    rec = np.asarray(J.R(opt.pdict["models.cal.params"]))
+    rec = rec * np.exp(-1j * np.angle(rec[:, :, i0:i0 + 1]))
+    err = np.abs(rec - np.asarray(true_g)).max()
+    assert err < 1e-6, f"gain solve err {err:.2e} (loss {losses[-1]:.3e})"
+
+
+def test_jones_response_modes():
+    from bayeslim_tpu.models.linear_model import LinearModel
+    freqs = np.linspace(100e6, 110e6, 8)
+    # linear freq mode: gains = poly in freq
+    LMf = LinearModel("poly", dim=4, x=freqs, Ndeg=3, basis="legendre",
+                      whiten=True, dtype=jnp.complex128)
+    R = JonesResponse(freq_mode="linear", freq_LM=LMf, param_type="com",
+                      freqs=freqs)
+    rng = np.random.default_rng(7)
+    params = jnp.asarray(rng.normal(size=(1, 1, 3, 1, 3)) + 0j)
+    g = R(params)
+    assert g.shape == (1, 1, 3, 1, 8)
+    # dly param type
+    R2 = JonesResponse(param_type="dly", freqs=freqs)
+    tau = jnp.asarray(rng.normal(size=(1, 1, 3, 1, 1)))
+    g2 = R2(tau)
+    assert g2.shape == (1, 1, 3, 1, 8)
+    assert np.allclose(np.abs(np.asarray(g2)), 1.0)

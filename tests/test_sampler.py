@@ -1,0 +1,223 @@
+"""Sampler tests: HMC/NUTS on analytic Gaussians, hmat operators,
+joint-posterior sampling (BASELINE config #4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayeslim_tpu.utils import ParamDict
+from bayeslim_tpu.inference.sampler import (
+    HMC, NUTS, RecycledHMC, Potential, leapfrog, DynamicStepSize,
+)
+from bayeslim_tpu.inference import hmat
+from bayeslim_tpu.inference.hmat import (
+    DenseMat, DiagMat, SparseMat, SolveMat, HierMat, make_hodlr, MatDict,
+    PartitionedMat, ZeroMat, OneMat,
+)
+
+
+class GaussPotential:
+    """U = 0.5 (x-mu)^T icov (x-mu) over a ParamDict with one key."""
+
+    def __init__(self, mu, cov):
+        self.mu = jnp.asarray(mu)
+        self.icov = jnp.linalg.inv(jnp.asarray(cov))
+        self.cov = jnp.asarray(cov)
+
+    def __call__(self, x):
+        r = x["x"] - self.mu
+        U = 0.5 * r @ self.icov @ r
+        g = ParamDict({"x": self.icov @ r})
+        return U, g
+
+
+def test_hmat_ops():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(6, 6))
+    A = A @ A.T + np.eye(6)
+    v = jnp.asarray(rng.normal(size=6))
+
+    dm = DenseMat(A)
+    assert np.allclose(np.asarray(dm @ v), A @ np.asarray(v))
+    assert np.allclose(np.asarray(dm.diagonal()), np.diag(A))
+
+    dg = DiagMat(np.diag(A))
+    assert np.allclose(np.asarray(dg @ v), np.diag(A) * np.asarray(v))
+
+    sp = SparseMat(jnp.asarray(rng.normal(size=(6, 2))),
+                   d=jnp.asarray(np.diag(A)))
+    assert np.allclose(np.asarray(sp @ v), np.asarray(sp.to_dense()) @ np.asarray(v))
+
+    sv = SolveMat(A=jnp.asarray(A))
+    assert np.allclose(np.asarray(sv @ v), np.linalg.solve(A, np.asarray(v)),
+                       atol=1e-10)
+
+    z = ZeroMat((6, 6))
+    assert np.allclose(np.asarray(z @ v), 0)
+    o = OneMat((6, 6), 2.0)
+    assert np.allclose(np.asarray(o @ v), 2 * np.sum(np.asarray(v)))
+
+    pm = PartitionedMat([[DenseMat(A[:3, :3]), ZeroMat((3, 3))],
+                         [ZeroMat((3, 3)), DiagMat(np.diag(A)[3:])]])
+    expected = np.block([[A[:3, :3], np.zeros((3, 3))],
+                         [np.zeros((3, 3)), np.diag(np.diag(A)[3:])]])
+    assert np.allclose(np.asarray(pm @ v), expected @ np.asarray(v))
+
+
+def test_hodlr():
+    rng = np.random.default_rng(1)
+    # smooth kernel -> low-rank off-diagonals
+    x = np.linspace(0, 1, 128)
+    A = np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2 / 0.2 ** 2) + np.eye(128)
+    H = make_hodlr(jnp.asarray(A), min_size=32, rank=10)
+    assert isinstance(H, HierMat)
+    v = jnp.asarray(rng.normal(size=128))
+    err = np.abs(np.asarray(H @ v) - A @ np.asarray(v)).max()
+    assert err < 1e-6 * np.abs(A @ np.asarray(v)).max()
+
+
+def test_leapfrog_reversible():
+    pot = GaussPotential(np.zeros(3), np.eye(3))
+    q = ParamDict({"x": jnp.asarray([1.0, -0.5, 0.3])})
+    p = ParamDict({"x": jnp.asarray([0.2, 0.1, -0.4])})
+    q2, p2, *_ = leapfrog(q, p, pot, 0.1, 10)
+    # integrate back
+    q3, p3, *_ = leapfrog(q2, -p2, pot, 0.1, 10)
+    assert np.allclose(np.asarray(q3["x"]), np.asarray(q["x"]), atol=1e-12)
+    assert np.allclose(np.asarray(-p3["x"]), np.asarray(p["x"]), atol=1e-12)
+
+
+def test_hmc_gaussian_moments():
+    """HMC recovers mean and variance of a correlated Gaussian."""
+    rng = np.random.default_rng(2)
+    mu = np.asarray([1.0, -2.0, 0.5])
+    L = np.asarray([[1.0, 0, 0], [0.5, 0.8, 0], [-0.2, 0.1, 0.6]])
+    cov = L @ L.T
+    pot = GaussPotential(mu, cov)
+    x0 = ParamDict({"x": jnp.zeros(3)})
+    hmc = HMC(pot, x0, eps=0.25, Nstep=12, seed=1)
+    hmc.sample(1500)
+    ch = hmc.get_chain(burn=300)["x"]
+    assert hmc.acceptance_rate > 0.7
+    assert np.abs(ch.mean(0) - mu).max() < 0.15
+    assert np.abs(np.cov(ch.T) - cov).max() < 0.5
+
+
+def test_hmc_mass_matrix():
+    """Diagonal and Cholesky mass matrices improve a badly-scaled target."""
+    mu = np.zeros(2)
+    cov = np.diag([100.0, 0.01])
+    pot = GaussPotential(mu, cov)
+    x0 = ParamDict({"x": jnp.zeros(2)})
+    # mass = inverse covariance (ideal preconditioner)
+    mass = ParamDict({"x": jnp.asarray(1.0 / np.diag(cov))})
+    hmc = HMC(pot, x0, eps=0.8, Nstep=10, mass=mass, seed=3)
+    hmc.sample(800)
+    ch = hmc.get_chain(burn=200)["x"]
+    assert hmc.acceptance_rate > 0.8
+    assert abs(ch[:, 0].std() - 10.0) < 2.0
+    assert abs(ch[:, 1].std() - 0.1) < 0.02
+
+    # dense Cholesky of M = C^-1 via MatDict + SolveMat kinetic path
+    chol = MatDict({"x": DenseMat(jnp.linalg.cholesky(
+        jnp.linalg.inv(jnp.asarray(cov))))})
+    hmc2 = HMC(pot, x0, eps=0.8, Nstep=10, chol=chol, seed=4)
+    hmc2.sample(500)
+    assert hmc2.acceptance_rate > 0.8
+
+
+def test_hmc_step_adaptation():
+    pot = GaussPotential(np.zeros(2), np.eye(2))
+    x0 = ParamDict({"x": jnp.zeros(2)})
+    hmc = HMC(pot, x0, eps=2.0, Nstep=5, seed=5, adapt_eps=True,
+              adapt_kwargs=dict(target=0.8, Nadapt=150))
+    hmc.sample(300)
+    # adapted epsilon should settle below the unstable initial value
+    assert hmc.eps < 2.0
+    assert np.mean(hmc._acceptances[150:]) > 0.5
+
+
+def test_nuts_gaussian():
+    rng = np.random.default_rng(6)
+    mu = np.asarray([0.5, -1.0])
+    cov = np.asarray([[1.0, 0.6], [0.6, 1.0]])
+    pot = GaussPotential(mu, cov)
+    x0 = ParamDict({"x": jnp.zeros(2)})
+    nuts = NUTS(pot, x0, eps=0.3, seed=7, max_treedepth=6)
+    nuts.sample(800)
+    ch = nuts.get_chain(burn=200)["x"]
+    assert np.abs(ch.mean(0) - mu).max() < 0.15
+    assert np.abs(np.cov(ch.T) - cov).max() < 0.4
+    assert np.mean(nuts.tree_depths) > 1  # trees actually grow
+
+
+def test_recycled_hmc():
+    pot = GaussPotential(np.zeros(2), np.eye(2))
+    x0 = ParamDict({"x": jnp.zeros(2)})
+    r = RecycledHMC(pot, x0, eps=0.3, Nstep=5, seed=8)
+    r.sample(100)
+    assert r.Nsamples == 500  # Nstep samples per step
+    ch = r.get_chain(burn=100)["x"]
+    assert abs(ch.std(0).mean() - 1.0) < 0.25
+
+
+def test_chain_checkpoint(tmp_path):
+    pot = GaussPotential(np.zeros(2), np.eye(2))
+    x0 = ParamDict({"x": jnp.zeros(2)})
+    hmc = HMC(pot, x0, eps=0.3, Nstep=5, seed=9)
+    f = str(tmp_path / "chain.npz")
+    hmc.sample(50, Ncheck=20, outfile=f)
+    assert hmc.Nsamples == 50
+
+    hmc2 = HMC(pot, x0, eps=0.3, Nstep=5, seed=10)
+    hmc2.load_chain(f)
+    assert hmc2.Nsamples == 50
+    hmc2.sample(10)
+    assert hmc2.Nsamples == 60
+
+
+def test_joint_posterior_hmc_rime():
+    """BASELINE config #4 (reduced): sky + gain joint posterior HMC
+    through the full RIME chain."""
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.inference import LogProb
+    from bayeslim_tpu.models.calibration import JonesModel
+    from bayeslim_tpu.utils import Sequential
+    from tests.test_rime import (setup_Telescope, setup_PointSky,
+                                 setup_Array, setup_UniformBeam, JD0)
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=2, Nfreqs=2)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_UniformBeam(freqs)
+    beam.unset_param("params")
+    bls = arr.get_bls(keep_autos=False)[:6]
+    ants = sorted(set(a for b in bls for a in b))
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+
+    rng = np.random.default_rng(11)
+    true_g = jnp.asarray(np.ones((1, 1, len(ants), 1, 2)) + 0j)
+    J = JonesModel(bl.viewreal(true_g), ants, refant=ants[0])
+    model = Sequential({"rime": rime, "cal": J})
+    vd = model.forward()
+    noise = 1e-3
+    tgt = vd.copy()
+    tgt.setup_data(bls, vd.times, freqs, pol="ee",
+                   data=vd.data + noise * (rng.normal(size=vd.data.shape) +
+                                           1j * rng.normal(size=vd.data.shape)),
+                   cov=jnp.full(vd.data.shape, 2 * noise ** 2),
+                   cov_axis=None,
+                   icov=jnp.full(vd.data.shape, 1 / (2 * noise ** 2)))
+
+    prob = LogProb(model, tgt, negate=True)
+    pot = Potential(prob)
+    x0 = prob.collect_main_params()
+    hmc = HMC(pot, x0, eps=5e-5, Nstep=5, seed=12)
+    hmc.sample(30)
+    assert hmc.Nsamples == 30
+    assert hmc.acceptance_rate > 0.2
+    ch = hmc.get_chain()
+    assert set(ch.keys()) == {"models.rime.sky.params",
+                              "models.cal.params"}
+    for v in ch.values():
+        assert np.isfinite(v).all()
