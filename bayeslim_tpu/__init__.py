@@ -25,15 +25,34 @@ from . import ops
 from . import data
 from . import models
 
+from . import inference
+from . import parallel
+
 # reference-style module aliases (bayeslim.telescope_model etc.)
 from .models import telescope as telescope_model
 from .models import sky as sky_model
 from .models import beam as beam_model
 from .models import rime as rime_model
 from .models import linear_model
+from .models import calibration
+from .models import cosmology
+from .models import fft
+from .models import filt
+from .models import imaging
+from .ops import sph_harm
+from .ops import special
+from .ops import linalg
+from .inference import prob as optim
+from .inference import bfgs
+from .inference import sampler
+from .inference import hmat
 from .data import containers as dataset
+from .data import io
 from .data.containers import VisData, MapData, CalData
+from .data.dataset import Dataset
 from .models.rime import RIME
 from .models.telescope import TelescopeModel, ArrayModel
 from .models.sky import PointSky, PixelSky
 from .models.beam import PixelBeam
+from .inference import LogProb, Trainer, BFGS, LBFGS
+from .utils.paramdict import read_pdict, write_pdict

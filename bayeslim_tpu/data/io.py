@@ -1,0 +1,232 @@
+"""
+Model persistence and config-driven construction.
+
+Reference parity: bayeslim/io.py (get_model_description :14, write_pkl
+:50, read_pkl :68, build_sky :129, build_beam :~200, build_telescope,
+build_array, build_rime, build_calibration, build_sequential :443,
+build_prob :491, load_yaml :541).
+
+Builders consume kwargs / YAML / pkl files and return ready model blocks,
+up to a full LogProb. Entry points are Python (no CLI exists in the
+reference either).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..utils import Module, Sequential, ParamDict, AntposDict
+from ..utils.dtypes import _float
+from . import containers as dataset
+from .dataset import Dataset
+
+__all__ = [
+    "get_model_description", "write_pkl", "read_pkl", "load_yaml",
+    "build_sky", "build_beam", "build_telescope", "build_array",
+    "build_rime", "build_calibration", "build_sequential", "build_prob",
+]
+
+
+def get_model_description(model, depth=0):
+    """Model-tree string + nested arg dict for provenance
+    (reference io.py:14-48)."""
+    name = getattr(model, "name", model.__class__.__name__)
+    lines = ["  " * depth + f"{model.__class__.__name__}(name={name})"]
+    args = {name: {}}
+    for k, v in sorted(model.__dict__.items()):
+        if isinstance(v, Module):
+            sub_lines, sub_args = get_model_description(v, depth + 1)
+            lines.append(sub_lines)
+            args[name][k] = sub_args
+        elif isinstance(v, dict) and v and \
+                all(isinstance(x, Module) for x in v.values()):
+            for dk, x in v.items():
+                sub_lines, sub_args = get_model_description(x, depth + 1)
+                lines.append(sub_lines)
+                args[name][f"{k}.{dk}"] = sub_args
+    return "\n".join(lines), args
+
+
+def write_pkl(fname, model, overwrite=False):
+    """Pickle a model tree (reference io.py:50-66); jnp arrays are
+    converted to numpy for portability."""
+    if os.path.exists(fname) and not overwrite:
+        print(f"{fname} exists, not overwriting")
+        return
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten(model)
+    with open(fname, "wb") as f:
+        pickle.dump({"leaves": [np.asarray(x) for x in leaves],
+                     "treedef": treedef}, f, protocol=4)
+
+
+def read_pkl(fname, pdict=None, device=None):
+    """Load a pickled model (reference io.py:68-116)."""
+    import jax
+    if isinstance(fname, str):
+        with open(fname, "rb") as f:
+            payload = pickle.load(f)
+        if isinstance(payload, dict) and "treedef" in payload:
+            leaves = [jnp.asarray(x) for x in payload["leaves"]]
+            model = jax.tree_util.tree_unflatten(payload["treedef"], leaves)
+        else:
+            model = payload
+    else:
+        model = fname
+    if pdict is not None:
+        if isinstance(pdict, str):
+            from ..utils.paramdict import read_pdict
+            pdict = read_pdict(pdict)
+        model.update(pdict)
+    if device is not None and hasattr(model, "push"):
+        model.push(device)
+    return model
+
+
+def load_yaml(yfile):
+    with open(yfile) as f:
+        return yaml.load(f, Loader=yaml.FullLoader)
+
+
+def build_telescope(modfile=None, location=None, **kwargs):
+    """TelescopeModel from pkl or kwargs (reference io.py)."""
+    from ..models.telescope import TelescopeModel
+    if isinstance(modfile, str):
+        return read_pkl(modfile)
+    return TelescopeModel(tuple(location), **kwargs)
+
+
+def build_array(modfile=None, antpos=None, ants=None, antvecs=None,
+                freqs=None, **kwargs):
+    """ArrayModel from pkl / antpos dict / (ants, antvecs)."""
+    from ..models.telescope import ArrayModel
+    if isinstance(modfile, str):
+        return read_pkl(modfile)
+    if antpos is None:
+        antpos = AntposDict(ants, np.asarray(antvecs))
+    elif isinstance(antpos, str):
+        antpos = read_pkl(antpos)
+    elif isinstance(antpos, dict):
+        antpos = AntposDict(list(antpos.keys()),
+                            np.stack([np.asarray(v) for v in antpos.values()]))
+    return ArrayModel(antpos, freqs=freqs, **kwargs)
+
+
+def build_sky(multi=None, modfile=None, pdict=None, catfile=None,
+              freqs=None, freq_interp="linear", parameter=True, **kwargs):
+    """Sky model from pkl / YAML catalogue / kwargs
+    (reference io.py:129-230)."""
+    from ..models.sky import (PointSky, PointSkyResponse, CompositeModel,
+                              read_catalogue)
+    if multi is not None:
+        models = {k: build_sky(**v) for k, v in multi.items()}
+        return CompositeModel(models, **kwargs)
+    if isinstance(modfile, str):
+        return read_pkl(modfile, pdict=pdict)
+    if catfile is not None:
+        params, angs, meta = read_catalogue(catfile)
+        assert freqs is not None, "catalogue sky needs freqs"
+        R = PointSkyResponse(freqs, freq_mode=meta["freq_mode"],
+                             f0=meta.get("f0"))
+        sky = PointSky(params, angs, R=R, parameter=parameter,
+                       name=kwargs.get("name"))
+        return sky
+    raise ValueError("need multi, modfile or catfile")
+
+
+def build_beam(modfile=None, pdict=None, kind="gauss", params=None,
+               freqs=None, parameter=True, **kwargs):
+    """Beam model from pkl or kwargs (reference io.py:~230-300)."""
+    from ..models.beam import (PixelBeam, GaussResponse, AiryResponse,
+                               UniformResponse, PixelResponse)
+    if isinstance(modfile, str):
+        return read_pkl(modfile, pdict=pdict)
+    resp = {"gauss": GaussResponse, "airy": AiryResponse,
+            "uniform": UniformResponse}
+    rkw = kwargs.pop("response_kwargs", {})
+    if kind in resp:
+        R = resp[kind](**rkw)
+    elif kind == "pixel":
+        R = PixelResponse(freqs, **rkw)
+    elif kind == "ylm":
+        from ..models.beam_ylm import YlmResponse
+        R = YlmResponse(freqs=freqs, **rkw)
+    else:
+        raise ValueError(f"unknown beam kind {kind}")
+    return PixelBeam(jnp.asarray(params, dtype=_float()), freqs, R=R,
+                     parameter=parameter, **kwargs)
+
+
+def build_rime(modfile=None, sky=None, telescope=None, beam=None,
+               array=None, sim_bls=None, times=None, freqs=None, **kwargs):
+    """RIME from pkl or sub-build dicts (reference io.py:~300-380)."""
+    from ..models.rime import RIME
+    if isinstance(modfile, str):
+        return read_pkl(modfile)
+    if isinstance(sky, dict):
+        sky = build_sky(**sky)
+    if isinstance(telescope, dict):
+        telescope = build_telescope(**telescope)
+    if isinstance(beam, dict):
+        beam = build_beam(**beam)
+    if isinstance(array, dict):
+        array = build_array(**array)
+    sim_bls = [tuple(bl) for bl in sim_bls]
+    return RIME(sky, telescope, beam, array, sim_bls,
+                np.asarray(times), np.asarray(freqs), **kwargs)
+
+
+def build_calibration(modfile=None, pdict=None, kind="jones", params=None,
+                      ants=None, **kwargs):
+    """Calibration block from pkl or kwargs (reference io.py:~380-440)."""
+    from ..models.calibration import JonesModel, VisModel, RedVisModel
+    if isinstance(modfile, str):
+        return read_pkl(modfile, pdict=pdict)
+    params = jnp.asarray(params)
+    if kind == "jones":
+        return JonesModel(params, ants, **kwargs)
+    if kind == "vis":
+        return VisModel(params, **kwargs)
+    if kind == "redvis":
+        return RedVisModel(params, **kwargs)
+    raise ValueError(f"unknown calibration kind {kind}")
+
+
+_BUILDERS = {"sky": build_sky, "beam": build_beam,
+             "telescope": build_telescope, "array": build_array,
+             "rime": build_rime, "calibration": build_calibration}
+
+
+def build_sequential(modfile=None, order=None, kind=None, mdict=None):
+    """Sequential forward model from per-block build dicts
+    (reference io.py:443-489)."""
+    if isinstance(modfile, str):
+        return read_pkl(modfile)
+    models = {}
+    for mod, k in zip(order, kind):
+        if k == "sequential":
+            models[mod] = build_sequential(**mdict[mod])
+        else:
+            models[mod] = _BUILDERS[k](**mdict[mod])
+    return Sequential(models)
+
+
+def build_prob(modfile=None, seq_dict=None, data=None, start_inp=None,
+               prior_dict=None, compute="post", negate=True, **kwargs):
+    """Full LogProb from a config (reference io.py:491-538)."""
+    from ..inference.prob import LogProb
+    if isinstance(modfile, str):
+        return read_pkl(modfile)
+    model = build_sequential(**seq_dict)
+    target = Dataset(dataset.load_data(data))
+    if isinstance(start_inp, str):
+        start_inp = read_pkl(start_inp)
+    if isinstance(prior_dict, str):
+        prior_dict = read_pkl(prior_dict)
+    return LogProb(model, target, start_inp=start_inp,
+                   prior_dict=prior_dict, compute=compute, negate=negate,
+                   **kwargs)

@@ -215,7 +215,9 @@ class LogProb(Module):
                  complex_circular=True, LM=None, name=None):
         super().__init__(name=name)
         self.model = model
-        self.target = target if isinstance(target, (list, tuple)) else [target]
+        if isinstance(target, (TensorData, VisData, MapData)):
+            target = [target]
+        self.target = target  # list or Dataset: indexable by batch idx
         self.start_inp = start_inp
         self.prior_dict = prior_dict
         self.compute = compute

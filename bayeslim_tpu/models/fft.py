@@ -1,0 +1,176 @@
+"""
+FFT blocks: delay transforms, peak-delay estimation, delay wedges.
+
+Reference parity: bayeslim/fft.py (FFT :11-145, PeakDelay :146-204,
+vis_wedge :205-240, gen_window :241-302).
+
+TPU-first: jnp.fft maps to XLA's batched FFT; windows are host-generated
+scipy arrays applied as broadcast multiplies; PeakDelay's Quinn estimator
+is vectorized over all leading axes instead of the reference's recursive
+Python iteration.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.signal import windows
+
+from ..utils import Module
+from ..utils.dtypes import _float
+from ..data.containers import VisData, MapData, CalData, TensorData
+
+__all__ = ["FFT", "PeakDelay", "vis_wedge", "gen_window"]
+
+
+def gen_window(window, N, alpha=None, edgecut=None, **kwargs):
+    """Generate a window of length N (reference fft.py:241-302)."""
+    if edgecut is not None:
+        N = N - sum(edgecut)
+    if window in ("none", None, "None", "boxcar", "tophat"):
+        w = windows.boxcar(N)
+    elif window in ("blackmanharris", "blackman-harris", "bh", "bh4"):
+        w = windows.blackmanharris(N)
+    elif window in ("hanning", "hann"):
+        w = windows.hann(N)
+    elif window == "tukey":
+        w = windows.tukey(N, alpha=alpha, **kwargs)
+    elif window == "gaussian":
+        w = windows.gaussian(N, std=alpha, **kwargs)
+    elif window in ("blackmanharris-7term", "bh7"):
+        a_k = [0.27105140069342, 0.43329793923448, 0.21812299954311,
+               0.06592544638803, 0.01081174209837, 0.00077658482522,
+               0.00001388721735]
+        w = windows.general_cosine(N, a_k, True)
+    elif window in ("cosinesum-9term", "cs9"):
+        a_k = [2.384331152777942e-1, 4.00554534864382e-1,
+               2.358242530472107e-1, 9.527918858383112e-2,
+               2.537395516617152e-2, 4.152432907505835e-3,
+               3.68560416329818e-4, 1.38435559391703e-5,
+               1.161808358932861e-7]
+        w = windows.general_cosine(N, a_k, True)
+    elif window in ("cosinesum-11term", "cs11"):
+        a_k = [2.151527506679809e-1, 3.731348357785249e-1,
+               2.424243358446660e-1, 1.166907592689211e-1,
+               4.077422105878731e-2, 1.000904500852923e-2,
+               1.639806917362033e-3, 1.651660820997142e-4,
+               8.884663168541479e-6, 1.938617116029048e-7,
+               8.482485599330470e-10]
+        w = windows.general_cosine(N, a_k, True)
+    else:
+        try:
+            w = getattr(windows, window)(N, **kwargs)
+        except AttributeError:
+            raise ValueError(f"unrecognized window {window}")
+    if edgecut is not None:
+        w = np.concatenate([np.zeros(edgecut[0]), w, np.zeros(edgecut[1])])
+    return jnp.asarray(w, dtype=_float())
+
+
+class FFT(Module):
+    """1D FFT block over any dim of a tensor or data container
+    (reference fft.py:11-145)."""
+
+    def __init__(self, dim=0, abs=False, peaknorm=False, N=None, dx=None,
+                 ndim=None, window=None, fftshift=True, ifft=False,
+                 norm=None, edgecut=None, square=False, name=None, **kwargs):
+        super().__init__(name=name)
+        self.dim = dim
+        self.abs = abs
+        self.peaknorm = peaknorm
+        self.dx = dx if dx is not None else 1.0
+        self.fftshift = fftshift
+        self.ifft = ifft
+        self.norm = norm
+        self.square = square
+        if N is not None:
+            freqs = np.fft.fftfreq(N, d=self.dx)
+            if fftshift:
+                freqs = np.fft.fftshift(freqs)
+            self.freqs = freqs
+            self.start = float(freqs[0])
+            self.df = float(freqs[1] - freqs[0])
+        else:
+            self.freqs, self.start, self.df = None, 0.0, None
+        if isinstance(edgecut, (int, np.integer)):
+            edgecut = (edgecut, edgecut)
+        self.edgecut = edgecut if edgecut is not None else (0, 0)
+        self.win = None
+        if window is not None:
+            if isinstance(window, (jax.Array, np.ndarray)):
+                self.win = jnp.asarray(window)
+            else:
+                assert N is not None and ndim is not None
+                w = gen_window(window, N, edgecut=self.edgecut, **kwargs)
+                shape = [1] * ndim
+                shape[dim] = N
+                self.win = w.reshape(shape)
+
+    def forward(self, inp, ifft=None, win=None, **kwargs):
+        if isinstance(inp, (VisData, CalData, MapData, TensorData)):
+            out = inp.copy()
+            out.data = self.forward(inp.data, ifft=ifft, win=win, **kwargs)
+            return out
+        x = jnp.asarray(inp)
+        win = win if win is not None else self.win
+        if win is not None:
+            x = x * win
+        do_ifft = ifft if ifft is not None else self.ifft
+        if self.fftshift and do_ifft:
+            x = jnp.fft.ifftshift(x, axes=self.dim)
+        x = jnp.fft.ifft(x, norm=self.norm, axis=self.dim) if do_ifft \
+            else jnp.fft.fft(x, norm=self.norm, axis=self.dim)
+        if self.fftshift and not do_ifft:
+            x = jnp.fft.fftshift(x, axes=self.dim)
+        if self.abs:
+            x = jnp.abs(x)
+        if self.peaknorm:
+            x = x / jnp.max(jnp.abs(x), axis=self.dim, keepdims=True)
+        if self.square:
+            x = jnp.abs(x) ** 2
+        return x
+
+
+class PeakDelay(FFT):
+    """Peak-delay via Quinn's 2nd estimator, vectorized
+    (reference fft.py:146-204)."""
+
+    @staticmethod
+    def _k(x):
+        return 0.25 * jnp.log(3 * x ** 2 + 6 * x + 1) \
+            - np.sqrt(6) / 24 * jnp.log((x + 1 - np.sqrt(2.0 / 3.0))
+                                        / (x + 1 + np.sqrt(2.0 / 3.0)))
+
+    def forward(self, inp, **kwargs):
+        if isinstance(inp, (VisData, MapData, CalData, TensorData)):
+            out = inp.copy()
+            out.data = self.forward(inp.data)
+            return out
+        y = super().forward(inp)
+        y = jnp.moveaxis(y, self.dim, -1)
+        n = y.shape[-1]
+        amax = jnp.argmax(jnp.abs(y), axis=-1)
+        apos = jnp.where(amax == n - 1, 0, amax + 1)
+        aneg = jnp.where(amax == 0, n - 1, amax - 1)
+        y0 = jnp.take_along_axis(y, amax[..., None], axis=-1)[..., 0]
+        yp = jnp.take_along_axis(y, apos[..., None], axis=-1)[..., 0]
+        yn = jnp.take_along_axis(y, aneg[..., None], axis=-1)[..., 0]
+        rpos = (yp / y0).real
+        rneg = (yn / y0).real
+        dpos = -rpos / (1 - rpos)
+        dneg = rneg / (1 - rneg)
+        max_bin = amax + ((dneg + dpos) / 2 + self._k(dneg ** 2)
+                          - self._k(dpos ** 2))
+        return self.start + max_bin * self.df
+
+
+def vis_wedge(vd, ravg_kwgs=None, **kwargs):
+    """Redundantly-average + delay-FFT a VisData into a wedge
+    (reference fft.py:205-240). Returns (VisData, FFT block)."""
+    ravg_kwgs = ravg_kwgs or {}
+    if "reds" in ravg_kwgs or ravg_kwgs.get("auto_reds"):
+        ravg_kwgs.pop("auto_reds", None)
+        vd = vd.bl_average(inplace=False, **ravg_kwgs)
+    dfreq = vd.freqs[1] - vd.freqs[0]
+    FT = FFT(dim=4, ndim=5, dx=dfreq, N=vd.Nfreqs, **kwargs)
+    return FT(vd), FT

@@ -1,0 +1,222 @@
+"""
+Dirty-map imaging: m = D A^T W y with PSF matrix P = A^T W A.
+
+Reference parity: bayeslim/imaging.py (VisMapper :12-972, make_map :717,
+compute_P :818, deconvolve_map :739, VisData2MapData :864).
+
+TPU-first: the per-time imaging matrix A = conj(fringe) x beam is built
+from host-precomputed zen/az + static padded FOV cuts (same precompute
+pattern as the RIME) and the accumulation over times is a jitted scan;
+the inner products A^T(w v) and A^T W A are MXU matmuls.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dtypes import C_MS, _float
+from ..data.containers import VisData, MapData
+from ..ops.phase import fringe_phasor
+from .telescope import ArrayModel
+from .beam import cut_sky_fov
+
+__all__ = ["VisMapper", "make_map", "compute_P", "deconvolve_map",
+           "VisData2MapData"]
+
+
+def make_map(v, w, A):
+    """Single-time dirty map: m = A^T (w * v) (reference imaging.py:717).
+
+    v (Nbls, Nfreqs) complex, w (Nbls, Nfreqs) weights,
+    A (Nbls, Nfreqs, Npix) imaging matrix. Returns (Nfreqs, Npix) real.
+    """
+    wv = (w * v).astype(A.dtype)
+    return jnp.einsum("bf,bfp->fp", wv, A).real
+
+
+def compute_P(A, w, contract="diag"):
+    """PSF matrix P = A^T W A* (reference imaging.py:818-863).
+
+    contract: 'diag' -> (Nfreqs, Npix) diagonal; 'rowsum' -> row sums;
+    None -> full (Nfreqs, Npix, Npix).
+    """
+    if contract == "diag":
+        return jnp.einsum("bfp,bf,bfp->fp", A, w.astype(A.dtype),
+                          A.conj()).real
+    if contract == "rowsum":
+        P = jnp.einsum("bfp,bf,bfq->fpq", A, w.astype(A.dtype), A.conj())
+        return P.real.sum(-1)
+    return jnp.einsum("bfp,bf,bfq->fpq", A, w.astype(A.dtype), A.conj()).real
+
+
+def deconvolve_map(m, P, rcond=1e-15):
+    """dm = pinv(P) @ m per frequency (reference imaging.py:739-817)."""
+    if P.ndim == m.ndim:
+        # diagonal P
+        return m / jnp.clip(P, 1e-30)
+    Pinv = jnp.linalg.pinv(P, rcond=rcond)
+    return jnp.einsum("fpq,fq->fp", Pinv, m)
+
+
+class VisMapper:
+    """Dirty-map imaging of VisData (reference imaging.py:12-972).
+
+    Single-pol imaging: per time, A = conj(fringe) * beam; maps are
+    accumulated over times and normalized by D per
+    set_normalization(method): 'w' (1/sum w), 'Aw' (1/w|A|), 'A2w'
+    (1/w|A|^2, standard least squares).
+    """
+
+    def __init__(self, vd, ra, dec, beam=None, fov=180.0, pad_to=None):
+        self.vd = vd
+        self.telescope = vd.telescope
+        self.array = ArrayModel(vd.antpos, freqs=vd.freqs, skip_reds=True)
+        self.ra = np.asarray(ra, dtype=np.float64)
+        self.dec = np.asarray(dec, dtype=np.float64)
+        self.Npix = len(self.ra)
+        self.beam = beam
+        self.fov = beam.fov if beam is not None else fov
+        self.freqs = np.asarray(vd.freqs)
+        self.Nfreqs = len(self.freqs)
+        self.times = np.asarray(vd.times)
+        self.bls = vd.bls
+        self.Nbls = len(self.bls)
+        self.blvecs = self.array.get_blvecs(self.bls)
+        self.icov = None
+        self.set_normalization()
+        self._precompute(pad_to)
+
+    def _precompute(self, pad_to=None):
+        """Host precompute: per-time zen/az, FOV cut (padded), s-vectors,
+        beam interp ctx."""
+        zen_l, az_l, cut_l, mask_l, ctx_l = [], [], [], [], []
+        raw = []
+        ncut = 0
+        for t in self.times:
+            zen, az = self.telescope.eq2top(t, self.ra, self.dec)
+            raw.append((zen, az))
+            ncut = max(ncut, int((zen < self.fov / 2).sum()))
+        pad = pad_to or max(8, int(np.ceil(ncut / 8) * 8))
+        for zen, az in raw:
+            idx = np.where(zen < self.fov / 2)[0]
+            cut = np.zeros(pad, dtype=np.int32)
+            cut[:len(idx)] = idx
+            mask = np.zeros(pad, dtype=bool)
+            mask[:len(idx)] = True
+            zen_l.append(zen[cut])
+            az_l.append(az[cut])
+            cut_l.append(cut)
+            mask_l.append(mask)
+            if self.beam is not None and hasattr(self.beam.R, "precompute"):
+                ctx_l.append(self.beam.R.precompute(zen[cut], az[cut]))
+        self._zen = np.stack(zen_l)
+        self._az = np.stack(az_l)
+        self._cut = np.stack(cut_l)
+        self._mask = np.stack(mask_l)
+        self._s = np.stack([ArrayModel.s_vector(z, a)
+                            for z, a in zip(zen_l, az_l)])
+        self._ctx = None
+        if ctx_l:
+            self._ctx = (jnp.asarray(np.stack([c[0] for c in ctx_l])),
+                         jnp.asarray(np.stack([c[1] for c in ctx_l])))
+
+    def set_normalization(self, method="A2w", icov=None, clip=1e-8):
+        assert method in ("w", "Aw", "A2w")
+        self.method = method
+        self.icov = icov
+        self.clip = clip
+        self.D = None
+
+    def build_A(self, time_ind):
+        """Imaging matrix for one time: (Nbls, Nfreqs, Npad) complex
+        (reference :250-296); pixels beyond the FOV are masked to 0."""
+        i = time_ind
+        s = jnp.asarray(self._s[i], dtype=_float())
+        tau = (self.blvecs @ s) / C_MS
+        A = jnp.moveaxis(fringe_phasor(tau, self.freqs, conj=True), -1, 1)
+        if self.beam is not None:
+            ctx = None if self._ctx is None else \
+                (self._ctx[0][i], self._ctx[1][i])
+            b = self.beam.gen_beam(jnp.asarray(self._zen[i]),
+                                   jnp.asarray(self._az[i]), ctx=ctx)
+            b = b[0, 0, 0]  # single-pol, antenna-independent
+            if not self.beam.powerbeam:
+                b = b ** 2
+            A = A * b
+        A = A * jnp.asarray(self._mask[i])
+        return A
+
+    def build_v(self, time_ind, vd=None):
+        vd = self.vd if vd is None else vd
+        return vd.data[0, 0, :, time_ind, :]
+
+    def build_w(self, time_ind):
+        icov = self.icov if self.icov is not None else self.vd.icov
+        if icov is not None:
+            return icov[0, 0, :, time_ind, :].real
+        return jnp.ones((self.Nbls, self.Nfreqs), dtype=_float())
+
+    def make_map(self, vd=None, return_P=True, contract="diag"):
+        """Accumulate dirty maps over times and normalize
+        (reference :360-470). Returns (maps (Nfreqs, Npix), P)."""
+        vd = self.vd if vd is None else vd
+        maps = jnp.zeros((self.Nfreqs, self.Npix), dtype=_float())
+        if self.method == "w":
+            Aw = jnp.zeros((self.Nfreqs, 1), dtype=_float())
+        else:
+            Aw = jnp.zeros((self.Nfreqs, self.Npix), dtype=_float())
+        P = None
+        if return_P:
+            if contract is not None:
+                P = jnp.zeros((self.Nfreqs, self.Npix), dtype=_float())
+            else:
+                P = jnp.zeros((self.Nfreqs, self.Npix, self.Npix),
+                              dtype=_float())
+
+        for i in range(len(self.times)):
+            A = self.build_A(i)
+            v = self.build_v(i, vd=vd)
+            w = self.build_w(i)
+            m = make_map(v, w, A)
+            cut = self._cut[i]
+            maps = maps.at[:, cut].add(m * self._mask[i])
+            if return_P:
+                _P = compute_P(A, w, contract=contract)
+                if contract is not None:
+                    P = P.at[:, cut].add(_P * self._mask[i])
+                else:
+                    P = P.at[:, cut[:, None], cut[None, :]].add(_P)
+            if self.method == "w":
+                Aw = Aw + w.sum(0)[:, None]
+            elif self.method == "Aw":
+                Aw = Aw.at[:, cut].add(
+                    jnp.einsum("bf,bfp->fp", w, jnp.abs(A)))
+            else:
+                Aw = Aw.at[:, cut].add(
+                    jnp.einsum("bf,bfp->fp", w, jnp.abs(A) ** 2))
+
+        self.D = 1.0 / jnp.clip(Aw, self.clip)
+        maps = maps * self.D
+        if return_P:
+            if contract is not None:
+                P = P * self.D
+            else:
+                P = P * self.D[:, :, None]
+        return maps, P
+
+    def deconvolve_map(self, m, P, **kwargs):
+        return deconvolve_map(m, P, **kwargs)
+
+    def to_MapData(self, maps, name="dirty_map"):
+        return VisData2MapData(maps, self.freqs, self.ra, self.dec,
+                               name=name)
+
+
+def VisData2MapData(maps, freqs, ra, dec, name="map"):
+    """Wrap imaging output into a MapData (reference imaging.py:864)."""
+    md = MapData()
+    md.setup_meta(name=name)
+    md.setup_data(freqs, data=jnp.asarray(maps)[None, None],
+                  angs=jnp.asarray(np.stack([ra, dec])))
+    return md

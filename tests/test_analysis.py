@@ -1,0 +1,181 @@
+"""Analysis layer tests: FFT/delay, filters, imaging (reference
+tests/test_filt.py, test_imaging.py; BASELINE config #5 components)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import bayeslim_tpu as bl
+from bayeslim_tpu.models.fft import FFT, PeakDelay, gen_window, vis_wedge
+from bayeslim_tpu.models.filt import (
+    MatFilter, GPFilter, LstSqFilter, WedgeFilter, rbf_cov, exp_cov,
+    sinc_cov, gauss_sinc_cov, phasor_mat, gen_cov_modes,
+)
+from bayeslim_tpu.models.imaging import VisMapper, make_map, compute_P
+from bayeslim_tpu.data.containers import VisData
+
+
+def test_fft_tone():
+    """FFT of a pure tone peaks at the right delay."""
+    Nf = 128
+    df = 1e6
+    freqs = np.arange(Nf) * df + 100e6
+    tau = 300e-9  # 300 ns delay (Nyquist is +-500 ns at 1 MHz channels)
+    y = jnp.asarray(np.exp(2j * np.pi * freqs * tau))
+    ft = FFT(dim=0, N=Nf, dx=df, fftshift=True)
+    Y = ft(y)
+    delays = ft.freqs
+    peak = delays[int(np.argmax(np.abs(np.asarray(Y))))]
+    assert abs(peak - tau) < 1.0 / (Nf * df)
+
+
+def test_peak_delay_quinn():
+    """Quinn estimator resolves sub-bin delays; vectorized over axes."""
+    Nf = 64
+    df = 1e6
+    freqs = np.arange(Nf) * df
+    taus = np.asarray([310e-9, -125e-9, 402.5e-9])
+    y = np.exp(2j * np.pi * freqs[None, :] * taus[:, None])
+    pd = PeakDelay(dim=1, N=Nf, dx=df, ndim=2, window="bh")
+    est = np.asarray(pd(jnp.asarray(y)))
+    # bin width is 15.6 ns; Quinn + BH window resolves to ~1/4 bin
+    assert np.abs(est - taus).max() < 4e-9
+
+
+def test_gen_window():
+    for w in ["hann", "bh", "tukey", "bh7", "cs9", "boxcar"]:
+        kwargs = {"alpha": 0.5} if w == "tukey" else {}
+        win = gen_window(w, 32, **kwargs)
+        assert win.shape == (32,)
+    win = gen_window("hann", 32, edgecut=(4, 4))
+    assert np.asarray(win[:4]).sum() == 0 and np.asarray(win[-4:]).sum() == 0
+
+
+def test_mat_filter():
+    rng = np.random.default_rng(0)
+    G = jnp.asarray(rng.normal(size=(8, 8)))
+    y = jnp.asarray(rng.normal(size=(3, 8)))
+    f = MatFilter(G, dim=-1)
+    out = np.asarray(f(y))
+    assert np.allclose(out, np.asarray(y) @ np.asarray(G).T)
+    fr = MatFilter(G, dim=-1, residual=True)
+    assert np.allclose(np.asarray(fr(y)), np.asarray(y) - out)
+
+
+def test_gp_filter_removes_smooth_component():
+    """Wiener filter separates a smooth foreground from noise."""
+    rng = np.random.default_rng(1)
+    Nf = 64
+    freqs = np.linspace(100e6, 120e6, Nf)
+    # smooth signal + white noise
+    smooth = 10 * np.sin(2 * np.pi * freqs / 40e6) + 20
+    noise = rng.normal(0, 0.5, Nf)
+    y = jnp.asarray(smooth + noise)
+
+    Cs = rbf_cov(freqs, ls=10e6, amp=100.0)
+    Cn = jnp.eye(Nf) * 0.25
+    gp = GPFilter(Cs, Cn, dim=-1)
+    est = np.asarray(gp(y))
+    # MAP estimate should track the smooth part much better than raw
+    assert np.abs(est - smooth).std() < 0.3
+    # residual mode suppresses smooth component
+    gpr = GPFilter(Cs, Cn, dim=-1, residual=True)
+    res = np.asarray(gpr(y))
+    assert np.abs(res).std() < 1.0
+    # variance matrix is PSD-ish
+    assert (np.diag(np.asarray(gp.V)) > -1e-8).all()
+
+
+def test_lstsq_filter():
+    """LstSq filter projects out polynomial modes."""
+    from bayeslim_tpu.models.linear_model import gen_poly_A
+    rng = np.random.default_rng(2)
+    x = np.linspace(-1, 1, 32)
+    A = gen_poly_A(x, 3)
+    coeffs = rng.normal(size=3)
+    poly = np.asarray(A) @ coeffs
+    noise = rng.normal(0, 0.1, 32)
+    y = jnp.asarray(poly + noise)
+    f = LstSqFilter(A=A, dim=-1, residual=True)
+    res = np.asarray(f(y))
+    # polynomial removed, noise remains
+    assert np.abs(res).max() < 0.5
+    assert np.corrcoef(res, poly)[0, 1] ** 2 < 0.2
+
+
+def test_wedge_filter():
+    rng = np.random.default_rng(3)
+    bls = [(0, 1), (0, 2), (1, 2)]
+    data = jnp.asarray(rng.normal(size=(1, 1, 3, 2, 8)) + 0j)
+    vd = VisData()
+    vd.setup_data(bls, np.arange(2.0), np.linspace(100e6, 110e6, 8),
+                  pol="ee", data=data)
+    # filter 1 zeroes its bls, filter 2 passes through
+    f0 = MatFilter(jnp.zeros((8, 8)), dim=-1)
+    f1 = MatFilter(jnp.eye(8), dim=-1)
+    wf = WedgeFilter([f0, f1], {0: [bls[0]], 1: [bls[1], bls[2]]})
+    out = wf(vd)
+    assert np.allclose(np.asarray(out.data[:, :, 0]), 0)
+    assert np.allclose(np.asarray(out.data[:, :, 1:]), np.asarray(data[:, :, 1:]))
+
+
+def test_cov_kernels():
+    x = np.linspace(0, 10, 16)
+    for fn in (lambda: rbf_cov(x, 2.0), lambda: exp_cov(x, 2.0),
+               lambda: sinc_cov(x, 2.0), lambda: gauss_sinc_cov(x, 2.0, 3.0)):
+        C = np.asarray(fn())
+        assert C.shape == (16, 16)
+        assert np.allclose(np.diag(C), C[0, 0])
+        assert np.allclose(C, C.T)
+    ph = np.asarray(phasor_mat(x, 0.5))
+    assert np.allclose(np.abs(ph), 1.0)
+    A, evals = gen_cov_modes(rbf_cov(x, 2.0), N=4)
+    assert A.shape == (16, 4)
+    assert (np.diff(np.asarray(evals)) <= 1e-12).all()
+
+
+def test_imaging_point_source():
+    """A single point source images back to its own location."""
+    from tests.test_rime import (setup_Telescope, setup_Array,
+                                 setup_UniformBeam, JD0)
+    from bayeslim_tpu.models.sky import PointSky, PointSkyResponse
+    T = setup_Telescope()
+    freqs = np.linspace(130e6, 150e6, 8)
+    arr = setup_Array(N=3, freqs=freqs)
+
+    ra0 = T.JD2RA(JD0)
+    dec0 = -30.72
+    angs = np.asarray([[ra0], [dec0]])
+    params = np.ones((1, 1, 8, 1)) * 5.0
+    sky = PointSky(jnp.asarray(params), jnp.asarray(angs),
+                   R=PointSkyResponse(freqs, freq_mode="channel"))
+    beam = setup_UniformBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+    vd = rime.forward()
+    vd.setup_meta(T, arr.to_antpos())
+
+    # image a grid around the source
+    dgrid = np.linspace(-5, 5, 21)
+    rr, dd = np.meshgrid(ra0 + dgrid, dec0 + dgrid)
+    mapper = VisMapper(vd, rr.ravel(), dd.ravel(), fov=180.0)
+    maps, P = mapper.make_map(return_P=True)
+    m = np.asarray(maps).mean(0).reshape(21, 21)
+    # peak at the center pixel
+    peak = np.unravel_index(np.argmax(m), m.shape)
+    assert peak == (10, 10), f"peak at {peak}"
+    assert np.asarray(P).min() >= 0
+
+
+def test_vis_wedge():
+    rng = np.random.default_rng(4)
+    bls = [(0, 1), (0, 2)]
+    data = jnp.asarray(rng.normal(size=(1, 1, 2, 2, 16)) +
+                       1j * rng.normal(size=(1, 1, 2, 2, 16)))
+    vd = VisData()
+    vd.setup_data(bls, np.arange(2.0), np.linspace(100e6, 115e6, 16),
+                  pol="ee", data=data)
+    wvd, FT = vis_wedge(vd, window="bh", square=True)
+    assert wvd.data.shape == vd.data.shape
+    assert (np.asarray(wvd.data) >= 0).all()  # squared power
+    assert FT.freqs is not None  # delay bins

@@ -1,0 +1,103 @@
+"""Config-driven construction and persistence tests (reference io.py)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import bayeslim_tpu as bl
+from bayeslim_tpu.data import io
+from bayeslim_tpu.data.dataset import Dataset
+from bayeslim_tpu.models.sky import write_catalogue
+
+HERA_LOC = (21.428305555, -30.72152777, 1073.0)
+JD0 = 2458168.3
+
+
+def _write_cat(tmp_path, telescope, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    ra0 = telescope.JD2RA(JD0)
+    params = np.zeros((1, 1, 2, n))
+    params[0, 0, 0] = rng.uniform(1, 5, n)
+    params[0, 0, 1] = -2.2
+    angs = np.stack([ra0 + rng.uniform(-15, 15, n),
+                     HERA_LOC[1] + rng.uniform(-15, 15, n)])
+    f = str(tmp_path / "cat.yaml")
+    write_catalogue(f, params, angs, f0=100e6)
+    return f
+
+
+def test_build_prob_from_config(tmp_path):
+    """io.build_prob assembles a ready LogProb from config dicts
+    (reference io.py:491-538)."""
+    T = io.build_telescope(location=HERA_LOC)
+    catfile = _write_cat(tmp_path, T)
+    from bayeslim_tpu.utils import make_hex
+    ants, antvecs = make_hex(2)
+    freqs = np.linspace(100e6, 110e6, 4)
+    bls = [(0, 1), (0, 2), (1, 3)]
+    times = [JD0]
+
+    seq_dict = dict(
+        order=["rime"], kind=["rime"],
+        mdict=dict(rime=dict(
+            sky=dict(catfile=catfile, freqs=freqs),
+            telescope=dict(location=HERA_LOC),
+            beam=dict(kind="gauss", params=np.ones((1, 1, 1, 4, 2)) * 0.5,
+                      freqs=freqs, pol="e"),
+            array=dict(ants=ants, antvecs=antvecs, freqs=freqs),
+            sim_bls=bls, times=times, freqs=freqs,
+        )),
+    )
+
+    # simulate data with the same model and write to disk
+    rime = io.build_rime(**seq_dict["mdict"]["rime"])
+    vd = rime.forward()
+    vd.setup_meta(T, None)
+    fdata = str(tmp_path / "data.h5")
+    vd.write_hdf5(fdata)
+
+    prob = io.build_prob(seq_dict=seq_dict, data=fdata)
+    pd = prob.collect_main_params()
+    loss = float(prob(pd))
+    # model == data -> chisq is ~0
+    assert abs(loss) < 1e-8
+
+
+def test_model_pkl_roundtrip(tmp_path):
+    from bayeslim_tpu.utils import make_hex, AntposDict
+    ants, antvecs = make_hex(2)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs),
+                        freqs=np.linspace(100e6, 110e6, 4))
+    f = str(tmp_path / "arr.pkl")
+    io.write_pkl(f, arr)
+    arr2 = io.read_pkl(f)
+    assert arr2.ants == arr.ants
+    assert np.allclose(np.asarray(arr2.antvecs), np.asarray(arr.antvecs))
+    assert len(arr2.reds) == len(arr.reds)
+
+
+def test_dataset_indexing(tmp_path):
+    rng = np.random.default_rng(0)
+    vds = []
+    for i in range(3):
+        vd = bl.VisData()
+        vd.setup_data([(0, 1)], np.asarray([float(i)]),
+                      np.linspace(100e6, 110e6, 4), pol="ee",
+                      data=jnp.asarray(rng.normal(size=(1, 1, 1, 1, 4)) + 0j))
+        vds.append(vd)
+    ds = Dataset(vds)
+    assert len(ds) == 3 and ds.Nbatch == 3
+    assert ds[1].times[0] == 1.0
+    # lazy file paths
+    files = []
+    for i, vd in enumerate(vds):
+        f = str(tmp_path / f"d{i}.h5")
+        vd.write_hdf5(f)
+        files.append(f)
+    ds2 = Dataset(files)
+    assert np.allclose(np.asarray(ds2[2].data), np.asarray(vds[2].data))
+
+
+def test_model_description():
+    T = io.build_telescope(location=HERA_LOC)
+    tree, args = io.get_model_description(T)
+    assert "TelescopeModel" in tree
