@@ -34,6 +34,26 @@ from .phase import fringe_cycles
 __all__ = ["rime_reduce", "rime_reduce_ref"]
 
 
+def _pallas_eligible(psky, mp_idx, freqs, use_pallas):
+    """Shared-beam, 1-pol, float32, regular freq grid, on TPU."""
+    if mp_idx is not None:
+        return False
+    if psky.ndim < 3 or any(s != 1 for s in psky.shape[:-2]):
+        return False
+    if psky.real.dtype != jnp.float32:
+        return False
+    if len(freqs) > 1:
+        d = np.diff(freqs)
+        if not np.allclose(d, d[0], rtol=1e-10):
+            return False
+    if use_pallas == "auto":
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    return True
+
+
 def _phasor(tau, freqs, conj=False):
     cyc = fringe_cycles(tau, freqs)            # (..., Npix, Nfreqs)
     ang = (2 * np.pi) * cyc
@@ -95,15 +115,25 @@ def _chunk_body(psky_c, tau_c, freqs, mp_idx, conj, out_dtype):
 
 
 def rime_reduce(psky, tau, freqs, mp_idx=None, conj=False, chunk=1024,
-                remat=True):
+                remat=True, use_pallas="auto"):
     """Pixel-chunked, remat'ed RIME reduction.
 
     Same contract as rime_reduce_ref (psky in model-pair space). `chunk`
     pixels per scan step; if Npix is not divisible the remainder runs as
     one extra unrolled block.
+
+    use_pallas: 'auto' dispatches the shared-beam single-pol float32 case
+    to the fused Pallas TPU kernel (ops/rime_pallas.py) when running on
+    TPU with a regular frequency grid; True forces it; False disables.
     """
     npix = psky.shape[-1]
     freqs = np.asarray(freqs, dtype=np.float64)
+
+    if use_pallas and _pallas_eligible(psky, mp_idx, freqs, use_pallas):
+        from .rime_pallas import rime_fused
+        ps2d = psky.reshape(psky.shape[-2:])
+        out = rime_fused(ps2d, tau, tuple(freqs.tolist()), conj)
+        return out.reshape(psky.shape[:-3] + (tau.shape[0], len(freqs)))
     rdtype = jnp.result_type(psky.real.dtype, tau.dtype)
     out_dtype = jnp.result_type(rdtype, jnp.complex64)
 
