@@ -5,3 +5,4 @@ from .containers import (
 )
 from .dataset import Dataset
 from . import io
+from . import uvdata_interface

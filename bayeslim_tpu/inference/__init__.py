@@ -5,3 +5,9 @@ from .prob import (
 )
 from .bfgs import BFGS, LBFGS, strong_wolfe, lbfgs_approx_cov
 from .trainer import Trainer
+from .hessian import (
+    compute_hessian, invert_hessian, mask_hessian, unmask_hessian,
+    main_params_index, compute_icov, implicit_to_dense, FactoredInvHessian,
+)
+from .sampler import HMC, NUTS, RecycledHMC, Potential, leapfrog, SamplerBase
+from . import hmat

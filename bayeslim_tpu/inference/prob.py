@@ -227,6 +227,7 @@ class LogProb(Module):
         self.LM = LM  # optional DictLM preconditioner on pdict entries
         self.closure_eval = 0
         self._jit_cache = {}
+        self.set_grad_mod()
 
     # --- batching ---------------------------------------------------------
     @property
@@ -428,11 +429,11 @@ class LogProb(Module):
                 loss = v if loss is None else loss + v
                 grads = g if grads is None else grads + g
             self.batch_idx = 0
-            return loss / self.Nbatch, grads
+            return loss / self.Nbatch, self.grad_modify(grads)
         idx = self.batch_idx
         data, icov = self._batch_args(idx)
         v, g = self._vg_fn(idx)(pdict, self.model, data, icov)
-        return v, g
+        return v, self.grad_modify(g)
 
     def __call__(self, pdict=None, idx=None, **kwargs):
         if pdict is None:
@@ -445,6 +446,41 @@ class LogProb(Module):
     def closure(self, pdict=None):
         """Reference-style closure: returns (loss, grads)."""
         return self.value_and_grad(pdict)
+
+    # --- gradient modification hooks (reference optim.py:1228-1309) --------
+    def set_grad_mod(self, grad_mods=None, alpha=1.0):
+        """Configure per-parameter gradient modifications applied after
+        value_and_grad: grad_mods is {key: (mode, value)} with mode in
+        'clamp' (clip at +-value), 'mult' (scale by value), 'replace'
+        (overwrite with value), 'isolate' (zero every OTHER key),
+        'clip' (clip total norm to value)."""
+        self.grad_mods = grad_mods
+        self.grad_alpha = alpha
+
+    def grad_modify(self, grads):
+        if not self.grad_mods:
+            return grads
+        out = dict(grads.items())
+        isolate = [k for k, (m, _) in self.grad_mods.items()
+                   if m == "isolate"]
+        if isolate:
+            for k in out:
+                if k not in isolate:
+                    out[k] = jnp.zeros_like(out[k])
+        for k, (mode, val) in self.grad_mods.items():
+            if k not in out:
+                continue
+            if mode == "clamp":
+                out[k] = jnp.clip(out[k], -val, val)
+            elif mode == "mult":
+                out[k] = out[k] * val
+            elif mode == "replace":
+                out[k] = jnp.broadcast_to(jnp.asarray(val), out[k].shape)
+            elif mode == "clip":
+                nrm = jnp.linalg.norm(out[k].ravel())
+                scale = jnp.minimum(1.0, val / jnp.maximum(nrm, 1e-30))
+                out[k] = out[k] * scale
+        return ParamDict(out)
 
     def update(self, pdict):
         """Write a ParamDict back into the wrapped model (host-side)."""

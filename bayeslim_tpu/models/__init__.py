@@ -1,6 +1,6 @@
 """Physics/forward-model blocks and analysis layers."""
 from . import (telescope, sky, beam, beam_ylm, rime, linear_model, bessel,
-               calibration, cosmology, fft, filt, imaging)
+               calibration, coupling, cosmology, fft, filt, imaging)
 from .telescope import TelescopeModel, ArrayModel, build_reds
 from .sky import (
     PointSky, PixelSky, PointSkyResponse, PixelSkyResponse, CompositeModel,
@@ -17,3 +17,4 @@ from .cosmology import Cosmology
 from .fft import FFT, PeakDelay, vis_wedge
 from .filt import MatFilter, GPFilter, LstSqFilter, WedgeFilter
 from .imaging import VisMapper
+from .coupling import VisCoupling, RedVisCoupling, CouplingInflate

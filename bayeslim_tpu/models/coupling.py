@@ -1,0 +1,335 @@
+"""
+Antenna cross-coupling blocks: first/second-order mutual coupling of
+visibilities.
+
+Reference parity: bayeslim/calibration.py (VisCoupling :1258-1587,
+RedVisCoupling :1588-2117, CouplingInflate :2118, PartialRedVisInflate
+:2178, gen_coupling_terms :3246, cut_bl :3352).
+
+Physics: with V the Nant x Nant visibility matrix and X the coupling
+coefficient matrix, the coupled visibility is Vc = E V E^H with
+E = I + X (single path) or E = I + X + XX (double path), where X carries
+a fixed inter-antenna delay phasor exp(2 pi i (f - f0) |r_ij| / c)
+(calibration.py:1378-1394).
+
+TPU-first: the reference's flat index/conjugation bookkeeping
+(setup_coupling, :1371-1456) becomes host-precomputed gather indices +
+a conjugation mask; the forward is two complex einsum contractions
+(MXU matmuls batched over time x freq).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import Module, AntposDict
+from ..utils.dtypes import _float, _cfloat, viewcomp, C_MS
+from .calibration import VisModelResponse
+
+__all__ = ["VisCoupling", "RedVisCoupling", "CouplingInflate",
+           "PartialRedVisInflate", "gen_coupling_terms", "cut_bl"]
+
+
+def gen_coupling_terms(antpos, min_len=None, max_len=None, max_EW=None,
+                       max_NS=None, ants=None, no_auto_coupling=True,
+                       compress_to_red=False, redtol=1.0):
+    """Enumerate ant_i -> ant_j coupling terms with geometric cuts
+    (reference calibration.py:3246-3341).
+
+    Returns (coupling_terms list, coupling_idx dict term->index; with
+    compress_to_red the index maps every term onto its redundant-group
+    representative's index)."""
+    if isinstance(antpos, AntposDict):
+        items = list(antpos.items())
+    else:
+        items = list(antpos.items())
+    terms = []
+    for ai, vi in items:
+        for aj, vj in items:
+            if no_auto_coupling and ai == aj:
+                continue
+            if ants is not None and aj not in ants:
+                continue
+            vec = np.asarray(vj) - np.asarray(vi)
+            vlen = np.linalg.norm(vec)
+            if min_len is not None and vlen < min_len:
+                continue
+            if max_len is not None and vlen > max_len:
+                continue
+            if max_EW is not None and abs(vec[0]) > max_EW:
+                continue
+            if max_NS is not None and abs(vec[1]) > max_NS:
+                continue
+            terms.append((ai, aj))
+    idx = {c: i for i, c in enumerate(terms)}
+
+    if compress_to_red:
+        ap = dict(items)
+        red_vecs, red_grps, red_idx = [], [], []
+        for ct in terms:
+            vec = np.asarray(ap[ct[1]]) - np.asarray(ap[ct[0]])
+            match = None
+            for k, rv in enumerate(red_vecs):
+                if np.linalg.norm(rv - vec) < redtol:
+                    match = k
+                    break
+            if match is None:
+                red_idx.append(len(red_vecs))
+                red_vecs.append(vec)
+                red_grps.append([ct])
+            else:
+                red_grps[match].append(ct)
+                red_idx.append(match)
+        idx = {c: red_idx[i] for i, c in enumerate(terms)}
+        terms = [g[0] for g in red_grps]
+    return terms, idx
+
+
+def cut_bl(bl, antpos, min_len=None, max_len=None, min_EW=None,
+           max_EW=None, min_NS=None, max_NS=None):
+    """True if a baseline fails the geometric cuts
+    (reference calibration.py:3352-3420)."""
+    vec = np.asarray(antpos[bl[1]]) - np.asarray(antpos[bl[0]])
+    vlen = np.linalg.norm(vec)
+    if min_len is not None and vlen < min_len:
+        return True
+    if max_len is not None and vlen > max_len:
+        return True
+    if min_EW is not None and abs(vec[0]) < min_EW:
+        return True
+    if max_EW is not None and abs(vec[0]) > max_EW:
+        return True
+    if min_NS is not None and abs(vec[1]) < min_NS:
+        return True
+    if max_NS is not None and abs(vec[1]) > max_NS:
+        return True
+    return False
+
+
+class CouplingInflate(Module):
+    """Map unique coupling terms -> the (Nant, Nant) coupling matrix
+    (reference calibration.py:2118-2177).
+
+    terms: list of (ant_i, ant_j); coupling_idx maps every (i, j) pair to
+    a term index (e.g. from gen_coupling_terms(compress_to_red=True)).
+    Input params (..., Nterms, Ntimes, Nfreqs) -> output
+    (..., Nant, Nant, Ntimes, Nfreqs); absent pairs are zero.
+    """
+
+    def __init__(self, ants, terms, coupling_idx=None, name=None):
+        super().__init__(name=name)
+        self.ants = [int(a) for a in ants]
+        nant = len(self.ants)
+        lut = {a: i for i, a in enumerate(self.ants)}
+        if coupling_idx is None:
+            coupling_idx = {c: i for i, c in enumerate(terms)}
+        # gather index (Nant*Nant,): term index + 1 (0 = zero slot)
+        gidx = np.zeros(nant * nant, dtype=np.int32)
+        for (ai, aj), t in coupling_idx.items():
+            gidx[lut[ai] * nant + lut[aj]] = t + 1
+        self.gidx = gidx
+        self.Nant = nant
+
+    def forward(self, params, **kwargs):
+        # pad a zero slot at term index 0
+        z = jnp.zeros(params.shape[:-3] + (1,) + params.shape[-2:],
+                      dtype=params.dtype)
+        padded = jnp.concatenate([z, params], axis=-3)
+        out = jnp.take(padded, jnp.asarray(self.gidx), axis=-3)
+        return out.reshape(params.shape[:-3] +
+                           (self.Nant, self.Nant) + params.shape[-2:])
+
+
+class PartialRedVisInflate(Module):
+    """Expand per-redundant-group visibilities onto physical baselines
+    via a (sparse in the reference, calibration.py:2178-2347) gather."""
+
+    def __init__(self, red_idx, name=None):
+        super().__init__(name=name)
+        self.red_idx = np.asarray(red_idx, dtype=np.int32)
+
+    def forward(self, redvis, **kwargs):
+        return jnp.take(redvis, jnp.asarray(self.red_idx), axis=2)
+
+
+class VisCoupling(Module):
+    """First/second-order antenna cross-coupling: Vc = E V E^H
+    (reference calibration.py:1258-1587). Single-pol.
+
+    params (1, 1, Nant, Nant, Ntime_coeff, Nfreq_coeff) complex (or
+    real-pair view), or unique terms with R.LM = CouplingInflate.
+    """
+
+    def __init__(self, params, freqs, antpos, bls, R=None, parameter=True,
+                 p0=None, name=None, add_I=True, prod="both", double=False):
+        super().__init__(name=name)
+        self.params = jnp.asarray(params)
+        self.p0 = None if p0 is None else jnp.asarray(p0)
+        if parameter:
+            self.set_param("params")
+        self.freqs = np.asarray(freqs, dtype=np.float64)
+        self.Nfreqs = len(self.freqs)
+        if not isinstance(antpos, AntposDict):
+            antpos = AntposDict(list(antpos.keys()),
+                                np.stack([np.asarray(v) for v in antpos.values()]))
+        self.antpos = antpos
+        self.Nants = len(antpos)
+        self.bls = [tuple(b) for b in bls]
+        self.add_I = add_I
+        self.prod = prod
+        self.double = double
+        self.R = R if R is not None else VisModelResponse()
+        self.setup_coupling()
+
+    def setup_coupling(self, bls=None, min_dly=None, conj=True):
+        """Host precompute: inter-antenna delay phasor + the
+        bls <-> (Nant, Nant) matrix index maps (reference :1371-1456)."""
+        if bls is not None:
+            self.bls = [tuple(b) for b in bls]
+        sgn = 1 if conj else -1
+        av = np.asarray(self.antpos.antvecs, dtype=np.float64)
+        dist = np.linalg.norm(av[None, :, :] - av[:, None, :], axis=-1)
+        if min_dly is not None:
+            dist = np.clip(dist, min_dly, None)
+        dfreqs = self.freqs - self.freqs[0]
+        ph = np.exp(2j * np.pi * dfreqs / C_MS
+                    * dist[..., None] * sgn)          # (Nant, Nant, Nfreqs)
+        self.dly = jnp.asarray(ph[None, None, :, :, None, :],
+                               dtype=_cfloat())
+
+        # flatten maps: matrix cell (i, j) -> data bl index + conj flag
+        nant = self.Nants
+        ants = self.antpos.ants
+        bl_lut = {b: i for i, b in enumerate(self.bls)}
+        flat_idx = np.zeros(nant * nant, dtype=np.int32)
+        flat_null = np.zeros(nant * nant, dtype=bool)
+        flat_conj = np.zeros(nant * nant, dtype=bool)
+        argsort_key = np.full(nant * nant, 2**31 - 1, dtype=np.int64)
+        k = 0
+        for i, a1 in enumerate(ants):
+            for j, a2 in enumerate(ants):
+                mbl = (a1, a2)
+                if a2 >= a1:
+                    idx = bl_lut.get(mbl)
+                else:
+                    idx = bl_lut.get(mbl[::-1])
+                    flat_conj[k] = True
+                if idx is None:
+                    flat_null[k] = True
+                    idx = 0
+                else:
+                    if not flat_conj[k]:
+                        argsort_key[k] = idx
+                flat_idx[k] = idx
+                k += 1
+        self.flat_idx = flat_idx
+        self.flat_null = flat_null
+        self.flat_conj = flat_conj
+        # map back from flattened matrix -> original bls ordering
+        self.bls_idx = np.argsort(argsort_key, kind="stable")[:len(self.bls)].astype(np.int32)
+
+    def _coupling_matrix(self, params=None):
+        p = self.params if params is None else params
+        if self.p0 is not None:
+            p = p + self.p0
+        X = self.R(p)
+        if not jnp.iscomplexobj(X):
+            X = viewcomp(X) if X.shape[-1] == 2 else X.astype(_cfloat())
+        X = X * self.dly
+        if self.double:
+            X = X + jnp.einsum("...patf,...aqtf->...pqtf", X, X)
+        if self.add_I:
+            eye = jnp.eye(self.Nants, dtype=X.dtype)[None, None, :, :,
+                                                     None, None]
+            X = X + eye
+        return X
+
+    def forward(self, vd, prior_cache=None, **kwargs):
+        E = self._coupling_matrix()
+        self.eval_prior(prior_cache, inp_params=self.params, out_params=E)
+
+        # scatter data bls into the (Nant, Nant) matrix
+        flat = jnp.take(vd.data, jnp.asarray(self.flat_idx), axis=-3)
+        flat = flat * jnp.asarray(~self.flat_null)[:, None, None]
+        flat = jnp.where(jnp.asarray(self.flat_conj)[:, None, None],
+                         flat.conj(), flat)
+        shape = vd.data.shape
+        V = flat.reshape(shape[:-3] + (self.Nants, self.Nants) + shape[-2:])
+
+        if self.prod in ("left", "both"):
+            V = jnp.einsum("...patf,...aqtf->...pqtf", E, V)
+        if self.prod in ("right", "both"):
+            V = jnp.einsum("...patf,...qatf->...pqtf", V, E.conj())
+
+        flat_c = V.reshape(shape[:-3] + (self.Nants * self.Nants,) +
+                           shape[-2:])
+        vout = vd.copy()
+        vout.data = jnp.take(flat_c, jnp.asarray(self.bls_idx), axis=-3)
+        return vout
+
+
+class RedVisCoupling(Module):
+    """Coupling applied to redundantly-compressed visibilities
+    (reference calibration.py:1588-2117): the input VisData holds one
+    visibility per redundant group; it is inflated onto the full baseline
+    set, coupled with Vc = E V E^H, and the requested output baselines
+    selected. Captures first- and (optionally) second-order terms exactly
+    (the reference builds the same product with redundancy-aware
+    bookkeeping; here the inflation is an explicit gather)."""
+
+    def __init__(self, params, freqs, antpos, red_bls, bl2red, out_bls,
+                 R=None, parameter=True, p0=None, name=None, add_I=True,
+                 prod="both", double=False):
+        super().__init__(name=name)
+        if not isinstance(antpos, AntposDict):
+            antpos = AntposDict(list(antpos.keys()),
+                                np.stack([np.asarray(v) for v in antpos.values()]))
+        ants = antpos.ants
+        # full upper-triangular baseline list over all antennas
+        full_bls = [(a1, a2) for i, a1 in enumerate(ants)
+                    for a2 in ants[ants.index(a1):]]
+        full_bls = [bl for bl in full_bls if tuple(bl) in bl2red or
+                    (bl[1], bl[0]) in bl2red]
+        red_idx = []
+        for bl in full_bls:
+            key = tuple(bl) if tuple(bl) in bl2red else (bl[1], bl[0])
+            red_idx.append(bl2red[key])
+        self.inflate = PartialRedVisInflate(red_idx)
+        self.full_bls = full_bls
+        self.out_bls = [tuple(b) for b in out_bls]
+        self.coupling = VisCoupling(params, freqs, antpos, full_bls, R=R,
+                                    parameter=parameter, p0=p0, add_I=add_I,
+                                    prod=prod, double=double)
+        self._out_idx = np.asarray(
+            [full_bls.index(bl) if bl in full_bls else
+             full_bls.index((bl[1], bl[0])) for bl in self.out_bls],
+            dtype=np.int32)
+        self._out_conj = np.asarray(
+            [bl not in full_bls for bl in self.out_bls])
+
+    def forward(self, vd, prior_cache=None, **kwargs):
+        # inflate redundant vis onto the full baseline set
+        vfull = vd.copy()
+        vfull.data = self.inflate(vd.data)
+        vfull._set_bls(self.full_bls)
+        coupled = self.coupling.forward(
+            vfull, prior_cache=prior_cache,
+            **{})
+        # select output baselines (conjugating if needed)
+        out = jnp.take(coupled.data, jnp.asarray(self._out_idx), axis=-3)
+        out = jnp.where(jnp.asarray(self._out_conj)[:, None, None],
+                        out.conj(), out)
+        vout = vd.copy()
+        vout.data = out
+        vout._set_bls(self.out_bls)
+        return vout
+
+    @property
+    def params(self):
+        return self.coupling.params
+
+    def export_to_viscoupling(self):
+        """Return the underlying VisCoupling acting on full baselines
+        (reference :2020-2117 export path)."""
+        return self.coupling

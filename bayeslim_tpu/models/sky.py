@@ -350,3 +350,118 @@ def Jy2K(freqs, px_area):
     c = 2.99792458e8
     freqs = np.asarray(freqs, dtype=np.float64)
     return 1e-26 * c ** 2 / (2 * kb * freqs ** 2 * px_area)
+
+
+class SphHarmSky(SkyBase):
+    """Spherical-harmonic sky parameterization (reference sky_model.py:735
+    is a NotImplemented stub; here it is a thin PixelSky with an AlmModel
+    spatial response)."""
+
+    def __init__(self, params, angs, px_area, alm_model, freqs,
+                 freq_mode="channel", name=None, parameter=True, p0=None,
+                 **resp_kwargs):
+        R = PixelSkyResponse(freqs, spatial_mode="alm", freq_mode=freq_mode,
+                             spat_LM=alm_model, **resp_kwargs)
+        super().__init__(params, angs, R=R, name=name, parameter=parameter,
+                         p0=p0)
+        self.px_area = jnp.asarray(px_area)
+
+    def forward(self, params=None, prior_cache=None, **kwargs):
+        sky = self._response(params)
+        self.eval_prior(prior_cache, inp_params=self.params, out_params=sky)
+        md = MapData()
+        md.setup_meta(name=self.name)
+        md.setup_data(freqs=self.R.freqs, data=sky * self.px_area,
+                      angs=self.angs, px_area=self.px_area)
+        return md
+
+
+class InterpSky(Module):
+    """Wrap a sky model and interpolate its output (e.g. onto new
+    frequencies) at forward time (reference sky_model.py:938-975)."""
+
+    def __init__(self, sky, freq_interp=None, new_freqs=None, name=None):
+        super().__init__(name=name)
+        self.sky = sky
+        self.freq_interp = freq_interp
+        self.new_freqs = None if new_freqs is None else np.asarray(new_freqs)
+
+    def forward(self, *args, prior_cache=None, **kwargs):
+        skymap = self.sky(prior_cache=prior_cache)
+        if self.freq_interp is not None:
+            skymap = self.freq_interp(skymap)
+            skymap.freqs = self.new_freqs
+        return skymap
+
+
+def ang_index(theta, phi, theta_min=None, theta_max=None, phi_min=None,
+              phi_max=None):
+    """Index tensor selecting angles within cuts
+    (reference sky_model.py:976-1006)."""
+    theta = np.asarray(theta)
+    phi = np.asarray(phi)
+    idx = np.ones(len(theta), dtype=bool)
+    if phi_min:
+        idx &= phi >= phi_min
+    if phi_max:
+        idx &= phi <= phi_max
+    if theta_min:
+        idx &= theta >= theta_min
+    if theta_max:
+        idx &= theta <= theta_max
+    return np.where(idx)[0]
+
+
+def pixelsky_Ylm_cut(obj, lmin=None, lmax=None, mmin=None, mmax=None,
+                     other=None):
+    """Cut the lm modes of a PixelSky with an alm spatial response,
+    in place (reference sky_model.py:1356-1382)."""
+    alm = obj.R.spat_LM
+    l, m = np.asarray(alm.l), np.asarray(alm.m)
+    s = np.ones(len(l), dtype=bool)
+    if lmin is not None:
+        s &= l >= lmin
+    if lmax is not None:
+        s &= l <= lmax
+    if mmin is not None:
+        s &= m >= mmin
+    if mmax is not None:
+        s &= m <= mmax
+    if other is not None:
+        s &= np.asarray(other)
+    idx = np.where(s)[0]
+    if obj.p0 is not None:
+        obj.p0 = obj.p0[..., idx]
+    obj.params = obj.params[..., idx]
+    alm.l, alm.m = l[idx], m[idx]
+    if alm.Ylm is not None:
+        if isinstance(alm.Ylm, (list, tuple)):
+            alm.Ylm = (alm.Ylm[0][idx], alm.Ylm[1][idx])
+        else:
+            alm.Ylm = alm.Ylm[idx]
+    if alm.alm_mult is not None:
+        alm.alm_mult = alm.alm_mult[idx]
+    return idx
+
+
+def eqarea_grid(resol):
+    """Equal-area (theta, phi) grid with cell side `resol` degrees at the
+    equator (reference sky_model.py:1384-1412). Returns theta, phi [rad].
+    """
+    n = int(2 * np.pi / (resol * np.pi / 180))
+    phi, dphi = np.linspace(0, 2 * np.pi, n, endpoint=False, retstep=True)
+    t = np.arange(0, 1, dphi)
+    t = np.concatenate([t[::-1], -t[1:]])
+    theta = np.arccos(t)
+    return theta, phi
+
+
+def index_sky_pixels(angs_large, angs_small):
+    """Indices mapping angs_small into angs_large
+    (reference sky_model.py:1413-1443)."""
+    large = np.asarray(angs_large, dtype=np.float64).T  # (N, 2)
+    idx = []
+    for ph, th in zip(*np.asarray(angs_small)):
+        target = np.asarray([ph % 360 % 360, th])
+        idx.append(int(np.argmin(np.linalg.norm(large - target, axis=1))))
+    return np.asarray(idx)

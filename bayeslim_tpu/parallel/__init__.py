@@ -1,4 +1,5 @@
 """Device-mesh parallelism: sharded posterior, mesh helpers."""
 from .sharding import (
-    make_mesh, shard_rime, shard_visdata, ShardedLogProb, replicate,
+    make_mesh, shard_rime, shard_visdata, ShardedLogProb,
+    DistributedLogProb, replicate,
 )

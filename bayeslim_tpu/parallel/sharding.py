@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_rime", "shard_visdata", "ShardedLogProb",
-           "replicate"]
+           "DistributedLogProb", "replicate"]
 
 
 def make_mesh(axis_sizes, devices=None):
@@ -157,3 +157,9 @@ class ShardedLogProb:
     @property
     def model(self):
         return self.prob.model
+
+
+# reference-compat name: the reference's DistributedLogProb
+# (optim.py:1391-1628) is the single-node data-parallel posterior; its
+# TPU-native equivalent is the mesh-sharded posterior above.
+DistributedLogProb = ShardedLogProb

@@ -7,7 +7,8 @@ from .paramdict import ParamDict, read_pdict, write_pdict
 from .module import Module, Sequential, model2pdict, tree_replace
 from .indexing import (
     AntposDict, blnum2ants, ants2blnum, make_hex, split_into_groups,
-    flatten, white_noise, gauss_taper, tukey_taper,
+    flatten, white_noise, gauss_taper, tukey_taper, SimpleIndex, Jy_to_KStr,
 )
 from .interp import PixInterp, interp_gather, bipoly_interp_weights
 from . import healpix
+from . import multires

@@ -209,3 +209,22 @@ def tukey_taper(N, alpha=0.5):
     """Tukey (tapered cosine) window of length N."""
     from scipy.signal import windows
     return jnp.asarray(windows.tukey(N, alpha))
+
+
+class SimpleIndex:
+    """Returns the same value for any __getitem__ (reference
+    utils.py:1966-1975); used as a trivial ant->beam-model map."""
+
+    def __init__(self, value=0):
+        self.value = value
+
+    def __getitem__(self, k):
+        return self.value
+
+
+def Jy_to_KStr(freqs):
+    """Jy -> Kelvin-steradian conversion [K sr / Jy]
+    (reference utils.py:1610-1625)."""
+    c = 2.99792458e8
+    k_B = 1.380649e-23
+    return 1e-26 * (c / np.asarray(freqs, dtype=np.float64)) ** 2 / (2 * k_B)
