@@ -45,6 +45,21 @@ def pallas_available():
         return False
 
 
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _tile(n, pref, mult):
+    """Pick a tile size (multiple of `mult`, <= pref) and the padded
+    total; Mosaic requires lane dims to be 128-multiples and sublane
+    dims 8-multiples at runtime."""
+    padded = _round_up(n, mult)
+    t = min(pref, padded)
+    t = _round_up(t, mult)
+    padded = _round_up(padded, t)
+    return t, padded
+
+
 def _split_f32(f):
     """Split a float into (a, b, lo): a has <=12 mantissa bits scaled,
     a + b + lo == f in f64; used for exact mod-1 products in f32."""
@@ -133,30 +148,26 @@ def rime_pallas_reduce(psky, tau, freqs, conj=False, tb=256, tc=512, tf=128,
     assert nf == 1 or np.allclose(np.diff(freqs), df, rtol=1e-10), \
         "pallas kernel needs a regular frequency grid"
 
-    tb = min(tb, nb)
-    tc = min(tc, npx)
-    # TPU lowering: the trailing block dim must be 128-divisible or span
-    # the full array; freq is the trailing dim of the output block.
-    tf = nf if nf <= 128 else 128
-    # pad to tile multiples
-    def pad_to(x, axis, mult):
+    tb, NB = _tile(nb, tb, 8)
+    tc, NC = _tile(npx, tc, 128)
+    # freq: trailing dim of the output block -> 128-multiple (or full)
+    tf, NF = (nf, nf) if nf <= 128 else _tile(nf, tf, 128)
+
+    def pad_axis(x, axis, size):
         n = x.shape[axis]
-        p = (-n) % mult
-        if p == 0:
+        if n == size:
             return x
         pads = [(0, 0)] * x.ndim
-        pads[axis] = (0, p)
+        pads[axis] = (0, size - n)
         return jnp.pad(x, pads)
 
-    tau_p = pad_to(pad_to(jnp.asarray(tau, jnp.float32), 0, tb), 1, tc)
+    tau_p = pad_axis(pad_axis(jnp.asarray(tau, jnp.float32), 0, NB), 1, NC)
     if jnp.iscomplexobj(psky):
-        ps_re = pad_to(pad_to(psky.real.astype(jnp.float32), 0, tf), 1, tc)
-        ps_im = pad_to(pad_to(psky.imag.astype(jnp.float32), 0, tf), 1, tc)
+        ps_re = pad_axis(pad_axis(psky.real.astype(jnp.float32), 0, NF), 1, NC)
+        ps_im = pad_axis(pad_axis(psky.imag.astype(jnp.float32), 0, NF), 1, NC)
     else:
-        ps_re = pad_to(pad_to(psky.astype(jnp.float32), 0, tf), 1, tc)
+        ps_re = pad_axis(pad_axis(psky.astype(jnp.float32), 0, NF), 1, NC)
         ps_im = jnp.zeros_like(ps_re)
-    NB, NC = tau_p.shape
-    NF = ps_re.shape[0]
 
     nc = NC // tc
     grid = (NB // tb, NF // tf, nc)
@@ -196,6 +207,108 @@ def rime_pallas_reduce(psky, tau, freqs, conj=False, tb=256, tc=512, tf=128,
     return out
 
 
+def _dtau_kernel(tau_ref, psr_ref, psi_ref, ctr_ref, cti_ref, out_ref,
+                 *, f0_split, df_split, nf, conj):
+    """tau cotangent: out[b,c] = sum_f 2 pi f * d/dtau of
+    Re(conj(ct) V). Grid (bl, pix), each block visited once; full
+    frequency sweep in-kernel with the phasor recurrence."""
+    tau = tau_ref[:, :]                        # (TB, TC)
+    a0, b0, l0 = f0_split
+    a1, b1, l1 = df_split
+    c0 = mod1(mod1(a0 * tau) + mod1(b0 * tau) + l0 * tau)
+    c1 = mod1(mod1(a1 * tau) + mod1(b1 * tau) + l1 * tau)
+    sgn = -1.0 if conj else 1.0
+    ang0 = (2 * np.pi) * c0
+    cos0 = jnp.cos(ang0)
+    sin0 = sgn * jnp.sin(ang0)
+    angd = (2 * np.pi) * c1
+    cosd = jnp.cos(angd)
+    sind = sgn * jnp.sin(angd)
+
+    f0v = a0 + b0 + l0
+    dfv = a1 + b1 + l1
+
+    def body(j, carry):
+        cosf, sinf, acc = carry
+        jf = j.astype(jnp.float32)
+        pr = psr_ref[pl.ds(j, 1), :]            # (1, TC)
+        pi_ = psi_ref[pl.ds(j, 1), :]
+        # ct passed transposed (NF, TB): dynamic sublane reads are legal,
+        # dynamic lane reads are not; (1, TB) -> (TB, 1) is a reshape
+        ctr = ctr_ref[pl.ds(j, 1), :].reshape(-1, 1)
+        cti = cti_ref[pl.ds(j, 1), :].reshape(-1, 1)
+        # w = conj(ct) * ps * E ; tau_bar -= 2 pi f * Im(w) * (+1|-1 conj)
+        u = ctr * pr + cti * pi_                # Re(conj(ct) ps)
+        v = ctr * pi_ - cti * pr                # Im(conj(ct) ps)
+        im_w = u * sinf + v * cosf
+        two_pi_f = (2 * np.pi) * (f0v + jf * dfv)
+        # tau_bar = -+ 2 pi f Im(w): minus for the +i phase convention,
+        # plus when the forward used the conjugated fringe
+        acc = acc - sgn * two_pi_f * im_w
+        return (cosf * cosd - sinf * sind,
+                sinf * cosd + cosf * sind, acc)
+
+    acc0 = jnp.zeros_like(tau)
+    _, _, acc = jax.lax.fori_loop(0, nf, body, (cos0, sin0, acc0))
+    out_ref[:, :] = acc
+
+
+def _dtau_pallas(ct, psky, tau, freqs, conj=False, tb=256, tc=512,
+                 interpret=False):
+    """Pallas tau-cotangent: ct (Nbls, Nfreqs) complex, psky (Nf, Npix),
+    tau (Nbls, Npix) -> dtau (Nbls, Npix) float32."""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    nb, npx = tau.shape
+    nf = len(freqs)
+    f0 = float(freqs[0])
+    df = float(freqs[1] - freqs[0]) if nf > 1 else 0.0
+    # tb is a lane dim of the transposed ct blocks -> 128-multiple
+    tb, NB = _tile(nb, tb, 128)
+    tc, NC = _tile(npx, tc, 128)
+
+    def pad_axis(x, axis, size):
+        n = x.shape[axis]
+        if n == size:
+            return x
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (0, size - n)
+        return jnp.pad(x, pads)
+
+    tau_p = pad_axis(pad_axis(jnp.asarray(tau, jnp.float32), 0, NB), 1, NC)
+    if jnp.iscomplexobj(psky):
+        psr = pad_axis(psky.real.astype(jnp.float32), 1, NC)
+        psi = pad_axis(psky.imag.astype(jnp.float32), 1, NC)
+    else:
+        psr = pad_axis(psky.astype(jnp.float32), 1, NC)
+        psi = jnp.zeros_like(psr)
+    ctr = pad_axis(ct.real.astype(jnp.float32).T, 1, NB)   # (NF, NB)
+    cti = pad_axis(ct.imag.astype(jnp.float32).T, 1, NB)
+
+    kernel = functools.partial(_dtau_kernel, f0_split=_split_f32(f0),
+                               df_split=_split_f32(df), nf=nf, conj=conj)
+    out = pl.pallas_call(
+        kernel,
+        grid=(NB // tb, NC // tc),
+        in_specs=[
+            pl.BlockSpec((tb, tc), lambda ib, ic: (ib, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nf, tc), lambda ib, ic: (0, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nf, tc), lambda ib, ic: (0, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nf, tb), lambda ib, ic: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nf, tb), lambda ib, ic: (0, ib),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tc), lambda ib, ic: (ib, ic),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, NC), jnp.float32),
+        interpret=interpret,
+    )(tau_p, psr, psi, ctr, cti)
+    return out[:nb, :npx]
+
+
 def _chunk_forward(ps, tu, freqs, conj):
     """XLA forward of one pixel chunk: sum_c ps[f,c] E[b,f,c]."""
     cyc = fringe_cycles(tu, freqs)            # (B, C, F)
@@ -229,10 +342,26 @@ def _fwd(psky, tau, freqs_tuple, conj):
 def _bwd(freqs_tuple, conj, res, ct):
     psky, tau = res
     freqs = np.asarray(freqs_tuple)
+
+    if pallas_available():
+        # dpsky: the b-reduction has the same chirp structure as the
+        # forward's c-reduction with (b <-> c) swapped and the phasor
+        # conjugated: ps_bar[f,c] = sum_b conj(E) ct = fwd(ct^T, tau^T,
+        # conj=not conj)^T
+        D = rime_pallas_reduce(ct.T, tau.T, freqs, conj=not conj)
+        dps = D.T
+        if not jnp.iscomplexobj(psky):
+            dps = dps.real.astype(psky.dtype)
+        else:
+            dps = dps.astype(psky.dtype)
+        dtau = _dtau_pallas(ct, psky, tau, freqs, conj=conj).astype(tau.dtype)
+        return dps, dtau
+
+    # XLA fallback: chunked automatic VJP (V = sum over chunks -> each
+    # chunk's vjp uses the same cotangent)
     npx = tau.shape[-1]
     chunk = 2048
     dps_parts, dtau_parts = [], []
-    # V = sum over chunks -> each chunk's vjp uses the same cotangent
     for i in range(max(1, int(np.ceil(npx / chunk)))):
         sl = slice(i * chunk, min((i + 1) * chunk, npx))
         f = lambda ps, tu: _chunk_forward(ps, tu, freqs, conj)
