@@ -453,6 +453,71 @@ class VisData(TensorData):
         obj.data = self.data * phs[None, None]
         return obj
 
+    def time_average(self, time_inds=None, wgts=None, rephase=False,
+                     inplace=False):
+        """Average groups of time bins (reference dataset.py:1452-1567).
+
+        time_inds: list of index-arrays, one per output time (default:
+        average all times into one). rephase: LST-rephase each input time
+        onto the group mean time before averaging (drift-scan coherent
+        averaging).
+        """
+        if time_inds is None:
+            time_inds = [np.arange(self.Ntimes)]
+        obj = self if inplace else self.copy()
+        chunks, new_times, icov_chunks = [], [], []
+        ic = self.icov if (self.icov is not None and self.cov_axis is None) else None
+        for idx in time_inds:
+            idx = np.asarray(idx)
+            tmean = float(np.mean(self.times[idx]))
+            d = jnp.take(self.data, jnp.asarray(idx), axis=3)
+            if rephase:
+                from ..models.telescope import vis_rephase
+                dlst = (self.times[idx] - tmean) * 2 * np.pi * 1.00273793
+                phs = vis_rephase(jnp.asarray(dlst),
+                                  self.telescope.location[1],
+                                  self.get_bl_vecs(), jnp.asarray(self.freqs))
+                d = d * phs[None, None]
+            if wgts is not None:
+                w = jnp.take(jnp.asarray(wgts), jnp.asarray(idx), axis=0)
+                w = w.reshape((1, 1, 1, -1, 1))
+            elif ic is not None:
+                w = jnp.take(ic, jnp.asarray(idx), axis=3)
+            else:
+                w = jnp.ones((1, 1, 1, len(idx), 1), dtype=d.real.dtype)
+            wsum = jnp.sum(w, axis=3, keepdims=True)
+            chunks.append(jnp.sum(d * w, axis=3, keepdims=True) / wsum)
+            icov_chunks.append(wsum)
+            new_times.append(tmean)
+        obj.data = jnp.concatenate(chunks, axis=3)
+        obj.times = np.asarray(new_times)
+        obj.flags = None
+        if ic is not None:
+            obj.icov = jnp.concatenate(icov_chunks, axis=3)
+            obj.cov = 1.0 / obj.icov
+        return obj
+
+    def time_nn_interp(self, times, rephase=False, inplace=False):
+        """Nearest-neighbor time interpolation onto new times, optionally
+        rephasing each selected integration (reference :1401-1451)."""
+        times = np.atleast_1d(np.asarray(times, dtype=np.float64))
+        idx = np.asarray([np.argmin(np.abs(self.times - t)) for t in times])
+        obj = self if inplace else self.copy()
+        d = jnp.take(self.data, jnp.asarray(idx), axis=3)
+        if rephase:
+            from ..models.telescope import vis_rephase
+            dlst = (times - self.times[idx]) * 2 * np.pi * 1.00273793
+            phs = vis_rephase(jnp.asarray(dlst), self.telescope.location[1],
+                              self.get_bl_vecs(), jnp.asarray(self.freqs))
+            d = d * phs[None, None]
+        obj.data = d
+        obj.times = times
+        if self.flags is not None:
+            obj.flags = np.take(np.asarray(self.flags), idx, axis=3)
+        if self.icov is not None and self.cov_axis is None:
+            obj.icov = jnp.take(self.icov, jnp.asarray(idx), axis=3)
+        return obj
+
     def inflate_by_redundancy(self, bls, bl2red=None, red_bls=None):
         """Copy each redundant-group visibility onto physical baselines.
 
@@ -758,6 +823,18 @@ class CalData(TensorData):
         obj.data = self.data * jnp.exp(-1j * phs)
         return obj
 
+    def inflate_to_4pol(self):
+        """Expand a 1-pol CalData to diagonal 4-pol form
+        (reference dataset.py:3315-3322)."""
+        assert self.Npol == 1
+        obj = self.copy()
+        z = jnp.zeros_like(self.data)
+        top = jnp.concatenate([self.data, z], axis=1)
+        bot = jnp.concatenate([z, self.data], axis=1)
+        obj.data = jnp.concatenate([top, bot], axis=0)
+        obj.pol = None
+        return obj
+
     def write_hdf5(self, fname, overwrite=False):
         import os
         if os.path.exists(fname) and not overwrite:
@@ -879,3 +956,62 @@ def load_data(fname, **kwargs):
         obj = f.attrs.get("obj", "VisData")
     cls = {"VisData": VisData, "MapData": MapData, "CalData": CalData}[obj]
     return cls.read_hdf5(fname, **kwargs)
+
+
+def average_data(data, dim, index, N, wgts=None, cov=None, truncate=False):
+    """Weighted segment-average of a tensor along dim
+    (reference dataset.py:3940-4054).
+
+    index assigns each input element along dim to an output bin in [0, N);
+    returns (avg_data, sum_wgts, avg_cov) with C_avg = 1/sum(w) when
+    w = 1/cov.
+    """
+    data = jnp.asarray(data)
+    dim = int(np.arange(-data.ndim, 0)[dim])
+    index = jnp.asarray(np.asarray(index), dtype=jnp.int32)
+    d = jnp.moveaxis(data, dim, -1)
+    if wgts is None:
+        if cov is not None:
+            wgts = 1.0 / jnp.moveaxis(jnp.asarray(cov), dim, -1)
+        else:
+            wgts = jnp.ones_like(d.real)
+    else:
+        wgts = jnp.broadcast_to(jnp.moveaxis(jnp.asarray(wgts), dim, -1),
+                                d.shape)
+    wsum = jnp.zeros(d.shape[:-1] + (N,), dtype=wgts.dtype)
+    wsum = wsum.at[..., index].add(wgts)
+    num = jnp.zeros(d.shape[:-1] + (N,), dtype=d.dtype)
+    num = num.at[..., index].add(d * wgts)
+    avg = num / jnp.clip(wsum, 1e-40)
+    avg_cov = 1.0 / jnp.clip(wsum, 1e-40)
+    if truncate:
+        avg, wsum, avg_cov = avg[..., :-1], wsum[..., :-1], avg_cov[..., :-1]
+    avg = jnp.moveaxis(avg, -1, dim)
+    wsum = jnp.moveaxis(wsum, -1, dim)
+    avg_cov = jnp.moveaxis(avg_cov, -1, dim)
+    return avg, wsum, avg_cov
+
+
+class CatTensor:
+    """Lazy concatenation of array-likes (e.g. HDF5Tensors) along an axis
+    (reference dataset.py:3529-3610); materializes on indexing."""
+
+    def __init__(self, tensors, axis=0):
+        self.tensors = list(tensors)
+        self.axis = axis
+        self._sizes = [t.shape[axis] for t in self.tensors]
+
+    @property
+    def shape(self):
+        s = list(self.tensors[0].shape)
+        s[self.axis] = sum(self._sizes)
+        return tuple(s)
+
+    def __getitem__(self, idx):
+        return self.load()[idx]
+
+    def load(self):
+        parts = [t[...] if hasattr(t, "load") or not isinstance(t, jax.Array)
+                 else t for t in self.tensors]
+        return jnp.concatenate([jnp.asarray(p) for p in parts],
+                               axis=self.axis)

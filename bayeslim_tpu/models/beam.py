@@ -441,3 +441,68 @@ def _expand_2pol(psky):
     top = jnp.concatenate([psky[0:1, 0:1], z[0:1]], axis=1)
     bot = jnp.concatenate([z[1:2], psky[1:2, 0:1]], axis=1)
     return jnp.concatenate([top, bot], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# polarization / frame rotation utilities (reference beam_model.py:1485-1630)
+# ---------------------------------------------------------------------------
+
+def R_eq_to_xyz(alpha, delta):
+    """Equatorial (alpha, delta) unit vectors expressed in xyz
+    (reference :1485-1512). Returns (3, 2, ...) ndarray."""
+    alpha = np.asarray(alpha)
+    delta = np.asarray(delta)
+    return np.array([
+        [-np.sin(alpha), np.cos(alpha) * np.sin(delta)],
+        [np.cos(alpha), np.sin(alpha) * np.sin(delta)],
+        [np.zeros_like(alpha), -np.cos(delta)],
+    ])
+
+
+def rotation(beta, axis):
+    """3x3 rotation by beta [rad] about 'x' or 'y'
+    (reference :1514-1546)."""
+    c, s = np.cos(beta), np.sin(beta)
+    if axis.lower() == "x":
+        return np.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
+    if axis.lower() == "y":
+        return np.array([[c, 0, s], [0, 1.0, 0], [-s, 0, c]])
+    raise ValueError(f"unknown axis {axis}")
+
+
+def R_beta(beta):
+    """xyz -> XYZ rotation about y-hat (reference :1548-1563)."""
+    return rotation(beta, "y")
+
+
+def R_XYZ_to_top(phi, theta):
+    """Project XYZ unit vectors onto topocentric (phi, theta)
+    (reference :1565-1586). Returns (2, 3, ...)."""
+    phi = np.asarray(phi)
+    theta = np.asarray(theta)
+    return np.array([
+        [-np.sin(phi), np.cos(phi), np.zeros_like(phi)],
+        [np.cos(phi) * np.cos(theta), np.sin(phi) * np.cos(theta),
+         -np.sin(theta)],
+    ])
+
+
+def R_chi(alpha, delta, beta):
+    """Rotation from equatorial basis [e_alpha, e_delta] to spherical
+    basis [e_phi, e_theta] for polarized beams (reference :1588-1630).
+
+    Returns (2, 2, Nangles)."""
+    alpha = np.atleast_1d(np.asarray(alpha, dtype=np.float64))
+    delta = np.atleast_1d(np.asarray(delta, dtype=np.float64))
+    eq2xyz = R_eq_to_xyz(alpha, delta)                  # (3, 2, N)
+    Rb = R_beta(beta)                                   # (3, 3)
+    xyz = np.einsum("ij,jk...->ik...", Rb, eq2xyz)      # (3, 2, N)
+    # topocentric angles of the rotated positions
+    v = np.array([np.cos(delta) * np.cos(alpha),
+                  np.cos(delta) * np.sin(alpha),
+                  np.sin(delta)])
+    V = Rb @ v
+    theta = np.arccos(np.clip(V[2], -1, 1))
+    phi = np.mod(np.arctan2(V[1], V[0]), 2 * np.pi)
+    top = R_XYZ_to_top(phi, theta)                      # (2, 3, N)
+    return np.einsum("ij...,jk...->ik...", top, xyz)    # (2, 2, N)

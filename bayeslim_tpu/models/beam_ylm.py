@@ -99,7 +99,52 @@ class YlmResponse(Module):
             params = params + self.beam0
         if self.freq_mode == "linear":
             params = self.freq_LM(params)
+        if getattr(self, "_lm_poly", False):
+            params = self.lm_poly_forward(params)
         return params
+
+    # --- per-m polynomial compression over l (reference :1284-1405) -------
+    def lm_poly_setup(self, lm_poly_kwargs=None):
+        """Compress the l axis per integer m with polynomial bases: the
+        params' last dim holds poly weights (concatenated over m groups in
+        increasing-m order); lm_poly_forward expands them to Ncoeff."""
+        from .linear_model import gen_poly_A
+        self._lm_poly_kwargs = lm_poly_kwargs or {}
+        self._lm_poly = bool(lm_poly_kwargs)
+        if not self._lm_poly:
+            return
+        l, m = np.asarray(self.alm.l), np.asarray(self.alm.m)
+        munique = np.unique(m)
+        assert np.allclose(munique % 1, 0), "lm_poly needs integer m"
+        self.lm_poly_A = {}
+        i = 0
+        for mm in munique:
+            lm_inds = np.where(m == mm)[0]
+            kw = dict(lm_poly_kwargs.get(mm, lm_poly_kwargs)
+                      if mm in lm_poly_kwargs else lm_poly_kwargs)
+            Ndeg = kw.pop("Ndeg")
+            if Ndeg is None:
+                Ndeg = len(lm_inds)
+                A = None
+            else:
+                A = gen_poly_A(l[lm_inds], Ndeg, **{k: v for k, v in kw.items()
+                                                    if k != "Ndeg"})
+            p_inds = i + np.arange(Ndeg)
+            i += Ndeg
+            self.lm_poly_A[float(mm)] = (lm_inds, p_inds, A)
+        self._lm_poly_ncoeff_in = i
+
+    def lm_poly_forward(self, params):
+        """Expand per-m poly weights (..., Nweights) -> (..., Ncoeff)."""
+        out = jnp.zeros(params.shape[:-1] + (len(self.alm.l),),
+                        dtype=params.dtype)
+        for mm, (lm_inds, p_inds, A) in self.lm_poly_A.items():
+            block = params[..., p_inds]
+            if A is not None:
+                block = jnp.einsum("lc,...c->...l", A.astype(params.dtype),
+                                   block)
+            out = out.at[..., lm_inds].set(block)
+        return out
 
     def grid_beam(self, params):
         """params -> beam maps on the native grid (Np,Nv,Nm,Nf,Npix)."""

@@ -539,3 +539,61 @@ class SFBModel(Module):
                                  block)
             out = out.at[..., cols].add(contrib)
         return out
+
+
+def sfb_binning(params, k_arr, kbins, var=None, wgts=None, l_arr=None,
+                lbins=None):
+    """Bin a SFB t_lmn tensor along its last axis by |k| (optionally 2D
+    k-l binning) (reference sph_harm.py:2069-2147).
+
+    Returns (binned params, binned var)."""
+    params = jnp.asarray(params)
+    k_arr = np.asarray(k_arr)
+    kbins = np.asarray(kbins, dtype=np.float64)
+    kdiff = np.diff(kbins)
+    kdiff = np.concatenate([kdiff, kdiff[-1:]])
+    kedges = kbins + kdiff / 2
+    kinds = np.digitize(k_arr, kedges)
+    Nk = len(kbins)
+    if var is None:
+        var = jnp.ones_like(params)
+    if wgts is None:
+        wgts = jnp.ones(params.shape[-1], dtype=_float())
+    wgts = jnp.broadcast_to(jnp.asarray(wgts), params.shape)
+
+    if lbins is None:
+        out = jnp.zeros(params.shape[:-1] + (Nk,), dtype=params.dtype)
+        vout = jnp.zeros(params.shape[:-1] + (Nk,), dtype=var.dtype)
+        for i in range(Nk):
+            idx = np.where(kinds == i)[0]
+            if len(idx) == 0:
+                continue
+            w = wgts[..., idx]
+            w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1e-40)
+            out = out.at[..., i].set(jnp.sum(params[..., idx] * w, axis=-1))
+            vout = vout.at[..., i].set(jnp.sum(var[..., idx] * w ** 2,
+                                               axis=-1))
+        return out, vout
+
+    # 2D binning over (k, l)
+    l_arr = np.asarray(l_arr)
+    lbins = np.asarray(lbins, dtype=np.float64)
+    ldiff = np.diff(lbins)
+    ldiff = np.concatenate([ldiff, ldiff[-1:]])
+    ledges = lbins + ldiff / 2
+    linds = np.digitize(l_arr, ledges)
+    Nl = len(lbins)
+    out = jnp.zeros(params.shape[:-1] + (Nl, Nk), dtype=params.dtype)
+    vout = jnp.zeros(params.shape[:-1] + (Nl, Nk), dtype=var.dtype)
+    for i in range(Nl):
+        for j in range(Nk):
+            idx = np.where((kinds == j) & (linds == i))[0]
+            if len(idx) == 0:
+                continue
+            w = wgts[..., idx]
+            w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1e-40)
+            out = out.at[..., i, j].set(jnp.sum(params[..., idx] * w,
+                                                axis=-1))
+            vout = vout.at[..., i, j].set(jnp.sum(var[..., idx] * w ** 2,
+                                                  axis=-1))
+    return out, vout

@@ -179,3 +179,76 @@ def test_vis_wedge():
     assert wvd.data.shape == vd.data.shape
     assert (np.asarray(wvd.data) >= 0).all()  # squared power
     assert FT.freqs is not None  # delay bins
+
+
+def test_time_average_and_nn_interp():
+    rng = np.random.default_rng(5)
+    bls = [(0, 1), (0, 2)]
+    freqs = np.linspace(100e6, 110e6, 4)
+    times = 2458168.0 + np.arange(6) * 1e-4
+    # constant-in-time data averages to itself
+    base = rng.normal(size=(1, 1, 2, 1, 4)) + 1j * rng.normal(size=(1, 1, 2, 1, 4))
+    data = jnp.asarray(np.tile(base, (1, 1, 1, 6, 1)))
+    vd = VisData()
+    vd.setup_data(bls, times, freqs, pol="ee", data=data,
+                  cov=jnp.ones(data.shape), cov_axis=None,
+                  icov=jnp.ones(data.shape))
+    avg = vd.time_average(time_inds=[np.arange(3), np.arange(3, 6)])
+    assert avg.Ntimes == 2
+    assert np.allclose(np.asarray(avg.data), np.tile(base, (1, 1, 1, 2, 1)))
+    assert np.allclose(np.asarray(avg.icov), 3.0)  # noise averaged down
+
+    nn = vd.time_nn_interp(times[:2] + 2e-5)
+    assert nn.Ntimes == 2
+    assert np.allclose(np.asarray(nn.data), np.asarray(data[:, :, :, :2]))
+
+
+def test_average_data_function():
+    from bayeslim_tpu.data.containers import average_data
+    rng = np.random.default_rng(6)
+    d = jnp.asarray(rng.normal(size=(3, 8)))
+    index = np.asarray([0, 0, 1, 1, 2, 2, 3, 3])
+    avg, wsum, acov = average_data(d, -1, index, 4)
+    expected = np.asarray(d).reshape(3, 4, 2).mean(-1)
+    assert np.allclose(np.asarray(avg), expected)
+    assert np.allclose(np.asarray(wsum), 2.0)
+    assert np.allclose(np.asarray(acov), 0.5)
+
+
+def test_caldata_inflate_4pol():
+    from bayeslim_tpu.data.containers import CalData
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.normal(size=(1, 1, 3, 1, 4)) + 0j)
+    cd = CalData()
+    cd.setup_data([0, 1, 2], np.asarray([0.0]), np.linspace(100e6, 110e6, 4),
+                  pol="ee", data=g)
+    cd4 = cd.inflate_to_4pol()
+    assert cd4.data.shape == (2, 2, 3, 1, 4)
+    assert np.allclose(np.asarray(cd4.data[0, 0]), np.asarray(g[0, 0]))
+    assert np.allclose(np.asarray(cd4.data[0, 1]), 0)
+
+
+def test_sfb_binning():
+    from bayeslim_tpu.ops.sph_harm import sfb_binning
+    k = np.asarray([0.1, 0.12, 0.3, 0.32, 0.5])
+    p = jnp.asarray([[1.0, 3.0, 2.0, 4.0, 5.0]])
+    out, vout = sfb_binning(p, k, np.asarray([0.1, 0.3, 0.5]))
+    assert out.shape == (1, 3)
+    assert np.allclose(np.asarray(out)[0], [2.0, 3.0, 5.0])
+
+
+def test_lm_poly_compression():
+    from bayeslim_tpu.models.beam_ylm import YlmResponse
+    from bayeslim_tpu.ops.sph_harm import gen_lm
+    l, m = gen_lm(5)
+    freqs = np.linspace(100e6, 110e6, 2)
+    R = YlmResponse(l, m, freqs, mode="interpolate", pixtype="healpix",
+                    nside=8, Ylm_kwargs=dict(method="sphere",
+                                             high_prec=False))
+    R.lm_poly_setup({"Ndeg": 2})
+    # params hold 2 poly weights per m group
+    nw = R._lm_poly_ncoeff_in
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.normal(size=(1, 1, 1, 2, nw)) + 0j)
+    full = R.lm_poly_forward(w)
+    assert full.shape == (1, 1, 1, 2, len(l))
