@@ -473,7 +473,8 @@ class VisData(TensorData):
             d = jnp.take(self.data, jnp.asarray(idx), axis=3)
             if rephase:
                 from ..models.telescope import vis_rephase
-                dlst = (self.times[idx] - tmean) * 2 * np.pi * 1.00273793
+                # rephase each integration FROM its time TO the group mean
+                dlst = (tmean - self.times[idx]) * 2 * np.pi * 1.00273793
                 phs = vis_rephase(jnp.asarray(dlst),
                                   self.telescope.location[1],
                                   self.get_bl_vecs(), jnp.asarray(self.freqs))
@@ -506,7 +507,8 @@ class VisData(TensorData):
         d = jnp.take(self.data, jnp.asarray(idx), axis=3)
         if rephase:
             from ..models.telescope import vis_rephase
-            dlst = (times - self.times[idx]) * 2 * np.pi * 1.00273793
+            # move each selected integration FROM its own time TO the target
+            dlst = (self.times[idx] - times) * 2 * np.pi * 1.00273793
             phs = vis_rephase(jnp.asarray(dlst), self.telescope.location[1],
                               self.get_bl_vecs(), jnp.asarray(self.freqs))
             d = d * phs[None, None]
@@ -850,6 +852,26 @@ class CalData(TensorData):
             f.create_dataset("freqs", data=self.freqs)
             if self.flags is not None:
                 f.create_dataset("flags", data=np.asarray(self.flags))
+
+    @classmethod
+    def read_uvcal(cls, fname, **kwargs):
+        """Read a pyuvdata .calfits/.uvcal file (reference dataset.py:3274);
+        gated on the optional pyuvdata dependency."""
+        try:
+            from pyuvdata import UVCal
+        except ImportError as e:
+            raise ImportError("read_uvcal requires pyuvdata") from e
+        uvc = UVCal()
+        uvc.read_calfits(fname, **kwargs)
+        obj = cls()
+        gains = np.asarray(uvc.gain_array)  # (Nants, Nfreqs, Ntimes, Njones)
+        data = jnp.asarray(np.moveaxis(gains, (0, 1, 2), (0, 2, 1))[None, None, :, :, :, 0]
+                           if gains.ndim == 4 else gains)
+        obj.setup_data([int(a) for a in uvc.ant_array],
+                       np.asarray(uvc.time_array),
+                       np.asarray(uvc.freq_array).ravel(), pol="ee",
+                       data=data)
+        return obj
 
     @classmethod
     def read_hdf5(cls, fname, **kwargs):

@@ -481,3 +481,12 @@ class NUTS(SamplerBase):
         if self.stepsize is not None:
             self.eps = self.stepsize.update(ap)
         return True
+
+
+class StepSize(DynamicStepSize):
+    """Fixed step size with the DynamicStepSize API (reference
+    sampler.py:1586): adaptation frozen from the start."""
+
+    def __init__(self, eps0=0.1, **kwargs):
+        super().__init__(eps0=eps0, **kwargs)
+        self.frozen = True

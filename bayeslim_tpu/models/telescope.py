@@ -468,6 +468,9 @@ class ArrayModel(Module):
         self.ants = list(antpos.ants)
         self._ant_idx = {a: i for i, a in enumerate(self.ants)}
         self.antvecs = jnp.asarray(antpos.antvecs, dtype=_float())
+        # host-side copy for O(Nbl) python bookkeeping (indexing the jnp
+        # array per baseline would issue one device op per access)
+        self._antvecs_np = np.asarray(antpos.antvecs, dtype=np.float64)
         self.redtol = redtol
         if parameter:
             self.set_param("antvecs")
@@ -545,33 +548,52 @@ class ArrayModel(Module):
                 max_NS=None, min_deg=None, max_deg=None, xants=None):
         """Query baselines with geometric cuts."""
         source = [r[0] for r in self.reds] if uniq_bls else list(self.bls)
-        out = []
-        for bl in source:
-            v = np.asarray(self.get_antpos(bl[1]) - self.get_antpos(bl[0]),
-                           dtype=np.float64)
-            ln = np.linalg.norm(v)
-            if not keep_autos and bl[0] == bl[1]:
-                continue
-            if xants is not None and (bl[0] in xants or bl[1] in xants):
-                continue
-            if min_len is not None and ln < min_len:
-                continue
-            if max_len is not None and ln > max_len:
-                continue
-            if min_EW is not None and abs(v[0]) < min_EW:
-                continue
-            if max_EW is not None and abs(v[0]) > max_EW:
-                continue
-            if min_NS is not None and abs(v[1]) < min_NS:
-                continue
-            if max_NS is not None and abs(v[1]) > max_NS:
-                continue
-            ang = np.arctan2(v[1], v[0]) * R2D
-            if v[1] < 0:
-                ang += 180.0
-            if min_deg is not None and ang < min_deg:
-                continue
-            if max_deg is not None and ang > max_deg:
-                continue
-            out.append(bl)
-        return out
+        a1 = np.asarray([self._ant_idx[bl[0]] for bl in source])
+        a2 = np.asarray([self._ant_idx[bl[1]] for bl in source])
+        v = self._antvecs_np[a2] - self._antvecs_np[a1]
+        ln = np.linalg.norm(v, axis=1)
+        keep = np.ones(len(source), dtype=bool)
+        if not keep_autos:
+            keep &= a1 != a2
+        if xants is not None:
+            xs = set(xants)
+            keep &= np.asarray([bl[0] not in xs and bl[1] not in xs
+                                for bl in source])
+        if min_len is not None:
+            keep &= ln >= min_len
+        if max_len is not None:
+            keep &= ln <= max_len
+        if min_EW is not None:
+            keep &= np.abs(v[:, 0]) >= min_EW
+        if max_EW is not None:
+            keep &= np.abs(v[:, 0]) <= max_EW
+        if min_NS is not None:
+            keep &= np.abs(v[:, 1]) >= min_NS
+        if max_NS is not None:
+            keep &= np.abs(v[:, 1]) <= max_NS
+        if min_deg is not None or max_deg is not None:
+            ang = np.arctan2(v[:, 1], v[:, 0]) * R2D
+            ang = np.where(v[:, 1] < 0, ang + 180.0, ang)
+            if min_deg is not None:
+                keep &= ang >= min_deg
+            if max_deg is not None:
+                keep &= ang <= max_deg
+        return [bl for bl, k in zip(source, keep) if k]
+
+
+def match_red_blvec(red_vecs, bl_vec, redtol=1.0):
+    """Index of the redundant group whose vector matches bl_vec (or its
+    conjugate), else -1 (reference telescope_model.py:945-1000).
+
+    Returns (index, conjugated flag)."""
+    red_vecs = np.asarray([np.asarray(v) for v in red_vecs])
+    bl_vec = np.asarray(bl_vec)
+    d = np.linalg.norm(red_vecs - bl_vec, axis=-1)
+    i = int(np.argmin(d))
+    if d[i] < redtol:
+        return i, False
+    d2 = np.linalg.norm(red_vecs + bl_vec, axis=-1)
+    j = int(np.argmin(d2))
+    if d2[j] < redtol:
+        return j, True
+    return -1, False

@@ -228,3 +228,21 @@ def Jy_to_KStr(freqs):
     c = 2.99792458e8
     k_B = 1.380649e-23
     return 1e-26 * (c / np.asarray(freqs, dtype=np.float64)) ** 2 / (2 * k_B)
+
+
+def tensor2numpy(x):
+    """Array -> numpy (reference utils.py:1738 tensor2numpy)."""
+    return np.asarray(x)
+
+
+def device_memory_stats():
+    """Per-device memory statistics (TPU-native analog of the reference's
+    nvidia-smi parser, utils.py:2016 smi). Returns {device: stats dict}."""
+    import jax
+    out = {}
+    for d in jax.devices():
+        try:
+            out[str(d)] = d.memory_stats()
+        except Exception:
+            out[str(d)] = {}
+    return out

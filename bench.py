@@ -30,6 +30,9 @@ def build_case(size):
         "small": dict(hexN=3, nside=16, nfreq=32, ntime=1),
         "medium": dict(hexN=4, nside=32, nfreq=64, ntime=2),
         "large": dict(hexN=5, nside=32, nfreq=128, ntime=2),
+        # the BASELINE.md north-star scale: 331 ants (hex N=11),
+        # 1024 freqs, multi-time
+        "hera": dict(hexN=11, nside=32, nfreq=1024, ntime=2),
     }[size]
     return cfg
 
@@ -156,7 +159,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--size", default="large",
-                    choices=["small", "medium", "large"])
+                    choices=["small", "medium", "large", "hera"])
     ap.add_argument("--x64", action="store_true")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()

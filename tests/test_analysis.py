@@ -252,3 +252,26 @@ def test_lm_poly_compression():
     w = jnp.asarray(rng.normal(size=(1, 1, 1, 2, nw)) + 0j)
     full = R.lm_poly_forward(w)
     assert full.shape == (1, 1, 1, 2, len(l))
+
+
+def test_time_average_rephase_coherent():
+    """Drift-scan rephased averaging preserves amplitude (a wrong sign
+    would decohere worse than no rephasing — regression test for the
+    verified sign convention)."""
+    from tests.test_rime import (setup_Telescope, setup_PointSky,
+                                 setup_Array, setup_UniformBeam, JD0)
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_UniformBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    times = JD0 + np.arange(8) * 20e-4
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs)
+    vd = rime.forward()
+    vd.setup_meta(T, arr.to_antpos())
+    raw = float(jnp.abs(vd.data).mean())
+    avg = float(jnp.abs(vd.time_average(time_inds=[np.arange(8)]).data).mean())
+    rep = float(jnp.abs(vd.time_average(time_inds=[np.arange(8)],
+                                        rephase=True).data).mean())
+    assert rep > 0.99 * raw          # coherent
+    assert rep > avg                  # better than naive averaging
