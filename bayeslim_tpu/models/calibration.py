@@ -252,6 +252,19 @@ class JonesModel(Module):
             jones = jones * jnp.exp(-1j * phs)
         return jones
 
+    def index_params(self, jones, times=None):
+        """Down-select the gain time axis onto the data times (replaces
+        the reference's IndexCache, calibration.py:291-414: nearest-time
+        indices are computed on host from static metadata)."""
+        if times is None or self.R.times is None or \
+                jones.shape[-2] == len(times):
+            return jones
+        if jones.shape[-2] == 1:
+            return jones  # broadcast single time bin
+        idx = np.asarray([np.argmin(np.abs(self.R.times - t))
+                          for t in np.atleast_1d(times)])
+        return jnp.take(jones, jnp.asarray(idx), axis=-2)
+
     def forward(self, vd, undo=False, prior_cache=None, jones=None,
                 **kwargs):
         """Apply gains to a VisData (reference :598-663)."""
@@ -259,6 +272,7 @@ class JonesModel(Module):
             jones = self.get_jones()
         self.eval_prior(prior_cache, inp_params=self.params,
                         out_params=jones)
+        jones = self.index_params(jones, times=getattr(vd, "times", None))
         g1_idx, g2_idx = self.ant_index(vd.blnums)
         vout = vd.copy()
         vout.data, _ = _apply_cal(vd.data, jones, g1_idx, g2_idx,
