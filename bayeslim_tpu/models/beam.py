@@ -113,8 +113,10 @@ def airy_disk(zen_rad, az_rad, Dew, freqs, Dns=None, freq_ratio=1.0,
     # params (Npol, Nvec, Nmodel, 1, 1) -> (Npol, Nvec, Nmodel, 1, *1s)
     Dew = jnp.reshape(jnp.asarray(Dew), jnp.shape(Dew)[:3] + (1,) * (nb + 1))
     if Dns is not None:
+        # reference convention (beam_model.py:1467-1470):
+        # D(az) = Dns + sin^2(az) (Dew - Dns)
         Dns = jnp.reshape(jnp.asarray(Dns), jnp.shape(Dns)[:3] + (1,) * (nb + 1))
-        diameter = jnp.abs(jnp.sin(az_rad)) * Dew + jnp.abs(jnp.cos(az_rad)) * Dns
+        diameter = Dns + jnp.sin(az_rad) ** 2 * (Dew - Dns)
     else:
         diameter = Dew
     # clip sin(zen) below horizon so the beam doesn't wrap

@@ -40,7 +40,11 @@ def prep_xarr(x, d0=None, logx=False, whiten=True, x0=None, dx=None):
     if whiten:
         x0 = float(x.mean()) if x0 is None else float(x0)
         xc = x - x0
-        dx = float(np.abs(xc).max()) if dx is None else float(dx)
+        if dx is None:
+            # reference convention (utils.py whiten_xarr): range
+            # [-1+step/2, 1-step/2] for uniform sampling
+            step = (x[-1] - x[0]) / max(len(x) - 1, 1)
+            dx = float(xc.max() + step / 2)
         if dx == 0:
             dx = 1.0
         x = xc / dx
