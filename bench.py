@@ -88,18 +88,20 @@ def run_jax(cfg, platform=None, x64=False):
     prob = LogProb(rime, tgt)
     pd = prob.collect_main_params()
 
-    # warmup (compile)
+    # warmup (compile). NOTE: jax.block_until_ready is a no-op on the
+    # axon remote backend (execution completes only on a value fetch), so
+    # every rep fetches the scalar loss to force real execution.
     t0 = time.time()
     v, g = prob.value_and_grad(pd)
-    jax.block_until_ready(g["sky.params"])
+    _ = float(v)
     compile_time = time.time() - t0
 
-    # timed steps
+    # timed steps (each fetch costs one ~30 ms RPC round trip, included)
     nrep = 3
     t0 = time.time()
     for _ in range(nrep):
         v, g = prob.value_and_grad(pd)
-    jax.block_until_ready(g["sky.params"])
+        _ = float(v)
     dt = (time.time() - t0) / nrep
 
     points = len(bls) * cfg["nfreq"] * cfg["ntime"]
