@@ -35,11 +35,14 @@ __all__ = ["rime_reduce", "rime_reduce_ref"]
 
 
 def _pallas_eligible(psky, mp_idx, freqs, use_pallas):
-    """Shared-beam, 1-pol, float32, regular freq grid, on TPU."""
-    if mp_idx is not None:
+    """float32, regular freq grid, on TPU. Multi-pol leading dims and
+    Nmp > 1 model pairs are handled by row-stacking / baseline grouping
+    in _rime_fused_dispatch; only a per-baseline psky without an mp_idx
+    (psky dim -3 == Nbls) falls back to the XLA path."""
+    if psky.ndim < 3:
         return False
-    if psky.ndim < 3 or any(s != 1 for s in psky.shape[:-2]):
-        return False
+    if mp_idx is None and psky.shape[-3] != 1:
+        return False  # per-baseline psky: kernel shares rows over bls
     if psky.real.dtype != jnp.float32:
         return False
     if len(freqs) > 1:
@@ -52,6 +55,45 @@ def _pallas_eligible(psky, mp_idx, freqs, use_pallas):
         except Exception:
             return False
     return True
+
+
+def _rime_fused_dispatch(psky, tau, freqs, mp_idx, conj):
+    """Map the general (..., Nmp, Nfreqs, Npix) contract onto the 2D
+    stacked-row fused kernel: polarization blocks stack as extra
+    frequency rows; Nmp > 1 groups baselines by model pair (mp_idx is
+    host metadata) and inverse-permutes the concatenated result."""
+    from .rime_pallas import rime_fused
+    lead = psky.shape[:-3]
+    nmp, nf, npx = psky.shape[-3:]
+    nb = tau.shape[0]
+    L = 1
+    for s in lead:
+        L *= s
+    ftup = tuple(np.asarray(freqs, dtype=np.float64).tolist())
+
+    if mp_idx is None or nmp == 1:
+        ps2d = psky.reshape(L * nf, npx)
+        out = rime_fused(ps2d, tau, ftup, conj)          # (L*nf, nb)
+        out = out.reshape(lead + (nf, nb))
+        return jnp.moveaxis(out, -2, -1)                  # (..., nb, nf)
+
+    mp = np.asarray(mp_idx)
+    outs, order = [], []
+    for m in range(nmp):
+        idx = np.where(mp == m)[0]
+        if len(idx) == 0:
+            continue
+        order.append(idx)
+        tau_m = jnp.take(tau, jnp.asarray(idx), axis=0)
+        ps2d = psky[..., m, :, :].reshape(L * nf, npx)
+        outs.append(rime_fused(ps2d, tau_m, ftup, conj))  # (L*nf, nb_m)
+    out = jnp.concatenate(outs, axis=-1)
+    perm = np.concatenate(order)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    out = jnp.take(out, jnp.asarray(inv), axis=-1)
+    out = out.reshape(lead + (nf, nb))
+    return jnp.moveaxis(out, -2, -1)
 
 
 def _phasor(tau, freqs, conj=False):
@@ -130,10 +172,7 @@ def rime_reduce(psky, tau, freqs, mp_idx=None, conj=False, chunk=1024,
     freqs = np.asarray(freqs, dtype=np.float64)
 
     if use_pallas and _pallas_eligible(psky, mp_idx, freqs, use_pallas):
-        from .rime_pallas import rime_fused
-        ps2d = psky.reshape(psky.shape[-2:])
-        out = rime_fused(ps2d, tau, tuple(freqs.tolist()), conj)
-        return out.reshape(psky.shape[:-3] + (tau.shape[0], len(freqs)))
+        return _rime_fused_dispatch(psky, tau, freqs, mp_idx, conj)
     rdtype = jnp.result_type(psky.real.dtype, tau.dtype)
     out_dtype = jnp.result_type(rdtype, jnp.complex64)
 

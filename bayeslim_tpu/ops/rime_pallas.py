@@ -1,26 +1,42 @@
 """
-Fused Pallas TPU kernel for the RIME pixel reduction.
+Fused Pallas TPU kernels for the RIME pixel reduction.
 
-Computes V[b, f] = sum_c psky[f, c] * exp(2 pi i f tau[b, c]) without ever
-materializing the (Nbls, Nfreqs, Npix) fringe in HBM: each grid step
-streams a (bl-tile x pixel-tile) block of tau and a (freq-tile x
-pixel-tile) block of psky into VMEM, builds the cos/sin fringe factors
-on the fly (float32-safe mod-1 phase reduction, see ops/phase.py), and
-accumulates the visibility block with two MXU matmuls.
+Computes V[r, b] = sum_c ps[r, c] * exp(+/- 2 pi i f_r tau[b, c]) without
+materializing the (Nbls, Nfreqs, Npix) fringe in HBM, where r indexes
+stacked frequency rows (Nstack * Nfreqs: polarization / model-pair blocks
+stacked on top of each other share the same frequency grid f_r = f0 +
+(r % Nfreqs) df). This generalizes the reference's product-and-sum
+(bayeslim/rime_model.py:423-429) to the TPU memory hierarchy.
 
-Grid order (bl, pix, freq): the phase seeds c0 = mod1(f0 tau) and
-c1 = mod1(df tau) depend only on (bl, pix), so they are computed once per
-(bl, pix) tile (at freq-tile 0) into VMEM scratch and reused across the
-frequency sweep.
+Kernel design (v2, MXU-centric):
 
-Forward only: the backward pass recomputes fringe factors via the chunked
-XLA path (ops/rime_kernel.py) through jax.custom_vjp — the VJP
-contractions are themselves matmul-shaped and XLA handles them well.
+- Transposed layout: tau enters as tau_T (Npix, Nbls) [pixels on
+  sublanes, baselines on lanes] so per-frequency contractions are native
+  NN matmuls. tau_T is free upstream: it is the output of a matmul
+  (s^T @ blvecs^T) and XLA folds the orientation into the producer.
+- Phasor recurrence with G parallel chains: a VMEM scratch holds G
+  consecutive frequency states C/S (G*tc, tb); each grid step seeds them
+  from float32-exact mod-1 split products (ops/phase.py) and advances
+  every chain by D^G per loop iteration. G independent chains keep the
+  VPU pipeline full (the serial 2-term recurrence is latency-bound).
+- The pixel contraction for G frequencies at once is a single MXU
+  matmul: a block-diagonal lhs (G, G*tc) built from the psky rows times
+  the (G*tc, tb) state scratch. Measured ~16T MAC/s on v5e vs ~0.6T for
+  per-frequency matvecs.
+- Grid (freq tiles, bl tiles, pix tiles), pixel tiles innermost: the
+  (tf, tb) output block accumulates in VMEM across pixel tiles.
 
-Constraints of this kernel (callers fall back to rime_reduce otherwise):
-- shared beam (Nmp == 1), real or complex psky collapsed to (Nfreqs, Npix)
-- regular frequency grid f = f0 + k df
-- float32 data.
+The backward pass runs two sweeps of the same machinery:
+- dps[r, c] = sum_b ct[r? b] conj(E): the SAME forward kernel with the
+  roles of baselines and pixels swapped (tau enters untransposed, again
+  free) and the phasor conjugated.
+- dtau via a dedicated kernel (`_dtau_kernel`): same G-chain phasor
+  scratch, pure-VPU FMA accumulation, with the -sgn*2*pi*f_r factor
+  pre-folded into the cotangent rows outside the kernel.
+
+Multi-polarization (Npol x Npol blocks) and multi-model-pair (Nmp > 1,
+mp_idx) cases are handled by stacking rows / grouping baselines in
+rime_reduce (ops/rime_kernel.py); this module only sees 2D problems.
 """
 from __future__ import annotations
 
@@ -35,7 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .phase import fringe_cycles, mod1
 
-__all__ = ["rime_pallas_reduce", "pallas_available"]
+__all__ = ["rime_pallas_reduce", "rime_fused", "pallas_available"]
+
+# test hook: force interpret mode (CPU emulation) for all pallas calls
+INTERPRET = False
 
 
 def pallas_available():
@@ -49,17 +68,6 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _tile(n, pref, mult):
-    """Pick a tile size (multiple of `mult`, <= pref) and the padded
-    total; Mosaic requires lane dims to be 128-multiples and sublane
-    dims 8-multiples at runtime."""
-    padded = _round_up(n, mult)
-    t = min(pref, padded)
-    t = _round_up(t, mult)
-    padded = _round_up(padded, t)
-    return t, padded
-
-
 def _split_f32(f):
     """Split a float into (a, b, lo): a has <=12 mantissa bits scaled,
     a + b + lo == f in f64; used for exact mod-1 products in f32."""
@@ -71,69 +79,457 @@ def _split_f32(f):
     return float(a), float(b), float(lo)
 
 
-def _rime_kernel(tau_ref, ps_re_ref, ps_im_ref, out_re_ref, out_im_ref,
-                 acc_re_ref, acc_im_ref, *, f0_split, df_split, tf, nc,
-                 conj):
-    """Grid (bl, freq, pix): pixel tiles innermost so the (bl, freq)
-    output block accumulates contiguously; phase seeds recomputed per
-    pixel tile (cheap relative to the tf-deep frequency loop)."""
+def _seed_cycles(tau, split):
+    """Exact mod-1 of f * tau for f split by _split_f32."""
+    a, b, lo = split
+    return mod1(mod1(a * tau) + mod1(b * tau) + lo * tau)
+
+
+def _phase0(c0, c1, k0f):
+    """mod1(c0 + k0*c1) with k0 an integer float <= ~4096, f32-exact:
+    split c1 at 12 mantissa bits so k0*c1_hi is exact."""
+    c1_hi = jnp.floor(c1 * 4096.0) * (1.0 / 4096.0)
+    c1_lo = c1 - c1_hi
+    return mod1(mod1(k0f * c1_hi) + mod1(k0f * c1_lo) + c0)
+
+
+def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
+                *, f0_split, df_split, tf, nfp, nc, G, conj, ps_real,
+                out_imag):
+    """V(tf, tb) += sum over this pixel tile. Layout: tau (tc, tb),
+    ps rows (tf, tc), out (tf, tb); G-chain phasor scratch (G*tc, tb)."""
+    if_ = pl.program_id(0)
     ic = pl.program_id(2)
+    tc = tau_ref.shape[0]
 
     @pl.when(ic == 0)
     def _():
-        acc_re_ref[:, :] = jnp.zeros_like(acc_re_ref)
-        acc_im_ref[:, :] = jnp.zeros_like(acc_im_ref)
+        ore_ref[:, :] = jnp.zeros_like(ore_ref)
+        if out_imag:
+            oim_ref[:, :] = jnp.zeros_like(oim_ref)
 
-    # phase seeds for this (bl, pix) tile
-    tau = tau_ref[:, :]                        # (TB, TC)
-    a0, b0, l0 = f0_split
-    a1, b1, l1 = df_split
-    c0 = mod1(mod1(a0 * tau) + mod1(b0 * tau) + l0 * tau)
-    c1 = mod1(mod1(a1 * tau) + mod1(b1 * tau) + l1 * tau)
-
-    if_ = pl.program_id(1)
-    k0 = (if_ * tf).astype(jnp.float32)
+    tau = tau_ref[:, :]                            # (tc, tb)
+    c0 = _seed_cycles(tau, f0_split)
+    c1 = _seed_cycles(tau, df_split)
     sgn = -1.0 if conj else 1.0
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tf), 1)
-
-    # phasor recurrence: seed E = exp(i 2 pi (c0 + k0 c1)) once per tile,
-    # then rotate by delta = exp(i 2 pi c1) per frequency step — replaces
-    # per-step transcendentals with 4 FMAs (unitary rotation: error grows
-    # only as sqrt(tf) * eps, re-seeded exactly at every freq tile).
-    ang0 = (2 * np.pi) * mod1(c0 + mod1(k0 * c1))
-    cos0 = jnp.cos(ang0)
-    sin0 = sgn * jnp.sin(ang0)
+    # frequency index of this tile's first row within its pol block
+    k0f = ((if_ * tf) % nfp).astype(jnp.float32)
+    ang0 = (2 * np.pi) * _phase0(c0, c1, k0f)
     angd = (2 * np.pi) * c1
     cosd = jnp.cos(angd)
     sind = sgn * jnp.sin(angd)
 
-    def freq_body(j, carry):
-        cosf, sinf = carry
-        pr = ps_re_ref[pl.ds(j, 1), :]          # (1, TC)
-        pi_ = ps_im_ref[pl.ds(j, 1), :]
-        re = jnp.sum(cosf * pr - sinf * pi_, axis=1, keepdims=True)
-        im = jnp.sum(sinf * pr + cosf * pi_, axis=1, keepdims=True)
-        # dynamic lane writes must be 128-aligned: scatter the (TB, 1)
-        # column into the (TB, TF) accumulator via a one-hot broadcast
-        onehot = (lane == j).astype(jnp.float32)
-        acc_re_ref[:, :] += re * onehot
-        acc_im_ref[:, :] += im * onehot
-        return (cosf * cosd - sinf * sind, sinf * cosd + cosf * sind)
+    # fill the G chain states: state g = phase at row k0 + g
+    c_ref[pl.ds(0, tc), :] = jnp.cos(ang0)
+    s_ref[pl.ds(0, tc), :] = sgn * jnp.sin(ang0)
+    for g in range(1, G):
+        cp = c_ref[pl.ds((g - 1) * tc, tc), :]
+        sp = s_ref[pl.ds((g - 1) * tc, tc), :]
+        c_ref[pl.ds(g * tc, tc), :] = cp * cosd - sp * sind
+        s_ref[pl.ds(g * tc, tc), :] = sp * cosd + cp * sind
 
-    jax.lax.fori_loop(0, tf, freq_body, (cos0, sin0))
+    # advance step D^G: exact mod-1 doubling of c1
+    cg = c1
+    gg = G
+    while gg > 1:
+        cg = mod1(2.0 * cg)
+        gg //= 2
+    angG = (2 * np.pi) * cg
+    cosdG = jnp.cos(angG)
+    sindG = sgn * jnp.sin(angG)
 
-    @pl.when(ic == nc - 1)
-    def _():
-        out_re_ref[:, :] = acc_re_ref[:, :]
-        out_im_ref[:, :] = acc_im_ref[:, :]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 0) ==
+           jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 1)
+           ).astype(jnp.float32)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    nj = tf // G
+
+    def body(j, _):
+        rows_r = psr_ref[pl.ds(j * G, G), :]       # (G, tc)
+        lhs_r = (rows_r[:, None, :] * eye).reshape(G, G * tc)
+        C = c_ref[:, :]
+        S = s_ref[:, :]
+        re = dot(lhs_r, C)
+        im = dot(lhs_r, S) if out_imag else None
+        if not ps_real:
+            rows_i = psi_ref[pl.ds(j * G, G), :]
+            lhs_i = (rows_i[:, None, :] * eye).reshape(G, G * tc)
+            re = re - dot(lhs_i, S)
+            if out_imag:
+                im = im + dot(lhs_i, C)
+        ore_ref[pl.ds(j * G, G), :] += re
+        if out_imag:
+            oim_ref[pl.ds(j * G, G), :] += im
+
+        @pl.when(j < nj - 1)
+        def _():
+            for g in range(G):
+                cg_ = c_ref[pl.ds(g * tc, tc), :]
+                sg_ = s_ref[pl.ds(g * tc, tc), :]
+                c_ref[pl.ds(g * tc, tc), :] = cg_ * cosdG - sg_ * sindG
+                s_ref[pl.ds(g * tc, tc), :] = sg_ * cosdG + cg_ * sindG
+        return 0
+
+    jax.lax.fori_loop(0, nj, body, 0)
 
 
-def rime_pallas_reduce(psky, tau, freqs, conj=False, tb=256, tc=512, tf=128,
-                       interpret=False):
-    """Fused RIME reduction on TPU.
+def _pad2(x, rows, cols):
+    pr, pc = rows - x.shape[0], cols - x.shape[1]
+    if pr or pc:
+        x = jnp.pad(x, ((0, pr), (0, pc)))
+    return x
 
-    psky : (Nfreqs, Npix) float32 or complex64 (shared-beam, 1-pol)
+
+def _choose_tf(nfp, nstack, budget):
+    """Largest tile tf dividing nfp (tf % 8 == 0) with tf <= budget; the
+    full stacked row count is nstack * nfp."""
+    tf = nfp
+    while tf > budget and tf % 16 == 0:
+        tf //= 2
+    return tf
+
+
+def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
+                tb=256, tc=256, interpret=False):
+    """Run the forward kernel.
+
+    ps : (R, Npix) real or complex; R = nstack * nfp (rows pre-padded)
+    tau_T : (Npix, Nbls) float32
+    Returns (out_re, out_im) with shape (R, Nbls) (out_im None if not
+    out_imag).
+    """
+    R, npx = ps.shape
+    nbl = tau_T.shape[1]
+    assert tau_T.shape[0] == npx
+    assert R % nfp == 0
+    nstack = R // nfp
+
+    ps_real = not jnp.iscomplexobj(ps)
+    G = 8
+    NB = _round_up(max(nbl, 128), 128)
+    NC = _round_up(max(npx, 128), 128)
+    tb = min(tb, NB)
+    tc = min(tc, NC)
+    tf = _choose_tf(nfp, nstack, 1024)
+
+    def vmem(G, tc, tb, tf):
+        scratch = 2 * G * tc * tb                       # C, S
+        blocks = (tc * tb                               # tau
+                  + tf * tc * (1 if ps_real else 2)     # ps rows
+                  + 2 * tf * tb)                        # out re/im
+        return 4 * (scratch + 2 * blocks)               # double-buffered
+
+    budget = 11 * 2 ** 20
+    while vmem(G, tc, tb, tf) > budget and tf > 128 and tf % 16 == 0:
+        tf //= 2
+    while vmem(G, tc, tb, tf) > budget and tb > 128:
+        tb //= 2
+    while vmem(G, tc, tb, tf) > budget and tc > 128:
+        tc //= 2
+    while vmem(G, tc, tb, tf) > budget and G > 2:
+        G //= 2
+    NB = _round_up(NB, tb)
+    NC = _round_up(NC, tc)
+
+    tau_p = _pad2(tau_T.astype(jnp.float32), NC, NB)
+    if ps_real:
+        psr = _pad2(ps.astype(jnp.float32), R, NC)
+        psi = psr[:1]  # dummy, unread
+        psi_spec = pl.BlockSpec((1, tc), lambda i, j, k: (0, k),
+                                memory_space=pltpu.VMEM)
+    else:
+        psr = _pad2(ps.real.astype(jnp.float32), R, NC)
+        psi = _pad2(ps.imag.astype(jnp.float32), R, NC)
+        psi_spec = pl.BlockSpec((tf, tc), lambda i, j, k: (i, k),
+                                memory_space=pltpu.VMEM)
+
+    grid = (R // tf, NB // tb, NC // tc)
+    kernel = functools.partial(
+        _fwd_kernel, f0_split=_split_f32(f0), df_split=_split_f32(df),
+        tf=tf, nfp=nfp, nc=grid[2], G=G, conj=conj, ps_real=ps_real,
+        out_imag=out_imag)
+
+    out_shape = [jax.ShapeDtypeStruct((R, NB), jnp.float32)] * 2
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tc, tb), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tf, tc), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            psi_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((tf, tb), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tf, tb), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G * tc, tb), jnp.float32),
+            pltpu.VMEM((G * tc, tb), jnp.float32),
+        ],
+        out_shape=out_shape,
+        interpret=interpret or INTERPRET,
+    )(tau_p, psr, psi)
+    return out_re[:, :nbl], (out_im[:, :nbl] if out_imag else None)
+
+
+def _dtau_kernel(tau_ref, psr_ref, psi_ref, ctr_ref, cti_ref, out_ref,
+                 c_ref, s_ref, a_ref, *, f0_split, df_split, nfp, nf,
+                 nstack, G, conj, ps_real):
+    """dtau_T (tc, tb) = sum_r pr_c * (ctr_b * S + cti_b * C) [+ imag
+    terms], with the -sgn*2*pi*f_r factor pre-folded into ctr/cti
+    outside. Phasor chains as in the forward kernel; rows looped fully
+    in-kernel per (pix, bl) block, re-seeded at each pol-block start."""
+    tc = tau_ref.shape[0]
+    tau = tau_ref[:, :]
+    c0 = _seed_cycles(tau, f0_split)
+    c1 = _seed_cycles(tau, df_split)
+    sgn = -1.0 if conj else 1.0
+    ang0 = (2 * np.pi) * c0
+    angd = (2 * np.pi) * c1
+    cosd = jnp.cos(angd)
+    sind = sgn * jnp.sin(angd)
+    cg = c1
+    gg = G
+    while gg > 1:
+        cg = mod1(2.0 * cg)
+        gg //= 2
+    angG = (2 * np.pi) * cg
+    cosdG = jnp.cos(angG)
+    sindG = sgn * jnp.sin(angG)
+
+    for g in range(G):
+        a_ref[pl.ds(g * tc, tc), :] = jnp.zeros((tc, a_ref.shape[1]),
+                                                jnp.float32)
+
+    nj = nf // G
+    for s_blk in range(nstack):
+        # (re)seed the G chains at row 0 of this pol block
+        c_ref[pl.ds(0, tc), :] = jnp.cos(ang0)
+        s_ref[pl.ds(0, tc), :] = sgn * jnp.sin(ang0)
+        for g in range(1, G):
+            cp = c_ref[pl.ds((g - 1) * tc, tc), :]
+            sp = s_ref[pl.ds((g - 1) * tc, tc), :]
+            c_ref[pl.ds(g * tc, tc), :] = cp * cosd - sp * sind
+            s_ref[pl.ds(g * tc, tc), :] = sp * cosd + cp * sind
+
+        r0 = s_blk * nfp
+
+        def body(j, _):
+            for g in range(G):
+                r = r0 + j * G + g
+                pr = psr_ref[pl.ds(r, 1), :].reshape(-1, 1)   # (tc, 1)
+                ctr = ctr_ref[pl.ds(r, 1), :]                  # (1, tb)
+                cti = cti_ref[pl.ds(r, 1), :]
+                C = c_ref[pl.ds(g * tc, tc), :]
+                S = s_ref[pl.ds(g * tc, tc), :]
+                # accumulate w_r * Im(ct ps E), w_r = -sgn 2 pi f_r folded
+                # into ctr/cti (JAX passes the conjugate-convention
+                # cotangent, so no conj on ct here); u = Re(ct ps),
+                # v = Im(ct ps), Im(ct ps E) = u S + v C
+                if ps_real:
+                    t = ctr * S + cti * C
+                    a_ref[pl.ds(g * tc, tc), :] += pr * t
+                else:
+                    pi_ = psi_ref[pl.ds(r, 1), :].reshape(-1, 1)
+                    u = pr * ctr - pi_ * cti
+                    v = pr * cti + pi_ * ctr
+                    a_ref[pl.ds(g * tc, tc), :] += u * S + v * C
+
+            @pl.when(j < nj - 1)
+            def _():
+                for g in range(G):
+                    cg_ = c_ref[pl.ds(g * tc, tc), :]
+                    sg_ = s_ref[pl.ds(g * tc, tc), :]
+                    c_ref[pl.ds(g * tc, tc), :] = cg_ * cosdG - sg_ * sindG
+                    s_ref[pl.ds(g * tc, tc), :] = sg_ * cosdG + cg_ * sindG
+            return 0
+
+        jax.lax.fori_loop(0, nj, body, 0)
+
+    acc = a_ref[pl.ds(0, tc), :]
+    for g in range(1, G):
+        acc = acc + a_ref[pl.ds(g * tc, tc), :]
+    out_ref[:, :] = acc
+
+
+def _dtau_pallas(ct, ps, tau_T, f0, df, nfp, conj=False, tb=256, tc=256,
+                 interpret=False):
+    """tau cotangent, transposed: returns dtau_T (Npix, Nbls) float32.
+
+    ct : (R, Nbls) complex cotangent rows (R = nstack * nfp, padded)
+    ps : (R, Npix) real or complex psky rows
+    tau_T : (Npix, Nbls) float32
+    """
+    R, npx = ps.shape
+    nbl = tau_T.shape[1]
+    nstack = R // nfp
+    ps_real = not jnp.iscomplexobj(ps)
+    sgn = -1.0 if conj else 1.0
+
+    G = 8
+    NB = _round_up(max(nbl, 128), 128)
+    NC = _round_up(max(npx, 128), 128)
+    tb = min(tb, NB)
+    tc = min(tc, NC)
+
+    def vmem(G, tc, tb):
+        scratch = 3 * G * tc * tb                       # C, S, acc
+        blocks = (tc * tb                               # tau
+                  + R * tc * (1 if ps_real else 2)      # ps rows
+                  + 2 * R * tb                          # ct rows
+                  + tc * tb)                            # out
+        return 4 * (scratch + 2 * blocks)               # double-buffered
+
+    budget = 11 * 2 ** 20
+    # shrink the G-chain scratch first: fewer chains on big tiles beats
+    # more chains on latency-bound small tiles
+    while vmem(G, tc, tb) > budget and G > 2:
+        G //= 2
+    while vmem(G, tc, tb) > budget and tb > 128:
+        tb //= 2
+    while vmem(G, tc, tb) > budget and tc > 128:
+        tc //= 2
+    NB = _round_up(NB, tb)
+    NC = _round_up(NC, tc)
+
+    # fold -sgn * 2 pi f_r into the cotangent rows (f_r = f0 + (r%nfp) df)
+    k = jnp.arange(R, dtype=jnp.float32) % float(nfp)
+    w = (-sgn * 2 * np.pi) * (f0 + k * df)
+    ctr = _pad2((ct.real * w[:, None]).astype(jnp.float32), R, NB)
+    cti = _pad2((ct.imag * w[:, None]).astype(jnp.float32), R, NB)
+
+    tau_p = _pad2(tau_T.astype(jnp.float32), NC, NB)
+    if ps_real:
+        psr = _pad2(ps.astype(jnp.float32), R, NC)
+        psi = psr[:1]
+        psi_spec = pl.BlockSpec((1, tc), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)
+    else:
+        psr = _pad2(ps.real.astype(jnp.float32), R, NC)
+        psi = _pad2(ps.imag.astype(jnp.float32), R, NC)
+        psi_spec = pl.BlockSpec((R, tc), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _dtau_kernel, f0_split=_split_f32(f0), df_split=_split_f32(df),
+        nfp=nfp, nf=nfp, nstack=nstack, G=G, conj=conj, ps_real=ps_real)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(NC // tc, NB // tb),
+        in_specs=[
+            pl.BlockSpec((tc, tb), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tc), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            psi_spec,
+            pl.BlockSpec((R, tb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tc, tb), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((G * tc, tb), jnp.float32),
+            pltpu.VMEM((G * tc, tb), jnp.float32),
+            pltpu.VMEM((G * tc, tb), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((NC, NB), jnp.float32),
+        interpret=interpret or INTERPRET,
+    )(tau_p, psr, psi, ctr, cti)
+    return out[:npx, :nbl]
+
+
+# ----------------------------------------------------------------- stacking
+def _stack_pad(ps2d, nf, nfp):
+    """(nstack*nf, Npix) -> (nstack*nfp, Npix) zero-padding each block."""
+    if nf == nfp:
+        return ps2d
+    nstack = ps2d.shape[0] // nf
+    x = ps2d.reshape(nstack, nf, -1)
+    x = jnp.pad(x, ((0, 0), (0, nfp - nf), (0, 0)))
+    return x.reshape(nstack * nfp, -1)
+
+
+def _stack_unpad(out, nf, nfp):
+    if nf == nfp:
+        return out
+    nstack = out.shape[0] // nfp
+    return out.reshape(nstack, nfp, -1)[:, :nf].reshape(nstack * nf, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def rime_fused(ps2d, tau, freqs_tuple, conj=False):
+    """Differentiable fused RIME reduction on the Pallas kernels.
+
+    ps2d : (nstack * Nfreqs, Npix) real or complex stacked psky rows
+    tau : (Nbls, Npix) float32 geometric delays
+    freqs_tuple : static tuple of the regular frequency grid
+    Returns (nstack * Nfreqs, Nbls) complex64.
+    """
+    out, _ = _rime_fused_fwd(ps2d, tau, freqs_tuple, conj)
+    return out
+
+
+def _freq_params(freqs_tuple):
+    freqs = np.asarray(freqs_tuple, dtype=np.float64)
+    nf = len(freqs)
+    f0 = float(freqs[0])
+    df = float(freqs[1] - freqs[0]) if nf > 1 else 0.0
+    nfp = _round_up(nf, 8)
+    return f0, df, nf, nfp
+
+
+def _rime_fused_fwd(ps2d, tau, freqs_tuple, conj):
+    f0, df, nf, nfp = _freq_params(freqs_tuple)
+    ps_p = _stack_pad(ps2d, nf, nfp)
+    out_re, out_im = _fwd_pallas(ps_p, tau.T, f0, df, nfp, conj=conj)
+    out = jax.lax.complex(out_re, out_im)
+    out = _stack_unpad(out, nf, nfp)
+    return out, (ps2d, tau)
+
+
+def _rime_fused_bwd(freqs_tuple, conj, res, ct):
+    ps2d, tau = res
+    f0, df, nf, nfp = _freq_params(freqs_tuple)
+    ct_p = _stack_pad(ct, nf, nfp)
+    ps_p = _stack_pad(ps2d, nf, nfp)
+
+    # dps[r, c] = sum_b ct[r, b] E[b, c, f_r]: the forward kernel with
+    # baselines <-> pixels swapped, SAME phasor sign (JAX hands custom_vjp
+    # the conjugate-convention cotangent, so the usual conj(E) becomes E)
+    ps_real = not jnp.iscomplexobj(ps2d)
+    dre, dim = _fwd_pallas(ct_p, tau, f0, df, nfp, conj=conj,
+                           out_imag=not ps_real)
+    if ps_real:
+        dps = dre
+    else:
+        dps = jax.lax.complex(dre, dim)
+    dps = _stack_unpad(dps, nf, nfp).astype(ps2d.dtype)
+
+    dtau_T = _dtau_pallas(ct_p, ps_p, tau.T, f0, df, nfp, conj=conj)
+    return dps, dtau_T.T.astype(tau.dtype)
+
+
+rime_fused.defvjp(_rime_fused_fwd, _rime_fused_bwd)
+
+
+# ------------------------------------------------------------ public compat
+def rime_pallas_reduce(psky, tau, freqs, conj=False, tb=256, tc=256,
+                       tf=None, interpret=False):
+    """Fused RIME reduction (forward only).
+
+    psky : (Nfreqs, Npix) float32 or complex64
     tau : (Nbls, Npix) float32
     freqs : (Nfreqs,) numpy, regular grid
 
@@ -147,166 +543,12 @@ def rime_pallas_reduce(psky, tau, freqs, conj=False, tb=256, tc=512, tf=128,
     df = float(freqs[1] - freqs[0]) if nf > 1 else 0.0
     assert nf == 1 or np.allclose(np.diff(freqs), df, rtol=1e-10), \
         "pallas kernel needs a regular frequency grid"
-
-    tb, NB = _tile(nb, tb, 8)
-    tc, NC = _tile(npx, tc, 128)
-    # freq: trailing dim of the output block -> 128-multiple (or full)
-    tf, NF = (nf, nf) if nf <= 128 else _tile(nf, tf, 128)
-
-    def pad_axis(x, axis, size):
-        n = x.shape[axis]
-        if n == size:
-            return x
-        pads = [(0, 0)] * x.ndim
-        pads[axis] = (0, size - n)
-        return jnp.pad(x, pads)
-
-    tau_p = pad_axis(pad_axis(jnp.asarray(tau, jnp.float32), 0, NB), 1, NC)
-    if jnp.iscomplexobj(psky):
-        ps_re = pad_axis(pad_axis(psky.real.astype(jnp.float32), 0, NF), 1, NC)
-        ps_im = pad_axis(pad_axis(psky.imag.astype(jnp.float32), 0, NF), 1, NC)
-    else:
-        ps_re = pad_axis(pad_axis(psky.astype(jnp.float32), 0, NF), 1, NC)
-        ps_im = jnp.zeros_like(ps_re)
-
-    nc = NC // tc
-    grid = (NB // tb, NF // tf, nc)
-
-    kernel = functools.partial(
-        _rime_kernel, f0_split=_split_f32(f0), df_split=_split_f32(df),
-        tf=tf, nc=nc, conj=conj)
-
-    out_shape = [jax.ShapeDtypeStruct((NB, NF), jnp.float32),
-                 jax.ShapeDtypeStruct((NB, NF), jnp.float32)]
-    out_re, out_im = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, tc), lambda ib, if_, ic: (ib, ic),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tf, tc), lambda ib, if_, ic: (if_, ic),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tf, tc), lambda ib, if_, ic: (if_, ic),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, tf), lambda ib, if_, ic: (ib, if_),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, tf), lambda ib, if_, ic: (ib, if_),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tb, tf), jnp.float32),
-            pltpu.VMEM((tb, tf), jnp.float32),
-        ],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(tau_p, ps_re, ps_im)
-
-    out = jax.lax.complex(out_re, out_im)[:nb, :nf]
-    return out
-
-
-def _dtau_kernel(tau_ref, psr_ref, psi_ref, ctr_ref, cti_ref, out_ref,
-                 *, f0_split, df_split, nf, conj):
-    """tau cotangent: out[b,c] = sum_f 2 pi f * d/dtau of
-    Re(conj(ct) V). Grid (bl, pix), each block visited once; full
-    frequency sweep in-kernel with the phasor recurrence."""
-    tau = tau_ref[:, :]                        # (TB, TC)
-    a0, b0, l0 = f0_split
-    a1, b1, l1 = df_split
-    c0 = mod1(mod1(a0 * tau) + mod1(b0 * tau) + l0 * tau)
-    c1 = mod1(mod1(a1 * tau) + mod1(b1 * tau) + l1 * tau)
-    sgn = -1.0 if conj else 1.0
-    ang0 = (2 * np.pi) * c0
-    cos0 = jnp.cos(ang0)
-    sin0 = sgn * jnp.sin(ang0)
-    angd = (2 * np.pi) * c1
-    cosd = jnp.cos(angd)
-    sind = sgn * jnp.sin(angd)
-
-    f0v = a0 + b0 + l0
-    dfv = a1 + b1 + l1
-
-    def body(j, carry):
-        cosf, sinf, acc = carry
-        jf = j.astype(jnp.float32)
-        pr = psr_ref[pl.ds(j, 1), :]            # (1, TC)
-        pi_ = psi_ref[pl.ds(j, 1), :]
-        # ct passed transposed (NF, TB): dynamic sublane reads are legal,
-        # dynamic lane reads are not; (1, TB) -> (TB, 1) is a reshape
-        ctr = ctr_ref[pl.ds(j, 1), :].reshape(-1, 1)
-        cti = cti_ref[pl.ds(j, 1), :].reshape(-1, 1)
-        # w = conj(ct) * ps * E ; tau_bar -= 2 pi f * Im(w) * (+1|-1 conj)
-        u = ctr * pr + cti * pi_                # Re(conj(ct) ps)
-        v = ctr * pi_ - cti * pr                # Im(conj(ct) ps)
-        im_w = u * sinf + v * cosf
-        two_pi_f = (2 * np.pi) * (f0v + jf * dfv)
-        # tau_bar = -+ 2 pi f Im(w): minus for the +i phase convention,
-        # plus when the forward used the conjugated fringe
-        acc = acc - sgn * two_pi_f * im_w
-        return (cosf * cosd - sinf * sind,
-                sinf * cosd + cosf * sind, acc)
-
-    acc0 = jnp.zeros_like(tau)
-    _, _, acc = jax.lax.fori_loop(0, nf, body, (cos0, sin0, acc0))
-    out_ref[:, :] = acc
-
-
-def _dtau_pallas(ct, psky, tau, freqs, conj=False, tb=256, tc=512,
-                 interpret=False):
-    """Pallas tau-cotangent: ct (Nbls, Nfreqs) complex, psky (Nf, Npix),
-    tau (Nbls, Npix) -> dtau (Nbls, Npix) float32."""
-    freqs = np.asarray(freqs, dtype=np.float64)
-    nb, npx = tau.shape
-    nf = len(freqs)
-    f0 = float(freqs[0])
-    df = float(freqs[1] - freqs[0]) if nf > 1 else 0.0
-    # tb is a lane dim of the transposed ct blocks -> 128-multiple
-    tb, NB = _tile(nb, tb, 128)
-    tc, NC = _tile(npx, tc, 128)
-
-    def pad_axis(x, axis, size):
-        n = x.shape[axis]
-        if n == size:
-            return x
-        pads = [(0, 0)] * x.ndim
-        pads[axis] = (0, size - n)
-        return jnp.pad(x, pads)
-
-    tau_p = pad_axis(pad_axis(jnp.asarray(tau, jnp.float32), 0, NB), 1, NC)
-    if jnp.iscomplexobj(psky):
-        psr = pad_axis(psky.real.astype(jnp.float32), 1, NC)
-        psi = pad_axis(psky.imag.astype(jnp.float32), 1, NC)
-    else:
-        psr = pad_axis(psky.astype(jnp.float32), 1, NC)
-        psi = jnp.zeros_like(psr)
-    ctr = pad_axis(ct.real.astype(jnp.float32).T, 1, NB)   # (NF, NB)
-    cti = pad_axis(ct.imag.astype(jnp.float32).T, 1, NB)
-
-    kernel = functools.partial(_dtau_kernel, f0_split=_split_f32(f0),
-                               df_split=_split_f32(df), nf=nf, conj=conj)
-    out = pl.pallas_call(
-        kernel,
-        grid=(NB // tb, NC // tc),
-        in_specs=[
-            pl.BlockSpec((tb, tc), lambda ib, ic: (ib, ic),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nf, tc), lambda ib, ic: (0, ic),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nf, tc), lambda ib, ic: (0, ic),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nf, tb), lambda ib, ic: (0, ib),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nf, tb), lambda ib, ic: (0, ib),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, tc), lambda ib, ic: (ib, ic),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NB, NC), jnp.float32),
-        interpret=interpret,
-    )(tau_p, psr, psi, ctr, cti)
-    return out[:nb, :npx]
+    nfp = _round_up(nf, 8)
+    ps_p = _stack_pad(psky, nf, nfp)
+    out_re, out_im = _fwd_pallas(ps_p, tau.T, f0, df, nfp, conj=conj,
+                                 tb=tb, tc=tc, interpret=interpret)
+    out = jax.lax.complex(out_re, out_im)
+    return _stack_unpad(out, nf, nfp).T
 
 
 def _chunk_forward(ps, tu, freqs, conj):
@@ -324,53 +566,3 @@ def _chunk_forward(ps, tu, freqs, conj):
         re = jnp.einsum("fc,bcf->bf", ps, cosf)
         im = jnp.einsum("fc,bcf->bf", ps, sinf)
     return jax.lax.complex(re, im)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def rime_fused(psky, tau, freqs_tuple, conj=False):
-    """Differentiable fused reduction: forward on the Pallas kernel,
-    backward via chunked automatic VJP of the XLA path (recomputes fringe
-    factors; memory stays O(chunk))."""
-    freqs = np.asarray(freqs_tuple)
-    return rime_pallas_reduce(psky, tau, freqs, conj=conj)
-
-
-def _fwd(psky, tau, freqs_tuple, conj):
-    return rime_fused(psky, tau, freqs_tuple, conj), (psky, tau)
-
-
-def _bwd(freqs_tuple, conj, res, ct):
-    psky, tau = res
-    freqs = np.asarray(freqs_tuple)
-
-    if pallas_available():
-        # dpsky: the b-reduction has the same chirp structure as the
-        # forward's c-reduction with (b <-> c) swapped and the phasor
-        # conjugated: ps_bar[f,c] = sum_b conj(E) ct = fwd(ct^T, tau^T,
-        # conj=not conj)^T
-        D = rime_pallas_reduce(ct.T, tau.T, freqs, conj=not conj)
-        dps = D.T
-        if not jnp.iscomplexobj(psky):
-            dps = dps.real.astype(psky.dtype)
-        else:
-            dps = dps.astype(psky.dtype)
-        dtau = _dtau_pallas(ct, psky, tau, freqs, conj=conj).astype(tau.dtype)
-        return dps, dtau
-
-    # XLA fallback: chunked automatic VJP (V = sum over chunks -> each
-    # chunk's vjp uses the same cotangent)
-    npx = tau.shape[-1]
-    chunk = 2048
-    dps_parts, dtau_parts = [], []
-    for i in range(max(1, int(np.ceil(npx / chunk)))):
-        sl = slice(i * chunk, min((i + 1) * chunk, npx))
-        f = lambda ps, tu: _chunk_forward(ps, tu, freqs, conj)
-        _, vjp_fn = jax.vjp(f, psky[..., sl], tau[..., sl])
-        dps, dtau = vjp_fn(ct)
-        dps_parts.append(dps)
-        dtau_parts.append(dtau)
-    return (jnp.concatenate(dps_parts, axis=-1),
-            jnp.concatenate(dtau_parts, axis=-1))
-
-
-rime_fused.defvjp(_fwd, _bwd)

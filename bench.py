@@ -15,7 +15,14 @@ Prints ONE JSON line:
   (pixel-count subsampled and linearly extrapolated). The reference
   package itself cannot run here (astropy/healpy absent).
 
-Usage: python bench.py [--cpu] [--size small|medium|large] [--x64]
+Timing methodology (axon remote TPU): jax.block_until_ready is a no-op on
+this backend and a fetch costs a ~34 ms RPC, so K optimizer steps are
+CHAINED inside one jit (adam update feeds step i's gradients into step
+i+1's parameters -- nothing can be dead-code-eliminated) and the single
+end-of-loop scalar fetch is subtracted via a measured fetch floor.
+
+Usage: python bench.py [--cpu] [--size small|medium|large|hera|hera100]
+                       [--ntime N] [--x64]
 """
 import argparse
 import json
@@ -27,14 +34,31 @@ import numpy as np
 
 def build_case(size):
     cfg = {
-        "small": dict(hexN=3, nside=16, nfreq=32, ntime=1),
-        "medium": dict(hexN=4, nside=32, nfreq=64, ntime=2),
-        "large": dict(hexN=5, nside=32, nfreq=128, ntime=2),
-        # the BASELINE.md north-star scale: 331 ants (hex N=11),
-        # 1024 freqs, multi-time
-        "hera": dict(hexN=11, nside=32, nfreq=1024, ntime=2),
+        "small": dict(hexN=3, nside=16, nfreq=32, ntime=1, reps=8),
+        "medium": dict(hexN=4, nside=32, nfreq=64, ntime=2, reps=8),
+        "large": dict(hexN=5, nside=32, nfreq=128, ntime=2, reps=8),
+        # 331 ants (hex N=11), 1024 freqs: the BASELINE.md array scale
+        "hera": dict(hexN=11, nside=32, nfreq=1024, ntime=2, reps=2),
+        # the full BASELINE.md north star: 331 ants, 1024 freqs,
+        # 100 times, nside-64 sky (takes ~10+ min on one v5e chip)
+        "hera100": dict(hexN=11, nside=64, nfreq=1024, ntime=100, reps=1),
     }[size]
     return cfg
+
+
+def _fetch_floor():
+    """Measured cost of one scalar fetch RPC on this backend."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.float32(1.0)
+    float(f(x))
+    t0 = time.time()
+    n = 5
+    for _ in range(n):
+        x = f(x)
+        float(x)
+    return (time.time() - t0) / n
 
 
 def run_jax(cfg, platform=None, x64=False):
@@ -44,6 +68,7 @@ def run_jax(cfg, platform=None, x64=False):
     if x64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
+    import optax
     import bayeslim_tpu as bl
     from bayeslim_tpu.utils import make_hex, AntposDict, healpix as hp
     from bayeslim_tpu.models.sky import PixelSky, PixelSkyResponse
@@ -86,41 +111,74 @@ def run_jax(cfg, platform=None, x64=False):
     tgt.setup_data(bls, times, freqs, pol="ee", data=tgt_data,
                    cov=None, cov_axis=None, icov=None)
     prob = LogProb(rime, tgt)
-    pd = prob.collect_main_params()
+    pd = dict(prob.collect_main_params())
+    fn = prob._batch_fn(0)
+    _, icov = prob._batch_args(0)
 
-    # warmup (compile). NOTE: jax.block_until_ready is a no-op on the
-    # axon remote backend (execution completes only on a value fetch), so
-    # every rep fetches the scalar loss to force real execution.
+    opt = optax.adam(1e-3)
+    reps = cfg.get("reps", 8)
+
+    @jax.jit
+    def train(pd, model, data):
+        state = opt.init(pd)
+
+        def body(carry, _):
+            p, s = carry
+            v, g = jax.value_and_grad(fn)(p, model, data, icov)
+            up, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, up)
+            return (p, s), v
+
+        (p, _), vs = jax.lax.scan(body, (pd, state), None, length=reps)
+        return vs[-1], p
+
+    @jax.jit
+    def fwd_loop(pd, model, data):
+        def body(p0, _):
+            v = fn({k: v + p0 * 0 for k, v in pd.items()}, model, data, icov)
+            return jnp.real(v), None
+        out, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), None,
+                              length=reps)
+        return out
+
+    fetch = _fetch_floor()
+
+    # compile + first run
     t0 = time.time()
-    v, g = prob.value_and_grad(pd)
+    v, _ = train(pd, prob.model, tgt_data)
     _ = float(v)
     compile_time = time.time() - t0
 
-    # timed steps (each fetch costs one ~30 ms RPC round trip, included)
-    nrep = 3
     t0 = time.time()
-    for _ in range(nrep):
-        v, g = prob.value_and_grad(pd)
-        _ = float(v)
-    dt = (time.time() - t0) / nrep
+    v, _ = train(pd, prob.model, tgt_data)
+    _ = float(v)
+    dt = max(time.time() - t0 - fetch, 1e-9) / reps
+
+    float(fwd_loop(pd, prob.model, tgt_data))
+    t0 = time.time()
+    float(fwd_loop(pd, prob.model, tgt_data))
+    dt_fwd = max(time.time() - t0 - fetch, 1e-9) / reps
 
     points = len(bls) * cfg["nfreq"] * cfg["ntime"]
-    return dict(step_time=dt, compile_time=compile_time, points=points,
-                nbls=len(bls), npix_cut=npix_cut,
-                pps=points / dt)
+    return dict(step_time=dt, fwd_time=dt_fwd, bwd_time=dt - dt_fwd,
+                compile_time=compile_time, fetch=fetch, points=points,
+                nbls=len(bls), npix_cut=npix_cut, pps=points / dt)
 
 
-def run_torch_baseline(cfg, npix_cut, sub_pix=512):
-    """Reference-pattern inner loop in torch (CPU), pixel-subsampled."""
+def run_torch_baseline(cfg, npix_cut, sub_pix=512, sub_bl=1024):
+    """Reference-pattern inner loop in torch (CPU), pixel- and
+    baseline-subsampled then linearly extrapolated (the fringe tensor is
+    O(Nbl*Nf*Npix) and cannot be materialized at full scale -- which is
+    itself the reference's scaling limit)."""
     import torch
     torch.set_default_dtype(torch.float32)
-    nbl = None
     # hex count
     n = cfg["hexN"]
     nant = sum(n + k for k in list(range(n)) + list(range(n - 2, -1, -1)))
-    nbl = nant * (nant - 1) // 2
+    nbl_full = nant * (nant - 1) // 2
+    nbl = min(sub_bl, nbl_full)
     nf = cfg["nfreq"]
-    nt = cfg["ntime"]
+    nt = min(cfg["ntime"], 2)
     npix = min(sub_pix, npix_cut)
 
     rng = np.random.default_rng(0)
@@ -151,9 +209,9 @@ def run_torch_baseline(cfg, npix_cut, sub_pix=512):
     for _ in range(nrep):
         step()
     dt = (time.time() - t0) / nrep
-    # extrapolate to the full pixel count
-    dt_full = dt * (npix_cut / npix)
-    points = nbl * nf * nt
+    # extrapolate to the full pixel/baseline/time counts
+    dt_full = dt * (npix_cut / npix) * (nbl_full / nbl) * (cfg["ntime"] / nt)
+    points = nbl_full * nf * cfg["ntime"]
     return dict(step_time=dt_full, points=points, pps=points / dt_full)
 
 
@@ -161,19 +219,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--size", default="large",
-                    choices=["small", "medium", "large", "hera"])
+                    choices=["small", "medium", "large", "hera", "hera100"])
+    ap.add_argument("--ntime", type=int, default=None)
     ap.add_argument("--x64", action="store_true")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     cfg = build_case(args.size)
+    if args.ntime:
+        cfg["ntime"] = args.ntime
     res = run_jax(cfg, platform="cpu" if args.cpu else None, x64=args.x64)
 
     vs = 0.0
     if not args.no_baseline:
         try:
             base = run_torch_baseline(cfg, res["npix_cut"],
-                                      sub_pix=256 if args.size == "large" else 512)
+                                      sub_pix=256 if cfg["nfreq"] >= 128 else 512)
             vs = res["pps"] / base["pps"]
         except Exception as e:
             print(f"# torch baseline failed: {e}", file=sys.stderr)
@@ -185,9 +246,12 @@ def main():
         "vs_baseline": round(vs, 3),
     }
     print(json.dumps(out))
-    print(f"# size={args.size} nbls={res['nbls']} npix_cut={res['npix_cut']} "
-          f"step={res['step_time']*1e3:.1f}ms compile={res['compile_time']:.1f}s",
-          file=sys.stderr)
+    print(f"# size={args.size} nbls={res['nbls']} nfreqs={cfg['nfreq']} "
+          f"ntimes={cfg['ntime']} npix_cut={res['npix_cut']} "
+          f"step={res['step_time']*1e3:.1f}ms "
+          f"(fwd={res['fwd_time']*1e3:.1f}ms bwd={res['bwd_time']*1e3:.1f}ms) "
+          f"fetch_floor={res['fetch']*1e3:.1f}ms "
+          f"compile={res['compile_time']:.1f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,12 +1,21 @@
-"""Pallas fused RIME kernel: parity vs the XLA path (interpret mode on
+"""Pallas fused RIME kernels: parity vs the XLA path (interpret mode on
 CPU; the compiled path is exercised by bench.py on real TPU)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
+from bayeslim_tpu.ops import rime_pallas
 from bayeslim_tpu.ops.rime_pallas import rime_pallas_reduce, _chunk_forward
-from bayeslim_tpu.ops.rime_kernel import rime_reduce_ref, _pallas_eligible
+from bayeslim_tpu.ops.rime_kernel import (rime_reduce, rime_reduce_ref,
+                                          _pallas_eligible)
+
+
+@pytest.fixture()
+def interpret_mode():
+    rime_pallas.INTERPRET = True
+    yield
+    rime_pallas.INTERPRET = False
 
 
 def test_pallas_interpret_parity():
@@ -16,13 +25,13 @@ def test_pallas_interpret_parity():
     ps = jnp.asarray(rng.normal(size=(nf, npx)), dtype=jnp.float32)
     freqs = np.linspace(100e6, 120e6, nf)
     ref = np.asarray(rime_reduce_ref(ps[None], tau, freqs))
-    out = np.asarray(rime_pallas_reduce(ps, tau, freqs, tb=16, tc=128,
+    out = np.asarray(rime_pallas_reduce(ps, tau, freqs, tb=128, tc=128,
                                         interpret=True))
     err = np.abs(out - ref).max() / np.abs(ref).max()
     assert err < 1e-4, f"pallas parity {err:.2e}"
     # conjugated
     refc = np.asarray(rime_reduce_ref(ps[None], tau, freqs, conj=True))
-    outc = np.asarray(rime_pallas_reduce(ps, tau, freqs, tb=16, tc=128,
+    outc = np.asarray(rime_pallas_reduce(ps, tau, freqs, tb=128, tc=128,
                                          conj=True, interpret=True))
     assert np.abs(outc - refc).max() / np.abs(refc).max() < 1e-4
 
@@ -35,14 +44,105 @@ def test_pallas_complex_psky():
                      1j * rng.normal(size=(nf, npx)), dtype=jnp.complex64)
     freqs = np.linspace(100e6, 110e6, nf)
     ref = np.asarray(rime_reduce_ref(ps[None], tau, freqs))
-    out = np.asarray(rime_pallas_reduce(ps, tau, freqs, tb=16, tc=128,
+    out = np.asarray(rime_pallas_reduce(ps, tau, freqs, tb=128, tc=128,
                                         interpret=True))
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
 
 
+def test_pallas_nonmultiple_freqs():
+    """Nfreqs not a multiple of 8 exercises the row-padding path."""
+    rng = np.random.default_rng(5)
+    nb, nf, npx = 16, 5, 256
+    tau = jnp.asarray(rng.uniform(-1e-5, 1e-5, (nb, npx)), dtype=jnp.float32)
+    ps = jnp.asarray(rng.normal(size=(nf, npx)), dtype=jnp.float32)
+    freqs = np.linspace(100e6, 110e6, nf)
+    ref = np.asarray(rime_reduce_ref(ps[None], tau, freqs))
+    out = np.asarray(rime_pallas_reduce(ps, tau, freqs, interpret=True))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_pallas_fused_grads(interpret_mode):
+    """custom_vjp backward kernels (fused dtau + role-swapped dps) match
+    jax.grad of the XLA reference path, real and complex psky."""
+    rng = np.random.default_rng(2)
+    nb, nf, npx = 24, 16, 256
+    tau = jnp.asarray(rng.uniform(-1e-5, 1e-5, (nb, npx)), dtype=jnp.float32)
+    freqs = np.linspace(100e6, 120e6, nf)
+    ftup = tuple(freqs.tolist())
+    ct = jnp.asarray(rng.normal(size=(nb, nf)) +
+                     1j * rng.normal(size=(nb, nf)), dtype=jnp.complex64)
+
+    for cplx in (False, True):
+        if cplx:
+            ps = jnp.asarray(rng.normal(size=(nf, npx)) +
+                             1j * rng.normal(size=(nf, npx)),
+                             dtype=jnp.complex64)
+        else:
+            ps = jnp.asarray(rng.normal(size=(nf, npx)), dtype=jnp.float32)
+        for conj in (False, True):
+            def loss_fused(p, t):
+                out = rime_pallas.rime_fused(p, t, ftup, conj)   # (nf, nb)
+                return jnp.sum(jnp.real(ct.T * out) +
+                               2.0 * jnp.imag(ct.T * out))
+
+            def loss_ref(p, t):
+                out = rime_reduce_ref(p[None], t, freqs, conj=conj)
+                return jnp.sum(jnp.real(ct * out) + 2.0 * jnp.imag(ct * out))
+
+            g1 = jax.grad(loss_fused, argnums=(0, 1))(ps, tau)
+            g2 = jax.grad(loss_ref, argnums=(0, 1))(ps, tau)
+            for a, b, name in zip(g1, g2, ("dps", "dtau")):
+                a, b = np.asarray(a), np.asarray(b)
+                scale = np.abs(b).max() + 1e-30
+                err = np.abs(a - b).max() / scale
+                assert err < 2e-4, \
+                    f"{name} cplx={cplx} conj={conj}: {err:.2e}"
+
+
+def test_pallas_multipol_stack(interpret_mode):
+    """(Npol, Npol, 1, Nf, Npix) psky runs on the fused kernel via row
+    stacking and matches the XLA reference."""
+    rng = np.random.default_rng(3)
+    nb, nf, npx = 20, 8, 256
+    tau = jnp.asarray(rng.uniform(-1e-5, 1e-5, (nb, npx)), dtype=jnp.float32)
+    freqs = np.linspace(100e6, 110e6, nf)
+    ps = jnp.asarray(rng.normal(size=(2, 2, 1, nf, npx)) +
+                     1j * rng.normal(size=(2, 2, 1, nf, npx)),
+                     dtype=jnp.complex64)
+    ref = np.asarray(rime_reduce_ref(ps, tau, freqs))
+    out = np.asarray(rime_reduce(ps, tau, freqs, use_pallas=True))
+    assert out.shape == ref.shape == (2, 2, nb, nf)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_pallas_mp_idx_groups(interpret_mode):
+    """Nmp > 1 with an mp_idx baseline->pair map groups baselines and
+    inverse-permutes; values match the XLA reference."""
+    rng = np.random.default_rng(4)
+    nb, nf, npx, nmp = 21, 8, 256, 3
+    tau = jnp.asarray(rng.uniform(-1e-5, 1e-5, (nb, npx)), dtype=jnp.float32)
+    freqs = np.linspace(100e6, 110e6, nf)
+    mp_idx = rng.integers(0, nmp, nb).astype(np.int32)
+    ps = jnp.asarray(rng.normal(size=(1, 1, nmp, nf, npx)), jnp.float32)
+    ref = np.asarray(rime_reduce_ref(ps, tau, freqs, mp_idx=mp_idx))
+    out = np.asarray(rime_reduce(ps, tau, freqs, mp_idx=mp_idx,
+                                 use_pallas=True))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+    # gradients flow through the grouping (gather/concat/permute)
+    def loss(p):
+        o = rime_reduce(p, tau, freqs, mp_idx=mp_idx, use_pallas=True)
+        return jnp.sum(jnp.abs(o) ** 2)
+    def loss_ref(p):
+        o = rime_reduce_ref(p, tau, freqs, mp_idx=mp_idx)
+        return jnp.sum(jnp.abs(o) ** 2)
+    g1 = np.asarray(jax.grad(loss)(ps))
+    g2 = np.asarray(jax.grad(loss_ref)(ps))
+    assert np.abs(g1 - g2).max() / (np.abs(g2).max() + 1e-30) < 2e-4
+
+
 def test_chunk_forward_vjp_matches_xla_grad():
-    """The custom backward (chunked auto-VJP) == direct jax.grad of the
-    XLA reference path."""
+    """The XLA-fallback backward (chunked auto-VJP) == direct jax.grad of
+    the XLA reference path."""
     rng = np.random.default_rng(2)
     nb, nf, npx = 8, 4, 64
     tau = jnp.asarray(rng.uniform(-1e-5, 1e-5, (nb, npx)))
@@ -66,11 +166,15 @@ def test_pallas_eligibility():
     freqs = np.linspace(100e6, 110e6, 4)
     # forced True passes shape checks regardless of backend
     assert _pallas_eligible(ps32, None, freqs, True)
-    # mp_idx disqualifies
-    assert not _pallas_eligible(ps32, np.zeros(3, np.int32), freqs, True)
-    # multi-pol disqualifies
+    # mp_idx now eligible (baseline grouping)
+    assert _pallas_eligible(jnp.ones((1, 1, 3, 4, 64), jnp.float32),
+                            np.zeros(3, np.int32), freqs, True)
+    # multi-pol now eligible (row stacking)
     ps4 = jnp.ones((2, 2, 1, 4, 64), dtype=jnp.float32)
-    assert not _pallas_eligible(ps4, None, freqs, True)
+    assert _pallas_eligible(ps4, None, freqs, True)
+    # per-baseline psky without mp_idx disqualifies
+    assert not _pallas_eligible(jnp.ones((1, 1, 3, 4, 64), jnp.float32),
+                                None, freqs, True)
     # irregular freqs disqualify
     f2 = np.asarray([1e8, 1.1e8, 1.3e8, 1.4e8])
     assert not _pallas_eligible(ps32, None, f2, True)
