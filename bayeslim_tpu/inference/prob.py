@@ -394,16 +394,25 @@ class LogProb(Module):
 
         return fn
 
+    def _fn_key(self, idx):
+        """Jit-cache key: with indexed batching (RIME stacked time
+        groups + traced group index) one executable serves every batch
+        except batch 0 (which adds the prior term), so key only on
+        idx == 0."""
+        if getattr(self.model, "indexed_batching", False):
+            return idx == 0
+        return idx
+
     def _vg_fn(self, idx):
         """Cached jitted value_and_grad for a batch index."""
-        key = ("vg", idx, self.compute, self.negate)
+        key = ("vg", self._fn_key(idx), self.compute, self.negate)
         if key not in self._jit_cache:
             fn = self._batch_fn(idx)
             self._jit_cache[key] = jax.jit(jax.value_and_grad(fn))
         return self._jit_cache[key]
 
     def _val_fn(self, idx):
-        key = ("v", idx, self.compute, self.negate)
+        key = ("v", self._fn_key(idx), self.compute, self.negate)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._batch_fn(idx))
         return self._jit_cache[key]

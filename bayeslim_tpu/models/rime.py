@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import Module
+from ..utils.module import HostState
 from ..utils.dtypes import C_MS, _float
 from ..utils.indexing import flatten as _flatten
 from ..data.containers import VisData, concat_VisData
@@ -60,6 +61,10 @@ class RIME(Module):
         self.time_mode = time_mode
         self.vis_sharding = vis_sharding
         self.verbose = verbose
+        self.indexed_batching = False
+        self._tg_arg = None
+        self._pre_stack = None
+        self._host = HostState(tg=0)
         self.setup_freqs(freqs)
         self.setup_sim_bls(sim_bls, data_bls)
         self.setup_sim_times(times)
@@ -139,11 +144,20 @@ class RIME(Module):
 
     @property
     def batch_idx(self):
+        if self.indexed_batching:
+            return self._host.tg * self.Nbl_groups + self.bl_group_id
         return self.time_group_id * self.Nbl_groups + self.bl_group_id
 
     @batch_idx.setter
     def batch_idx(self, val):
         assert 0 <= val < self.Nbatch
+        if self.indexed_batching:
+            # traced leaf selects the group: time_group_id (static aux)
+            # stays pinned so the model treedef -- and hence the jitted
+            # executable -- is identical for every batch
+            self._host.tg = int(val // self.Nbl_groups)
+            self._tg_arg = jnp.asarray(self._host.tg, jnp.int32)
+            return
         self.time_group_id = int(val // self.Nbl_groups)
         self.bl_group_id = int(val % self.Nbl_groups)
 
@@ -157,7 +171,8 @@ class RIME(Module):
 
     @property
     def sim_times(self):
-        return self.sim_time_groups[self.time_group_id]
+        tg = self._host.tg if self.indexed_batching else self.time_group_id
+        return self.sim_time_groups[tg]
 
     # ------------------------------------------------------------- precompute
     def _sky_components(self):
@@ -219,6 +234,56 @@ class RIME(Module):
         self._mp_groups = {k: self.beam.modelpairs(v)
                            for k, v in self.sim_bl_groups.items()}
 
+    def enable_indexed_batching(self):
+        """Stack per-time-group precompute arrays and select the active
+        group with a traced int32 leaf: ONE compiled executable then
+        serves every time batch. This removes the per-batch retrace the
+        reference pays by rebuilding closures per batch (optim.py:
+        1191-1226) and that a naive jit port pays through static
+        aux-data changes.
+
+        Requires a single baseline group and identical padded shapes
+        across time groups (uniform minibatches).
+        """
+        assert self.Nbl_groups == 1, "indexed batching: one bl group only"
+        ncomp = len(self._sky_components())
+        self._pre_stack = []
+        for ci in range(ncomp):
+            pres = [self._pre[(tg, ci)] for tg in self.sim_time_groups]
+            shapes = {k: pres[0][k].shape if k != "ctx"
+                      else tuple(x.shape for x in pres[0][k])
+                      for k in pres[0]}
+            for p in pres[1:]:
+                for k in p:
+                    s = p[k].shape if k != "ctx" else \
+                        tuple(x.shape for x in p[k])
+                    assert s == shapes[k], \
+                        "indexed batching needs uniform group shapes"
+            st = {}
+            for k in pres[0]:
+                if k == "ctx":
+                    st[k] = tuple(jnp.stack([p[k][i] for p in pres])
+                                  for i in range(len(pres[0][k])))
+                else:
+                    st[k] = jnp.stack([p[k] for p in pres])
+            self._pre_stack.append(st)
+        self.indexed_batching = True
+        self._host.tg = 0
+        self._tg_arg = jnp.asarray(0, jnp.int32)
+        self.time_group_id = 0
+        return self
+
+    def _select_pre(self, ci):
+        """The active time group's precompute dict (traced gather in
+        indexed mode, static dict lookup otherwise)."""
+        if self.indexed_batching:
+            st = self._pre_stack[ci]
+            tg = self._tg_arg
+            return {k: (tuple(jnp.take(x, tg, axis=0) for x in v)
+                        if isinstance(v, tuple) else jnp.take(v, tg, axis=0))
+                    for k, v in st.items()}
+        return self._pre[(self.time_group_id, ci)]
+
     # ---------------------------------------------------------------- forward
     def _sim_component(self, sky_data, pre, blvecs, mp1, mp2, mp_idx,
                        sim2data):
@@ -269,7 +334,7 @@ class RIME(Module):
         if not isinstance(sky_comps, list):
             sky_comps = [sky_comps]
 
-        tg, bg = self.time_group_id, self.bl_group_id
+        bg = self.bl_group_id
         a1, a2 = self._blidx_groups[bg]
         blvecs = self.array.antvecs[a2] - self.array.antvecs[a1]
         mp1, mp2, mp_idx = self._mp_groups[bg]
@@ -277,7 +342,7 @@ class RIME(Module):
 
         vis = None
         for ci, comp in enumerate(sky_comps):
-            pre = self._pre[(tg, ci)]
+            pre = self._select_pre(ci)
             v = self._sim_component(comp.data, pre, blvecs, mp1, mp2,
                                     mp_idx, sim2data)
             vis = v if vis is None else vis + v

@@ -33,7 +33,25 @@ import numpy as np
 
 from .paramdict import ParamDict
 
-__all__ = ["Module", "Sequential", "model2pdict", "tree_replace"]
+__all__ = ["Module", "Sequential", "model2pdict", "tree_replace",
+           "HostState"]
+
+
+class HostState:
+    """Mutable host-side bookkeeping container for Module attributes.
+
+    Compares and hashes by IDENTITY, so it rides through pytree
+    flattening as static aux data whose mutations do NOT change the
+    treedef (and therefore never trigger a jit retrace). Use it for
+    host-only counters/ids that must survive across traced calls, e.g.
+    the active minibatch index mirror in RIME's indexed batching.
+    """
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def __repr__(self):
+        return f"HostState({self.__dict__!r})"
 
 
 class _StaticBox:

@@ -187,3 +187,46 @@ def test_rime_chunked_equals_unchunked():
     a = rime_reduce_ref(psky, tau, freqs)
     b = rime_reduce(psky, tau, freqs, chunk=64)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_rime_indexed_batching():
+    """Indexed (stacked-pre, traced group index) time batching matches
+    per-group batching AND compiles a single executable for all
+    non-prior batches (no per-batch_idx retrace)."""
+    from bayeslim_tpu.inference import LogProb
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    times = np.asarray([JD0 + i * 5e-4 for i in range(4)])
+
+    rime_ref = RIME(sky, T, beam, arr, bls, [times[:2], times[2:]], freqs)
+    vd_ref = rime_ref.run_batches(concat=True)
+
+    rime_ix = RIME(sky, T, beam, arr, bls, [times[:2], times[2:]], freqs)
+    rime_ix.enable_indexed_batching()
+    vd_ix = rime_ix.run_batches(concat=True)
+    assert np.allclose(np.asarray(vd_ix.data), np.asarray(vd_ref.data),
+                       atol=1e-10)
+    assert np.allclose(vd_ix.times, vd_ref.times)
+
+    # LogProb accumulate over batches: same loss/grads, single vg cache
+    # entry for batches > 0
+    tgt = bl.VisData()
+    tgt.setup_meta(T, arr.to_antpos())
+    tgt.setup_data(bls, times[:2], freqs, pol="ee",
+                   data=jnp.zeros((1, 1, len(bls), 2, len(freqs)),
+                                  dtype=jnp.complex128))
+    prob_ref = LogProb(rime_ref, [tgt, tgt])
+    prob_ix = LogProb(rime_ix, [tgt, tgt])
+    v1, g1 = prob_ref.value_and_grad()
+    v2, g2 = prob_ix.value_and_grad()
+    assert np.allclose(float(v1), float(v2), rtol=1e-12)
+    for k in g1:
+        assert np.allclose(np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-10)
+    vg_keys = [k for k in prob_ix._jit_cache if k[0] == "vg"]
+    assert len(vg_keys) == 2, vg_keys  # batch-0 (with prior) + the rest
+    vg_keys_ref = [k for k in prob_ref._jit_cache if k[0] == "vg"]
+    assert len(vg_keys_ref) == 2  # one per batch_idx without indexing
