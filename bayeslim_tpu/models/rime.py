@@ -297,18 +297,30 @@ class RIME(Module):
         beam = self.beam
         has_ctx = "ctx" in pre
 
+        # psky construction is cheap relative to the fused reduction but
+        # chains many (Nfreqs, Ncut)-sized elementwise intermediates;
+        # checkpoint it so a time scan's backward stores only psky
+        # itself per step, not every beam/sky intermediate
+        @jax.checkpoint
+        def make_psky(sky_d, zen, az, cut, mask, ctx):
+            csky = cut_sky_fov(sky_d, cut)
+            csky = csky * mask.astype(csky.real.dtype)
+            b = beam.gen_beam(zen, az, ctx=ctx)         # (Np,Nv,Nm,Nf,Ncut)
+            return beam.apply_beam_mp(b, mp1, mp2, csky)
+
         def one_time(xs):
             if has_ctx:
                 zen, az, cut, mask, s, ctx = xs
             else:
                 zen, az, cut, mask, s = xs
                 ctx = None
-            csky = cut_sky_fov(sky_data, cut)
-            csky = csky * mask.astype(csky.real.dtype)
-            b = beam.gen_beam(zen, az, ctx=ctx)           # (Np,Nv,Nm,Nf,Ncut)
-            psky = beam.apply_beam_mp(b, mp1, mp2, csky)  # (Np,Np,Nmp,Nf,Ncut)
-            tau = (blvecs @ s) / C_MS                     # (Nbls, Ncut)
-            return rime_reduce(psky, tau, freqs, mp_idx=mp_idx, chunk=chunk)
+            psky = make_psky(sky_data, zen, az, cut, mask, ctx)
+            # delay factored as (blvecs, s/c): tau = blvecs @ s_c is
+            # built inside the fused op (or the XLA fallback) and is
+            # never a stored VJP residual across the time scan
+            return rime_reduce(psky, None, freqs, mp_idx=mp_idx,
+                               chunk=chunk, blvecs=blvecs,
+                               s_c=s / C_MS)
 
         if self.remat:
             one_time = jax.checkpoint(one_time)

@@ -58,25 +58,124 @@ def gmst_rad(jd):
     return np.mod(_era_rad(jd) + poly * np.pi / (180 * 3600), 2 * np.pi)
 
 
-def _nutation(jd):
-    """Truncated IAU 1980 nutation: (dpsi, deps) [rad] — dominant 4 terms."""
-    t = (np.asarray(jd, dtype=np.float64) - 2451545.0) / 36525.0
+# IAU 1980 nutation series, principal terms (Meeus, Astronomical
+# Algorithms 2nd ed., Table 22.A; amplitudes >= 0.0010"). Columns:
+# multipliers of (D, M, M', F, Om), then dpsi sin-coefficient and its
+# T-rate, deps cos-coefficient and its T-rate, in units of 0.0001".
+# Truncation error ~0.003" over +-1 century of J2000; the IAU 2000
+# precession-rate corrections (-0.29965 T, -0.02524 T arcsec) are added
+# to match the IAU 2000A frame at the few-mas level.
+_NUT_TABLE = np.array([
+    #  D   M  M'  F  Om    psi      psi_t   eps     eps_t
+    [0,  0,  0,  0,  1, -171996.0, -174.2, 92025.0,  8.9],
+    [-2, 0,  0,  2,  2,  -13187.0,   -1.6,  5736.0, -3.1],
+    [0,  0,  0,  2,  2,   -2274.0,   -0.2,   977.0, -0.5],
+    [0,  0,  0,  0,  2,    2062.0,    0.2,  -895.0,  0.5],
+    [0,  1,  0,  0,  0,    1426.0,   -3.4,    54.0, -0.1],
+    [0,  0,  1,  0,  0,     712.0,    0.1,    -7.0,  0.0],
+    [-2, 1,  0,  2,  2,    -517.0,    1.2,   224.0, -0.6],
+    [0,  0,  0,  2,  1,    -386.0,   -0.4,   200.0,  0.0],
+    [0,  0,  1,  2,  2,    -301.0,    0.0,   129.0, -0.1],
+    [-2, -1, 0,  2,  2,     217.0,   -0.5,   -95.0,  0.3],
+    [-2, 0,  1,  0,  0,    -158.0,    0.0,     0.0,  0.0],
+    [-2, 0,  0,  2,  1,     129.0,    0.1,   -70.0,  0.0],
+    [0,  0, -1,  2,  2,     123.0,    0.0,   -53.0,  0.0],
+    [2,  0,  0,  0,  0,      63.0,    0.0,     0.0,  0.0],
+    [0,  0,  1,  0,  1,      63.0,    0.1,   -33.0,  0.0],
+    [2,  0, -1,  2,  2,     -59.0,    0.0,    26.0,  0.0],
+    [0,  0, -1,  0,  1,     -58.0,   -0.1,    32.0,  0.0],
+    [0,  0,  1,  2,  1,     -51.0,    0.0,    27.0,  0.0],
+    [-2, 0,  2,  0,  0,      48.0,    0.0,     0.0,  0.0],
+    [0,  0, -2,  2,  1,      46.0,    0.0,   -24.0,  0.0],
+    [2,  0,  0,  2,  2,     -38.0,    0.0,    16.0,  0.0],
+    [0,  0,  2,  2,  2,     -31.0,    0.0,    13.0,  0.0],
+    [0,  0,  2,  0,  0,      29.0,    0.0,     0.0,  0.0],
+    [-2, 0,  1,  2,  2,      29.0,    0.0,   -12.0,  0.0],
+    [0,  0,  0,  2,  0,      26.0,    0.0,     0.0,  0.0],
+    [-2, 0,  0,  2,  0,     -22.0,    0.0,     0.0,  0.0],
+    [0,  0, -1,  2,  1,      21.0,    0.0,   -10.0,  0.0],
+    [0,  2,  0,  0,  0,      17.0,   -0.1,     0.0,  0.0],
+    [2,  0, -1,  0,  1,      16.0,    0.0,    -8.0,  0.0],
+    [-2, 2,  0,  2,  2,     -16.0,    0.1,     7.0,  0.0],
+    [0,  1,  0,  0,  1,     -15.0,    0.0,     9.0,  0.0],
+    [-2, 0,  1,  0,  1,     -13.0,    0.0,     7.0,  0.0],
+    [0, -1,  0,  0,  1,     -12.0,    0.0,     6.0,  0.0],
+    [0,  0,  2, -2,  0,      11.0,    0.0,     0.0,  0.0],
+    [2,  0, -1,  2,  1,     -10.0,    0.0,     5.0,  0.0],
+], dtype=np.float64)
+
+
+def _delaunay_args(t):
+    """Fundamental (Delaunay) arguments [rad] (Meeus 22.1-22.5)."""
     d2r = np.pi / 180.0
-    # fundamental arguments [deg]
-    Om = 125.04452 - 1934.136261 * t      # lunar ascending node
-    Ls = 280.4665 + 36000.7698 * t        # mean solar longitude
-    Lm = 218.3165 + 481267.8813 * t       # mean lunar longitude
-    dpsi = (-17.20 * np.sin(Om * d2r) - 1.32 * np.sin(2 * Ls * d2r)
-            - 0.23 * np.sin(2 * Lm * d2r) + 0.21 * np.sin(2 * Om * d2r))
-    deps = (9.20 * np.cos(Om * d2r) + 0.57 * np.cos(2 * Ls * d2r)
-            + 0.10 * np.cos(2 * Lm * d2r) - 0.09 * np.cos(2 * Om * d2r))
-    return dpsi * np.pi / (180 * 3600), deps * np.pi / (180 * 3600)
+    D = (297.85036 + 445267.111480 * t - 0.0019142 * t**2
+         + t**3 / 189474.0) * d2r
+    M = (357.52772 + 35999.050340 * t - 0.0001603 * t**2
+         - t**3 / 300000.0) * d2r
+    Mp = (134.96298 + 477198.867398 * t + 0.0086972 * t**2
+          + t**3 / 56250.0) * d2r
+    F = (93.27191 + 483202.017538 * t - 0.0036825 * t**2
+         + t**3 / 327270.0) * d2r
+    Om = (125.04452 - 1934.136261 * t + 0.0020708 * t**2
+          + t**3 / 450000.0) * d2r
+    return D, M, Mp, F, Om
+
+
+def _nutation(jd, rate_corr=True):
+    """IAU 1980 nutation (principal terms): (dpsi, deps) [rad].
+
+    Replaces the round-1 4-term truncation; validated against the Meeus
+    worked example (1987 Apr 10 TD: dpsi=-3.788", deps=+9.443",
+    tests/test_telescope.py). rate_corr adds the IAU 2000 precession-rate
+    corrections so the frame tracks IAU 2000A at the few-mas level.
+    """
+    t = (np.asarray(jd, dtype=np.float64) - 2451545.0) / 36525.0
+    D, M, Mp, F, Om = _delaunay_args(t)
+    mult = _NUT_TABLE[:, :5]
+    arg = (mult[:, 0, None] * np.atleast_1d(D)
+           + mult[:, 1, None] * np.atleast_1d(M)
+           + mult[:, 2, None] * np.atleast_1d(Mp)
+           + mult[:, 3, None] * np.atleast_1d(F)
+           + mult[:, 4, None] * np.atleast_1d(Om))
+    tt = np.atleast_1d(t)
+    dpsi = np.sum((_NUT_TABLE[:, 5, None] + _NUT_TABLE[:, 6, None] * tt)
+                  * np.sin(arg), axis=0) * 1e-4
+    deps = np.sum((_NUT_TABLE[:, 7, None] + _NUT_TABLE[:, 8, None] * tt)
+                  * np.cos(arg), axis=0) * 1e-4
+    if rate_corr:
+        dpsi = dpsi - 0.29965 * tt
+        deps = deps - 0.02524 * tt
+    if np.ndim(jd) == 0:
+        dpsi, deps = dpsi[0], deps[0]
+    as2r = np.pi / (180 * 3600)
+    return dpsi * as2r, deps * as2r
+
+
+# ICRS pole/origin offsets w.r.t. the J2000 mean equator/equinox
+# (IAU 2000 frame bias; SOFA bp00): xi0, eta0, d(alpha)0 [arcsec]
+_BIAS_XI0 = -0.0166170
+_BIAS_ETA0 = -0.0068192
+_BIAS_DRA0 = -0.01460
+
+
+def _frame_bias():
+    """ICRS -> mean J2000 rotation matrix (first order; second-order
+    terms are ~1e-19 and irrelevant)."""
+    as2r = np.pi / (180 * 3600)
+    xi, eta, dra = (_BIAS_XI0 * as2r, _BIAS_ETA0 * as2r, _BIAS_DRA0 * as2r)
+    return np.array([
+        [1.0,   dra,  -xi],
+        [-dra,  1.0, -eta],
+        [xi,    eta,  1.0],
+    ])
 
 
 def _obliquity(jd):
-    """Mean obliquity of the ecliptic [rad] (IAU 2006)."""
+    """Mean obliquity of the ecliptic [rad] (IAU 1980, as used by the
+    ERFA/SOFA IAU 2000 precession-nutation chain and the Meeus worked
+    examples; the IAU 2006 constant differs by 0.042")."""
     t = (np.asarray(jd, dtype=np.float64) - 2451545.0) / 36525.0
-    eps = 84381.406 - 46.836769 * t - 0.0001831 * t**2 + 0.00200340 * t**3
+    eps = 84381.448 - 46.8150 * t - 0.00059 * t**2 + 0.001813 * t**3
     return eps * np.pi / (180 * 3600)
 
 
@@ -155,7 +254,7 @@ def eq2top(location, time, ra, dec, apparent=True):
         vel = _earth_velocity(time)
         v = v + vel[:, None]
         v /= np.linalg.norm(v, axis=0, keepdims=True)
-        M = _nutation_matrix(time) @ _precession_matrix(time)
+        M = _nutation_matrix(time) @ _precession_matrix(time) @ _frame_bias()
         v = M @ v
         dpsi, _ = _nutation(time)
         last = gmst_rad(time) + dpsi * np.cos(_obliquity(time)) + lon * D2R
@@ -203,7 +302,7 @@ def top2eq(location, time, zen, az, apparent=True):
     cd = np.cos(dec_date)
     v = np.stack([cd * np.cos(ra_date), cd * np.sin(ra_date), np.sin(dec_date)])
     if apparent:
-        M = _nutation_matrix(time) @ _precession_matrix(time)
+        M = _nutation_matrix(time) @ _precession_matrix(time) @ _frame_bias()
         v = M.T @ v
         vel = _earth_velocity(time)
         v = v - vel[:, None]

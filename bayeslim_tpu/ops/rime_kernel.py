@@ -57,23 +57,37 @@ def _pallas_eligible(psky, mp_idx, freqs, use_pallas):
     return True
 
 
-def _rime_fused_dispatch(psky, tau, freqs, mp_idx, conj):
+def _rime_fused_dispatch(psky, tau, freqs, mp_idx, conj, blvecs=None,
+                         s_c=None):
     """Map the general (..., Nmp, Nfreqs, Npix) contract onto the 2D
     stacked-row fused kernel: polarization blocks stack as extra
     frequency rows; Nmp > 1 groups baselines by model pair (mp_idx is
-    host metadata) and inverse-permutes the concatenated result."""
-    from .rime_pallas import rime_fused
+    host metadata) and inverse-permutes the concatenated result.
+
+    When (blvecs, s_c) are given, the delay matrix is factored through
+    rime_fused_bs so tau is never a stored VJP residual (O(Npix) memory
+    under a time scan instead of O(Ntimes*Nbls*Npix))."""
+    from .rime_pallas import rime_fused, rime_fused_bs
     lead = psky.shape[:-3]
     nmp, nf, npx = psky.shape[-3:]
-    nb = tau.shape[0]
+    nb = blvecs.shape[0] if blvecs is not None else tau.shape[0]
     L = 1
     for s in lead:
         L *= s
     ftup = tuple(np.asarray(freqs, dtype=np.float64).tolist())
 
+    def run(ps2d, bl_sel=None):
+        if blvecs is not None:
+            bv = blvecs if bl_sel is None else \
+                jnp.take(blvecs, jnp.asarray(bl_sel), axis=0)
+            return rime_fused_bs(ps2d, bv, s_c, ftup, conj)
+        t = tau if bl_sel is None else \
+            jnp.take(tau, jnp.asarray(bl_sel), axis=0)
+        return rime_fused(ps2d, t, ftup, conj)
+
     if mp_idx is None or nmp == 1:
         ps2d = psky.reshape(L * nf, npx)
-        out = rime_fused(ps2d, tau, ftup, conj)          # (L*nf, nb)
+        out = run(ps2d)                                   # (L*nf, nb)
         out = out.reshape(lead + (nf, nb))
         return jnp.moveaxis(out, -2, -1)                  # (..., nb, nf)
 
@@ -84,9 +98,8 @@ def _rime_fused_dispatch(psky, tau, freqs, mp_idx, conj):
         if len(idx) == 0:
             continue
         order.append(idx)
-        tau_m = jnp.take(tau, jnp.asarray(idx), axis=0)
         ps2d = psky[..., m, :, :].reshape(L * nf, npx)
-        outs.append(rime_fused(ps2d, tau_m, ftup, conj))  # (L*nf, nb_m)
+        outs.append(run(ps2d, idx))                       # (L*nf, nb_m)
     out = jnp.concatenate(outs, axis=-1)
     perm = np.concatenate(order)
     inv = np.empty_like(perm)
@@ -157,22 +170,29 @@ def _chunk_body(psky_c, tau_c, freqs, mp_idx, conj, out_dtype):
 
 
 def rime_reduce(psky, tau, freqs, mp_idx=None, conj=False, chunk=1024,
-                remat=True, use_pallas="auto"):
+                remat=True, use_pallas="auto", blvecs=None, s_c=None):
     """Pixel-chunked, remat'ed RIME reduction.
 
     Same contract as rime_reduce_ref (psky in model-pair space). `chunk`
     pixels per scan step; if Npix is not divisible the remainder runs as
     one extra unrolled block.
 
-    use_pallas: 'auto' dispatches the shared-beam single-pol float32 case
-    to the fused Pallas TPU kernel (ops/rime_pallas.py) when running on
-    TPU with a regular frequency grid; True forces it; False disables.
+    use_pallas: 'auto' dispatches float32 regular-frequency-grid cases
+    to the fused Pallas TPU kernels (ops/rime_pallas.py) when running on
+    TPU; True forces it; False disables.
+
+    tau may be None if (blvecs, s_c) are given: the delay matrix is then
+    built inside the fused op's fwd/bwd (never a VJP residual) or, on
+    the XLA fallback, materialized here.
     """
     npix = psky.shape[-1]
     freqs = np.asarray(freqs, dtype=np.float64)
 
     if use_pallas and _pallas_eligible(psky, mp_idx, freqs, use_pallas):
-        return _rime_fused_dispatch(psky, tau, freqs, mp_idx, conj)
+        return _rime_fused_dispatch(psky, tau, freqs, mp_idx, conj,
+                                    blvecs=blvecs, s_c=s_c)
+    if tau is None:
+        tau = blvecs @ s_c
     rdtype = jnp.result_type(psky.real.dtype, tau.dtype)
     out_dtype = jnp.result_type(rdtype, jnp.complex64)
 

@@ -524,6 +524,55 @@ def _rime_fused_bwd(freqs_tuple, conj, res, ct):
 rime_fused.defvjp(_rime_fused_fwd, _rime_fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def rime_fused_bs(ps2d, blvecs, s_c, freqs_tuple, conj=False):
+    """rime_fused with the geometric delay factored: tau = blvecs @ s_c
+    is (re)built inside both passes, so the (Nbls, Npix) delay matrix is
+    a transient (never a stored VJP residual). Under a time scan this
+    cuts backward memory from O(Ntimes * Nbls * Npix) to O(Npix).
+
+    ps2d : (nstack * Nfreqs, Npix); blvecs : (Nbls, 3);
+    s_c : (3, Npix) unit pointing vectors / c.
+    Returns (nstack * Nfreqs, Nbls) complex64.
+    """
+    out, _ = _bs_fwd(ps2d, blvecs, s_c, freqs_tuple, conj)
+    return out
+
+
+def _bs_fwd(ps2d, blvecs, s_c, freqs_tuple, conj):
+    f0, df, nf, nfp = _freq_params(freqs_tuple)
+    ps_p = _stack_pad(ps2d, nf, nfp)
+    tau_T = (s_c.T @ blvecs.T).astype(jnp.float32)    # (Npix, Nbls)
+    out_re, out_im = _fwd_pallas(ps_p, tau_T, f0, df, nfp, conj=conj)
+    out = jax.lax.complex(out_re, out_im)
+    return _stack_unpad(out, nf, nfp), (ps2d, blvecs, s_c)
+
+
+def _bs_bwd(freqs_tuple, conj, res, ct):
+    ps2d, blvecs, s_c = res
+    f0, df, nf, nfp = _freq_params(freqs_tuple)
+    ct_p = _stack_pad(ct, nf, nfp)
+    ps_p = _stack_pad(ps2d, nf, nfp)
+    ps_real = not jnp.iscomplexobj(ps2d)
+
+    # dtau first, contracted immediately to the (Nbls, 3) / (3, Npix)
+    # cotangents so the big delay matrices die young
+    tau_T = (s_c.T @ blvecs.T).astype(jnp.float32)
+    dtau_T = _dtau_pallas(ct_p, ps_p, tau_T, f0, df, nfp, conj=conj)
+    dblvecs = (s_c.astype(jnp.float32) @ dtau_T).T.astype(blvecs.dtype)
+    ds_c = (dtau_T @ blvecs.astype(jnp.float32)).T.astype(s_c.dtype)
+
+    tau = (blvecs @ s_c).astype(jnp.float32)          # (Nbls, Npix)
+    dre, dim = _fwd_pallas(ct_p, tau, f0, df, nfp, conj=conj,
+                           out_imag=not ps_real)
+    dps = dre if ps_real else jax.lax.complex(dre, dim)
+    dps = _stack_unpad(dps, nf, nfp).astype(ps2d.dtype)
+    return dps, dblvecs, ds_c
+
+
+rime_fused_bs.defvjp(_bs_fwd, _bs_bwd)
+
+
 # ------------------------------------------------------------ public compat
 def rime_pallas_reduce(psky, tau, freqs, conj=False, tb=256, tc=256,
                        tf=None, interpret=False):

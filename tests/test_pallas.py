@@ -181,3 +181,35 @@ def test_pallas_eligibility():
     # f64 disqualifies
     ps64 = jnp.ones((1, 1, 1, 4, 64), dtype=jnp.float64)
     assert not _pallas_eligible(ps64, None, freqs, True)
+
+
+def test_pallas_fused_bs_grads(interpret_mode):
+    """rime_fused_bs (factored blvecs @ s_c delays) matches values and
+    gradients of the XLA reference, including d/dblvecs."""
+    rng = np.random.default_rng(6)
+    nb, nf, npx = 16, 8, 256
+    blvecs = jnp.asarray(rng.uniform(-100, 100, (nb, 3)), jnp.float32)
+    s_c = jnp.asarray(rng.normal(size=(3, npx)), jnp.float32) / 3e8
+    freqs = np.linspace(100e6, 110e6, nf)
+    ftup = tuple(freqs.tolist())
+    ps = jnp.asarray(rng.normal(size=(nf, npx)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(nb, nf)) +
+                     1j * rng.normal(size=(nb, nf)), jnp.complex64)
+
+    def loss_bs(p, bv):
+        out = rime_pallas.rime_fused_bs(p, bv, s_c, ftup, False)
+        return jnp.sum(jnp.real(ct.T * out) + 2.0 * jnp.imag(ct.T * out))
+
+    def loss_ref(p, bv):
+        out = rime_reduce_ref(p[None], bv @ s_c, freqs)
+        return jnp.sum(jnp.real(ct * out) + 2.0 * jnp.imag(ct * out))
+
+    v1 = loss_bs(ps, blvecs)
+    v2 = loss_ref(ps, blvecs)
+    assert np.allclose(float(v1), float(v2), rtol=1e-4)
+    g1 = jax.grad(loss_bs, argnums=(0, 1))(ps, blvecs)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(ps, blvecs)
+    for a, b, name in zip(g1, g2, ("dps", "dblvecs")):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+        assert err < 2e-4, f"{name}: {err:.2e}"
