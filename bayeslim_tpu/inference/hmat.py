@@ -20,7 +20,7 @@ import numpy as np
 __all__ = [
     "BaseMat", "DenseMat", "DiagMat", "HadamardMat", "TriangMat",
     "SparseMat", "ZeroMat", "OneMat", "TransposedMat", "PartitionedMat",
-    "SolveMat", "MatDict", "HierMat", "make_hodlr",
+    "SolveMat", "MatDict", "HierMat", "SolveHierMat", "make_hodlr",
 ]
 
 
@@ -31,6 +31,13 @@ class BaseMat:
 
     def mat_vec_mul(self, v):
         raise NotImplementedError
+
+    def t_mat_vec_mul(self, v):
+        """A^T v without densifying: mat_vec_mul is a pure linear jax
+        function, so its algebraic transpose is available for free."""
+        primal = jax.ShapeDtypeStruct((self.shape[1],), v.dtype)
+        (out,) = jax.linear_transpose(self.mat_vec_mul, primal)(v)
+        return out
 
     def mat_mat_mul(self, M):
         return jax.vmap(self.mat_vec_mul, in_axes=1, out_axes=1)(M)
@@ -44,6 +51,30 @@ class BaseMat:
 
     def scalar_mul(self, a):
         raise NotImplementedError
+
+    def least_squares(self, y, Ninv=None, tol=1e-10, maxiter=None):
+        """Matrix-free weighted least squares: argmin_x ||A x - y||_Ninv
+        via conjugate gradients on the normal equations
+        (A^T Ninv A) x = A^T Ninv y (reference hmat.py BaseMat
+        least_squares :13-68 inverts densely; CG keeps every step an
+        operator application -- TPU-friendly and O(n) memory).
+
+        Ninv: None, a vector (diagonal weights), or a BaseMat.
+        """
+        def wmul(r):
+            if Ninv is None:
+                return r
+            if isinstance(Ninv, BaseMat):
+                return Ninv.mat_vec_mul(r)
+            return jnp.asarray(Ninv) * r
+
+        def normal_op(x):
+            return self.t_mat_vec_mul(wmul(self.mat_vec_mul(x)))
+
+        b = self.t_mat_vec_mul(wmul(y))
+        x, _ = jax.scipy.sparse.linalg.cg(normal_op, b, tol=tol,
+                                          maxiter=maxiter)
+        return x
 
     def __call__(self, v):
         return self.mat_vec_mul(v) if v.ndim == 1 else self.mat_mat_mul(v)
@@ -61,6 +92,9 @@ class DenseMat(BaseMat):
 
     def mat_vec_mul(self, v):
         return self.A @ v
+
+    def t_mat_vec_mul(self, v):
+        return self.A.T @ v
 
     def mat_mat_mul(self, M):
         return self.A @ M
@@ -83,6 +117,9 @@ class DiagMat(BaseMat):
         self.shape = (len(self.d), len(self.d))
 
     def mat_vec_mul(self, v):
+        return self.d * v
+
+    def t_mat_vec_mul(self, v):
         return self.d * v
 
     def mat_mat_mul(self, M):
@@ -130,6 +167,9 @@ class TriangMat(BaseMat):
     def mat_vec_mul(self, v):
         return self.L @ v
 
+    def t_mat_vec_mul(self, v):
+        return self.L.T @ v
+
     def mat_mat_mul(self, M):
         return self.L @ M
 
@@ -151,6 +191,12 @@ class SparseMat(BaseMat):
 
     def mat_vec_mul(self, v):
         out = self.U @ (self.V.T @ v)
+        if self.d is not None:
+            out = out + self.d * v
+        return out
+
+    def t_mat_vec_mul(self, v):
+        out = self.V @ (self.U.T @ v)
         if self.d is not None:
             out = out + self.d * v
         return out
@@ -210,17 +256,26 @@ class OneMat(BaseMat):
 
 
 class TransposedMat(BaseMat):
-    """Lazy transpose of another operator (reference :1038)."""
+    """Lazy transpose of another operator (reference :1038). The matvec
+    is the algebraic transpose of the wrapped operator's matvec -- no
+    densification (the reference's and round-1's to_dense().T paid
+    O(n^2) memory here)."""
 
     def __init__(self, mat):
         self.mat = mat
         self.shape = (mat.shape[1], mat.shape[0])
 
     def mat_vec_mul(self, v):
-        return self.mat.to_dense().T @ v
+        return self.mat.t_mat_vec_mul(v)
+
+    def t_mat_vec_mul(self, v):
+        return self.mat.mat_vec_mul(v)
 
     def to_dense(self):
         return self.mat.to_dense().T
+
+    def diagonal(self):
+        return self.mat.diagonal()
 
     def scalar_mul(self, a):
         return TransposedMat(self.mat.scalar_mul(a))
@@ -343,6 +398,17 @@ class HierMat(BaseMat):
             o2 = o2 + self.A21.mat_vec_mul(v1)
         return jnp.concatenate([o1, o2])
 
+    def t_mat_vec_mul(self, v):
+        n1 = self.A11.shape[0]
+        v1, v2 = v[:n1], v[n1:]
+        o1 = self.A11.t_mat_vec_mul(v1)
+        o2 = self.A22.t_mat_vec_mul(v2)
+        if self.A21 is not None:
+            o1 = o1 + self.A21.t_mat_vec_mul(v2)
+        if self.A12 is not None:
+            o2 = o2 + self.A12.t_mat_vec_mul(v1)
+        return jnp.concatenate([o1, o2])
+
     def to_dense(self):
         n1, n2 = self.A11.shape[0], self.A22.shape[0]
         top = jnp.concatenate([
@@ -359,6 +425,129 @@ class HierMat(BaseMat):
         return HierMat(self.A11.scalar_mul(a), self.A22.scalar_mul(a),
                        None if self.A12 is None else self.A12.scalar_mul(a),
                        None if self.A21 is None else self.A21.scalar_mul(a))
+
+
+class SolveHierMat(BaseMat):
+    """Hierarchical Cholesky solve of a symmetric positive-definite
+    HODLR operator (reference SolveHierMat, hmat.py:2211-2354).
+
+    Factors A = L L^T where L is itself hierarchical:
+        A = [[A11, U V^T], [V U^T, A22]]
+        L = [[L11, 0], [W, L22]],  W = V (L11^{-1} U)^T   (low rank)
+        L22 = chol(A22 - W W^T)
+    The rank-r Schur downdate propagates recursively as a pending
+    (C, M) pair with A_eff = A - C M C^T, so only leaf-sized dense
+    blocks and (n x rank) factors are ever materialized -- never a
+    dense n x n. Provides the full HMC mass-matrix contract
+    (inference/sampler.py _Mass): chol_mul (L v, momentum draws),
+    forward_sub (L^{-1} v), back_sub (L^{-T} v), mat_vec_mul (A^{-1} v,
+    the SolveMat convention) and logdet (for mass-matrix learning).
+
+    Symmetry: uses the upper off-diagonal (A12) of each HierMat node and
+    mirrors it; A21 is ignored.
+    """
+
+    def __init__(self, hier):
+        self.shape = hier.shape
+        self._root = self._factor(hier, None, None)
+
+    # ---------------------------------------------------------- factor
+    def _factor(self, A, C, M):
+        if not isinstance(A, HierMat):
+            D = A.to_dense()                        # leaf-sized only
+            if C is not None:
+                D = D - C @ (M @ C.T)
+            return {"leaf": True, "L": jnp.linalg.cholesky(D),
+                    "n": D.shape[0]}
+        n1 = A.A11.shape[0]
+        C1 = None if C is None else C[:n1]
+        C2 = None if C is None else C[n1:]
+        node1 = self._factor(A.A11, C1, M)
+
+        if A.A12 is not None:
+            assert isinstance(A.A12, SparseMat), \
+                "SolveHierMat needs low-rank (SparseMat) off-diagonals"
+            U, V = A.A12.U, A.A12.V
+        else:
+            U = jnp.zeros((n1, 0))
+            V = jnp.zeros((A.A22.shape[0], 0))
+        if C is not None:
+            # fold the pending downdate's off-diagonal part -C1 M C2^T
+            # into the low-rank block: [U, C1] [V, -C2 M^T]^T
+            U = jnp.concatenate([U, C1], axis=1)
+            V = jnp.concatenate([V, -C2 @ M.T], axis=1)
+
+        Ut = self._fsub(node1, U)                   # L11^{-1} U  (n1, r)
+        Ms = Ut.T @ Ut                              # r x r
+        if C is None:
+            Cp, Mp = V, Ms
+        else:
+            Cp = jnp.concatenate([C2, V], axis=1)
+            Mp = jax.scipy.linalg.block_diag(M, Ms)
+        node2 = self._factor(A.A22, Cp, Mp)
+        return {"leaf": False, "L1": node1, "L2": node2, "V": V,
+                "Ut": Ut, "n1": n1, "n": A.shape[0]}
+
+    # ---------------------------------------------------------- actions
+    def _fsub(self, node, v):
+        """L^{-1} v for a factor node; v may be (n,) or (n, k)."""
+        if node["leaf"]:
+            return jax.scipy.linalg.solve_triangular(node["L"], v,
+                                                     lower=True)
+        n1 = node["n1"]
+        y1 = self._fsub(node["L1"], v[:n1])
+        w = v[n1:] - node["V"] @ (node["Ut"].T @ y1)
+        y2 = self._fsub(node["L2"], w)
+        return jnp.concatenate([y1, y2], axis=0)
+
+    def _bsub(self, node, v):
+        """L^{-T} v."""
+        if node["leaf"]:
+            return jax.scipy.linalg.solve_triangular(node["L"].T, v,
+                                                     lower=False)
+        n1 = node["n1"]
+        x2 = self._bsub(node["L2"], v[n1:])
+        w = v[:n1] - node["Ut"] @ (node["V"].T @ x2)
+        x1 = self._bsub(node["L1"], w)
+        return jnp.concatenate([x1, x2], axis=0)
+
+    def _lmul(self, node, v):
+        """L v."""
+        if node["leaf"]:
+            return node["L"] @ v
+        n1 = node["n1"]
+        y1 = self._lmul(node["L1"], v[:n1])
+        y2 = node["V"] @ (node["Ut"].T @ v[:n1]) \
+            + self._lmul(node["L2"], v[n1:])
+        return jnp.concatenate([y1, y2], axis=0)
+
+    def forward_sub(self, v):
+        return self._fsub(self._root, v)
+
+    def back_sub(self, v):
+        return self._bsub(self._root, v)
+
+    def chol_mul(self, v):
+        """L v (draws p ~ N(0, A) from white noise)."""
+        return self._lmul(self._root, v)
+
+    def mat_vec_mul(self, v):
+        """A^{-1} v (the SolveMat convention, reference :1391/:2211)."""
+        return self.back_sub(self.forward_sub(v))
+
+    def t_mat_vec_mul(self, v):
+        return self.mat_vec_mul(v)  # symmetric
+
+    def logdet(self):
+        """log det A = 2 sum log diag(L)."""
+        def rec(node):
+            if node["leaf"]:
+                return 2.0 * jnp.sum(jnp.log(jnp.diagonal(node["L"])))
+            return rec(node["L1"]) + rec(node["L2"])
+        return rec(self._root)
+
+    def scalar_mul(self, a):
+        raise NotImplementedError("rescale the HierMat, then refactor")
 
 
 def make_hodlr(A, min_size=64, rank=8, depth=None):

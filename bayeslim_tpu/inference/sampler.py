@@ -159,9 +159,17 @@ class _Mass:
         if self.mass is not None:
             return xi * self.mass.operator(jnp.sqrt)
         if self.chol is not None:
-            return ParamDict({
-                k: (self.chol[k].mat_vec_mul(xi[k].ravel()).reshape(xi[k].shape)
-                    if k in self.chol else xi[k]) for k in xi})
+            out = {}
+            for k in xi:
+                if k in self.chol:
+                    op = self.chol[k]
+                    # SolveHierMat's mat_vec_mul is A^-1 v; its Cholesky
+                    # action is chol_mul
+                    f = getattr(op, "chol_mul", op.mat_vec_mul)
+                    out[k] = f(xi[k].ravel()).reshape(xi[k].shape)
+                else:
+                    out[k] = xi[k]
+            return ParamDict(out)
         if self.invchol is not None:
             # M^{1/2} xi = L'^-T xi for M^-1 = L' L'^T
             out = {}
@@ -212,17 +220,46 @@ class _Mass:
             return ParamDict(out)
         return p
 
-    def kinetic(self, p):
-        """K = 0.5 p^T M^-1 p (+ const logdet, dropped: cancels in MH
-        for a fixed mass matrix)."""
+    def kinetic(self, p, with_logdet=False):
+        """K = 0.5 p^T M^-1 p (+ 0.5 log det M when with_logdet: needed
+        if the mass matrix is re-estimated mid-run, otherwise the
+        constant cancels in Metropolis-Hastings)."""
         minv_p = self.minv(p)
-        return 0.5 * sum(float(jnp.sum((p[k].conj() * minv_p[k]).real))
-                         for k in p)
+        K = 0.5 * sum(float(jnp.sum((p[k].conj() * minv_p[k]).real))
+                      for k in p)
+        if with_logdet:
+            K += 0.5 * self.logdet()
+        return K
+
+    def logdet(self):
+        """log det M across all parameters (0 for identity blocks)."""
+        ld = 0.0
+        if self.mass is not None:
+            for k in self.mass.keys():
+                ld += float(jnp.sum(jnp.log(self.mass[k])))
+            return ld
+
+        def op_logdet(op):
+            if hasattr(op, "logdet"):
+                return float(op.logdet())
+            if hasattr(op, "L"):  # TriangMat / SolveMat factors
+                return 2.0 * float(jnp.sum(jnp.log(jnp.abs(
+                    jnp.diagonal(op.L)))))
+            return 2.0 * float(jnp.sum(jnp.log(jnp.abs(
+                jnp.diagonal(op.to_dense())))))
+
+        if self.chol is not None:
+            return sum(op_logdet(self.chol[k]) for k in self.chol.mats)
+        if self.invchol is not None:
+            return -sum(op_logdet(self.invchol[k])
+                        for k in self.invchol.mats)
+        return ld
 
 
 def _t_matvec(op, v):
-    """op^T @ v for hmat operators."""
-    return op.to_dense().T @ v
+    """op^T @ v for hmat operators -- lazy algebraic transpose (never
+    densifies; round 1 paid to_dense().T here)."""
+    return op.t_mat_vec_mul(v)
 
 
 class DynamicStepSize:

@@ -539,11 +539,28 @@ def rime_fused_bs(ps2d, blvecs, s_c, freqs_tuple, conj=False):
     return out
 
 
+# cap on transient delay-matrix elements (f32): chunk the pixel axis so
+# no single (Nbls, chunk) buffer exceeds ~1 GB of HBM
+_TAU_ELEM_BUDGET = 1 << 28
+
+
+def _pix_chunks(nbl, npx):
+    """Static pixel-chunk slices keeping nbl * chunk <= budget."""
+    if nbl * npx <= _TAU_ELEM_BUDGET:
+        return [slice(None)]
+    chunk = max(128, (_TAU_ELEM_BUDGET // max(nbl, 1)) // 128 * 128)
+    return [slice(i, min(i + chunk, npx)) for i in range(0, npx, chunk)]
+
+
 def _bs_fwd(ps2d, blvecs, s_c, freqs_tuple, conj):
     f0, df, nf, nfp = _freq_params(freqs_tuple)
     ps_p = _stack_pad(ps2d, nf, nfp)
-    tau_T = (s_c.T @ blvecs.T).astype(jnp.float32)    # (Npix, Nbls)
-    out_re, out_im = _fwd_pallas(ps_p, tau_T, f0, df, nfp, conj=conj)
+    out_re = out_im = None
+    for sl in _pix_chunks(blvecs.shape[0], ps_p.shape[1]):
+        tau_T = (s_c[:, sl].T @ blvecs.T).astype(jnp.float32)
+        re, im = _fwd_pallas(ps_p[:, sl], tau_T, f0, df, nfp, conj=conj)
+        out_re = re if out_re is None else out_re + re
+        out_im = im if out_im is None else out_im + im
     out = jax.lax.complex(out_re, out_im)
     return _stack_unpad(out, nf, nfp), (ps2d, blvecs, s_c)
 
@@ -554,20 +571,28 @@ def _bs_bwd(freqs_tuple, conj, res, ct):
     ct_p = _stack_pad(ct, nf, nfp)
     ps_p = _stack_pad(ps2d, nf, nfp)
     ps_real = not jnp.iscomplexobj(ps2d)
+    bv32 = blvecs.astype(jnp.float32)
 
-    # dtau first, contracted immediately to the (Nbls, 3) / (3, Npix)
-    # cotangents so the big delay matrices die young
-    tau_T = (s_c.T @ blvecs.T).astype(jnp.float32)
-    dtau_T = _dtau_pallas(ct_p, ps_p, tau_T, f0, df, nfp, conj=conj)
-    dblvecs = (s_c.astype(jnp.float32) @ dtau_T).T.astype(blvecs.dtype)
-    ds_c = (dtau_T @ blvecs.astype(jnp.float32)).T.astype(s_c.dtype)
+    # pixel-chunked: the (Nbls, chunk) delay matrix and dtau cotangent
+    # are transients, contracted to (Nbls, 3)/(3, chunk) immediately
+    dps_parts, dblvecs, ds_parts = [], None, []
+    for sl in _pix_chunks(blvecs.shape[0], ps_p.shape[1]):
+        tau_T = (s_c[:, sl].T @ blvecs.T).astype(jnp.float32)
+        dtau_T = _dtau_pallas(ct_p, ps_p[:, sl], tau_T, f0, df, nfp,
+                              conj=conj)
+        db = (s_c[:, sl].astype(jnp.float32) @ dtau_T).T
+        dblvecs = db if dblvecs is None else dblvecs + db
+        ds_parts.append((dtau_T @ bv32).T)
 
-    tau = (blvecs @ s_c).astype(jnp.float32)          # (Nbls, Npix)
-    dre, dim = _fwd_pallas(ct_p, tau, f0, df, nfp, conj=conj,
-                           out_imag=not ps_real)
-    dps = dre if ps_real else jax.lax.complex(dre, dim)
+        # dps[r, c] = sum_b ct[r, b] E: role-swapped forward
+        dre, dim = _fwd_pallas(ct_p, tau_T.T, f0, df, nfp, conj=conj,
+                               out_imag=not ps_real)
+        dps_parts.append(dre if ps_real else jax.lax.complex(dre, dim))
+
+    dps = jnp.concatenate(dps_parts, axis=1)
     dps = _stack_unpad(dps, nf, nfp).astype(ps2d.dtype)
-    return dps, dblvecs, ds_c
+    ds_c = jnp.concatenate(ds_parts, axis=1).astype(s_c.dtype)
+    return dps, dblvecs.astype(blvecs.dtype), ds_c
 
 
 rime_fused_bs.defvjp(_bs_fwd, _bs_bwd)

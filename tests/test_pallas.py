@@ -213,3 +213,36 @@ def test_pallas_fused_bs_grads(interpret_mode):
         a, b = np.asarray(a), np.asarray(b)
         err = np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
         assert err < 2e-4, f"{name}: {err:.2e}"
+
+
+def test_pallas_bs_pixel_chunking(interpret_mode, monkeypatch):
+    """With a tiny tau budget the bs-form splits the pixel axis into
+    chunks; values and gradients are unchanged."""
+    monkeypatch.setattr(rime_pallas, "_TAU_ELEM_BUDGET", 16 * 128)
+    rng = np.random.default_rng(7)
+    nb, nf, npx = 16, 8, 384
+    blvecs = jnp.asarray(rng.uniform(-100, 100, (nb, 3)), jnp.float32)
+    s_c = jnp.asarray(rng.normal(size=(3, npx)), jnp.float32) / 3e8
+    freqs = np.linspace(100e6, 110e6, nf)
+    ftup = tuple(freqs.tolist())
+    ps = jnp.asarray(rng.normal(size=(nf, npx)), jnp.float32)
+    assert len(rime_pallas._pix_chunks(nb, npx)) > 1
+
+    out = rime_pallas.rime_fused_bs(ps, blvecs, s_c, ftup, False)
+    ref = rime_reduce_ref(ps[None], blvecs @ s_c, freqs)
+    assert np.abs(np.asarray(out.T) - np.asarray(ref)).max() \
+        / np.abs(ref).max() < 1e-4
+
+    def loss(p, bv):
+        o = rime_pallas.rime_fused_bs(p, bv, s_c, ftup, False)
+        return jnp.sum(jnp.abs(o) ** 2)
+
+    def loss_ref(p, bv):
+        o = rime_reduce_ref(p[None], bv @ s_c, freqs)
+        return jnp.sum(jnp.abs(o) ** 2)
+
+    g1 = jax.grad(loss, argnums=(0, 1))(ps, blvecs)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(ps, blvecs)
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-30) < 2e-4
