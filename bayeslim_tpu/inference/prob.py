@@ -28,7 +28,71 @@ from ..data.containers import TensorData, VisData, MapData
 __all__ = [
     "BaseLogPrior", "LogUniformPrior", "LogTaperedUniformPrior",
     "LogGaussPrior", "LogLaplacePrior", "apply_icov", "LogProb",
+    "MainParams",
 ]
+
+
+class MainParams:
+    """Sub-slice gather/scatter of model parameters into one flat master
+    vector (reference set_main_params / collect_main_params /
+    send_main_params / sort_main_params, optim.py:485-911).
+
+    spec maps dotted parameter paths to an index selection:
+      - None: the whole parameter participates,
+      - an integer array: indices into the RAVELED parameter,
+      - a boolean mask with the parameter's shape.
+    Unselected entries stay frozen at the wrapped model's values (e.g.
+    solve some antenna gains while holding the rest fixed). Keys are
+    sorted, so the flat layout is deterministic (the reference's
+    sort_main_params); offsets/shapes/dtypes are host metadata.
+    """
+
+    def __init__(self, model, spec):
+        self.keys = sorted(spec)
+        self.idx, self.shapes, self.dtypes, self.sizes = {}, {}, {}, {}
+        self.offsets = {}
+        off = 0
+        for k in self.keys:
+            base = model[k]
+            self.shapes[k] = tuple(base.shape)
+            self.dtypes[k] = base.dtype
+            ix = spec[k]
+            if ix is not None:
+                ix = np.asarray(ix)
+                if ix.dtype == bool:
+                    assert ix.shape == self.shapes[k], (k, ix.shape)
+                    ix = np.where(ix.ravel())[0]
+                ix = ix.astype(np.int32).ravel()
+            self.idx[k] = ix
+            n = int(np.prod(self.shapes[k])) if ix is None else len(ix)
+            self.sizes[k] = n
+            self.offsets[k] = off
+            off += n
+        self.size = off
+
+    def gather(self, model):
+        """Flat (size,) master vector of the selected entries."""
+        parts = []
+        for k in self.keys:
+            flat = jnp.ravel(model[k])
+            parts.append(flat if self.idx[k] is None
+                         else jnp.take(flat, jnp.asarray(self.idx[k])))
+        return jnp.concatenate(parts)
+
+    def scatter(self, vec, model):
+        """New model with the selected entries replaced from `vec`;
+        unselected entries keep the wrapped model's (frozen) values."""
+        updates = {}
+        for k in self.keys:
+            sub = jax.lax.dynamic_slice_in_dim(
+                vec, self.offsets[k], self.sizes[k]).astype(self.dtypes[k])
+            base = jnp.ravel(model[k])
+            if self.idx[k] is None:
+                new = sub
+            else:
+                new = base.at[jnp.asarray(self.idx[k])].set(sub)
+            updates[k] = new.reshape(self.shapes[k])
+        return model.updated(updates)
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +289,7 @@ class LogProb(Module):
         self.grad_type = grad_type
         self.complex_circular = complex_circular
         self.LM = LM  # optional DictLM preconditioner on pdict entries
+        self.main_params = None
         self.closure_eval = 0
         self._jit_cache = {}
         self.set_grad_mod()
@@ -255,12 +320,29 @@ class LogProb(Module):
         return tgt, inp
 
     # --- parameter plumbing ----------------------------------------------------
+    def set_main_params(self, spec=None):
+        """Restrict the solved parameters to sub-slices of the model's
+        parameter tensors (reference set_main_params, optim.py:485-911).
+
+        spec: {dotted_key: None | raveled int indices | bool mask}; the
+        unselected entries stay frozen at the wrapped model's values.
+        spec=None reverts to full-parameter solving.
+        """
+        self.main_params = None if spec is None else \
+            MainParams(self.model, spec)
+        self._jit_cache.clear()
+        return self.main_params
+
     def collect_main_params(self):
         """ParamDict of the model's trainable leaves (the 'main params').
 
         Keys are dotted paths relative to the model, e.g. 'sky.params',
         matching the reference's main_params naming (optim.py:485-911).
+        With set_main_params sub-slicing active, a single 'main' entry
+        holds the flat master vector.
         """
+        if self.main_params is not None:
+            return ParamDict({"main": self.main_params.gather(self.model)})
         return model2pdict(self.model)
 
     def _apply_LM(self, pdict):
@@ -279,7 +361,11 @@ class LogProb(Module):
         model = self.model
         prior_cache = {}
         if pdict is not None:
-            model = model.updated(self._apply_LM(pdict))
+            pdict = self._apply_LM(pdict)
+            if self.main_params is not None:
+                model = self.main_params.scatter(pdict["main"], model)
+            else:
+                model = model.updated(pdict)
         out = model.forward(inp, prior_cache=prior_cache)
         if isinstance(out, (TensorData, VisData, MapData)):
             out = out.data
@@ -309,7 +395,11 @@ class LogProb(Module):
         """Log prior (counted once across batches) (optim.py:1076-1131)."""
         model = self.model
         if pdict is not None:
-            model = model.updated(self._apply_LM(pdict))
+            pdict = self._apply_LM(pdict)
+            if self.main_params is not None:
+                model = self.main_params.scatter(pdict["main"], model)
+            else:
+                model = model.updated(pdict)
         logprior = jnp.asarray(0.0)
         if self.prior_dict is not None:
             for key, pr in self.prior_dict.items():
@@ -351,12 +441,16 @@ class LogProb(Module):
         compute, negate, cc = self.compute, self.negate, self.complex_circular
         prior_dict = self.prior_dict
         LM = self.LM
+        mp = self.main_params
         include_prior = (idx == 0)
 
         def fn(pdict, model, data, icov):
             if LM is not None:
                 pdict = ParamDict({k: LM(k, v) for k, v in pdict.items()})
-            m = model.updated(pdict)
+            if mp is not None:
+                m = mp.scatter(pdict["main"], model)
+            else:
+                m = model.updated(pdict)
             prob = jnp.asarray(0.0)
             prior_cache = {}
             if compute in ("post", "like"):

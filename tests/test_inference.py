@@ -195,3 +195,63 @@ def test_rime_logprob_end_to_end():
     assert losses[-1] - norm < 1e-8 * losses[0]
     rec = np.asarray(opt.pdict["sky.params"])
     assert np.allclose(rec, truth_params, atol=1e-8)
+
+
+def test_main_params_subslice():
+    """set_main_params solves a SUB-SLICE of a parameter tensor while
+    freezing the rest (reference optim.py:485-911 index machinery)."""
+    import optax
+    from tests.test_rime import (setup_Telescope, setup_PointSky,
+                                 setup_Array, setup_UniformBeam, JD0)
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=4, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_UniformBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:8]
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+    truth_vd = rime.forward()
+    truth = np.asarray(sky.params).copy()
+
+    tgt = truth_vd.copy()
+    tgt.setup_data(bls, truth_vd.times, freqs, pol="ee", data=truth_vd.data,
+                   cov=jnp.ones(truth_vd.data.shape), cov_axis=None,
+                   icov=jnp.ones(truth_vd.data.shape))
+
+    # perturb the amplitudes of sources 0 and 2 only; solve exactly those
+    p0 = truth.copy()
+    sel = np.zeros(truth.shape, dtype=bool)
+    sel[0, 0, 0, 0] = sel[0, 0, 0, 2] = True
+    p0[sel] *= 1.4
+    rime.sky.params = jnp.asarray(p0)
+    rime.beam.unset_param("params")
+
+    prob = LogProb(rime, tgt)
+    mp = prob.set_main_params({"sky.params": sel})
+    assert mp.size == 2
+
+    # gather/scatter round trip
+    vec = prob.collect_main_params()
+    assert vec["main"].shape == (2,)
+    m2 = mp.scatter(vec["main"], prob.model)
+    assert np.allclose(np.asarray(m2.sky.params), p0)
+
+    # gradient of the master vector matches the full-parameter gradient
+    # at the selected indices
+    v_sub, g_sub = prob.value_and_grad(vec)
+    prob_full = LogProb(rime, tgt)
+    v_full, g_full = prob_full.value_and_grad()
+    assert np.allclose(float(v_sub), float(v_full), rtol=1e-12)
+    gf = np.asarray(g_full["sky.params"]).ravel()[sel.ravel()]
+    assert np.allclose(np.asarray(g_sub["main"]), gf, rtol=1e-10)
+
+    # optimize the 2 selected entries; everything else must stay frozen
+    opt = optax.adam(0.2)
+    state = opt.init(dict(vec))
+    pd = dict(vec)
+    for i in range(150):
+        v, g = prob.value_and_grad(ParamDict(pd))
+        up, state = opt.update(dict(g), state, pd)
+        pd = jax.tree_util.tree_map(lambda a, b: a + b, pd, dict(up))
+    final = np.asarray(mp.scatter(pd["main"], prob.model).sky.params)
+    assert np.allclose(final[sel], truth[sel], atol=2e-2)
+    assert np.allclose(final[~sel], p0[~sel], atol=0)
