@@ -7,7 +7,8 @@ from .bfgs import BFGS, LBFGS, strong_wolfe, lbfgs_approx_cov
 from .trainer import Trainer
 from .hessian import (
     compute_hessian, invert_hessian, mask_hessian, unmask_hessian,
-    main_params_index, compute_icov, implicit_to_dense, FactoredInvHessian,
+    main_params_index, main_params_kron_inv_hess, compute_icov,
+    implicit_to_dense, FactoredInvHessian,
 )
 from .sampler import HMC, NUTS, RecycledHMC, Potential, leapfrog, SamplerBase
 from . import hmat

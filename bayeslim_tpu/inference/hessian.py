@@ -23,7 +23,8 @@ from ..ops.linalg import invert_matrix
 
 __all__ = [
     "compute_hessian", "invert_hessian", "mask_hessian", "unmask_hessian",
-    "main_params_index", "compute_icov", "implicit_to_dense",
+    "main_params_index", "main_params_kron_inv_hess", "compute_icov",
+    "implicit_to_dense",
     "FactoredInvHessian",
 ]
 
@@ -40,16 +41,8 @@ def main_params_index(pdict):
     return out
 
 
-def compute_hessian(prob, pdict=None, rows_chunk=None, keys=None):
-    """Dense Hessian of the (negative log) posterior w.r.t. the raveled
-    ParamDict (reference optim.py:2008-2181).
-
-    rows_chunk bounds memory: forward-over-reverse is evaluated for
-    `rows_chunk` tangent directions per pass. keys restricts to a subset
-    of parameters (block of the full Hessian).
-
-    Returns (H (n, n), index dict key->slice).
-    """
+def _hessian_one(prob, batch_idx, pdict, rows_chunk, keys):
+    """Hessian of one batch of one LogProb (forward-over-reverse)."""
     if pdict is None:
         pdict = prob.collect_main_params()
     if keys is not None:
@@ -59,7 +52,7 @@ def compute_hessian(prob, pdict=None, rows_chunk=None, keys=None):
     n = x0.size
 
     def f(x):
-        return prob.forward(template.unravel(x))
+        return prob.forward(template.unravel(x), idx=batch_idx)
 
     grad_f = jax.grad(f)
 
@@ -76,6 +69,63 @@ def compute_hessian(prob, pdict=None, rows_chunk=None, keys=None):
             rows.append(jnp.stack(block))
         H = jnp.concatenate(rows, axis=0)
     return H, main_params_index(pdict)
+
+
+def compute_hessian(prob, pdict=None, rows_chunk=None, keys=None,
+                    batches="all"):
+    """Dense Hessian of the (negative log) posterior w.r.t. the raveled
+    ParamDict (reference optim.py:2008-2181).
+
+    prob may be a single LogProb, a ShardedLogProb, or a LIST of
+    independent LogProbs (the reference's multi-prob/multi-device row
+    blocking); Hessians sum across probs. Minibatch-aware: with
+    batches='all' the per-batch Hessians accumulate over every (time x
+    bl) group (the prior enters once, at batch 0, like the forward).
+
+    rows_chunk bounds memory: forward-over-reverse is evaluated for
+    `rows_chunk` tangent directions per pass. keys restricts to a subset
+    of parameters (block of the full Hessian).
+
+    Returns (H (n, n), index dict key->slice).
+    """
+    probs = list(prob) if isinstance(prob, (list, tuple)) else [prob]
+    H, index = None, None
+    for p in probs:
+        nb = getattr(p, "Nbatch", 1) if batches == "all" else 1
+        for i in range(nb):
+            Hb, index = _hessian_one(p, i, pdict, rows_chunk, keys)
+            H = Hb if H is None else H + Hb
+    return H, index
+
+
+def main_params_kron_inv_hess(hess, index, key, shape, method="chol",
+                              **inv_kwargs):
+    """Kronecker-factored inverse-Hessian preconditioner for one
+    parameter block (reference main_params_kron_inv_hess,
+    optim.py:2438-2485): select the key's sub-block of the master
+    Hessian, invert/factor the leading (N, N) block (N = prod of the
+    parameter's trailing axes), column-average the factor, and
+    Kronecker-expand over the leading axis.
+
+    hess : (n, n) master Hessian; index : key->slice from
+    compute_hessian / main_params_index; shape : the parameter's shape.
+    Returns the (shape[0]*N, shape[0]) preconditioner matrix.
+    """
+    hidx = index[key]
+    Hs = hess[hidx, :][:, hidx]
+    N = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+
+    if method == "chol":
+        cov = invert_matrix(Hs[:N, :N], **inv_kwargs)
+        L = jnp.linalg.cholesky(cov)
+    elif method == "svd":
+        u, s, _ = jnp.linalg.svd(Hs[:N, :N])
+        L = u @ jnp.diag(1.0 / jnp.sqrt(s))
+    else:
+        raise ValueError(method)
+
+    L = L.sum(axis=1) / L.shape[1] ** 0.5
+    return jnp.kron(jnp.eye(shape[0], dtype=L.dtype), L).T
 
 
 def invert_hessian(H, inv="pinv", rcond=1e-15, eps=None, hermitian=True,
