@@ -10,5 +10,6 @@ from .hessian import (
     main_params_index, main_params_kron_inv_hess, compute_icov,
     implicit_to_dense, FactoredInvHessian,
 )
-from .sampler import HMC, NUTS, RecycledHMC, Potential, leapfrog, SamplerBase
+from .sampler import (HMC, NUTS, RecycledHMC, Potential, leapfrog,
+                      make_leapfrog_traj, SamplerBase)
 from . import hmat

@@ -67,6 +67,40 @@ def leapfrog(q, p, dUdq, eps, N, Minv=None):
     return q, p, U, grad, N + 1
 
 
+def make_leapfrog_traj(vg_fn, Minv=None):
+    """Whole-trajectory leapfrog as ONE traced computation (SURVEY §7.6):
+    a lax.scan over steps, so an N-step trajectory is a single device
+    dispatch instead of N host round-trips (each ~30 ms on the remote
+    backend; the reference pays a full Python fwd+bwd per step,
+    sampler.py:1433-1585).
+
+    vg_fn(q, model, data, icov) -> (U, grad) must be pure (e.g.
+    jax.value_and_grad of LogProb._batch_fn(0)).
+
+    Returns traj(q, p, model, data, icov, eps, nstep) ->
+    (q', p', U', grad') with nstep static; wrap in jax.jit with
+    static_argnums for nstep.
+    """
+    Minv = Minv if Minv is not None else (lambda x: x)
+
+    def traj(q, p, model, data, icov, eps, nstep):
+        U0, g0 = vg_fn(q, model, data, icov)
+
+        def body(carry, _):
+            q, p, g = carry
+            p1 = p - g * (eps * 0.5)
+            q1 = q + Minv(p1) * eps
+            U, g1 = vg_fn(q1, model, data, icov)
+            p2 = p1 - g1 * (eps * 0.5)
+            return (q1, p2, g1), U
+
+        (q1, p2, g1), Us = jax.lax.scan(body, (q, p, g0), None,
+                                        length=nstep)
+        return q1, p2, Us[-1], g1
+
+    return traj
+
+
 class SamplerBase:
     """Chain bookkeeping, sampling loop, npz checkpoints
     (reference sampler.py:16-178)."""
@@ -302,7 +336,12 @@ class HMC(SamplerBase):
 
     def __init__(self, potential, x0, eps=0.1, Nstep=10, mass=None,
                  chol=None, invchol=None, dHmax=1000.0, seed=0,
-                 adapt_eps=False, adapt_kwargs=None, jitter_Nstep=False):
+                 adapt_eps=False, adapt_kwargs=None, jitter_Nstep=False,
+                 on_device="auto"):
+        """on_device: run whole leapfrog trajectories as one fused
+        device computation (lax.scan) when the wrapped LogProb is
+        single-batch; 'auto' enables it when possible, False forces the
+        host (per-step) integrator."""
         super().__init__(x0)
         self.potential = potential
         self.eps = eps
@@ -316,6 +355,15 @@ class HMC(SamplerBase):
             if adapt_eps else None
         self._U = None
         self._grad = None
+        self._traj = None
+        prob = getattr(potential, "prob", None)
+        if on_device and prob is not None and \
+                getattr(prob, "Nbatch", 1) == 1:
+            fn = prob._batch_fn(0)
+            vg = jax.value_and_grad(fn)
+            self._traj = jax.jit(make_leapfrog_traj(vg, self.mass.minv),
+                                 static_argnums=(6,))
+            self._prob = prob
 
     def dUdx(self, x):
         self.fn_evals += 1
@@ -338,8 +386,14 @@ class HMC(SamplerBase):
             self.key, kn = jax.random.split(self.key)
             nstep = int(jax.random.randint(kn, (), 1, self.Nstep + 1))
 
-        q_new, p_new, U_new, grad_new, ne = leapfrog(
-            self.x, p, self.dUdx, self.eps, nstep, self.mass.minv)
+        if self._traj is not None:
+            data, icov = self._prob._batch_args(0)
+            q_new, p_new, U_new, grad_new = self._traj(
+                self.x, p, self._prob.model, data, icov, self.eps, nstep)
+            self.fn_evals += nstep + 1
+        else:
+            q_new, p_new, U_new, grad_new, _ = leapfrog(
+                self.x, p, self.dUdx, self.eps, nstep, self.mass.minv)
         H1 = self._energy(U_new, p_new)
         dH = H1 - H0
 

@@ -309,3 +309,55 @@ def test_hmc_hodlr_mass_matrix():
     Kld = mass.kinetic(p, with_logdet=True)
     sign, ld = np.linalg.slogdet(Mh)
     assert abs((Kld - K) - 0.5 * ld) < 1e-5
+
+
+def test_leapfrog_traj_matches_host():
+    """The fused lax.scan trajectory (one device dispatch) matches the
+    host per-step integrator and is used by HMC for single-batch probs."""
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.inference import LogProb
+    from bayeslim_tpu.inference.sampler import make_leapfrog_traj
+    from tests.test_rime import (setup_Telescope, setup_PointSky,
+                                 setup_Array, setup_UniformBeam, JD0)
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=2, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_UniformBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+    rime.beam.unset_param("params")
+    vd = rime.forward()
+    tgt = vd.copy()
+    tgt.setup_data(bls, vd.times, freqs, pol="ee", data=vd.data,
+                   cov=jnp.ones(vd.data.shape), cov_axis=None,
+                   icov=jnp.ones(vd.data.shape))
+    prob = LogProb(rime, tgt)
+    pot = Potential(prob)
+
+    q = prob.collect_main_params()
+    p = ParamDict({k: jnp.ones_like(v) * 1e-3 for k, v in q.items()})
+    eps, N = 1e-3, 7
+
+    q1, p1, U1, g1, _ = leapfrog(q, p, pot, eps, N)
+
+    import jax
+    fn = prob._batch_fn(0)
+    traj = jax.jit(make_leapfrog_traj(jax.value_and_grad(fn)),
+                   static_argnums=(6,))
+    data, icov = prob._batch_args(0)
+    q2, p2, U2, g2 = traj(q, p, prob.model, data, icov, eps, N)
+
+    for k in q1:
+        assert np.allclose(np.asarray(q1[k]), np.asarray(q2[k]),
+                           rtol=1e-10, atol=1e-12)
+        assert np.allclose(np.asarray(p1[k]), np.asarray(p2[k]),
+                           rtol=1e-10, atol=1e-12)
+    assert np.allclose(float(U1), float(U2), rtol=1e-10)
+
+    # HMC auto-enables the fused path for single-batch probs
+    hmc = HMC(pot, q, eps=1e-3, Nstep=5, seed=1)
+    assert hmc._traj is not None
+    for _ in range(3):
+        hmc.step()
+    assert hmc.Nsamples == 3
