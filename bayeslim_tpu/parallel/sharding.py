@@ -47,30 +47,45 @@ def replicate(tree, mesh):
                                   else x, tree)
 
 
-def shard_rime(rime, mesh, time_axis="data", bl_axis=None):
+def shard_rime(rime, mesh, time_axis="data", bl_axis=None, inplace=False):
     """Shard a RIME model's per-time precompute over the mesh's time axis
     and (optionally) constrain the visibility block over a bl axis.
 
-    Returns the same RIME object mutated in place (host-side setup):
-    - every array in rime._pre gets its leading (Ntimes) dim sharded over
-      `time_axis`
-    - rime.time_mode switched to 'vmap' so the time axis is SPMD-partitioned
-      rather than scanned
+    Returns a shallow copy by default (inplace=False), leaving the
+    wrapped model valid for single-device use:
+    - every array in rime._pre (and the indexed-batching stack) gets its
+      (Ntimes) dim sharded over `time_axis`
+    - rime.time_mode switched to 'vmap' so the time axis is
+      SPMD-partitioned rather than scanned
     - rime.vis_sharding set to partition (Nt, Np, Np, Nbls, Nf) over
       (time_axis, ..., bl_axis, ...)
     """
-    t_spec = P(time_axis)
+    if not inplace:
+        rime = rime.copy()
+        rime._pre = {k: dict(v) for k, v in rime._pre.items()}
+        if getattr(rime, "_pre_stack", None) is not None:
+            rime._pre_stack = [dict(st) for st in rime._pre_stack]
+        rime.sky = rime.sky.copy()
+        rime.beam = rime.beam.copy()
+        rime.array = rime.array.copy()
 
-    def shard_leaf(x, extra_dims):
-        spec = P(*((time_axis,) + (None,) * extra_dims))
+    def shard_leaf(x, lead_dims=0):
+        spec = P(*((None,) * lead_dims + (time_axis,)
+                   + (None,) * (x.ndim - lead_dims - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     for key, pre in rime._pre.items():
         for name in ("zen", "az", "cut", "mask", "s"):
-            arr = pre[name]
-            pre[name] = shard_leaf(arr, arr.ndim - 1)
+            pre[name] = shard_leaf(pre[name])
         if "ctx" in pre:
-            pre["ctx"] = tuple(shard_leaf(a, a.ndim - 1) for a in pre["ctx"])
+            pre["ctx"] = tuple(shard_leaf(a) for a in pre["ctx"])
+    if getattr(rime, "_pre_stack", None) is not None:
+        for st in rime._pre_stack:
+            for name in list(st):
+                if name == "ctx":
+                    st[name] = tuple(shard_leaf(a, 1) for a in st[name])
+                else:
+                    st[name] = shard_leaf(st[name], 1)
 
     rime.time_mode = "vmap"
     rime.vis_sharding = NamedSharding(
@@ -110,31 +125,40 @@ class ShardedLogProb:
     """
 
     def __init__(self, prob, mesh=None, time_axis="data", bl_axis=None):
-        from jax.sharding import Mesh as _M
-        self.prob = prob
+        import copy as _copy
         if mesh is None:
             mesh = make_mesh({"data": len(jax.devices())})
         self.mesh = mesh
         self.time_axis = time_axis
         self.bl_axis = bl_axis
 
-        # find the RIME inside the model
-        model = prob.model
-        rime = None
-        if hasattr(model, "_pre"):
-            rime = model
-        elif hasattr(model, "models"):
-            for m in model.models.values():
-                if hasattr(m, "_pre"):
-                    rime = m
-                    break
-        assert rime is not None, "ShardedLogProb needs a RIME in the model"
-        shard_rime(rime, mesh, time_axis=time_axis, bl_axis=bl_axis)
-        for tgt in prob.target:
-            if hasattr(tgt, "blnums"):
-                shard_visdata(tgt, mesh, time_axis=time_axis, bl_axis=bl_axis)
-        # force re-jit with the new shardings
+        # non-destructive: wrap shallow copies so the original prob and
+        # model stay valid for single-device use
+        prob = _copy.copy(prob)
         prob._jit_cache = {}
+        model = prob.model
+        if hasattr(model, "_pre"):
+            prob.model = shard_rime(model, mesh, time_axis=time_axis,
+                                    bl_axis=bl_axis)
+        elif hasattr(model, "models"):
+            seq = _copy.copy(model)
+            seq.models = dict(model.models)
+            found = False
+            for k, m in seq.models.items():
+                if hasattr(m, "_pre"):
+                    seq.models[k] = shard_rime(m, mesh, time_axis=time_axis,
+                                               bl_axis=bl_axis)
+                    found = True
+                    break
+            assert found, "ShardedLogProb needs a RIME in the model"
+            prob.model = seq
+        else:
+            raise AssertionError("ShardedLogProb needs a RIME in the model")
+        prob.target = [
+            shard_visdata(t.copy(), mesh, time_axis=time_axis,
+                          bl_axis=bl_axis) if hasattr(t, "blnums") else t
+            for t in prob.target]
+        self.prob = prob
 
     def collect_main_params(self):
         pd = self.prob.collect_main_params()
