@@ -403,13 +403,19 @@ class VisData(TensorData):
             x = x / dof
         return x
 
-    def bl_average(self, reds=None, wgts=None, inplace=False):
+    def bl_average(self, reds=None, wgts=None, redtol=1.0, inplace=False):
         """Average over redundant baseline groups (reference :1257).
 
-        reds: list of lists of bl tuples; default: group identical blnums.
+        reds: list of lists of bl tuples; default: auto-build redundant
+        groups from the antenna positions (reference dataset.py:1280-1285;
+        redtol in meters).
         """
         if reds is None:
-            reds = [[bl] for bl in self.bls]
+            from ..models.telescope import build_reds
+            assert self.antpos is not None, \
+                "bl_average needs antpos to auto-build redundant groups"
+            red_info = build_reds(self.antpos, bls=self.bls, redtol=redtol)
+            reds = red_info[0]
         obj = self if inplace else self.copy()
         new_blnums, chunks = [], []
         ic = self.icov if (self.icov is not None and self.cov_axis is None) else None

@@ -142,3 +142,42 @@ def test_split_into_groups():
     assert g == [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9]]
     g = split_into_groups(list(range(10)), Ngroup=2)
     assert len(g) == 2
+
+
+def test_bl_average_default_builds_reds():
+    """bl_average() with reds=None auto-builds redundant groups from
+    antpos (reference dataset.py:1280-1285; round-1 silently averaged
+    nothing)."""
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.utils import make_hex, AntposDict
+    import jax.numpy as jnp
+
+    ants, antvecs = make_hex(2, D=15.0)
+    freqs = np.linspace(1e8, 1.1e8, 4)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    bls = arr.get_bls(keep_autos=False)
+    loc = (21.4, -30.7, 1073.0)
+    T = bl.TelescopeModel(loc)
+
+    rng = np.random.default_rng(0)
+    nb = len(bls)
+    data = jnp.asarray(rng.normal(size=(1, 1, nb, 2, 4)) +
+                       1j * rng.normal(size=(1, 1, nb, 2, 4)))
+    vd = bl.VisData()
+    vd.setup_meta(T, arr.to_antpos())
+    vd.setup_data(bls, np.asarray([2458168.3, 2458168.31]), freqs,
+                  pol="ee", data=data)
+    avg = vd.bl_average()
+    # hex-7 has fewer unique redundant groups than baselines
+    assert avg.data.shape[2] < nb
+    nonauto = [g for g in arr.reds if g[0][0] != g[0][1]]
+    assert avg.data.shape[2] == len(nonauto)
+    # each group's average equals the hand computation
+    blset = set(bls)
+    for gi, abl in enumerate(avg.bls):
+        red = next(g for g in arr.reds if tuple(abl) in g)
+        members = [b for b in red if b in blset]
+        idx = vd._bl2ind(members)
+        want = np.asarray(data)[:, :, idx].mean(axis=2)
+        got = np.asarray(avg.data)[:, :, gi]
+        assert np.allclose(got, want, atol=1e-12)
