@@ -24,8 +24,9 @@ import numpy as np
 from ..utils import ParamDict
 from .hmat import MatDict
 
-__all__ = ["SamplerBase", "Potential", "leapfrog", "HMC", "NUTS",
-           "RecycledHMC", "DynamicStepSize"]
+__all__ = ["SamplerBase", "Potential", "leapfrog", "make_leapfrog_traj",
+           "HMC", "NUTS", "RecycledHMC", "StepSize", "RelativeStepSize",
+           "DynamicStepSize"]
 
 
 class Potential:
@@ -296,23 +297,108 @@ def _t_matvec(op, v):
     return op.t_mat_vec_mul(v)
 
 
+@jax.tree_util.register_pytree_node_class
+class StepSize(ParamDict):
+    """Per-parameter leapfrog step size (reference StepSize,
+    sampler.py:1586-1755): a ParamDict of eps arrays whose product with
+    a position/momentum ParamDict applies per-element step sizes.
+
+    Complex leaves multiply re/im parts separately (the reference's
+    multiply_eps convention) -- note that this framework stores complex
+    trainables as real pairs (viewreal), where plain elementwise
+    multiplication already does the right thing.
+    """
+
+    def _eps_mul(self, x, eps):
+        if jnp.iscomplexobj(x) and jnp.iscomplexobj(eps):
+            return jax.lax.complex(x.real * eps.real, x.imag * eps.imag)
+        if jnp.iscomplexobj(x):
+            return jax.lax.complex(x.real * eps, x.imag * eps)
+        return x * eps
+
+    def __mul__(self, other):
+        if isinstance(other, ParamDict):
+            return ParamDict({k: self._eps_mul(other[k], self[k])
+                              for k in self.keys()})
+        return StepSize({k: self[k] * other for k in self.keys()})
+
+    def __rmul__(self, other):
+        return self.__mul__(other)
+
+
+class RelativeStepSize(StepSize):
+    """Acceptance-driven multiplicative per-param step-size schedule
+    (reference DynamicStepSize, sampler.py:1756-1863): when a
+    trajectory's acceptance probability falls below min_prob the eps
+    multiplier shrinks by gamma, otherwise it grows by alpha; `index`
+    optionally restricts adjustment to a subset of each parameter.
+    """
+
+    def __init__(self, params, eps_mul=None, gamma=0.8, min_prob=0.2,
+                 alpha=1.25, index=None, track=False):
+        super().__init__(dict(params.items()) if hasattr(params, "items")
+                         else params)
+        self.eps_mul = {k: 1.0 for k in self.keys()} if eps_mul is None \
+            else dict(eps_mul)
+        self.gamma = gamma
+        self.min_prob = min_prob
+        self.alpha = alpha
+        self.index = index
+        self.track = track
+        self.chain = [] if track else None
+
+    def effective(self):
+        """StepSize of params * eps_mul (index-restricted)."""
+        out = {}
+        for k in self.keys():
+            eps = self[k]
+            if self.index is not None and k in self.index:
+                eps = jnp.asarray(eps)
+                out[k] = eps.at[self.index[k]].multiply(self.eps_mul[k])
+            else:
+                out[k] = eps * self.eps_mul[k]
+        return StepSize(out)
+
+    def update(self, accept_prob):
+        m = self.gamma if accept_prob < self.min_prob else self.alpha
+        self.eps_mul = {k: v * m for k, v in self.eps_mul.items()}
+        if self.track:
+            self.chain.append(dict(self.eps_mul))
+        return self.effective()
+
+
 class DynamicStepSize:
     """Dual-averaging step-size adaptation (Hoffman & Gelman 2014,
-    reference sampler.py:1586-1863)."""
+    reference sampler.py:1586-1863).
+
+    eps0 may be a float OR a per-parameter StepSize/ParamDict base: the
+    dual-averaged scalar then multiplies the per-param base, so relative
+    per-element step sizes are preserved while the overall scale adapts.
+    """
 
     def __init__(self, eps0=0.1, target=0.8, gamma=0.05, t0=10, kappa=0.75,
                  Nadapt=None):
-        self.eps = eps0
-        self.mu = np.log(10 * eps0)
+        self.base = None
+        if hasattr(eps0, "keys"):
+            self.base = eps0 if isinstance(eps0, StepSize) \
+                else StepSize(dict(eps0.items()))
+            scale0 = 1.0
+        else:
+            scale0 = float(eps0)
+        self.eps = self._eff(scale0)
+        self.mu = np.log(10 * scale0)
         self.target = target
         self.gamma = gamma
         self.t0 = t0
         self.kappa = kappa
         self.t = 0
         self.Hbar = 0.0
-        self.log_eps_bar = np.log(eps0)
+        self.log_eps_bar = np.log(scale0)
         self.Nadapt = Nadapt
         self.frozen = False
+
+    def _eff(self, scale):
+        return self.base * scale if self.base is not None else scale
 
     def update(self, accept_prob):
         if self.frozen:
@@ -320,14 +406,14 @@ class DynamicStepSize:
         self.t += 1
         if self.Nadapt is not None and self.t > self.Nadapt:
             self.frozen = True
-            self.eps = float(np.exp(self.log_eps_bar))
+            self.eps = self._eff(float(np.exp(self.log_eps_bar)))
             return self.eps
         eta = 1.0 / (self.t + self.t0)
         self.Hbar = (1 - eta) * self.Hbar + eta * (self.target - accept_prob)
         log_eps = self.mu - np.sqrt(self.t) / self.gamma * self.Hbar
         w = self.t ** (-self.kappa)
         self.log_eps_bar = w * log_eps + (1 - w) * self.log_eps_bar
-        self.eps = float(np.exp(log_eps))
+        self.eps = self._eff(float(np.exp(log_eps)))
         return self.eps
 
 
@@ -351,8 +437,18 @@ class HMC(SamplerBase):
         self.key = jax.random.PRNGKey(seed)
         self.fn_evals = 0
         self.jitter_Nstep = jitter_Nstep
-        self.stepsize = DynamicStepSize(eps, **(adapt_kwargs or {})) \
-            if adapt_eps else None
+        # adapt_eps: True/'dual' = dual-averaging of the (scalar or
+        # per-param-base) step size; 'relative' = reference-style
+        # acceptance-driven multiplicative per-param schedule
+        if adapt_eps == "relative":
+            assert hasattr(eps, "keys"), \
+                "adapt_eps='relative' needs a per-param eps ParamDict"
+            self.stepsize = RelativeStepSize(eps, **(adapt_kwargs or {}))
+            self.eps = self.stepsize.effective()
+        elif adapt_eps:
+            self.stepsize = DynamicStepSize(eps, **(adapt_kwargs or {}))
+        else:
+            self.stepsize = None
         self._U = None
         self._grad = None
         self._traj = None
@@ -574,10 +670,3 @@ class NUTS(SamplerBase):
         return True
 
 
-class StepSize(DynamicStepSize):
-    """Fixed step size with the DynamicStepSize API (reference
-    sampler.py:1586): adaptation frozen from the start."""
-
-    def __init__(self, eps0=0.1, **kwargs):
-        super().__init__(eps0=eps0, **kwargs)
-        self.frozen = True

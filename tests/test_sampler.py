@@ -361,3 +361,58 @@ def test_leapfrog_traj_matches_host():
     for _ in range(3):
         hmc.step()
     assert hmc.Nsamples == 3
+
+
+def test_per_param_step_size():
+    """StepSize / RelativeStepSize / per-param dual averaging (reference
+    StepSize + DynamicStepSize, sampler.py:1586-1863)."""
+    from bayeslim_tpu.inference.sampler import (StepSize, RelativeStepSize,
+                                                DynamicStepSize)
+    rng = np.random.default_rng(0)
+    icov = np.eye(4)
+    pot = GaussPotential(np.zeros(4), icov)
+    x0 = ParamDict({"x": jnp.asarray(rng.normal(size=4))})
+
+    # per-param eps applies elementwise in leapfrog
+    eps = StepSize({"x": jnp.asarray([1e-2, 2e-2, 3e-2, 4e-2])})
+    p0 = ParamDict({"x": jnp.ones(4)})
+    q1, p1, U1, g1, _ = leapfrog(x0, p0, pot, eps, 3)
+    assert np.isfinite(float(U1))
+    # first half-kick: p - grad * (eps/2) elementwise
+    _, g0 = pot(x0)
+    kick = np.asarray(p0["x"]) - np.asarray(g0["x"]) * np.asarray(eps["x"]) / 2
+    # (just the structural check that eps broadcast per element)
+    assert kick.shape == (4,)
+
+    # complex-aware multiply (re/im separately)
+    epsc = StepSize({"z": jnp.asarray(1e-2 + 2e-2j)})
+    pd = ParamDict({"z": jnp.asarray(3.0 + 4.0j)})
+    out = epsc * pd
+    assert np.allclose(complex(out["z"]), complex(3e-2 + 8e-2j))
+
+    # relative schedule: shrinks below min_prob, grows above
+    rel = RelativeStepSize(ParamDict({"x": jnp.full(4, 1e-2)}), gamma=0.5,
+                           alpha=2.0, min_prob=0.3)
+    e1 = rel.update(0.1)
+    assert np.allclose(np.asarray(e1["x"]), 5e-3)
+    e2 = rel.update(0.9)
+    assert np.allclose(np.asarray(e2["x"]), 1e-2)
+    # index-restricted adjustment
+    rel2 = RelativeStepSize(ParamDict({"x": jnp.full(4, 1e-2)}), gamma=0.5,
+                            min_prob=0.3, index={"x": np.asarray([0, 1])})
+    e3 = rel2.update(0.0)
+    assert np.allclose(np.asarray(e3["x"]), [5e-3, 5e-3, 1e-2, 1e-2])
+
+    # dual averaging with a per-param base keeps relative scales
+    dyn = DynamicStepSize(StepSize({"x": jnp.asarray([1., 2., 4., 8.]) * 1e-3}))
+    e = dyn.update(0.2)  # too-low acceptance -> shrink overall scale
+    r = np.asarray(e["x"])
+    assert np.allclose(r / r[0], [1, 2, 4, 8])
+
+    # HMC runs with per-param eps + relative adaptation
+    hmc = HMC(pot, x0, eps=ParamDict({"x": jnp.full(4, 0.2)}), Nstep=5,
+              adapt_eps="relative", seed=0)
+    for _ in range(10):
+        hmc.step()
+    assert hmc.Nsamples == 10
+    assert hmc.acceptance_rate > 0.3
