@@ -14,7 +14,8 @@ import numpy as np
 from .containers import VisData
 from ..utils import AntposDict
 
-__all__ = ["HAS_PYUVDATA", "PyVisData", "run_rime_sim", "setup_uvdata"]
+__all__ = ["HAS_PYUVDATA", "PyVisData", "run_rime_sim", "setup_uvdata",
+           "complete_uvdata", "parse_time_params", "parse_freq_params"]
 
 try:
     import pyuvdata  # noqa: F401
@@ -66,15 +67,153 @@ class PyVisData(VisData):
         return obj
 
 
-def setup_uvdata(antpos=None, ants=None, freqs=None, times=None,
-                 telescope_location=None, **kwargs):
-    """Build a mock UVData from array metadata
-    (reference uvdata_interface.py:326-460)."""
+def parse_time_params(params):
+    """Build a time array from {time_array | Ntimes/start_time/
+    time_cadence} (reference parse_params, uvdata_interface.py:470-551;
+    healvis conventions: start_time in JD, time_cadence in seconds)."""
+    p = dict(params)
+    if p.get("time_array") is not None:
+        t = np.asarray(p["time_array"], dtype=np.float64)
+        return {"time_array": t, "Ntimes": len(t),
+                "time_cadence": float(np.median(np.diff(t)) * 86400.0)
+                if len(t) > 1 else None}
+    n = int(p["Ntimes"])
+    t0 = float(p.get("start_time", 2458168.0))
+    dt = float(p.get("time_cadence", 10.0)) / 86400.0
+    return {"time_array": t0 + np.arange(n) * dt, "Ntimes": n,
+            "time_cadence": float(p.get("time_cadence", 10.0))}
+
+
+def parse_freq_params(params):
+    """Build a frequency array from {freq_array | Nfreqs/start_freq/
+    channel_width | bandwidth} [Hz]."""
+    p = dict(params)
+    if p.get("freq_array") is not None:
+        f = np.asarray(p["freq_array"], dtype=np.float64)
+        return {"freq_array": f, "Nfreqs": len(f),
+                "channel_width": float(np.median(np.diff(f)))
+                if len(f) > 1 else None}
+    n = int(p["Nfreqs"])
+    f0 = float(p.get("start_freq", 100e6))
+    if p.get("channel_width") is not None:
+        df = float(p["channel_width"])
+    else:
+        df = float(p.get("bandwidth", 100e6)) / n
+    return {"freq_array": f0 + np.arange(n) * df, "Nfreqs": n,
+            "channel_width": df}
+
+
+def _select_bls(ants, antpos, bls=None, redundancy=None, no_autos=False,
+                anchor_ant=None, antenna_nums=None):
+    """Baseline selection logic of the reference's mock-observation
+    builder (uvdata_interface.py:460-490): all upper-triangle pairs,
+    optional restriction to given bls / redundant-group representatives /
+    an anchor antenna / an antenna subset, optional auto removal."""
+    _bls = [(a1, a2) for i, a1 in enumerate(ants) for a2 in ants[i:]]
+    if redundancy is not None and bls is None:
+        from ..models.telescope import build_reds
+        reds = build_reds(AntposDict(list(ants), np.asarray(antpos)),
+                          redtol=float(redundancy))[0]
+        bls = [g[0] for g in reds]
+    if bls is not None:
+        want = {tuple(b) for b in bls}
+        bls = [bl for bl in _bls if bl in want or bl[::-1] in want]
+    else:
+        bls = _bls
+    if anchor_ant is not None:
+        bls = [bl for bl in bls if anchor_ant in bl]
+    if no_autos:
+        bls = [bl for bl in bls if bl[0] != bl[1]]
+    if antenna_nums is not None:
+        if isinstance(antenna_nums, (int, np.integer)):
+            antenna_nums = [antenna_nums]
+        ant_set = set(int(a) for a in antenna_nums)
+        bls = [bl for bl in bls if bl[0] in ant_set or bl[1] in ant_set]
+    return sorted(bls)
+
+
+def setup_uvdata(antnums=None, antpos=None, bls=None, redundancy=None,
+                 no_autos=False, anchor_ant=None, antenna_nums=None,
+                 telescope_location=None, telescope_name="mock",
+                 freq_array=None, time_array=None, pol="ee",
+                 make_data=True, as_uvdata=False, **time_freq_params):
+    """Create a mock observation from observatory metadata (reference
+    setup_uvdata, uvdata_interface.py:326-470 -- which itself raises
+    NotImplementedError with vestigial healvis code; this is a working
+    implementation).
+
+    Builds a VisData with zero-filled data (make_data) or metadata only;
+    with as_uvdata=True (requires pyuvdata) converts to a UVData object.
+
+    antnums/antpos : antenna numbers and (Nants, 3) ENU positions [m]
+    bls/redundancy/no_autos/anchor_ant/antenna_nums : baseline selection
+    telescope_location : (lon_deg, lat_deg, alt_m)
+    freq_array/time_array : explicit grids, or pass Ntimes/start_time/
+        time_cadence/Nfreqs/start_freq/channel_width/bandwidth kwargs
+    """
+    assert antnums is not None and antpos is not None
+    antnums = [int(a) for a in antnums]
+    antpos = np.asarray(antpos, dtype=np.float64)
+    tf = dict(time_freq_params)
+    times = parse_time_params({"time_array": time_array, **tf}) \
+        if time_array is not None or "Ntimes" in tf else \
+        {"time_array": np.asarray([2458168.0]), "Ntimes": 1}
+    freqs = parse_freq_params({"freq_array": freq_array, **tf}) \
+        if freq_array is not None or "Nfreqs" in tf else \
+        {"freq_array": np.asarray([1e8]), "Nfreqs": 1}
+    sel = _select_bls(antnums, antpos, bls=bls, redundancy=redundancy,
+                      no_autos=no_autos, anchor_ant=anchor_ant,
+                      antenna_nums=antenna_nums)
+    if len(sel) == 0:
+        raise ValueError("No baselines selected.")
+
+    from ..models.telescope import TelescopeModel
+    loc = telescope_location if telescope_location is not None \
+        else (21.428305555, -30.72152777, 1073.0)
+    telescope = TelescopeModel(loc, name=telescope_name)
+
+    vd = VisData()
+    vd.setup_meta(telescope=telescope, antpos=AntposDict(antnums, antpos))
+    data = None
+    if make_data:
+        import jax.numpy as jnp
+        data = jnp.zeros((1, 1, len(sel), times["Ntimes"],
+                          freqs["Nfreqs"]), dtype=complex)
+    vd.setup_data(sel, times["time_array"], freqs["freq_array"], pol=pol,
+                  data=data, history="setup_uvdata mock observation")
+    if as_uvdata:
+        return complete_uvdata(vd)
+    return vd
+
+
+def complete_uvdata(vd, run_check=True):
+    """Convert a (mock) VisData into a populated pyuvdata.UVData
+    (reference complete_uvdata, uvdata_interface.py:497-517 -- also a
+    NotImplementedError stub there)."""
     _require_pyuvdata()
     from pyuvdata import UVData
-    raise NotImplementedError(
-        "setup_uvdata requires pyuvdata>=3 simulation helpers; use "
-        "bayeslim_tpu.RIME + VisData.write_hdf5 for mock observations.")
+    uvd = UVData.new(
+        freq_array=np.asarray(vd.freqs),
+        polarization_array=np.asarray([-5]),
+        times=np.asarray(vd.times),
+        telescope_location=(vd.telescope.location[1],
+                            vd.telescope.location[0],
+                            vd.telescope.location[2]),
+        telescope_name=getattr(vd.telescope, "name", "mock"),
+        antenna_positions={a: p for a, p in
+                           zip(vd.antpos.ants, np.asarray(vd.antpos.antvecs))},
+        antpairs=list(vd.bls),
+    ) if hasattr(UVData, "new") else None
+    if uvd is None:
+        raise ImportError("complete_uvdata needs pyuvdata >= 2.4 (UVData.new)")
+    if vd.data is not None:
+        for i, bl in enumerate(vd.bls):
+            inds = uvd.antpair2ind(bl)
+            uvd.data_array[inds] = np.asarray(vd.data[0, 0, i])[..., None] \
+                if uvd.data_array.ndim == 4 else np.asarray(vd.data[0, 0, i])
+    if run_check:
+        uvd.check()
+    return uvd
 
 
 def run_rime_sim(sky, beam, uvd_template, **kwargs):
