@@ -87,7 +87,7 @@ def beam_edge_taper(zen, alpha=None, zen_start=80.0, sigma=5.0, mode="gauss"):
 
 
 def airy_disk(zen_rad, az_rad, Dew, freqs, Dns=None, freq_ratio=1.0,
-              square=True):
+              square=True, brute_force=False, Ntau=100):
     """Airy-disk beam (reference beam_model.py:1418-1483).
 
     b = [2 J1(x) / x]^2 with x = 2 pi nu (D/2) sin(zen) / c, optionally
@@ -123,7 +123,15 @@ def airy_disk(zen_rad, az_rad, Dew, freqs, Dns=None, freq_ratio=1.0,
     szen = jnp.where(zen_rad > np.pi / 2, 1.0, jnp.sin(zen_rad))
     fshape = freqs.reshape((-1,) + (1,) * nb)
     x = 2 * np.pi * fshape * (diameter / 2.0) / 2.99792458e8 * szen
-    from .bessel import j1 as _j1
+    if brute_force:
+        # trapezoidal Bessel integral (reference special.j1 Ntau path,
+        # special.py:498-535): J1(x) = (1/pi) int_0^pi cos(t - x sin t) dt
+        from ..ops.special import j1_integral as _j1f
+
+        def _j1(v):
+            return _j1f(v, Ntau=Ntau)
+    else:
+        from .bessel import j1 as _j1
     small = x < 1e-8
     xs = jnp.where(small, 1.0, x)
     b = jnp.where(small, 1.0, (2 * _j1(xs) / xs))
@@ -163,19 +171,27 @@ class AiryResponse(Module):
     (or (..., 1, 1) for circular).
     """
 
-    def __init__(self, freq_ratio=1.0, powerbeam=True, taper_kwargs=None):
+    def __init__(self, freq_ratio=1.0, powerbeam=True, taper_kwargs=None,
+                 brute_force=False, Ntau=100):
+        """brute_force/Ntau: evaluate J1 by Ntau-point trapezoidal
+        integration of the Bessel integral instead of the polynomial
+        approximation (reference airy_disk Ntau path,
+        beam_model.py:928-988)."""
         super().__init__()
         self.freq_ratio = freq_ratio
         self.freq_mode = "other"
         self.powerbeam = powerbeam
         self.taper_kwargs = taper_kwargs
+        self.brute_force = brute_force
+        self.Ntau = Ntau
 
     def forward(self, params, zen, az, freqs, ctx=None, **kwargs):
         Dew = params[..., 0, 0:1]                # (Npol, Nvec, Nmodel, 1)
         Dns = params[..., 0, 1:2] if params.shape[-1] > 1 else None
         beam = airy_disk(jnp.asarray(zen) * D2R, jnp.asarray(az) * D2R,
                          Dew[..., None], freqs, None if Dns is None else Dns[..., None],
-                         freq_ratio=self.freq_ratio, square=self.powerbeam)
+                         freq_ratio=self.freq_ratio, square=self.powerbeam,
+                         brute_force=self.brute_force, Ntau=self.Ntau)
         if self.taper_kwargs is not None:
             beam = beam * beam_edge_taper(zen, **self.taper_kwargs)
         return beam

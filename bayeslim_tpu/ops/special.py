@@ -267,3 +267,19 @@ def softplus(x, beta=1.0):
     """Smooth positive map log(1+exp(beta x))/beta (reference special.py:689)."""
     import jax.numpy as jnp
     return jnp.logaddexp(0.0, beta * x) / beta
+
+
+def j1_integral(x, Ntau=100):
+    """Bessel J1 via trapezoidal integration of the Bessel integral
+    J1(x) = (1/pi) int_0^pi cos(tau - x sin(tau)) dtau (reference
+    special.j1 brute_force path, special.py:498-535). Fully
+    differentiable; Ntau sets the quadrature density.
+    """
+    import jax.numpy as jnp
+    x = jnp.asarray(x)
+    t = jnp.linspace(0.0, jnp.pi, Ntau)
+    t = t.reshape((-1,) + (1,) * x.ndim)
+    integrand = jnp.cos(t - x[None] * jnp.sin(t))
+    wgts = jnp.ones(Ntau).at[1:-1].set(2.0).reshape((-1,) + (1,) * x.ndim)
+    dt = np.pi / (Ntau - 1)
+    return jnp.sum(wgts * integrand, axis=0) * dt / 2.0 / np.pi

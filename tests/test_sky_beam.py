@@ -197,3 +197,26 @@ def test_beam_edge_taper():
     assert t[0] == 1.0 and t[1] == 1.0
     assert np.isclose(t[2], np.exp(-0.5))
     assert np.isclose(t[3], np.exp(-2.0))
+
+
+def test_airy_brute_force_ntau():
+    """AiryResponse brute_force/Ntau path (reference beam_model.py:928-988
+    numeric aperture integral) matches the analytic-J1 path and is
+    differentiable."""
+    import jax
+    from bayeslim_tpu.models.beam import AiryResponse
+
+    freqs = np.linspace(1e8, 1.5e8, 4)
+    zen = np.linspace(0, 85, 40)
+    az = np.linspace(0, 350, 40)
+    params = jnp.ones((1, 1, 1, 1, 2)) * 14.0
+
+    R_a = AiryResponse()
+    R_b = AiryResponse(brute_force=True, Ntau=300)
+    ba = np.asarray(R_a.forward(params, zen, az, freqs))
+    bb = np.asarray(R_b.forward(params, zen, az, freqs))
+    assert np.abs(ba - bb).max() < 1e-6
+
+    g = jax.grad(lambda p: jnp.sum(
+        R_b.forward(p, zen, az, freqs)))(params)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
