@@ -233,23 +233,54 @@ class PixelSkyResponse(Module):
 class CompositeModel(Module):
     """Multiple sky components, optionally summed (reference :778-936).
 
-    If sum_output, all components must share angs/freqs shapes.
+    index (reference sky_model.py:805-830) enables summing components of
+    DIFFERENT resolutions / spatial extents into the first (highest
+    resolution) component: {model_key: (pred_index, this_index)} where
+    pred_index selects the accumulating map's Npix entries that receive
+    this component (e.g. a truncated-extent map's pixels) and this_index
+    expands this component's pixels onto the accumulator's grid (e.g.
+    nside-32 -> nside-64 by repeating each coarse pixel). Either may be
+    None. Without sum_output the components are returned as a list (the
+    RIME integrates each on its own grid).
     """
 
-    def __init__(self, models, sum_output=False, name=None):
+    def __init__(self, models, sum_output=False, index=None, name=None):
         super().__init__(name=name)
         self.models = dict(models) if isinstance(models, dict) else \
             {m.name: m for m in models}
         self.sum_output = sum_output
+        self.index = None
+        if index is not None:
+            self.index = {k: (None if pi is None else np.asarray(pi),
+                              None if ti is None else np.asarray(ti))
+                          for k, (pi, ti) in index.items()}
+
+    def set_eval_models(self, models=None):
+        """Restrict which components are evaluated on forward
+        (reference :845-861)."""
+        self.eval_models = None if models is None else (
+            [models] if isinstance(models, str) else list(models))
 
     def forward(self, prior_cache=None, **kwargs):
-        outs = [m.forward(prior_cache=prior_cache, **kwargs)
-                for m in self.models.values()]
+        keys = getattr(self, "eval_models", None) or list(self.models)
+        outs = {k: self.models[k].forward(prior_cache=prior_cache, **kwargs)
+                for k in keys}
         if self.sum_output:
-            md = outs[0]
-            md.data = sum([o.data for o in outs[1:]], md.data)
+            md = outs[keys[0]]
+            data = md.data
+            for k in keys[1:]:
+                d = outs[k].data
+                pi, ti = (None, None) if self.index is None \
+                    else self.index.get(k, (None, None))
+                if ti is not None:
+                    d = jnp.take(d, jnp.asarray(ti), axis=-1)
+                if pi is not None:
+                    data = data.at[..., jnp.asarray(pi)].add(d)
+                else:
+                    data = data + d
+            md.data = data
             return md
-        return outs
+        return list(outs.values())
 
 
 def stokes2coherency(S):

@@ -220,3 +220,47 @@ def test_airy_brute_force_ntau():
     g = jax.grad(lambda p: jnp.sum(
         R_b.forward(p, zen, az, freqs)))(params)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_composite_cross_resolution():
+    """CompositeModel index maps sum components of different resolution/
+    extent into the first map (reference sky_model.py:805-830)."""
+    from bayeslim_tpu.models.sky import CompositeModel, PixelSky, PixelSkyResponse
+    from bayeslim_tpu.utils import healpix as hp
+
+    freqs = np.linspace(1e8, 1.1e8, 3)
+    nside_hi, nside_lo = 8, 4
+    np_hi, np_lo = hp.nside2npix(nside_hi), hp.nside2npix(nside_lo)
+
+    def mk(nside, npix, amp):
+        th, ph = hp.pix2ang(nside, np.arange(npix))
+        angs = np.stack([ph * 180 / np.pi, 90 - th * 180 / np.pi])
+        R = PixelSkyResponse(freqs, spatial_mode="pixel",
+                             freq_mode="channel")
+        p = jnp.full((1, 1, len(freqs), npix), amp, dtype=jnp.float64)
+        return PixelSky(p, jnp.asarray(angs), 1.0, R=R)
+
+    hi = mk(nside_hi, np_hi, 1.0)
+    lo = mk(nside_lo, np_lo, 10.0)
+    # NESTED-style expansion: each lo pixel covers 4 hi pixels. Here we
+    # use RING indexing so just test the mechanism with an explicit map:
+    ti = np.repeat(np.arange(np_lo), np_hi // np_lo)   # (np_hi,)
+    comp = CompositeModel({"hi": hi, "lo": lo}, sum_output=True,
+                          index={"lo": (None, ti)})
+    out = comp.forward()
+    assert out.data.shape[-1] == np_hi
+    assert np.allclose(np.asarray(out.data), 11.0)
+
+    # truncated-extent component: add only to selected pixels
+    sub = mk(nside_hi, 16, 5.0)
+    pi = np.arange(16) + 32
+    comp2 = CompositeModel({"hi": mk(nside_hi, np_hi, 1.0), "sub": sub},
+                           sum_output=True, index={"sub": (pi, None)})
+    out2 = np.asarray(comp2.forward().data)
+    assert np.allclose(out2[..., 32:48], 6.0)
+    assert np.allclose(out2[..., :32], 1.0)
+
+    # eval_models restriction
+    comp.set_eval_models("hi")
+    outs = comp.forward()
+    assert np.allclose(np.asarray(outs.data), 1.0)
