@@ -68,6 +68,129 @@ def leapfrog(q, p, dUdq, eps, N, Minv=None):
     return q, p, U, grad, N + 1
 
 
+def make_nuts_subtree(vg_fn, Minv=None, max_depth=10):
+    """On-device NUTS subtree expansion: the 2^depth leapfrog steps of
+    one tree doubling run inside a single lax.while_loop (SURVEY §7.6;
+    the reference's recursive Python tree pays one host round-trip per
+    leapfrog, sampler.py:956-1337).
+
+    Iterative formulation with the O(log N) checkpoint scheme: leaf n
+    (0-based) is stored at checkpoint slot popcount(n >> 1) when n is
+    even; when n is odd, u-turn checks run against slots
+    [idx_max - trailing_ones(n) + 1, idx_max], which are exactly the
+    complete subtrees ending at leaf n.
+
+    Returns subtree(q, p, key, logu, H0, direction, eps, model, data,
+    icov, depth) -> dict(q_end, p_end, q_prop, n_valid, ok, alpha, na);
+    `depth` static. Progressive sampling is uniform over valid leaves
+    within the subtree (combined with the usual biased outer doubling).
+    """
+    Minv = Minv if Minv is not None else (lambda x: x)
+
+    def kinetic(p):
+        mp = Minv(p)
+        return 0.5 * sum(jnp.sum((p[k].conj() * mp[k]).real)
+                         for k in p.keys())
+
+    def pdot(a, b):
+        return sum(jnp.sum((a[k].conj() * b[k]).real) for k in a.keys())
+
+    def subtree(q, p, key, logu, H0, direction, eps, model, data, icov,
+                depth, dHmax):
+        nleaf = 2 ** depth
+        dirf = jnp.asarray(direction, jnp.float32)
+
+        ck_q = jax.tree_util.tree_map(
+            lambda x: jnp.zeros((max_depth + 1,) + x.shape, x.dtype), q)
+        ck_p = jax.tree_util.tree_map(
+            lambda x: jnp.zeros((max_depth + 1,) + x.shape, x.dtype), p)
+
+        def one_leap(q, p, g):
+            p1 = p - g * (eps * dirf * 0.5)
+            q1 = q + Minv(p1) * (eps * dirf)
+            U, g1 = vg_fn(q1, model, data, icov)
+            p2 = p1 - g1 * (eps * dirf * 0.5)
+            return q1, p2, g1, U
+
+        def uturn(qa, pa, qb, pb):
+            dq = (qb - qa) * dirf
+            return (pdot(dq, Minv(pa)) < 0) | (pdot(dq, Minv(pb)) < 0)
+
+        def body(st):
+            (i, q, p, g, ck_q, ck_p, qprop, n, ok, alpha, na, key) = st
+            q1, p1, g1, U1 = one_leap(q, p, g)
+            H1 = U1 + kinetic(p1)
+            valid = logu <= -H1
+            diverged = logu >= dHmax - H1
+            a1 = jnp.minimum(1.0, jnp.exp(H0 - H1))
+
+            # progressive (uniform within-subtree) candidate update
+            n1 = n + valid.astype(jnp.int32)
+            key, ku = jax.random.split(key)
+            take = valid & (jax.random.uniform(ku) < 1.0 /
+                            jnp.maximum(n1, 1).astype(jnp.float32))
+            qprop = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, b, a), qprop, q1)
+
+            # even leaf: store checkpoint at slot popcount(i >> 1)
+            slot = jax.lax.population_count(i >> 1)
+            is_even = (i % 2) == 0
+
+            def store(ckq, ckp):
+                cq = jax.tree_util.tree_map(
+                    lambda c, x: jax.lax.cond(
+                        is_even,
+                        lambda: jax.lax.dynamic_update_index_in_dim(
+                            c, x.astype(c.dtype), slot, 0),
+                        lambda: c), ckq, q1)
+                cp = jax.tree_util.tree_map(
+                    lambda c, x: jax.lax.cond(
+                        is_even,
+                        lambda: jax.lax.dynamic_update_index_in_dim(
+                            c, x.astype(c.dtype), slot, 0),
+                        lambda: c), ckp, p1)
+                return cq, cp
+
+            ck_q, ck_p = store(ck_q, ck_p)
+
+            # odd leaf: u-turn checks against completed subtrees
+            ip1 = i + 1
+            tzeros = jax.lax.population_count((ip1 & -ip1) - 1)
+            idx_max = jax.lax.population_count(i >> 1)
+            idx_min = idx_max - tzeros + 1
+
+            def check(j, t):
+                qa = jax.tree_util.tree_map(
+                    lambda c: jax.lax.dynamic_index_in_dim(
+                        c, j, 0, keepdims=False), ck_q)
+                pa = jax.tree_util.tree_map(
+                    lambda c: jax.lax.dynamic_index_in_dim(
+                        c, j, 0, keepdims=False), ck_p)
+                hit = (j >= idx_min) & (j <= idx_max) & ((i % 2) == 1)
+                return t | (hit & uturn(qa, pa, q1, p1))
+
+            turning = jax.lax.fori_loop(0, max_depth + 1, check,
+                                        jnp.asarray(False))
+            ok = ok & ~turning & ~diverged
+            return (i + 1, q1, p1, g1, ck_q, ck_p, qprop, n1, ok,
+                    alpha + a1, na + 1, key)
+
+        def cond(st):
+            i, ok = st[0], st[8]
+            return (i < nleaf) & ok
+
+        _, g0 = vg_fn(q, model, data, icov)
+        st0 = (jnp.asarray(0, jnp.int32), q, p, g0, ck_q, ck_p, q,
+               jnp.asarray(0, jnp.int32), jnp.asarray(True),
+               jnp.asarray(0.0), jnp.asarray(0, jnp.int32), key)
+        (i, q1, p1, _, _, _, qprop, n, ok, alpha, na, key) = \
+            jax.lax.while_loop(cond, body, st0)
+        return dict(q_end=q1, p_end=p1, q_prop=qprop, n=n, ok=ok,
+                    alpha=alpha, na=na, key=key)
+
+    return subtree
+
+
 def make_leapfrog_traj(vg_fn, Minv=None):
     """Whole-trajectory leapfrog as ONE traced computation (SURVEY §7.6):
     a lax.scan over steps, so an N-step trajectory is a single device
@@ -576,7 +699,11 @@ class NUTS(SamplerBase):
 
     def __init__(self, potential, x0, eps=0.1, mass=None, chol=None,
                  invchol=None, max_treedepth=8, dHmax=1000.0, seed=0,
-                 adapt_eps=False, adapt_kwargs=None):
+                 adapt_eps=False, adapt_kwargs=None, on_device="auto"):
+        """on_device: expand each tree doubling's 2^depth leapfrog steps
+        inside ONE device dispatch (lax.while_loop, iterative NUTS with
+        the O(log N) checkpoint scheme) when the wrapped LogProb is
+        single-batch; False forces the recursive host tree."""
         super().__init__(x0)
         self.potential = potential
         self.eps = eps
@@ -588,6 +715,17 @@ class NUTS(SamplerBase):
         self.stepsize = DynamicStepSize(eps, **(adapt_kwargs or {})) \
             if adapt_eps else None
         self.tree_depths = []
+        self._subtree = None
+        prob = getattr(potential, "prob", None)
+        if on_device and prob is not None and \
+                getattr(prob, "Nbatch", 1) == 1:
+            fn = prob._batch_fn(0)
+            vg = jax.value_and_grad(fn)
+            self._subtree = jax.jit(
+                make_nuts_subtree(vg, self.mass.minv,
+                                  max_depth=max_treedepth),
+                static_argnames=("depth",))
+            self._prob = prob
 
     def dUdx(self, x):
         self.fn_evals += 1
@@ -643,10 +781,29 @@ class NUTS(SamplerBase):
         q_keep = self.x
         n, s, depth = 1, 1, 0
         alpha, nalpha = 0.0, 0
+        data = icov = None
+        if self._subtree is not None:
+            data, icov = self._prob._batch_args(0)
         while s and depth < self.max_treedepth:
-            self.key, kd, ks = jax.random.split(self.key, 3)
+            self.key, kd, ks, kt = jax.random.split(self.key, 4)
             direction = 1 if float(jax.random.uniform(kd)) < 0.5 else -1
-            if direction == -1:
+            if self._subtree is not None:
+                zq, zp = (qm, pm) if direction == -1 else (qp, pp)
+                res = self._subtree(zq, zp, kt, logu, H0,
+                                    direction, self.eps, self._prob.model,
+                                    data, icov, depth=depth,
+                                    dHmax=self.dHmax)
+                if direction == -1:
+                    qm, pm = res["q_end"], res["p_end"]
+                else:
+                    qp, pp = res["q_end"], res["p_end"]
+                q2 = res["q_prop"]
+                n2 = int(res["n"])
+                s2 = int(res["ok"])
+                a2 = float(res["alpha"])
+                na2 = int(res["na"])
+                self.fn_evals += na2 + 1
+            elif direction == -1:
                 qm, pm, _, _, q2, n2, s2, a2, na2 = self._build_tree(
                     qm, pm, logu, direction, depth, H0)
             else:
