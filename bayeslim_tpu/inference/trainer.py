@@ -24,13 +24,20 @@ class Trainer:
     (reference optim.py:1631)."""
 
     def __init__(self, prob, optimizer=None, track=False, track_norm=False,
-                 Nreport=None, verbose=True):
+                 Nreport=None, verbose=True, metrics=None, logger=None,
+                 profile_dir=None):
+        """metrics: optional utils.logging.Metrics accumulator; logger:
+        structured logger for per-report events; profile_dir: capture a
+        jax profiler trace of the training run into this directory."""
         self.prob = prob
         self.opt = optimizer if optimizer is not None else optax.adam(1e-2)
         self.pdict = prob.collect_main_params()
         self.opt_state = self.opt.init(self.pdict)
         self.loss_history = []
         self.time_history = []
+        self.metrics = metrics
+        self.logger = logger
+        self.profile_dir = profile_dir
         self.track = track
         self.track_norm = track_norm
         self.chain = {k: [] for k in self.pdict} if track else None
@@ -50,21 +57,35 @@ class Trainer:
 
     def train(self, Nepochs=1):
         """Run Nepochs of optimization (reference optim.py:1714-1790)."""
+        from ..utils.logging import trace_profile, log_event
         start = time.time()
-        for epoch in range(Nepochs):
-            loss, grads = self.prob.value_and_grad(self.pdict)
-            self.pdict, self.opt_state = self._step(self.pdict,
-                                                    self.opt_state, grads)
-            self.loss_history.append(float(loss))
-            self.time_history.append(time.time() - start)
-            if self.track:
-                for k in self.pdict:
-                    v = np.asarray(self.pdict[k])
-                    self.chain[k].append(np.linalg.norm(v) if self.track_norm
-                                         else v.copy())
-            if self.verbose and self.Nreport and (epoch % self.Nreport == 0):
-                print(f"epoch {epoch:5d} | loss {float(loss):.6e} | "
-                      f"{self.time_history[-1]:.1f}s")
+        with trace_profile(self.profile_dir,
+                           enabled=self.profile_dir is not None):
+            for epoch in range(Nepochs):
+                loss, grads = self.prob.value_and_grad(self.pdict)
+                self.pdict, self.opt_state = self._step(self.pdict,
+                                                        self.opt_state,
+                                                        grads)
+                self.loss_history.append(float(loss))
+                self.time_history.append(time.time() - start)
+                if self.metrics is not None:
+                    self.metrics.log("loss", float(loss), step=epoch)
+                    self.metrics.log("epoch_time",
+                                     self.time_history[-1], step=epoch)
+                if self.track:
+                    for k in self.pdict:
+                        v = np.asarray(self.pdict[k])
+                        self.chain[k].append(
+                            np.linalg.norm(v) if self.track_norm
+                            else v.copy())
+                if self.Nreport and (epoch % self.Nreport == 0):
+                    if self.logger is not None:
+                        log_event("train_epoch", logger=self.logger,
+                                  epoch=epoch, loss=float(loss),
+                                  elapsed=self.time_history[-1])
+                    elif self.verbose:
+                        print(f"epoch {epoch:5d} | loss {float(loss):.6e}"
+                              f" | {self.time_history[-1]:.1f}s")
         # push final params into the model
         self.prob.update(self.pdict)
         return self.loss_history

@@ -12,3 +12,4 @@ from .indexing import (
 from .interp import PixInterp, interp_gather, bipoly_interp_weights
 from . import healpix
 from . import multires
+from . import logging  # noqa: F401  (structured logging + profiler hooks)

@@ -181,3 +181,45 @@ def test_bl_average_default_builds_reds():
         want = np.asarray(data)[:, :, idx].mean(axis=2)
         got = np.asarray(avg.data)[:, :, gi]
         assert np.allclose(got, want, atol=1e-12)
+
+
+def test_structured_logging_and_metrics(tmp_path):
+    """Structured logging, Metrics accumulator, profiler hook and device
+    memory stats (SURVEY §5 aux: replaces the reference's print-based
+    verbose flags)."""
+    import json
+    from bayeslim_tpu.utils.logging import (get_logger, log_event, Metrics,
+                                            trace_profile,
+                                            device_memory_stats)
+
+    rec = log_event("unit_test", foo=1, bar=2.5)
+    assert rec["event"] == "unit_test" and rec["foo"] == 1
+
+    m = Metrics()
+    for i, v in enumerate([3.0, 2.0, 1.0]):
+        m.log("loss", v, step=i)
+    assert m["loss"].tolist() == [3.0, 2.0, 1.0]
+    s = m.summary()["loss"]
+    assert s["n"] == 3 and s["last"] == 1.0 and s["min"] == 1.0
+    p = tmp_path / "metrics.jsonl"
+    m.to_jsonl(p)
+    lines = [json.loads(x) for x in open(p)]
+    assert len(lines) == 3 and lines[-1]["value"] == 1.0
+
+    # profiler hook is a safe no-op on CPU without a logdir
+    import jax.numpy as jnp
+    with trace_profile(None):
+        _ = jnp.ones(4).sum()
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict) and len(stats) >= 1
+
+    # Trainer integration
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.inference import LogProb, Trainer
+    from tests.test_inference import setup_NormalProb
+    prob, _, _ = setup_NormalProb(N=8)
+    mm = Metrics()
+    tr = Trainer(prob, metrics=mm, Nreport=2, verbose=False)
+    tr.train(4)
+    assert len(mm["loss"]) == 4
