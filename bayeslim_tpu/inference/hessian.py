@@ -56,18 +56,22 @@ def _hessian_one(prob, batch_idx, pdict, rows_chunk, keys):
 
     grad_f = jax.grad(f)
 
-    if rows_chunk is None or rows_chunk >= n:
-        H = jax.jacfwd(grad_f)(x0)
-    else:
-        rows = []
-        eye = np.eye(n)
+    # second-order AD cannot cross the fused kernels' custom_vjp;
+    # trace the Hessian through the fully-differentiable XLA path
+    from ..ops.rime_kernel import force_xla
+    with force_xla():
+        if rows_chunk is None or rows_chunk >= n:
+            H = jax.jacfwd(grad_f)(x0)
+        else:
+            rows = []
+            eye = np.eye(n)
 
-        jvp_grad = jax.jit(lambda x, v: jax.jvp(grad_f, (x,), (v,))[1])
-        for i0 in range(0, n, rows_chunk):
-            block = [jvp_grad(x0, jnp.asarray(eye[i]))
-                     for i in range(i0, min(i0 + rows_chunk, n))]
-            rows.append(jnp.stack(block))
-        H = jnp.concatenate(rows, axis=0)
+            jvp_grad = jax.jit(lambda x, v: jax.jvp(grad_f, (x,), (v,))[1])
+            for i0 in range(0, n, rows_chunk):
+                block = [jvp_grad(x0, jnp.asarray(eye[i]))
+                         for i in range(i0, min(i0 + rows_chunk, n))]
+                rows.append(jnp.stack(block))
+            H = jnp.concatenate(rows, axis=0)
     return H, main_params_index(pdict)
 
 

@@ -34,11 +34,33 @@ from .phase import fringe_cycles
 __all__ = ["rime_reduce", "rime_reduce_ref"]
 
 
+import contextlib
+
+_FORCE_XLA = [False]
+
+
+@contextlib.contextmanager
+def force_xla():
+    """Disable the fused Pallas dispatch inside the block.
+
+    Needed for second-order differentiation (HVP / compute_hessian):
+    forward-over-reverse cannot cross a custom_vjp primitive, and the
+    Pallas backward kernels define no VJP of their own -- the chunked
+    XLA path is fully traceable at any order."""
+    _FORCE_XLA[0] = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA[0] = False
+
+
 def _pallas_eligible(psky, mp_idx, freqs, use_pallas):
     """float32, regular freq grid, on TPU. Multi-pol leading dims and
     Nmp > 1 model pairs are handled by row-stacking / baseline grouping
     in _rime_fused_dispatch; only a per-baseline psky without an mp_idx
     (psky dim -3 == Nbls) falls back to the XLA path."""
+    if _FORCE_XLA[0]:
+        return False
     if psky.ndim < 3:
         return False
     if mp_idx is None and psky.shape[-3] != 1:
