@@ -195,7 +195,7 @@ def _choose_tf(nfp, nstack, budget):
 
 
 def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
-                tb=256, tc=256, interpret=False):
+                tb=256, tc=512, interpret=False):
     """Run the forward kernel.
 
     ps : (R, Npix) real or complex; R = nstack * nfp (rows pre-padded)
@@ -213,9 +213,6 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
     G = 8
     NB = _round_up(max(nbl, 128), 128)
     NC = _round_up(max(npx, 128), 128)
-    tb = min(tb, NB)
-    tc = min(tc, NC)
-    tf = _choose_tf(nfp, nstack, 1024)
 
     def vmem(G, tc, tb, tf):
         scratch = 2 * G * tc * tb                       # C, S
@@ -225,14 +222,28 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
         return 4 * (scratch + 2 * blocks)               # double-buffered
 
     budget = 11 * 2 ** 20
-    while vmem(G, tc, tb, tf) > budget and tf > 128 and tf % 16 == 0:
-        tf //= 2
-    while vmem(G, tc, tb, tf) > budget and tb > 128:
-        tb //= 2
-    while vmem(G, tc, tb, tf) > budget and tc > 128:
-        tc //= 2
-    while vmem(G, tc, tb, tf) > budget and G > 2:
-        G //= 2
+    # cost-aware tile choice: a small freq tile re-streams the (big) tau
+    # blocks NFp/tf times, so maximize tf first, then the tile area
+    best = None
+    for tbc, tcc in ((tb, tc), (256, 512), (256, 256), (512, 256),
+                     (128, 256), (128, 128)):
+        tbc, tcc = min(tbc, NB), min(tcc, NC)
+        tfc = _choose_tf(nfp, nstack, 1024)
+        while vmem(G, tcc, tbc, tfc) > budget and tfc > 128 \
+                and tfc % 16 == 0:
+            tfc //= 2
+        if vmem(G, tcc, tbc, tfc) <= budget:
+            key = (tfc, tbc * tcc)
+            if best is None or key > best[0]:
+                best = (key, tbc, tcc, tfc)
+    if best is not None:
+        _, tb, tc, tf = best
+    else:
+        tb, tc, tf = min(128, NB), min(128, NC), _choose_tf(nfp, nstack, 1024)
+        while vmem(G, tc, tb, tf) > budget and tf > 128 and tf % 16 == 0:
+            tf //= 2
+        while vmem(G, tc, tb, tf) > budget and G > 2:
+            G //= 2
     NB = _round_up(NB, tb)
     NC = _round_up(NC, tc)
 
