@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_rime", "shard_visdata", "ShardedLogProb",
+__all__ = ["make_mesh", "shard_rime", "shard_visdata", "shard_pixels",
+           "ShardedLogProb",
            "DistributedLogProb", "replicate"]
 
 
@@ -181,6 +182,47 @@ class ShardedLogProb:
     @property
     def model(self):
         return self.prob.model
+
+
+def shard_pixels(rime, mesh, pix_axis="model", inplace=False):
+    """Shard the sky-pixel long axis over the mesh (SURVEY §2.7: the
+    reference's 'sequence axis' analog is Npix, which it only chunks
+    implicitly via FOV cuts and multigrid Ylm).
+
+    The per-time FOV-cut precompute arrays (trailing Ncut axis), the
+    pointing vectors, and the sky parameters' Npix dim get partitioned;
+    the expensive (Nfreqs, Ncut) beam/psky intermediates and the pixel
+    reduction then run SPMD with XLA inserting the psum over `pix_axis`
+    (the FOV-cut gather all-gathers only the small raw parameter
+    tensor). Compute and intermediate memory scale 1/n_shards.
+
+    Only the XLA reduction path propagates shardings through the
+    contraction (the Pallas custom call would force an all-gather of
+    its operands), so use this with use_pallas=False models (CPU mesh
+    tests; multi-chip XLA). Requires the padded Ncut to be divisible by
+    the axis size.
+    """
+    if not inplace:
+        rime = rime.copy()
+        rime._pre = {k: dict(v) for k, v in rime._pre.items()}
+        rime.sky = rime.sky.copy()
+
+    def put(x, axes_before):
+        spec = P(*((None,) * axes_before + (pix_axis,)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    for key, pre in rime._pre.items():
+        for name in ("zen", "az", "cut", "mask"):
+            pre[name] = put(pre[name], pre[name].ndim - 1)
+        pre["s"] = put(pre["s"], pre["s"].ndim - 1)
+        if "ctx" in pre:
+            pre["ctx"] = tuple(put(a, a.ndim - 1) for a in pre["ctx"])
+
+    # sky params carry Npix as the trailing dim
+    sky = rime.sky
+    if hasattr(sky, "params") and np.ndim(sky.params) >= 1:
+        sky.params = put(sky.params, np.ndim(sky.params) - 1)
+    return rime
 
 
 # reference-compat name: the reference's DistributedLogProb

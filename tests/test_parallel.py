@@ -70,3 +70,57 @@ def test_sharded_2d_mesh():
     assert np.isclose(float(v1), float(v2), rtol=1e-10)
     for k in g1:
         assert np.allclose(np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-8), k
+
+
+def test_shard_pixels_long_axis():
+    """Pixel (long-axis) sharding: the FOV-cut precompute and sky pixel
+    dims partition over the mesh; forward and gradients match the
+    unsharded model (SURVEY §2.7 sequence-parallel analog)."""
+    from bayeslim_tpu.parallel import make_mesh, shard_pixels
+    from bayeslim_tpu.inference import LogProb
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.utils import make_hex, AntposDict, healpix as hp
+    from bayeslim_tpu.models.sky import PixelSky, PixelSkyResponse
+
+    loc = (21.428, -30.721, 1073.0)
+    T = bl.TelescopeModel(loc)
+    ants, antvecs = make_hex(2, D=15.0)
+    freqs = np.linspace(1e8, 1.1e8, 8)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    nside = 8
+    npix = hp.nside2npix(nside)
+    th, ph = hp.pix2ang(nside, np.arange(npix))
+    angs = np.stack([ph * 180 / np.pi, 90 - th * 180 / np.pi])
+    rng = np.random.default_rng(0)
+    p = np.zeros((1, 1, 2, npix))
+    p[0, 0, 0] = rng.uniform(1, 10, npix)
+    p[0, 0, 1] = -2.5
+    R = PixelSkyResponse(freqs, spatial_mode="pixel", freq_mode="powerlaw",
+                         f0=1e8)
+    sky = PixelSky(jnp.asarray(p), jnp.asarray(angs),
+                   hp.nside2pixarea(nside), R=R)
+    beam = bl.PixelBeam(jnp.ones((1, 1, 1, 1, 2)) * 14.0, freqs,
+                        R=bl.beam_model.AiryResponse(), pol="e",
+                        powerbeam=True, fov=180.0)
+    bls = arr.get_bls(keep_autos=False)[:10]
+    times = 2458168.3 + np.arange(2) * 5e-4
+    # pix_chunk > ncut so padding is a single 8-divisible block; pad to
+    # a multiple of 4 shards is guaranteed by the 8-alignment
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs, pix_chunk=4096)
+
+    vd = rime.forward()
+    tgt = vd.copy()
+    tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data)
+    prob = LogProb(rime, tgt)
+    pd = prob.collect_main_params()
+    v0, g0 = prob.value_and_grad(pd)
+
+    mesh = make_mesh({"model": 4})
+    rime_s = shard_pixels(rime, mesh, pix_axis="model")
+    assert rime_s is not rime
+    prob_s = LogProb(rime_s, tgt)
+    v1, g1 = prob_s.value_and_grad(pd)
+    assert np.allclose(float(v0), float(v1), rtol=1e-10)
+    for k in g0:
+        assert np.allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                           rtol=1e-8, atol=1e-12), k
