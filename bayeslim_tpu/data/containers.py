@@ -26,11 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import AntposDict, ants2blnum, blnum2ants
+from ..utils.module import Module
 from ..utils.dtypes import _float, _cfloat
 
 __all__ = [
     "TensorData", "VisData", "MapData", "CalData",
     "concat_VisData", "concat_MapData", "concat_CalData", "load_data",
+    "SelectedHDF5Tensor", "Difference", "RedVisAvg", "RedVisInflate",
+    "average_TensorData", "caldata_from_visdata",
 ]
 
 _LEAF_FIELDS = ("data", "flags", "cov", "icov")
@@ -1043,3 +1046,108 @@ class CatTensor:
                  else t for t in self.tensors]
         return jnp.concatenate([jnp.asarray(p) for p in parts],
                                axis=self.axis)
+
+
+class SelectedHDF5Tensor:
+    """Pre-indexed lazy HDF5 view (reference dataset.py:3399): defers
+    both IO and a fixed selection until indexing."""
+
+    def __init__(self, fname, dset, sel=None, dtype=None):
+        self.base = HDF5Tensor(fname, dset, dtype=dtype)
+        self.sel = sel
+
+    @property
+    def shape(self):
+        if self.sel is None:
+            return self.base.shape
+        return np.empty(self.base.shape, dtype=bool)[self.sel].shape
+
+    def __getitem__(self, idx):
+        full = self.base[self.sel] if self.sel is not None else self.base[:]
+        return full[idx]
+
+
+class Difference(Module):
+    """Difference block (reference utils.py:1560): params[idx1] -
+    params[idx2] for tensors, or select(**idx1) - select(**idx2) for
+    data containers."""
+
+    def __init__(self, idx1, idx2, name=None):
+        super().__init__(name=name)
+        self.idx1 = idx1
+        self.idx2 = idx2
+
+    def forward(self, params, **kwargs):
+        if isinstance(self.idx1, dict):
+            p1 = params.select(**{**self.idx1, "inplace": False})
+            p2 = params.select(**{**self.idx2, "inplace": False})
+            p1.data = p1.data - p2.data
+            return p1
+        return params[self.idx1] - params[self.idx2]
+
+
+class RedVisAvg(Module):
+    """Redundant-averaging forward block (reference dataset.py:3651):
+    wraps VisData.bl_average so it can sit in a model chain."""
+
+    def __init__(self, reds=None, wgts=None, redtol=1.0, inplace=False,
+                 name=None):
+        super().__init__(name=name)
+        self.reds = reds
+        self.wgts = wgts
+        self.redtol = redtol
+        self.inplace = inplace
+
+    def forward(self, vd, **kwargs):
+        return vd.bl_average(reds=self.reds, wgts=self.wgts,
+                             redtol=self.redtol, inplace=self.inplace)
+
+
+class RedVisInflate(Module):
+    """Redundant-inflation forward block (reference dataset.py:3699):
+    wraps VisData.inflate_by_redundancy."""
+
+    def __init__(self, new_bls, bl2red=None, red_bls=None, name=None):
+        super().__init__(name=name)
+        self.new_bls = new_bls
+        self.bl2red = bl2red
+        self.red_bls = red_bls
+
+    def forward(self, vd, **kwargs):
+        return vd.inflate_by_redundancy(self.new_bls, bl2red=self.bl2red,
+                                        red_bls=self.red_bls)
+
+
+def average_TensorData(objs, wgts=None):
+    """Average same-shape TensorData objects (reference dataset.py:3919
+    -- a NotImplementedError stub there; this works): icov-weighted mean
+    with propagated icov."""
+    objs = list(objs)
+    base = objs[0].copy()
+    if wgts is None:
+        wgts = [getattr(o, "icov", None) for o in objs]
+    if any(w is None for w in wgts):
+        wgts = [jnp.ones_like(o.data.real) for o in objs]
+    wsum = sum(jnp.asarray(w) for w in wgts)
+    base.data = sum(o.data * jnp.asarray(w)
+                    for o, w in zip(objs, wgts)) / wsum
+    if all(getattr(o, "icov", None) is not None for o in objs) \
+            and all(getattr(o, "cov_axis", None) is None for o in objs):
+        base.icov = wsum
+        base.cov = 1.0 / wsum
+    return base
+
+
+def caldata_from_visdata(vd):
+    """Initialize an empty CalData with metadata from a VisData
+    (reference dataset.py:4111 -- a NotImplementedError stub there)."""
+    from ..utils.indexing import flatten
+    cd = CalData()
+    cd.setup_meta(telescope=vd.telescope, antpos=vd.antpos)
+    ants = sorted(set(flatten([list(bl) for bl in vd.bls])))
+    pol = None
+    if isinstance(vd.pol, str) and len(vd.pol) == 2 \
+            and vd.pol[0] == vd.pol[1]:
+        pol = vd.pol[0]
+    cd.setup_data(ants, vd.times, vd.freqs, pol=pol)
+    return cd

@@ -20,7 +20,8 @@ import numpy as np
 __all__ = [
     "BaseMat", "DenseMat", "DiagMat", "HadamardMat", "TriangMat",
     "SparseMat", "ZeroMat", "OneMat", "TransposedMat", "PartitionedMat",
-    "SolveMat", "MatDict", "HierMat", "SolveHierMat", "make_hodlr",
+    "SolveMat", "MatDict", "MatColumn", "MatRow", "MatSum",
+    "HierMat", "SolveHierMat", "make_hodlr",
 ]
 
 
@@ -425,6 +426,103 @@ class HierMat(BaseMat):
         return HierMat(self.A11.scalar_mul(a), self.A22.scalar_mul(a),
                        None if self.A12 is None else self.A12.scalar_mul(a),
                        None if self.A21 is None else self.A21.scalar_mul(a))
+
+
+class MatColumn(BaseMat):
+    """Vertical stack of operators sharing Ncols (reference :1575):
+    A = [M1; M2; ...]."""
+
+    def __init__(self, mats):
+        self.mats = list(mats)
+        ncol = self.mats[0].shape[1]
+        assert all(m.shape[1] == ncol for m in self.mats)
+        self.shape = (sum(m.shape[0] for m in self.mats), ncol)
+
+    def mat_vec_mul(self, v):
+        return jnp.concatenate([m.mat_vec_mul(v) for m in self.mats])
+
+    def t_mat_vec_mul(self, v):
+        out, i = None, 0
+        for m in self.mats:
+            y = m.t_mat_vec_mul(v[i:i + m.shape[0]])
+            out = y if out is None else out + y
+            i += m.shape[0]
+        return out
+
+    def to_dense(self):
+        return jnp.concatenate([m.to_dense() for m in self.mats], axis=0)
+
+    def scalar_mul(self, a):
+        return MatColumn([m.scalar_mul(a) for m in self.mats])
+
+
+class MatRow(BaseMat):
+    """Horizontal stack of operators sharing Nrows (reference :1655):
+    A = [M1, M2, ...]."""
+
+    def __init__(self, mats):
+        self.mats = list(mats)
+        nrow = self.mats[0].shape[0]
+        assert all(m.shape[0] == nrow for m in self.mats)
+        self.shape = (nrow, sum(m.shape[1] for m in self.mats))
+
+    def mat_vec_mul(self, v):
+        out, i = None, 0
+        for m in self.mats:
+            y = m.mat_vec_mul(v[i:i + m.shape[1]])
+            out = y if out is None else out + y
+            i += m.shape[1]
+        return out
+
+    def t_mat_vec_mul(self, v):
+        return jnp.concatenate([m.t_mat_vec_mul(v) for m in self.mats])
+
+    def to_dense(self):
+        return jnp.concatenate([m.to_dense() for m in self.mats], axis=1)
+
+    def scalar_mul(self, a):
+        return MatRow([m.scalar_mul(a) for m in self.mats])
+
+
+class MatSum(BaseMat):
+    """Lazy sum of same-shape operators (reference :1737)."""
+
+    def __init__(self, mats):
+        self.mats = list(mats)
+        self.shape = self.mats[0].shape
+        assert all(m.shape == self.shape for m in self.mats)
+
+    def mat_vec_mul(self, v):
+        out = None
+        for m in self.mats:
+            y = m.mat_vec_mul(v)
+            out = y if out is None else out + y
+        return out
+
+    def t_mat_vec_mul(self, v):
+        out = None
+        for m in self.mats:
+            y = m.t_mat_vec_mul(v)
+            out = y if out is None else out + y
+        return out
+
+    def diagonal(self):
+        out = None
+        for m in self.mats:
+            d = m.diagonal()
+            out = d if out is None else out + d
+        return out
+
+    def to_dense(self):
+        out = None
+        for m in self.mats:
+            d = m.to_dense()
+            out = d if out is None else out + d
+        return out
+
+    def scalar_mul(self, a):
+        return MatSum([m.scalar_mul(a) for m in self.mats])
+
 
 
 class SolveHierMat(BaseMat):

@@ -508,3 +508,117 @@ def remove_redcal_degen(gains, ants, antpos, degen=None, wgts=None,
     if redvis is not None:
         new_vis = apply_cal(redvis, bls, degen_gains, ants, undo=False)[0]
     return new_gains, new_vis, degen_gains
+
+
+def compute_redcal_degen_vis(vd, wgts=None, abs_amp=True, phs_slope=True,
+                             bls=None, antpos=None):
+    """Redcal degeneracies of a visibility set (reference :2788-2851):
+    baseline-averaged log-amplitude (Npol, Npol, 1, Nt, Nf) and the
+    EW/NS phase-slope gradient [rad/m] (Npol, Npol, 2, Nt, Nf)."""
+    from ..data.containers import VisData
+    data = vd.data if isinstance(vd, VisData) else jnp.asarray(vd)
+    if isinstance(vd, VisData):
+        bls, antpos = vd.bls, vd.antpos
+    if wgts is None:
+        w, wsum = 1.0, data.shape[2]
+    else:
+        w = jnp.asarray(wgts)[:, None, None]
+        wsum = jnp.sum(jnp.asarray(wgts))
+
+    abs_amp_param = None
+    if abs_amp:
+        aa = jnp.sum(jnp.abs(data) * w, axis=2, keepdims=True) / wsum
+        abs_amp_param = jnp.log(aa)
+
+    phs_slope_param = None
+    if phs_slope:
+        phs = jnp.angle(data)
+        a1, a2 = zip(*bls)
+        A = jnp.asarray((antpos[list(a1)] - antpos[list(a2)])[:, :2])
+        if wgts is None:
+            proj = jnp.linalg.pinv(A.T @ A) @ A.T
+        else:
+            W = jnp.eye(len(bls)) * jnp.asarray(wgts) / wsum
+            proj = jnp.linalg.pinv(A.T @ W @ A) @ A.T @ W
+        phs_slope_param = jnp.einsum("ab,ijblm->ijalm", proj, phs)
+    return abs_amp_param, phs_slope_param
+
+
+def redcal_degen_vis(abs_amp=None, phs_slope=None, vd=None, bls=None,
+                     antpos=None):
+    """Visibilities carrying ONLY the redcal degenerate modes
+    (reference :2853-2916): V_degen = exp(abs_amp) exp(i b_EW/NS . Phi).
+    Returns a VisData when vd is given, else a tensor."""
+    from ..data.containers import VisData
+    if vd is not None:
+        bls, antpos = vd.bls, vd.antpos
+    amp = 1.0 if abs_amp is None else jnp.exp(abs_amp)
+    phs = 0.0
+    if phs_slope is not None:
+        a1, a2 = zip(*bls)
+        A = jnp.asarray((antpos[list(a1)] - antpos[list(a2)])[:, :2])
+        phs = jnp.einsum("ba,ijalm->ijblm", A, phs_slope)
+    data = amp * jnp.exp(1j * phs)
+    if vd is None:
+        return data
+    out = VisData()
+    out.setup_meta(telescope=vd.telescope, antpos=vd.antpos)
+    data = jnp.broadcast_to(data, vd.data.shape)
+    out.setup_data(vd.bls, vd.times, vd.freqs, pol=vd.pol, data=data,
+                   history="redcal degenerate visibilities")
+    return out
+
+
+def vis2JonesModel(vis, param_type="com", freq_mode="channel",
+                   time_mode="channel", freqs=None, freq_LM=None,
+                   time_LM=None, refant=None, single_ant=False):
+    """Vanilla JonesModel sized from a VisData (reference :2918-2955):
+    unity (com) or zero (amp/phs) starting gains for every antenna in
+    the data."""
+    from ..utils.indexing import flatten
+    R = JonesResponse(param_type=param_type, antpos=vis.antpos,
+                      freq_mode=freq_mode, freq_LM=freq_LM, freqs=freqs,
+                      time_mode=time_mode, time_LM=time_LM)
+    ants = sorted(set(flatten([list(b) for b in vis.bls])))
+    polmode = "1pol" if vis.Npol == 1 else "4pol"
+    nants = len(ants)
+    if "slope" in param_type:
+        nants = 2
+    elif single_ant:
+        nants = 1
+    ntp = len(vis.times) if time_mode == "channel" else \
+        np.shape(time_LM.A)[-1]
+    nfp = len(vis.freqs) if freq_mode == "channel" else \
+        np.shape(freq_LM.A)[-1]
+    shape = (vis.Npol, vis.Npol, nants, ntp, nfp)
+    if param_type == "com":
+        from ..utils.dtypes import viewreal
+        params = viewreal(jnp.ones(shape, dtype=_cfloat()))
+    else:
+        params = jnp.zeros(shape, dtype=_float())
+    return JonesModel(params, ants=ants, R=R, refant=refant,
+                      polmode=polmode, single_ant=single_ant)
+
+
+def vis2RedVisModel(vis, param_type="com", freq_mode="channel",
+                    time_mode="channel", freqs=None, freq_LM=None,
+                    time_LM=None, redtol=1.0):
+    """Vanilla RedVisModel sized from a VisData (reference :2957-2995):
+    zero starting parameters per redundant group."""
+    from .telescope import build_reds
+    reds, rvecs, bl2red = build_reds(vis.antpos, bls=vis.bls,
+                                     redtol=redtol)[:3]
+    R = VisModelResponse(param_type=param_type, freq_mode=freq_mode,
+                         freqs=freqs, freq_LM=freq_LM,
+                         time_mode=time_mode, time_LM=time_LM)
+    ntp = len(vis.times) if time_mode == "channel" else \
+        np.shape(time_LM.A)[-1]
+    nfp = len(vis.freqs) if freq_mode == "channel" else \
+        np.shape(freq_LM.A)[-1]
+    shape = (vis.Npol, vis.Npol, len(reds), ntp, nfp)
+    if param_type == "com":
+        from ..utils.dtypes import viewreal
+        params = viewreal(jnp.zeros(shape, dtype=_cfloat()))
+    else:
+        params = jnp.zeros(shape, dtype=_float())
+    return RedVisModel(params, bl2red, R=R)

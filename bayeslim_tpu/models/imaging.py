@@ -220,3 +220,38 @@ def VisData2MapData(maps, freqs, ra, dec, name="map"):
     md.setup_data(freqs, data=jnp.asarray(maps)[None, None],
                   angs=jnp.asarray(np.stack([ra, dec])))
     return md
+
+
+def compute_Am(A, m):
+    """A.conj @ m: the RIME forward transform of maps through the
+    imaging matrix (reference imaging.py:755-775).
+
+    A : (Nbls, Nfreqs, Npix); m : (..., Nfreqs, Npix)
+    Returns (..., Nbls, Nfreqs)."""
+    return jnp.einsum("vfp,...fp->...vf", A.conj(), m)
+
+
+def compute_Pm(A, w, m, D=None):
+    """P @ m = D A^T w (A.conj m): PSF action on maps (reference
+    imaging.py:778-830). Matrix-free: never builds the (Npix, Npix) P."""
+    wAm = w * compute_Am(A, m.astype(A.dtype))
+    Pm = jnp.einsum("vfp,...vf->...fp", A, wAm).real
+    if D is not None:
+        Pm = Pm * D
+    return Pm
+
+
+def get_visdata(vd, bl_inds=None, time_inds=None, freq_inds=None,
+                squeeze=False):
+    """Extract a tensor from a VisData / tensor / list thereof
+    (reference imaging.py:933-975)."""
+    from ..data.containers import VisData
+    if isinstance(vd, list):
+        return jnp.stack([get_visdata(v, bl_inds, time_inds, freq_inds,
+                                      squeeze) for v in vd])
+    data = vd.data if isinstance(vd, VisData) else jnp.asarray(vd)
+    bl_inds = slice(None) if bl_inds is None else np.asarray(bl_inds)
+    time_inds = slice(None) if time_inds is None else np.asarray(time_inds)
+    freq_inds = slice(None) if freq_inds is None else np.asarray(freq_inds)
+    out = data[..., bl_inds, :, :][..., time_inds, :][..., freq_inds]
+    return out.squeeze() if squeeze else out

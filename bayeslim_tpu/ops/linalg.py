@@ -147,3 +147,57 @@ def least_squares(A, y, dim=-1, Ninv=None, D=None, pinv=True, rcond=1e-15,
     x = jnp.einsum("fg,gs,...s->...f", D, AhN, y2)
     x = undo(x)
     return (x, D) if return_D else x
+
+
+def apply_phasor(z, phi):
+    """Apply a complex phasor exp(i phi) to z (reference linalg.py:220).
+    Works on native complex or 2-real-pair (trailing dim 2) tensors."""
+    if jnp.iscomplexobj(z):
+        return z * jnp.exp(1j * jnp.asarray(phi))
+    from ..utils.dtypes import viewcomp, viewreal
+    return viewreal(viewcomp(z) * jnp.exp(1j * jnp.asarray(phi)))
+
+
+def project_out_phase(z, avg_axis=None, select=None):
+    """Compute and project out the phase of z (reference linalg.py:239):
+    optionally average along avg_axis and/or index with `select` before
+    taking the angle, then rotate z by its negative."""
+    from ..utils.dtypes import viewcomp
+    zc = z if jnp.iscomplexobj(z) else viewcomp(z)
+    za = jnp.mean(zc, axis=avg_axis, keepdims=True) \
+        if avg_axis is not None else zc
+    if select is not None:
+        za = za[tuple(select)]
+    return apply_phasor(z, -jnp.angle(za))
+
+
+def cmatmul(a, b):
+    """1x1 or 2x2 complex matrix multiply along the leading two axes
+    (reference linalg.py:296 hand-rolls this on 2-real pairs; JAX complex
+    is native, so it is one einsum)."""
+    assert a.shape[0] == a.shape[1] == b.shape[0] == b.shape[1]
+    assert a.shape[0] in (1, 2)
+    return jnp.einsum("ab...,bc...->ac...", a, b)
+
+
+def cov_get_diag(cov, cov_axis, mode="vis", shape=None):
+    """Diagonal of a structured covariance reshaped to the data shape
+    (reference optim.py:1918-1973). cov_axis conventions match
+    inference.prob.apply_icov."""
+    if cov_axis is None:
+        return cov
+    diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
+    if cov_axis == "full":
+        assert shape is not None
+        return diag.reshape(shape)
+    if cov_axis == "bl":        # (Np,Np,Nt,Nf,Nbl) -> (Np,Np,Nbl,Nt,Nf)
+        return jnp.moveaxis(diag, -1, 2)
+    if cov_axis == "time":      # (Np,Np,Nbl,Nf,Nt) -> (Np,Np,Nbl,Nt,Nf)
+        return jnp.moveaxis(diag, -1, 3)
+    if cov_axis == "freq":
+        if mode == "vis":       # (Np,Np,Nbl,Nt,Nf) already trailing
+            return diag
+        return jnp.moveaxis(diag, -1, -2)   # map: (Np,1,Npix,Nf)->(..,Nf,Npix)
+    if cov_axis == "pix":
+        return diag
+    raise ValueError(cov_axis)

@@ -283,3 +283,24 @@ def j1_integral(x, Ntau=100):
     wgts = jnp.ones(Ntau).at[1:-1].set(2.0).reshape((-1,) + (1,) * x.ndim)
     dt = np.pi / (Ntau - 1)
     return jnp.sum(wgts * integrand, axis=0) * dt / 2.0 / np.pi
+
+
+def softplus(x, beta=1.0, threshold=20.0):
+    """Numerically-stable softplus ln(1 + exp(beta x)) / beta (reference
+    special.Softplus, special.py:689)."""
+    import jax.numpy as jnp
+    x = jnp.asarray(x)
+    out = jnp.logaddexp(0.0, beta * x) / beta
+    return jnp.where(beta * x > threshold, x, out)
+
+
+class Softplus:
+    """Callable softplus with fixed beta/threshold (reference
+    special.py:689)."""
+
+    def __init__(self, beta=1.0, threshold=20.0):
+        self.beta = beta
+        self.threshold = threshold
+
+    def __call__(self, x):
+        return softplus(x, self.beta, self.threshold)

@@ -246,3 +246,96 @@ def device_memory_stats():
         except Exception:
             out[str(d)] = {}
     return out
+
+
+def conjbl(bl):
+    """Conjugate a blnum or antpair tuple (reference utils.py:2471)."""
+    if isinstance(bl, tuple):
+        return bl[::-1]
+    if isinstance(bl, list) and len(bl) and isinstance(bl[0], tuple):
+        return [conjbl(b) for b in bl]
+    bl = np.asarray(bl)
+    out = 1000 * (bl % 1000) + bl // 1000
+    return out if out.ndim else int(out)
+
+
+def colat2lat(theta, deg=True):
+    """Colatitude <-> latitude (reference utils.py:110)."""
+    return (90 - np.asarray(theta)) if deg else (np.pi / 2 - np.asarray(theta))
+
+
+def inflate_bls(red_bls, bl2red, all_bls=None):
+    """Inflate unique baselines to all physical baselines (reference
+    utils.py:2066): returns (new_bls, red_inds)."""
+    if all_bls is None:
+        all_bls = list(bl2red.keys())
+    red_indices = set(bl2red.get(bl, None) for bl in red_bls)
+    new_bls, red_inds = [], []
+    for bl in all_bls:
+        ridx = bl2red.get(bl, -1)
+        if ridx in red_indices:
+            new_bls.append(bl)
+            red_inds.append(ridx)
+    return new_bls, red_inds
+
+
+def fit_zero(x, y):
+    """Fit a quadratic to (x, y) and return the root nearest x[0]
+    (reference utils.py:1906)."""
+    a, b, c = np.polyfit(np.asarray(x), np.asarray(y), 2)
+    d = np.sqrt(b ** 2 - 4 * a * c)
+    x1, x2 = (-b + d) / (2 * a), (-b - d) / (2 * a)
+    return x1 if abs(x1 - x[0]) < abs(x2 - x[0]) else x2
+
+
+def get_zeros(x, y):
+    """Zero crossings of a sampled function via local quadratic fits
+    (reference utils.py:1916)."""
+    x, y = np.asarray(x), np.asarray(y)
+    roots, prev = [], np.sign(y[0])
+    for i in range(1, len(y)):
+        curr = np.sign(y[i])
+        if (curr != prev) and abs(y[i]) > 1e-40 and curr != 0.0 \
+                and np.isfinite(prev):
+            if prev == 0.0:
+                prev = curr
+                continue
+            start = max(i - 3, 0)
+            nn = np.argsort(np.abs(y)[start:i + 3])[:3] + start
+            roots.append(fit_zero(x[nn], y[nn]))
+            prev = curr
+    return roots
+
+
+def stripe_tukey_mask(theta, theta_min, theta_max, phi, phi_min, phi_max,
+                      theta_alpha=0.5, phi_alpha=0.5):
+    """Tukey apodization mask for a spherical stripe (reference
+    utils.py:132): product of 1D tukey tapers in colatitude and
+    azimuth, interpolated onto the sample points [rad]."""
+    from scipy.signal import windows
+
+    def axis_mask(vals, vmin, vmax, alpha):
+        grid = np.linspace(vmin, vmax, 5000, endpoint=True)
+        win = windows.tukey(5000, alpha=alpha)
+        return np.interp(np.asarray(vals), grid, win, left=0.0, right=0.0)
+
+    return (axis_mask(theta, theta_min, theta_max, theta_alpha)
+            * axis_mask(phi, phi_min, phi_max, phi_alpha))
+
+
+def half_gaussian_taper(x, xcenter, sigma, below=True):
+    """Single-sided Gaussian taper (reference utils.py:169)."""
+    x = jnp.asarray(x)
+    g = jnp.exp(-0.5 * (x - xcenter) ** 2 / sigma ** 2)
+    sel = (x < xcenter) if below else (x > xcenter)
+    return jnp.where(sel, g, jnp.ones_like(x))
+
+
+def voigt_beam(nside, sigma, gamma):
+    """Voigt-profile power beam on a HEALPix grid (reference
+    utils.py:282): returns (beam, theta, phi) [rad]."""
+    from scipy.special import voigt_profile
+    from . import healpix as hp
+    theta, phi = hp.pix2ang(nside, np.arange(hp.nside2npix(nside)))
+    beam = voigt_profile(theta, sigma, gamma)
+    return beam / beam.max(), theta, phi
