@@ -1151,3 +1151,17 @@ def caldata_from_visdata(vd):
         pol = vd.pol[0]
     cd.setup_data(ants, vd.times, vd.freqs, pol=pol)
     return cd
+
+
+def pass_data(fname, copy=False, **kwargs):
+    """Dummy load function for in-memory Datasets (reference
+    dataset.py:4128): returns the object as-is (or a copy)."""
+    return _copy.deepcopy(fname) if copy else fname
+
+
+def make_HDF5Tensor(fname, dset="data", sel=None, dtype=None):
+    """Convenience constructor for (Selected)HDF5Tensor (reference
+    dataset.py make_HDF5Tensor)."""
+    if sel is not None:
+        return SelectedHDF5Tensor(fname, dset, sel=sel, dtype=dtype)
+    return HDF5Tensor(fname, dset, dtype=dtype)

@@ -227,3 +227,23 @@ def run_rime_sim(sky, beam, uvd_template, **kwargs):
     rime = RIME(sky, vd.telescope, beam, arr, vd.bls, vd.times, vd.freqs,
                 **kwargs)
     return rime.run_batches()
+
+
+def uvd_to_visdata(uvd, **kwargs):
+    """Alias of PyVisData.read_uvdata (reference uvd_to_visdata)."""
+    return PyVisData.read_uvdata(uvd, **kwargs)
+
+
+def get_params_from_uvdata(uvd):
+    """Extract (antnums, antpos ENU, bls, times, freqs, telescope
+    location) observation metadata from a UVData (reference
+    get_params_from_uvdata)."""
+    _require_pyuvdata()
+    ants = [int(a) for a in uvd.antenna_numbers]
+    enu = uvd.get_ENU_antpos()[0] if hasattr(uvd, "get_ENU_antpos") \
+        else uvd.antenna_positions
+    loc = uvd.telescope_location_lat_lon_alt_degrees
+    return dict(antnums=ants, antpos=np.asarray(enu),
+                bls=uvd.get_antpairs(), times=np.unique(uvd.time_array),
+                freqs=np.asarray(uvd.freq_array).ravel(),
+                telescope_location=(loc[1], loc[0], loc[2]))
