@@ -14,7 +14,7 @@ Layer map (mirrors SURVEY.md section 1):
 - parallel/   : device-mesh sharding of the posterior (data/bl-freq axes)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from . import utils
 from .utils import (
