@@ -162,8 +162,13 @@ def build_beam(modfile=None, pdict=None, kind="gauss", params=None,
 
 
 def build_rime(modfile=None, sky=None, telescope=None, beam=None,
-               array=None, sim_bls=None, times=None, freqs=None, **kwargs):
-    """RIME from pkl or sub-build dicts (reference io.py:~300-380)."""
+               array=None, sim_bls=None, times=None, freqs=None,
+               time_batch=None, indexed_batching=False, **kwargs):
+    """RIME from pkl or sub-build dicts (reference io.py:~300-380).
+
+    time_batch: optional group size — split `times` into uniform
+    minibatch groups. indexed_batching: enable single-executable
+    indexed batching (RIME.enable_indexed_batching)."""
     from ..models.rime import RIME
     if isinstance(modfile, str):
         return read_pkl(modfile)
@@ -176,8 +181,17 @@ def build_rime(modfile=None, sky=None, telescope=None, beam=None,
     if isinstance(array, dict):
         array = build_array(**array)
     sim_bls = [tuple(bl) for bl in sim_bls]
-    return RIME(sky, telescope, beam, array, sim_bls,
-                np.asarray(times), np.asarray(freqs), **kwargs)
+    times = np.asarray(times)
+    if time_batch:
+        assert len(times) % int(time_batch) == 0, \
+            "time_batch must divide Ntimes for uniform groups"
+        tb = int(time_batch)
+        times = [times[i:i + tb] for i in range(0, len(times), tb)]
+    rime = RIME(sky, telescope, beam, array, sim_bls, times,
+                np.asarray(freqs), **kwargs)
+    if indexed_batching:
+        rime.enable_indexed_batching()
+    return rime
 
 
 def build_calibration(modfile=None, pdict=None, kind="jones", params=None,
