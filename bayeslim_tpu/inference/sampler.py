@@ -6,12 +6,13 @@ Reference parity: bayeslim/sampler.py (SamplerBase :16-178, HMC :181-757,
 RecycledHMC :759, NUTS :956-1337, Potential :1338, leapfrog :1433,
 StepSize/DynamicStepSize :1586-1863).
 
-TPU-first: positions/momenta are ParamDict pytrees; each leapfrog step
-evaluates the jitted LogProb value_and_grad (the whole-trajectory
-lax.while_loop fusion is left to the Pallas/scan roadmap — the dominant
-cost is the forward+backward itself, already jitted). Mass matrices are
+TPU-first: positions/momenta are ParamDict pytrees. Whole HMC
+trajectories (make_leapfrog_traj, lax.scan) and NUTS tree doublings
+(make_nuts_subtree, lax.while_loop with the O(log N) checkpoint u-turn
+scheme) run as SINGLE device dispatches for single-batch LogProbs; the
+host per-step integrators remain as fallbacks. Mass matrices are
 diagonal ParamDicts or hmat operators (Cholesky factors), including
-implicit solves (SolveMat) and HODLR (HierMat).
+implicit solves (SolveMat) and hierarchical HODLR (SolveHierMat).
 """
 from __future__ import annotations
 

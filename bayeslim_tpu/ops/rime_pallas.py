@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .phase import fringe_cycles, mod1
 
-__all__ = ["rime_pallas_reduce", "rime_fused", "pallas_available"]
+__all__ = ["rime_pallas_reduce", "rime_fused", "rime_fused_bs",
+           "pallas_available"]
 
 # test hook: force interpret mode (CPU emulation) for all pallas calls
 INTERPRET = False
