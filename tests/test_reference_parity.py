@@ -242,3 +242,104 @@ def test_loglike_normalization_parity():
     ref = ba.optim.apply_icov(torch.tensor(res), torch.tensor(icov), None)
     mine = bl.optim.apply_icov(jnp.asarray(res), jnp.asarray(icov), None)
     assert np.abs(np.asarray(mine) - ref.numpy()).max() < 1e-12
+
+
+def test_hmat_operators_parity():
+    """MatColumn/MatRow/MatSum/TransposedMat/SolveHierMat match the
+    reference hmat classes on identical matrices (round-2 additions)."""
+    from bayeslim.hmat import (MatColumn as RMatColumn, MatRow as RMatRow,
+                               MatSum as RMatSum, DenseMat as RDenseMat)
+    from bayeslim_tpu.inference.hmat import (MatColumn, MatRow, MatSum,
+                                             DenseMat, TransposedMat)
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(4, 6))
+    B = rng.normal(size=(3, 6))
+    v6 = rng.normal(size=6)
+    v7 = rng.normal(size=7)
+
+    rc = RMatColumn([RDenseMat(torch.tensor(A)), RDenseMat(torch.tensor(B))])
+    oc = MatColumn([DenseMat(jnp.asarray(A)), DenseMat(jnp.asarray(B))])
+    assert np.allclose(np.asarray(oc.mat_vec_mul(jnp.asarray(v6))),
+                       rc.mat_vec_mul(torch.tensor(v6)).numpy(), atol=1e-13)
+
+    C = rng.normal(size=(4, 3))
+    rr = RMatRow([RDenseMat(torch.tensor(C)), RDenseMat(torch.tensor(A))])
+    orow = MatRow([DenseMat(jnp.asarray(C)), DenseMat(jnp.asarray(A))])
+    v9 = rng.normal(size=9)
+    assert np.allclose(np.asarray(orow.mat_vec_mul(jnp.asarray(v9))),
+                       rr.mat_vec_mul(torch.tensor(v9)).numpy(), atol=1e-13)
+
+    D1, D2 = rng.normal(size=(5, 5)), rng.normal(size=(5, 5))
+    os_ = MatSum([DenseMat(jnp.asarray(D1)), DenseMat(jnp.asarray(D2))])
+    v5 = rng.normal(size=5)
+    # NOTE: the reference's MatSum.mat_vec_mult is broken (torch.sum on a
+    # python list, hmat.py:1737+) -- compare ours to the dense sum instead
+    assert np.allclose(np.asarray(os_.mat_vec_mul(jnp.asarray(v5))),
+                       (D1 + D2) @ v5, atol=1e-13)
+    del RMatSum  # imported above to prove the symbol exists
+
+    # lazy transpose equals the reference TransposedMat action
+    from bayeslim.hmat import TransposedMat as RTransposedMat
+    rt = RTransposedMat(RDenseMat(torch.tensor(A)))
+    ot = TransposedMat(DenseMat(jnp.asarray(A)))
+    v4 = rng.normal(size=4)
+    assert np.allclose(np.asarray(ot.mat_vec_mul(jnp.asarray(v4))),
+                       rt.mat_vec_mul(torch.tensor(v4)).numpy(), atol=1e-13)
+
+
+def test_solve_hier_mat_parity():
+    """SolveHierMat solve matches the reference SolveHierMat on the same
+    HODLR matrix (hierarchical Cholesky; ref hmat.py:2211-2354)."""
+    import bayeslim.hmat as rhm
+    from bayeslim_tpu.inference.hmat import make_hodlr, SolveHierMat
+    rng = np.random.default_rng(1)
+    n = 128
+    x = np.linspace(0, 1, n)
+    A = np.exp(-(x[:, None] - x[None]) ** 2 / 0.4 ** 2) + np.eye(n) * 0.4
+    ours_h = make_hodlr(jnp.asarray(A), min_size=32, rank=24)
+    Ah = np.asarray(ours_h.to_dense())   # identical compressed operator
+    S = SolveHierMat(ours_h)
+    v = rng.normal(size=n)
+    want = np.linalg.solve(Ah, v)
+    got = np.asarray(S.mat_vec_mul(jnp.asarray(v)))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-8
+    # NOTE: the reference SolveHierMat (hmat.py:2211) takes the blocks of
+    # an ALREADY hierarchically-factored Cholesky L and only applies
+    # solves; it does not factor A. Ours performs the hierarchical
+    # factorization itself (rank-r Schur downdates), so the comparable
+    # ground truth is the dense solve above. Verify the reference class
+    # agrees on a 2-level pre-factored L to pin the solve convention:
+    L = np.linalg.cholesky(Ah)
+    h = n // 2
+    rS = rhm.SolveHierMat(torch.tensor(L[:h, :h]),
+                          torch.tensor(L[h:, h:]),
+                          A10=torch.tensor(L[h:, :h]),
+                          lower=True, trans_solve=True)
+    rgot = rS.mat_vec_mul(torch.tensor(v)).numpy()
+    assert np.abs(rgot - want).max() / np.abs(want).max() < 1e-8
+    assert np.abs(got - rgot).max() / np.abs(want).max() < 1e-7
+
+
+def test_redcal_degen_vis_parity():
+    """compute_redcal_degen_vis matches the reference on the same data."""
+    import bayeslim.calibration as rcal
+    from bayeslim_tpu.models.calibration import compute_redcal_degen_vis
+    from bayeslim_tpu.utils import make_hex
+    rng = np.random.default_rng(2)
+    ants, antvecs = make_hex(2, D=15.0)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs),
+                        freqs=np.linspace(1e8, 1.1e8, 4))
+    bls = arr.get_bls(keep_autos=False)
+    d = rng.normal(size=(1, 1, len(bls), 2, 4)) \
+        + 1j * rng.normal(size=(1, 1, len(bls), 2, 4))
+
+    aa, ps = compute_redcal_degen_vis(jnp.asarray(d), bls=bls,
+                                      antpos=arr.to_antpos())
+    rap = ba.utils.AntposDict(list(ants), torch.tensor(np.asarray(antvecs)))
+    raa, rps = rcal.compute_redcal_degen_vis(torch.tensor(d), bls=bls,
+                                             antpos=rap)
+    # the reference divides by wsum=1 when wgts=None (sums instead of
+    # averaging); ours normalizes by Nbls -- compare after rescaling
+    assert np.allclose(np.asarray(jnp.exp(aa)) * len(bls),
+                       np.exp(raa.numpy()), rtol=1e-10)
+    assert np.allclose(np.asarray(ps), rps.numpy(), rtol=1e-9, atol=1e-12)
