@@ -120,14 +120,33 @@ class GPFilter(MatFilter):
             self.Cs_pred = jnp.asarray(Cs_pred)
         if Cs_cross is not None:
             self.Cs_cross = jnp.asarray(Cs_cross)
-        self.C = self.Cs + self.Cn
-        self.C_inv = linalg.invert_matrix(self.C, method=self.inv,
-                                          rcond=self.rcond, eps=self.eps,
-                                          hermitian=self.hermitian)
-        cross = self.Cs if self.Cs_cross is None else self.Cs_cross
-        pred = self.Cs if self.Cs_pred is None else self.Cs_pred
-        self.G = cross @ self.C_inv
-        self.V = pred - cross @ self.C_inv @ cross.conj().T
+        # the Wiener inversion is a one-time host precompute: do it in
+        # float64 numpy (an f32 pinv with the default rcond amplifies
+        # instead of filtering) and cast the filter back to the working
+        # dtype
+        dt = self.Cs.dtype
+        Cs64 = np.asarray(self.Cs, dtype=np.complex128
+                          if jnp.iscomplexobj(self.Cs) else np.float64)
+        Cn64 = np.asarray(self.Cn, dtype=Cs64.dtype)
+        C64 = Cs64 + Cn64
+        if self.eps:
+            C64 = C64 + np.eye(C64.shape[-1], dtype=C64.dtype) * self.eps
+        self.C = jnp.asarray(C64, dtype=dt)
+        if self.inv == "chol":
+            C_inv64 = np.linalg.inv(C64)
+        elif self.inv == "diag":
+            C_inv64 = np.diag(1.0 / np.diagonal(C64))
+        else:
+            C_inv64 = np.linalg.pinv(C64, rcond=self.rcond,
+                                     hermitian=self.hermitian)
+        self.C_inv = jnp.asarray(C_inv64, dtype=dt)
+        cross = Cs64 if self.Cs_cross is None else \
+            np.asarray(self.Cs_cross, dtype=Cs64.dtype)
+        pred = Cs64 if self.Cs_pred is None else \
+            np.asarray(self.Cs_pred, dtype=Cs64.dtype)
+        self.G = jnp.asarray(cross @ C_inv64, dtype=dt)
+        self.V = jnp.asarray(pred - cross @ C_inv64 @ cross.conj().T,
+                             dtype=dt)
 
 
 class LstSqFilter(MatFilter):

@@ -159,51 +159,102 @@ class VisMapper:
 
     def make_map(self, vd=None, return_P=True, contract="diag"):
         """Accumulate dirty maps over times and normalize
-        (reference :360-470). Returns (maps (Nfreqs, Npix), P)."""
+        (reference :360-470). Returns (maps (Nfreqs, Npix), P).
+
+        The whole time loop runs inside ONE jitted fori_loop (the
+        reference's per-time Python loop would cost an RPC per op on the
+        remote TPU backend); jitted executables are cached per
+        (return_P, contract, method, has_icov) on this mapper.
+        """
         vd = self.vd if vd is None else vd
-        maps = jnp.zeros((self.Nfreqs, self.Npix), dtype=_float())
-        if self.method == "w":
-            Aw = jnp.zeros((self.Nfreqs, 1), dtype=_float())
-        else:
-            Aw = jnp.zeros((self.Nfreqs, self.Npix), dtype=_float())
-        P = None
-        if return_P:
-            if contract is not None:
-                P = jnp.zeros((self.Nfreqs, self.Npix), dtype=_float())
-            else:
-                P = jnp.zeros((self.Nfreqs, self.Npix, self.Npix),
-                              dtype=_float())
+        data = vd.data
+        icov = self.icov if self.icov is not None else vd.icov
+        if not hasattr(self, "_mm_cache"):
+            self._mm_cache = {}
+        key = (return_P, contract, self.method, icov is not None,
+               np.shape(data))
+        if key not in self._mm_cache:
+            self._mm_cache[key] = jax.jit(
+                self._build_mm_fn(return_P, contract, icov is not None))
+        fn = self._mm_cache[key]
 
-        for i in range(len(self.times)):
-            A = self.build_A(i)
-            v = self.build_v(i, vd=vd)
-            w = self.build_w(i)
-            m = make_map(v, w, A)
-            cut = self._cut[i]
-            maps = maps.at[:, cut].add(m * self._mask[i])
-            if return_P:
-                _P = compute_P(A, w, contract=contract)
-                if contract is not None:
-                    P = P.at[:, cut].add(_P * self._mask[i])
-                else:
-                    P = P.at[:, cut[:, None], cut[None, :]].add(_P)
-            if self.method == "w":
-                Aw = Aw + w.sum(0)[:, None]
-            elif self.method == "Aw":
-                Aw = Aw.at[:, cut].add(
-                    jnp.einsum("bf,bfp->fp", w, jnp.abs(A)))
-            else:
-                Aw = Aw.at[:, cut].add(
-                    jnp.einsum("bf,bfp->fp", w, jnp.abs(A) ** 2))
-
-        self.D = 1.0 / jnp.clip(Aw, self.clip)
-        maps = maps * self.D
-        if return_P:
-            if contract is not None:
-                P = P * self.D
-            else:
-                P = P * self.D[:, :, None]
+        s_all = jnp.asarray(self._s, dtype=_float())
+        cut_all = jnp.asarray(self._cut)
+        mask_all = jnp.asarray(self._mask, dtype=_float())
+        zen_all = jnp.asarray(self._zen, dtype=_float())
+        az_all = jnp.asarray(self._az, dtype=_float())
+        ctx = self._ctx if self._ctx is not None else ()
+        maps, P, D = fn(data, icov, s_all, cut_all, mask_all, zen_all,
+                        az_all, ctx, jnp.asarray(self.blvecs,
+                                                 dtype=_float()), self.beam)
+        self.D = D
         return maps, P
+
+    def _build_mm_fn(self, return_P, contract, has_icov):
+        freqs = self.freqs
+        method, clip = self.method, self.clip
+        nf, npix, nbls = self.Nfreqs, self.Npix, self.Nbls
+        ntimes = len(self.times)
+
+        def fn(data, icov, s_all, cut_all, mask_all, zen_all, az_all,
+               ctx, blvecs, beam):
+            maps0 = jnp.zeros((nf, npix), dtype=_float())
+            Aw0 = jnp.zeros((nf, 1 if method == "w" else npix),
+                            dtype=_float())
+            if not return_P:
+                P0 = jnp.zeros((1,), dtype=_float())
+            elif contract is not None:
+                P0 = jnp.zeros((nf, npix), dtype=_float())
+            else:
+                P0 = jnp.zeros((nf, npix, npix), dtype=_float())
+
+            def body(i, carry):
+                maps, Aw, P = carry
+                s, cut, mask = s_all[i], cut_all[i], mask_all[i]
+                tau = (blvecs @ s) / C_MS
+                A = jnp.moveaxis(fringe_phasor(tau, freqs, conj=True),
+                                 -1, 1)
+                if beam is not None:
+                    c = None if len(ctx) == 0 else (ctx[0][i], ctx[1][i])
+                    b = beam.gen_beam(zen_all[i], az_all[i], ctx=c)[0, 0, 0]
+                    if not beam.powerbeam:
+                        b = b ** 2
+                    A = A * b
+                A = A * mask
+                v = data[0, 0, :, i, :]
+                w = icov[0, 0, :, i, :].real if has_icov else \
+                    jnp.ones((nbls, nf), dtype=_float())
+                m = make_map(v, w, A)
+                maps = maps.at[:, cut].add(m * mask)
+                if return_P:
+                    _P = compute_P(A, w, contract=contract)
+                    if contract is not None:
+                        P = P.at[:, cut].add(_P * mask)
+                    else:
+                        P = P.at[:, cut[:, None], cut[None, :]].add(_P)
+                if method == "w":
+                    Aw = Aw + w.sum(0)[:, None]
+                elif method == "Aw":
+                    Aw = Aw.at[:, cut].add(
+                        jnp.einsum("bf,bfp->fp", w, jnp.abs(A)))
+                else:
+                    Aw = Aw.at[:, cut].add(
+                        jnp.einsum("bf,bfp->fp", w, jnp.abs(A) ** 2))
+                return maps, Aw, P
+
+            maps, Aw, P = jax.lax.fori_loop(0, ntimes, body,
+                                            (maps0, Aw0, P0))
+            D = 1.0 / jnp.clip(Aw, clip)
+            maps = maps * D
+            if not return_P:
+                P = None
+            elif contract is not None:
+                P = P * D
+            else:
+                P = P * D[:, :, None]
+            return maps, P, D
+
+        return fn
 
     def deconvolve_map(self, m, P, **kwargs):
         return deconvolve_map(m, P, **kwargs)

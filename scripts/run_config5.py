@@ -105,6 +105,8 @@ def main():
         taxis, baxis = "data", None
     sprob = ShardedLogProb(prob, mesh, time_axis=taxis, bl_axis=baxis)
     pd = sprob.collect_main_params()
+    # perturb the sky so the posterior gradient is non-trivial
+    pd["sky.params"] = pd["sky.params"] * 1.05
     t0 = time.time()
     v, g = sprob.value_and_grad(pd)
     gn = float(jnp.linalg.norm(g["sky.params"]))
