@@ -660,7 +660,38 @@ class HMC(SamplerBase):
 class RecycledHMC(HMC):
     """Recycled-momentum HMC (Nishimura & Dunson 2020; reference
     sampler.py:759-954): stores all intermediate leapfrog states as
-    (weighted) samples."""
+    (weighted) samples. With an on-device trajectory available (see
+    HMC), the whole Nstep integration + per-state energies run as one
+    device dispatch."""
+
+    def _recycled_traj(self):
+        if getattr(self, "_rtraj_fn", None) is None:
+            fn = self._prob._batch_fn(0)
+            vg = jax.value_and_grad(fn)
+            Minv = self.mass.minv
+
+            def kin(p):
+                mp = Minv(p)
+                return 0.5 * sum(jnp.sum((p[k].conj() * mp[k]).real)
+                                 for k in p.keys())
+
+            def traj(q, p, model, data, icov, eps, nstep):
+                _, g0 = vg(q, model, data, icov)
+
+                def body(carry, _):
+                    q, p, g = carry
+                    p1 = p - g * (eps * 0.5)
+                    q1 = q + Minv(p1) * eps
+                    U, g1 = vg(q1, model, data, icov)
+                    p2 = p1 - g1 * (eps * 0.5)
+                    return (q1, p2, g1), (q1, U + kin(p2))
+
+                _, (qs, Hs) = jax.lax.scan(body, (q, p, g0), None,
+                                           length=nstep)
+                return qs, Hs
+
+            self._rtraj_fn = jax.jit(traj, static_argnums=(6,))
+        return self._rtraj_fn
 
     def step(self):
         self.key, kp, ka = jax.random.split(self.key, 3)
@@ -669,15 +700,27 @@ class RecycledHMC(HMC):
             self._U, self._grad = self.dUdx(self.x)
         H0 = self._energy(self._U, p)
 
-        # integrate step by step, recording each state
-        q, mom = self.x, p
-        states = []
-        U, grad = self._U, self._grad
-        for i in range(self.Nstep):
-            q, mom, U, grad, _ = leapfrog(q, mom, self.dUdx, self.eps, 1,
-                                          self.mass.minv)
-            H = self._energy(U, mom)
-            states.append((q, U, grad, H))
+        if self._traj is not None:
+            # one dispatch: all Nstep states + their energies
+            data, icov = self._prob._batch_args(0)
+            qs, Hs = self._recycled_traj()(
+                self.x, p, self._prob.model, data, icov, self.eps,
+                self.Nstep)
+            self.fn_evals += self.Nstep + 1
+            Hs = np.asarray(Hs)
+            states = [(jax.tree_util.tree_map(lambda a, i=i: a[i], qs),
+                       None, None, float(Hs[i]))
+                      for i in range(self.Nstep)]
+        else:
+            # host path: integrate step by step, recording each state
+            q, mom = self.x, p
+            states = []
+            U, grad = self._U, self._grad
+            for i in range(self.Nstep):
+                q, mom, U, grad, _ = leapfrog(q, mom, self.dUdx, self.eps,
+                                              1, self.mass.minv)
+                H = self._energy(U, mom)
+                states.append((q, U, grad, H))
         # accept each state independently vs H0
         any_acc = False
         for (q, U, grad, H) in states:
@@ -687,7 +730,11 @@ class RecycledHMC(HMC):
             ap = min(1.0, float(np.exp(-dH)))
             self.key, ku = jax.random.split(self.key)
             if float(jax.random.uniform(ku)) < ap:
-                self.x, self._U, self._grad = q, U, grad
+                self.x = q
+                if U is not None:
+                    self._U, self._grad = U, grad
+                else:
+                    self._U = None
                 any_acc = True
             self.append_chain(self.x)
             self._acceptances.append(ap)

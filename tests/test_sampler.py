@@ -486,3 +486,32 @@ def test_nuts_on_device_matches_host_tree_statistics():
     # same posterior scale probed by both trees (loose: short chains)
     ratio = res["device"] / np.clip(res["host"], 1e-12, None)
     assert np.median(ratio) < 5 and np.median(ratio) > 0.2
+
+
+def test_recycled_hmc_on_device():
+    """RecycledHMC with the fused trajectory: all Nstep states + energies
+    in one dispatch; sane acceptance and chain growth."""
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.inference import LogProb
+    from tests.test_rime import (setup_Telescope, setup_PointSky,
+                                 setup_Array, setup_UniformBeam, JD0)
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=2, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_UniformBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+    rime.beam.unset_param("params")
+    vd = rime.forward()
+    tgt = vd.copy()
+    icov = jnp.ones(vd.data.shape) * 1e4
+    tgt.setup_data(bls, vd.times, freqs, pol="ee", data=vd.data,
+                   cov=1.0 / icov, cov_axis=None, icov=icov)
+    prob = LogProb(rime, tgt)
+    r = RecycledHMC(Potential(prob), prob.collect_main_params(),
+                    eps=3e-4, Nstep=6, seed=4)
+    assert r._traj is not None
+    for _ in range(4):
+        r.step()
+    assert r.Nsamples == 24      # Nstep states per step
+    assert r.acceptance_rate > 0.3
