@@ -1060,7 +1060,24 @@ class SelectedHDF5Tensor:
     def shape(self):
         if self.sel is None:
             return self.base.shape
-        return np.empty(self.base.shape, dtype=bool)[self.sel].shape
+        # compute the selected shape from index arithmetic (no
+        # allocation: the backing dataset may be tens of GB)
+        base = self.base.shape
+        sel = self.sel if isinstance(self.sel, tuple) else (self.sel,)
+        out = []
+        for ax, n in enumerate(base):
+            if ax < len(sel):
+                s = sel[ax]
+                if isinstance(s, slice):
+                    out.append(len(range(*s.indices(n))))
+                elif np.isscalar(s) or np.ndim(s) == 0:
+                    continue  # integer index drops the axis
+                else:
+                    s = np.asarray(s)
+                    out.append(int(s.sum()) if s.dtype == bool else len(s))
+            else:
+                out.append(n)
+        return tuple(out)
 
     def __getitem__(self, idx):
         full = self.base[self.sel] if self.sel is not None else self.base[:]

@@ -93,6 +93,10 @@ def compute_hessian(prob, pdict=None, rows_chunk=None, keys=None,
     Returns (H (n, n), index dict key->slice).
     """
     probs = list(prob) if isinstance(prob, (list, tuple)) else [prob]
+    # a ShardedLogProb wraps the real LogProb (which holds the sharded
+    # model); unwrap so prob.forward exists
+    probs = [getattr(p, "prob", p) if not hasattr(p, "forward") else p
+             for p in probs]
     H, index = None, None
     for p in probs:
         nb = getattr(p, "Nbatch", 1) if batches == "all" else 1

@@ -488,12 +488,34 @@ class LogProb(Module):
 
         return fn
 
+    def _batches_uniform(self):
+        """True when every batch > 0 shares the closure statics that
+        _batch_fn bakes into its executable (covariance metadata and the
+        start_inp entry) -- the precondition for reusing ONE compiled
+        function across batches. Cached per target/start_inp identity."""
+        key = (id(self.target), id(self.start_inp))
+        if getattr(self, "_unif_cache", None) is not None and \
+                self._unif_cache[0] == key:
+            return self._unif_cache[1]
+        metas = []
+        for i in range(1, self.Nbatch):
+            tgt = self.target[i % len(self.target)]
+            inp = None if self.start_inp is None else \
+                self.start_inp[i % len(self.start_inp)]
+            metas.append((getattr(tgt, "cov_axis", None),
+                          getattr(tgt, "cov_ndim", None),
+                          getattr(tgt, "cov_logdet", None), id(inp)))
+        ok = len(set(metas)) <= 1
+        self._unif_cache = (key, ok)
+        return ok
+
     def _fn_key(self, idx):
         """Jit-cache key: with indexed batching (RIME stacked time
-        groups + traced group index) one executable serves every batch
-        except batch 0 (which adds the prior term), so key only on
-        idx == 0."""
-        if getattr(self.model, "indexed_batching", False):
+        groups + traced group index) AND uniform per-batch closure
+        statics, one executable serves every batch except batch 0
+        (which adds the prior term), so key only on idx == 0."""
+        if getattr(self.model, "indexed_batching", False) and \
+                self._batches_uniform():
             return idx == 0
         return idx
 

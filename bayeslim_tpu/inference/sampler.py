@@ -575,15 +575,34 @@ class HMC(SamplerBase):
             self.stepsize = None
         self._U = None
         self._grad = None
-        self._traj = None
-        prob = getattr(potential, "prob", None)
-        if on_device and prob is not None and \
-                getattr(prob, "Nbatch", 1) == 1:
-            fn = prob._batch_fn(0)
+        self._on_device = on_device
+        self._traj_cache = {}
+        self._prob = getattr(potential, "prob", None)
+
+    def _traj_eligible(self):
+        """On-device trajectories need a plain single-batch LogProb with
+        no gradient modifications (grad mods apply in value_and_grad,
+        which the fused path bypasses)."""
+        p = self._prob
+        return (self._on_device and p is not None
+                and hasattr(p, "_batch_fn")
+                and getattr(p, "Nbatch", 1) == 1
+                and not getattr(p, "grad_mods", None))
+
+    @property
+    def _traj(self):
+        """Lazily-built fused trajectory, rebuilt if the prob's
+        main_params sub-slicing changed after sampler construction."""
+        if not self._traj_eligible():
+            return None
+        key = id(getattr(self._prob, "main_params", None))
+        if key not in self._traj_cache:
+            fn = self._prob._batch_fn(0)
             vg = jax.value_and_grad(fn)
-            self._traj = jax.jit(make_leapfrog_traj(vg, self.mass.minv),
-                                 static_argnums=(6,))
-            self._prob = prob
+            self._traj_cache[key] = jax.jit(
+                make_leapfrog_traj(vg, self.mass.minv),
+                static_argnums=(6,))
+        return self._traj_cache[key]
 
     def dUdx(self, x):
         self.fn_evals += 1
@@ -665,6 +684,10 @@ class RecycledHMC(HMC):
     device dispatch."""
 
     def _recycled_traj(self):
+        key = id(getattr(self._prob, "main_params", None))
+        if getattr(self, "_rtraj_key", None) != key:
+            self._rtraj_fn = None
+            self._rtraj_key = key
         if getattr(self, "_rtraj_fn", None) is None:
             fn = self._prob._batch_fn(0)
             vg = jax.value_and_grad(fn)
@@ -763,17 +786,30 @@ class NUTS(SamplerBase):
         self.stepsize = DynamicStepSize(eps, **(adapt_kwargs or {})) \
             if adapt_eps else None
         self.tree_depths = []
-        self._subtree = None
-        prob = getattr(potential, "prob", None)
-        if on_device and prob is not None and \
-                getattr(prob, "Nbatch", 1) == 1:
-            fn = prob._batch_fn(0)
+        self._on_device = on_device
+        self._subtree_cache = {}
+        self._prob = getattr(potential, "prob", None)
+
+    def _subtree_eligible(self):
+        p = self._prob
+        return (self._on_device and p is not None
+                and hasattr(p, "_batch_fn")
+                and getattr(p, "Nbatch", 1) == 1
+                and not getattr(p, "grad_mods", None))
+
+    @property
+    def _subtree(self):
+        if not self._subtree_eligible():
+            return None
+        key = id(getattr(self._prob, "main_params", None))
+        if key not in self._subtree_cache:
+            fn = self._prob._batch_fn(0)
             vg = jax.value_and_grad(fn)
-            self._subtree = jax.jit(
+            self._subtree_cache[key] = jax.jit(
                 make_nuts_subtree(vg, self.mass.minv,
-                                  max_depth=max_treedepth),
+                                  max_depth=self.max_treedepth),
                 static_argnames=("depth",))
-            self._prob = prob
+        return self._subtree_cache[key]
 
     def dUdx(self, x):
         self.fn_evals += 1

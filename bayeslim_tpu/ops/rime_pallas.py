@@ -186,9 +186,10 @@ def _pad2(x, rows, cols):
     return x
 
 
-def _choose_tf(nfp, nstack, budget):
-    """Largest tile tf dividing nfp (tf % 8 == 0) with tf <= budget; the
-    full stacked row count is nstack * nfp."""
+def _choose_tf(nfp, budget):
+    """Largest tile tf dividing nfp (tf % 8 == 0) with tf <= budget.
+    _freq_params guarantees nfp > 1024 is a 128 multiple, so the halving
+    always reaches the budget."""
     tf = nfp
     while tf > budget and tf % 16 == 0:
         tf //= 2
@@ -229,7 +230,7 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
     for tbc, tcc in ((tb, tc), (256, 512), (256, 256), (512, 256),
                      (128, 256), (128, 128)):
         tbc, tcc = min(tbc, NB), min(tcc, NC)
-        tfc = _choose_tf(nfp, nstack, 1024)
+        tfc = _choose_tf(nfp, 1024)
         while vmem(G, tcc, tbc, tfc) > budget and tfc > 128 \
                 and tfc % 16 == 0:
             tfc //= 2
@@ -240,7 +241,7 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
     if best is not None:
         _, tb, tc, tf = best
     else:
-        tb, tc, tf = min(128, NB), min(128, NC), _choose_tf(nfp, nstack, 1024)
+        tb, tc, tf = min(128, NB), min(128, NC), _choose_tf(nfp, 1024)
         while vmem(G, tc, tb, tf) > budget and tf > 128 and tf % 16 == 0:
             tf //= 2
         while vmem(G, tc, tb, tf) > budget and G > 2:
@@ -499,6 +500,11 @@ def _freq_params(freqs_tuple):
     f0 = float(freqs[0])
     df = float(freqs[1] - freqs[0]) if nf > 1 else 0.0
     nfp = _round_up(nf, 8)
+    # large row counts must be tileable: an 8-but-not-16 multiple above
+    # the VMEM freq-tile budget cannot halve, so pad to a 128 multiple
+    # (padded rows are zeros; <= 6% extra work)
+    if nfp > 1024 and nfp % 128:
+        nfp = _round_up(nf, 128)
     return f0, df, nf, nfp
 
 

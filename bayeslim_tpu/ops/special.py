@@ -263,12 +263,6 @@ def yl(l, z, deriv=False, keepdims=False):
     return _squeeze(out, keepdims)
 
 
-def softplus(x, beta=1.0):
-    """Smooth positive map log(1+exp(beta x))/beta (reference special.py:689)."""
-    import jax.numpy as jnp
-    return jnp.logaddexp(0.0, beta * x) / beta
-
-
 def j1_integral(x, Ntau=100):
     """Bessel J1 via trapezoidal integration of the Bessel integral
     J1(x) = (1/pi) int_0^pi cos(tau - x sin(tau)) dtau (reference

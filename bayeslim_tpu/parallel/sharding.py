@@ -62,6 +62,7 @@ def shard_rime(rime, mesh, time_axis="data", bl_axis=None, inplace=False):
       (time_axis, ..., bl_axis, ...)
     """
     if not inplace:
+        from ..utils.module import HostState
         rime = rime.copy()
         rime._pre = {k: dict(v) for k, v in rime._pre.items()}
         if getattr(rime, "_pre_stack", None) is not None:
@@ -69,6 +70,9 @@ def shard_rime(rime, mesh, time_axis="data", bl_axis=None, inplace=False):
         rime.sky = rime.sky.copy()
         rime.beam = rime.beam.copy()
         rime.array = rime.array.copy()
+        # decouple host-side batch bookkeeping from the original (a
+        # shared HostState would leak batch selection between them)
+        rime._host = HostState(**vars(rime._host))
 
     def shard_leaf(x, lead_dims=0):
         spec = P(*((None,) * lead_dims + (time_axis,)
@@ -203,9 +207,11 @@ def shard_pixels(rime, mesh, pix_axis="model", inplace=False):
     the axis size.
     """
     if not inplace:
+        from ..utils.module import HostState
         rime = rime.copy()
         rime._pre = {k: dict(v) for k, v in rime._pre.items()}
         rime.sky = rime.sky.copy()
+        rime._host = HostState(**vars(rime._host))
 
     def put(x, axes_before):
         spec = P(*((None,) * axes_before + (pix_axis,)))

@@ -31,10 +31,16 @@ def get_logger(name="bayeslim_tpu", level=logging.INFO, jsonl_path=None):
         logger.addHandler(h)
         logger.setLevel(level)
     if jsonl_path is not None:
-        fh = logging.FileHandler(jsonl_path)
-        fh.setFormatter(logging.Formatter("%(message)s"))
-        fh.addFilter(lambda rec: rec.getMessage().startswith("{"))
-        logger.addHandler(fh)
+        import os
+        path = os.path.abspath(str(jsonl_path))
+        have = any(isinstance(h, logging.FileHandler)
+                   and getattr(h, "baseFilename", None) == path
+                   for h in logger.handlers)
+        if not have:
+            fh = logging.FileHandler(path)
+            fh.setFormatter(logging.Formatter("%(message)s"))
+            fh.addFilter(lambda rec: rec.getMessage().startswith("{"))
+            logger.addHandler(fh)
     _LOGGER = logger
     return logger
 

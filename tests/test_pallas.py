@@ -246,3 +246,20 @@ def test_pallas_bs_pixel_chunking(interpret_mode, monkeypatch):
     for a, b in zip(g1, g2):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() / (np.abs(b).max() + 1e-30) < 2e-4
+
+
+def test_pallas_odd_large_freq_count():
+    """Nfreqs whose 8-padded count is a poor power-of-two multiple
+    (e.g. 1025 -> 1032) must still tile: _freq_params pads to a 128
+    multiple and values match the XLA reference."""
+    rng = np.random.default_rng(8)
+    nb, nf, npx = 8, 1025, 128
+    tau = jnp.asarray(rng.uniform(-1e-6, 1e-6, (nb, npx)), jnp.float32)
+    ps = jnp.asarray(rng.normal(size=(nf, npx)), jnp.float32)
+    freqs = np.linspace(100e6, 200e6, nf)
+    from bayeslim_tpu.ops.rime_pallas import _freq_params
+    f0, df, nf_, nfp = _freq_params(tuple(freqs.tolist()))
+    assert nfp % 128 == 0 and nfp >= nf
+    ref = np.asarray(rime_reduce_ref(ps[None], tau, freqs))
+    out = np.asarray(rime_pallas_reduce(ps, tau, freqs, interpret=True))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-4

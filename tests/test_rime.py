@@ -230,3 +230,52 @@ def test_rime_indexed_batching():
     assert len(vg_keys) == 2, vg_keys  # batch-0 (with prior) + the rest
     vg_keys_ref = [k for k in prob_ref._jit_cache if k[0] == "vg"]
     assert len(vg_keys_ref) == 2  # one per batch_idx without indexing
+
+
+def test_indexed_batching_nonuniform_targets():
+    """With per-batch targets whose covariance metadata differs, indexed
+    batching must NOT collapse the jit cache (the closure bakes
+    cov_logdet/cov_ndim statics): values match per-batch probs."""
+    from bayeslim_tpu.inference import LogProb
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=2)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    times = np.asarray([JD0 + i * 5e-4 for i in range(6)])
+
+    rime = RIME(sky, T, beam, arr, bls,
+                [times[:2], times[2:4], times[4:]], freqs)
+    rime.enable_indexed_batching()
+    vd = rime.run_batches(concat=True)
+
+    tgts = []
+    for i, cov_scale in enumerate([1.0, 4.0, 9.0]):  # differing cov_logdet
+        t = bl.VisData()
+        t.setup_meta(T, arr.to_antpos())
+        d = vd.data[:, :, :, 2 * i:2 * i + 2, :]
+        t.setup_data(bls, times[2 * i:2 * i + 2], freqs, pol="ee", data=d,
+                     cov=jnp.ones(d.shape) * cov_scale, cov_axis=None,
+                     icov=jnp.ones(d.shape) / cov_scale)
+        tgts.append(t)
+    prob = LogProb(rime, tgts)
+    # batches 1 and 2 have different cov metadata -> cache must NOT
+    # collapse (the closure bakes cov_logdet into the executable)
+    assert not prob._batches_uniform()
+    v, g = prob.value_and_grad()
+
+    # ground truth: three independent single-batch probs
+    want = 0.0
+    for i in range(3):
+        r1 = RIME(sky, T, beam, arr, bls, times[2 * i:2 * i + 2], freqs)
+        p1 = LogProb(r1, tgts[i], compute="like" if i else "post")
+        want += float(p1())
+    assert np.allclose(float(v) * 3, want, rtol=1e-10)
+
+    # uniform targets DO collapse the cache
+    prob_u = LogProb(rime, [tgts[0]] * 3)
+    assert prob_u._batches_uniform()
+    v_u, _ = prob_u.value_and_grad()
+    vg_keys = [k for k in prob_u._jit_cache if k[0] == "vg"]
+    assert len(vg_keys) == 2
