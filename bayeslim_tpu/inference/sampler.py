@@ -83,7 +83,8 @@ def make_nuts_subtree(vg_fn, Minv=None, max_depth=10):
 
     Returns subtree(q, p, key, logu, H0, direction, eps, model, data,
     icov, depth) -> dict(q_end, p_end, q_prop, n_valid, ok, alpha, na);
-    `depth` static. Progressive sampling is uniform over valid leaves
+    depth may be traced (one executable serves all tree depths).
+    Progressive sampling is uniform over valid leaves
     within the subtree (combined with the usual biased outer doubling).
     """
     Minv = Minv if Minv is not None else (lambda x: x)
@@ -98,7 +99,9 @@ def make_nuts_subtree(vg_fn, Minv=None, max_depth=10):
 
     def subtree(q, p, key, logu, H0, direction, eps, model, data, icov,
                 depth, dHmax):
-        nleaf = 2 ** depth
+        # depth may be traced: the while_loop bound is dynamic, so ONE
+        # executable serves every tree depth (no per-depth recompiles)
+        nleaf = 2 ** jnp.asarray(depth, jnp.int32)
         dirf = jnp.asarray(direction, jnp.float32)
 
         ck_q = jax.tree_util.tree_map(
@@ -807,8 +810,7 @@ class NUTS(SamplerBase):
             vg = jax.value_and_grad(fn)
             self._subtree_cache[key] = jax.jit(
                 make_nuts_subtree(vg, self.mass.minv,
-                                  max_depth=self.max_treedepth),
-                static_argnames=("depth",))
+                                  max_depth=self.max_treedepth))
         return self._subtree_cache[key]
 
     def dUdx(self, x):
