@@ -198,3 +198,81 @@ def test_jones_response_modes():
     g2 = R2(tau)
     assert g2.shape == (1, 1, 3, 1, 8)
     assert np.allclose(np.abs(np.asarray(g2)), 1.0)
+
+
+def test_rime_4pol_jones_end_to_end():
+    """Full 4-pol chain: coherency sky -> 2x2 Jones beam -> RIME forward
+    (2, 2, Nbls, Nt, Nf) -> JonesModel 4-pol apply/undo round trip
+    (reference beam_model.py:334-363 + calibration.py:416-743)."""
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.models.sky import PixelSky, PixelSkyResponse, stokes2coherency
+    from bayeslim_tpu.models.beam import PixelBeam, UniformResponse
+    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+    from bayeslim_tpu.utils import make_hex, AntposDict, healpix as hp
+
+    rng = np.random.default_rng(0)
+    loc = (21.428, -30.721, 1073.0)
+    T = bl.TelescopeModel(loc)
+    ants, antvecs = make_hex(2, D=15.0)
+    freqs = np.linspace(1e8, 1.1e8, 4)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    bls = arr.get_bls(keep_autos=False)[:8]
+    nside = 8
+    npix = hp.nside2npix(nside)
+    th, ph = hp.pix2ang(nside, np.arange(npix))
+    angs = np.stack([ph * 180 / np.pi, 90 - th * 180 / np.pi])
+
+    # Stokes I + Q sky -> 2x2 coherency (2, 2, Nf, Npix)
+    S = np.zeros((4, 1, len(freqs), npix))
+    S[0, 0] = rng.uniform(1, 5, npix)
+    S[1, 0] = 0.2 * S[0, 0]
+    B = stokes2coherency(jnp.asarray(S))
+    assert B.shape == (2, 2, len(freqs), npix)
+
+    class CoherencySky(bl.utils.Module):
+        def __init__(self, data, angs):
+            super().__init__()
+            self.data = jnp.asarray(data)
+            self.angs = np.asarray(angs)
+
+        def forward(self, *a, prior_cache=None, **k):
+            from bayeslim_tpu.data.containers import MapData
+            md = MapData()
+            md.setup_data(freqs, data=self.data, angs=self.angs)
+            return md
+
+    sky = CoherencySky(B, angs)
+    # 2x2 complex Jones beam on the same healpix grid, evaluated through
+    # PixelResponse interpolation (realbeam=False keeps it complex)
+    from bayeslim_tpu.models.beam import PixelResponse
+    jb = rng.normal(size=(2, 2, 1, len(freqs), npix)) * 0.1
+    jb = jb + np.tile(np.eye(2)[:, :, None, None, None],
+                      (1, 1, 1, len(freqs), npix))
+    R = PixelResponse(freqs, "healpix", nside=nside, powerbeam=False,
+                      realbeam=False)
+    beam = PixelBeam(jnp.asarray(jb + 0j), freqs, R=R, powerbeam=False,
+                     parameter=False, fov=180.0)
+
+    jd = 2458168.3
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([jd]), freqs)
+    vd = rime.forward()
+    assert vd.data.shape == (2, 2, len(bls), 1, len(freqs))
+    assert np.isfinite(np.asarray(vd.data)).all()
+    assert float(jnp.abs(vd.data).sum()) > 0
+    # hermiticity of the coherency propagates: V_xy = conj(V_yx) for
+    # a zero-baseline... (general bls: no strict symmetry; just check
+    # the diagonal pols are non-trivial)
+    assert float(jnp.abs(vd.data[0, 0]).sum()) > 0
+    assert float(jnp.abs(vd.data[1, 1]).sum()) > 0
+
+    # 4-pol Jones calibration apply/undo round trip
+    gains = (rng.normal(size=(2, 2, len(ants), 1, len(freqs))) * 0.05 +
+             np.tile(np.eye(2)[:, :, None, None, None],
+                     (1, 1, len(ants), 1, len(freqs))))
+    jm = JonesModel(jnp.asarray(gains + 0j), ants=list(ants),
+                    R=JonesResponse(param_type="com"), polmode="4pol",
+                    parameter=False)
+    vd_cal = jm.forward(vd)
+    vd_back = jm.forward(vd_cal, undo=True)
+    assert np.allclose(np.asarray(vd_back.data), np.asarray(vd.data),
+                       atol=1e-10)
