@@ -91,9 +91,13 @@ class RIME(Module):
         self.bl_group_id = 0
 
         # baseline vectors per group: differentiable through array.antvecs,
-        # so store index pairs and compute vectors inside forward
-        self._blidx_groups = {k: self.array.bl_index(v)
-                              for k, v in groups.items()}
+        # so store index pairs (as device arrays -- pytree leaves, which
+        # lets parallel.sharding partition the baseline axis for
+        # shard_map execution) and compute vectors inside forward
+        self._blidx_groups = {
+            k: tuple(jnp.asarray(np.asarray(ix), dtype=jnp.int32)
+                     for ix in self.array.bl_index(v))
+            for k, v in groups.items()}
 
         if data_bls is None:
             self.data_bl_groups = dict(groups)

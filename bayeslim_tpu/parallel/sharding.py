@@ -24,6 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+
+def _dtype(x):
+    import jax.numpy as _j
+    return _j.float32 if x.dtype in (_j.complex64, _j.float32) \
+        else _j.float64
+
 __all__ = ["make_mesh", "shard_rime", "shard_visdata", "shard_pixels",
            "ShardedLogProb",
            "DistributedLogProb", "replicate"]
@@ -91,6 +97,15 @@ def shard_rime(rime, mesh, time_axis="data", bl_axis=None, inplace=False):
                     st[name] = tuple(shard_leaf(a, 1) for a in st[name])
                 else:
                     st[name] = shard_leaf(st[name], 1)
+
+    if bl_axis is not None:
+        # baseline-index arrays partition over the bl axis (enables the
+        # shard_map execution path: each device computes its local
+        # baselines' visibilities)
+        bspec = NamedSharding(mesh, P(bl_axis))
+        rime._blidx_groups = {
+            k: tuple(jax.device_put(ix, bspec) for ix in v)
+            for k, v in rime._blidx_groups.items()}
 
     rime.time_mode = "vmap"
     rime.vis_sharding = NamedSharding(
@@ -172,6 +187,112 @@ class ShardedLogProb:
     def value_and_grad(self, pdict=None):
         with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else self.mesh:
             return self.prob.value_and_grad(pdict)
+
+    # ------------------------------------------------------- shard_map path
+    def smap_value_and_grad(self, pdict=None):
+        """value_and_grad through jax.shard_map: each device runs the
+        forward (including the fused Pallas kernel, which XLA cannot
+        partition as a custom call) on its LOCAL (time, baseline) shard;
+        the chi^2 psums over the mesh and the prior is added once on
+        replicated parameters.
+
+        Requirements: single batch, diagonal (or absent) covariance,
+        Nmp == 1 model pairs, no sim->data redundancy expansion.
+        """
+        if pdict is None:
+            pdict = self.collect_main_params()
+        if not hasattr(self, "_smap_vg"):
+            self._smap_vg = self._build_smap_vg()
+        data, icov = self.prob._batch_args(0)
+        icov = icov if icov is not None else jnp.ones((1,), _dtype(data))
+        return self._smap_vg(dict(pdict), self.prob.model, data, icov)
+
+    def _build_smap_vg(self):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from ..inference.prob import _walk_priors
+        prob = self.prob
+        model = prob.model
+        rime = model if hasattr(model, "_pre") else None
+        assert rime is not None, "shard_map path needs a bare RIME model"
+        assert prob.Nbatch == 1, "shard_map path: single batch only"
+        mp = rime._mp_groups[rime.bl_group_id]
+        assert mp[2] is None and rime._sim2data[rime.bl_group_id] is None,             "shard_map path needs Nmp == 1 and no redundancy expansion"
+        tgt = prob.target[0]
+        assert getattr(tgt, "cov_axis", None) is None,             "shard_map path: diagonal covariance only"
+        cc, negate = prob.complex_circular, prob.negate
+        has_icov = tgt.get_icov() is not None
+        if has_icov and tgt.cov_logdet is not None:
+            norm = (tgt.cov_ndim * np.log(np.pi) + tgt.cov_logdet) if cc \
+                else 0.5 * (tgt.cov_ndim * np.log(2 * np.pi)
+                            + tgt.cov_logdet)
+        else:
+            norm = 0.0
+        mesh = self.mesh
+        axes = tuple(mesh.axis_names)
+
+        def spec_of(x):
+            s = getattr(x, "sharding", None)
+            sp = getattr(s, "spec", None)
+            return sp if sp is not None else P()
+
+        data, icov = prob._batch_args(0)
+        # Module pytrees classify attributes by VALUE (arrays=leaves), so
+        # a spec-shaped model tree would reflatten differently; hand the
+        # model to shard_map as its flat leaf list instead
+        _, model_def = jax.tree_util.tree_flatten(model)
+        data_spec = spec_of(data)
+        icov_spec = spec_of(icov) if icov is not None else P()
+        pd_specs = jax.tree_util.tree_map(
+            lambda _: P(), dict(prob.collect_main_params()))
+
+        def local_fn(pd, model_leaves, data, icov):
+            m = jax.tree_util.tree_unflatten(model_def, model_leaves)
+            m = m.copy()
+            # inside shard_map every mesh axis is manual: the global
+            # with_sharding_constraint must not run on local blocks
+            m.vis_sharding = None
+            mm = m.updated(pd)
+            out = mm.forward(None, prior_cache={})
+            res = (out.data if hasattr(out, "data") else out) - data
+            chi = (res.conj() * res).real
+            if has_icov:
+                chi = chi * icov.real
+            return jax.lax.psum(jnp.sum(chi), axes)
+
+        # leaf specs from the CONCRETE sharded model (tracers inside the
+        # jit have no .sharding)
+        leaf_specs = [spec_of(x) for x in jax.tree_util.tree_leaves(model)]
+        smap = shard_map(local_fn, mesh=mesh,
+                         in_specs=(pd_specs, leaf_specs, data_spec,
+                                   icov_spec),
+                         out_specs=P(), check_rep=False)
+
+        prior_dict = prob.prior_dict
+
+        def total(pd, m, data, icov):
+            leaves = jax.tree_util.tree_leaves(m)
+            chisq = smap(pd, leaves, data, icov)
+            loglike = (-chisq - norm) if cc else (-0.5 * chisq - norm)
+            mm = m.updated(pd)
+            logprior = jnp.asarray(0.0)
+            if prior_dict is not None:
+                for key, pr in prior_dict.items():
+                    prs = pr if isinstance(pr, (list, tuple)) else [pr]
+                    val = mm[key]
+                    for p_ in prs:
+                        logprior = logprior + p_(val)
+            else:
+                pc = {}
+                _walk_priors(mm, pc)
+                for k in pc:
+                    logprior = logprior + pc[k]
+            lp = loglike + logprior
+            return -lp if negate else lp
+
+        return jax.jit(jax.value_and_grad(total))
 
     def __call__(self, pdict=None, **kwargs):
         with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else self.mesh:

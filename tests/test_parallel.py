@@ -124,3 +124,128 @@ def test_shard_pixels_long_axis():
     for k in g0:
         assert np.allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                            rtol=1e-8, atol=1e-12), k
+
+
+def test_shard_map_path_matches_single_device():
+    """smap_value_and_grad (per-device local forward + psum, the path
+    that scales the fused kernel across chips) matches the single-device
+    posterior gradient, including the prior term."""
+    from bayeslim_tpu.parallel import make_mesh, ShardedLogProb
+    from bayeslim_tpu.inference import LogProb, LogGaussPrior
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.utils import make_hex, AntposDict, healpix as hp
+    from bayeslim_tpu.models.sky import PixelSky, PixelSkyResponse
+
+    loc = (21.428, -30.721, 1073.0)
+    T = bl.TelescopeModel(loc)
+    ants, antvecs = make_hex(2, D=15.0)
+    freqs = np.linspace(1e8, 1.1e8, 8)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    nside = 8
+    npix = hp.nside2npix(nside)
+    th, ph = hp.pix2ang(nside, np.arange(npix))
+    angs = np.stack([ph * 180 / np.pi, 90 - th * 180 / np.pi])
+    rng = np.random.default_rng(0)
+    p = np.zeros((1, 1, 2, npix))
+    p[0, 0, 0] = rng.uniform(1, 10, npix)
+    p[0, 0, 1] = -2.5
+    R = PixelSkyResponse(freqs, spatial_mode="pixel", freq_mode="powerlaw",
+                         f0=1e8)
+    sky = PixelSky(jnp.asarray(p), jnp.asarray(angs),
+                   hp.nside2pixarea(nside), R=R)
+    beam = bl.PixelBeam(jnp.ones((1, 1, 1, 1, 2)) * 14.0, freqs,
+                        R=bl.beam_model.AiryResponse(), pol="e",
+                        powerbeam=True, fov=180.0)
+    bls = arr.get_bls(keep_autos=False)[:20]   # divisible by model axis
+    times = 2458168.3 + np.arange(4) * 5e-4
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs, time_mode="vmap")
+    vd = rime.forward()
+    tgt = vd.copy()
+    tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data,
+                   cov=jnp.ones(vd.data.shape), cov_axis=None,
+                   icov=jnp.ones(vd.data.shape))
+
+    prob = LogProb(rime, tgt)
+    pd = prob.collect_main_params()
+    pd["sky.params"] = pd["sky.params"] * 1.03   # non-trivial residual
+    v0, g0 = prob.value_and_grad(pd)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    sprob = ShardedLogProb(prob, mesh, time_axis="data", bl_axis="model")
+    v1, g1 = sprob.smap_value_and_grad(pd)
+    assert np.allclose(float(v0), float(v1), rtol=1e-10)
+    for k in g0:
+        assert np.allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                           rtol=1e-8, atol=1e-12), k
+
+    # with a prior attached (counted once despite 8 devices)
+    sky.set_priors(LogGaussPrior(jnp.zeros(1), jnp.ones(1) * 100.0))
+    prob2 = LogProb(rime, tgt)
+    v2, g2 = prob2.value_and_grad(pd)
+    sprob2 = ShardedLogProb(prob2, mesh, time_axis="data", bl_axis="model")
+    v3, g3 = sprob2.smap_value_and_grad(pd)
+    assert np.allclose(float(v2), float(v3), rtol=1e-10)
+    for k in g2:
+        assert np.allclose(np.asarray(g2[k]), np.asarray(g3[k]),
+                           rtol=1e-8, atol=1e-12), k
+
+
+def test_shard_map_runs_fused_kernel(monkeypatch):
+    """The Pallas kernels execute INSIDE shard_map on local shards
+    (interpret mode; on hardware this is the path that scales the fused
+    kernel across chips)."""
+    from bayeslim_tpu.parallel import make_mesh, ShardedLogProb
+    from bayeslim_tpu.inference import LogProb
+    from bayeslim_tpu.ops import rime_kernel, rime_pallas
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.utils import make_hex, AntposDict, healpix as hp
+    from bayeslim_tpu.models.sky import PixelSky, PixelSkyResponse
+
+    loc = (21.428, -30.721, 1073.0)
+    T = bl.TelescopeModel(loc)
+    ants, antvecs = make_hex(2, D=15.0)
+    freqs = np.linspace(1e8, 1.1e8, 8)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    nside = 8
+    npix = hp.nside2npix(nside)
+    th, ph = hp.pix2ang(nside, np.arange(npix))
+    angs = np.stack([ph * 180 / np.pi, 90 - th * 180 / np.pi])
+    rng = np.random.default_rng(1)
+    p = np.zeros((1, 1, 2, npix))
+    p[0, 0, 0] = rng.uniform(1, 10, npix)
+    p[0, 0, 1] = -2.5
+    R = PixelSkyResponse(freqs, spatial_mode="pixel", freq_mode="powerlaw",
+                         f0=1e8)
+    sky = PixelSky(jnp.asarray(p, dtype=jnp.float32), jnp.asarray(angs),
+                   hp.nside2pixarea(nside), R=R)
+    beam = bl.PixelBeam(jnp.ones((1, 1, 1, 1, 2), jnp.float32) * 14.0,
+                        freqs, R=bl.beam_model.AiryResponse(), pol="e",
+                        powerbeam=True, fov=180.0)
+    bls = arr.get_bls(keep_autos=False)[:20]
+    times = 2458168.3 + np.arange(4) * 5e-4
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs, time_mode="vmap")
+    vd = rime.forward()   # XLA reference (pallas off on CPU)
+    tgt = vd.copy()
+    tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data)
+    prob = LogProb(rime, tgt)
+    pd = prob.collect_main_params()
+    pd["sky.params"] = pd["sky.params"] * 1.03
+    v0, g0 = prob.value_and_grad(pd)
+
+    # force the fused kernel (interpret mode) inside shard_map
+    monkeypatch.setattr(rime_kernel, "_pallas_eligible",
+                        lambda *a, **k: True)
+    rime_pallas.INTERPRET = True
+    try:
+        mesh = make_mesh({"data": 4, "model": 2})
+        sprob = ShardedLogProb(prob, mesh, time_axis="data",
+                               bl_axis="model")
+        v1, g1 = sprob.smap_value_and_grad(pd)
+    finally:
+        rime_pallas.INTERPRET = False
+    assert np.isfinite(float(v1))
+    assert abs(float(v0) - float(v1)) / abs(float(v0)) < 1e-3
+    # f32 kernel vs f64 XLA: loose agreement
+    assert np.abs(np.asarray(g1["sky.params"])
+                  - np.asarray(g0["sky.params"])).max() \
+        <= 1e-2 * np.abs(np.asarray(g0["sky.params"])).max() + 1e-8
