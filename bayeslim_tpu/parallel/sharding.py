@@ -265,10 +265,16 @@ class ShardedLogProb:
         # leaf specs from the CONCRETE sharded model (tracers inside the
         # jit have no .sharding)
         leaf_specs = [spec_of(x) for x in jax.tree_util.tree_leaves(model)]
-        smap = shard_map(local_fn, mesh=mesh,
-                         in_specs=(pd_specs, leaf_specs, data_spec,
-                                   icov_spec),
-                         out_specs=P(), check_rep=False)
+        try:
+            smap = shard_map(local_fn, mesh=mesh,
+                             in_specs=(pd_specs, leaf_specs, data_spec,
+                                       icov_spec),
+                             out_specs=P(), check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            smap = shard_map(local_fn, mesh=mesh,
+                             in_specs=(pd_specs, leaf_specs, data_spec,
+                                       icov_spec),
+                             out_specs=P(), check_rep=False)
 
         prior_dict = prob.prior_dict
 
