@@ -223,3 +223,34 @@ def test_structured_logging_and_metrics(tmp_path):
     tr = Trainer(prob, metrics=mm, Nreport=2, verbose=False)
     tr.train(4)
     assert len(mm["loss"]) == 4
+
+
+def test_orbax_checkpointing(tmp_path):
+    """TPU-native training-state checkpoints (params + optimizer state +
+    step) via orbax: save/restore round trip and managed retention."""
+    import optax
+    from bayeslim_tpu.utils.checkpoint import (save_train_state,
+                                               restore_train_state,
+                                               CheckpointManager)
+    pd = ParamDict({"sky.params": jnp.arange(6.0).reshape(2, 3),
+                    "beam.params": jnp.ones(4) * 2.5})
+    opt = optax.adam(1e-2)
+    state = opt.init(dict(pd.items()))
+
+    p = tmp_path / "ckpt"
+    save_train_state(p, pd, opt_state=state, step=7)
+    like = {"params": pd, "opt_state": state, "step": np.asarray(0)}
+    back = restore_train_state(p, like=like)
+    assert int(back["step"]) == 7
+    for k in pd:
+        assert np.allclose(np.asarray(back["params"][k]), np.asarray(pd[k]))
+
+    mgr = CheckpointManager(tmp_path / "run", max_to_keep=2)
+    for step in range(5):
+        pd2 = pd * (1.0 + step)
+        mgr.maybe_save(step, pd2, opt_state=state, every=2)
+    assert mgr.latest_step == 4
+    out = mgr.restore_latest(like=like)
+    assert np.allclose(np.asarray(out["params"]["beam.params"]),
+                       np.asarray(pd["beam.params"]) * 5.0)
+    mgr.close()
