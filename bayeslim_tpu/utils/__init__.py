@@ -13,3 +13,4 @@ from .interp import PixInterp, interp_gather, bipoly_interp_weights
 from . import healpix
 from . import multires
 from . import logging  # noqa: F401  (structured logging + profiler hooks)
+from . import checkpoint  # noqa: F401  (orbax training-state checkpoints)
