@@ -174,6 +174,32 @@ class TensorData:
             new.data = jnp.array(self.data)
         return new
 
+    @property
+    def device(self):
+        """Device(s) of the data array (reference dataset.py TensorData
+        .device; here: the jax device set, or None for host arrays)."""
+        if isinstance(self.data, jax.Array):
+            return self.data.devices()
+        return None
+
+    def _set_at(self, inds, val, arr="data"):
+        """Assign val into the slice `inds` of attribute `arr`
+        (reference dataset.py .set, :1052/:2965). jax arrays are
+        immutable, so this is a functional .at[].set rebind."""
+        assert arr in ("data", "flags", "icov", "cov")
+        if arr in ("cov", "icov"):
+            assert self.cov_axis is None, \
+                "can only set cov/icov with cov_axis=None"
+        cur = getattr(self, arr)
+        assert cur is not None, f"{arr} is not set"
+        idx = tuple(i if isinstance(i, slice) else np.asarray(i)
+                    for i in inds)
+        if isinstance(cur, np.ndarray):
+            cur[idx] = val
+        else:
+            cur = jnp.asarray(cur).at[idx].set(val)
+        setattr(self, arr, cur)
+
     @staticmethod
     def _propflags(a, b):
         fa = getattr(a, "flags", None)
@@ -384,6 +410,22 @@ class VisData(TensorData):
         if pol is not None:
             obj.pol = pol.lower()
         return obj
+
+    def set(self, bl, val, arr="data"):
+        """Set the baseline slice of attribute `arr` to val (reference
+        dataset.py VisData.set :1052)."""
+        self._set_at(self.get_inds(bl=bl), val, arr=arr)
+
+    @classmethod
+    def from_hdf5(cls, fname, axis=None, **kwargs):
+        """Create a VisData from one or several HDF5 files (reference
+        dataset.py VisData.from_hdf5 :1821): a single path reads
+        directly; a list concatenates along `axis` ('bl'/'time'/'freq'),
+        or returns the list if axis is None."""
+        if isinstance(fname, (list, tuple)):
+            vds = [cls.read_hdf5(f, **kwargs) for f in fname]
+            return concat_VisData(vds, axis) if axis is not None else vds
+        return cls.read_hdf5(fname, **kwargs)
 
     # --- physics ops -------------------------------------------------------------
     def apply_cal(self, cd, undo=False, inplace=False, cal_2pol=False):
@@ -826,6 +868,29 @@ class CalData(TensorData):
             obj.freqs = self.freqs[f]
         return obj
 
+    def set(self, ant, val, arr="data"):
+        """Set the antenna slice of attribute `arr` to val (reference
+        dataset.py CalData.set :2965)."""
+        self._set_at(self.get_inds(ant=ant), val, arr=arr)
+
+    def redcal_degens(self, wgts=None):
+        """Compute the redcal degenerate parameters of these gains
+        (reference dataset.py CalData.redcal_degens :3085): returns
+        (abs_amp (..., 1, Nt, Nf), phs_slope (..., 2, Nt, Nf))."""
+        from ..models.calibration import compute_redcal_degen
+        return compute_redcal_degen(self.data, self.ants, self.antpos,
+                                    wgts=wgts)
+
+    def redcal_degen_gains(self, wgts=None):
+        """Gains holding only the redcal degeneracies of this CalData
+        (reference dataset.py CalData.redcal_degen_gains :3107)."""
+        from ..models.calibration import (compute_redcal_degen,
+                                          redcal_degen_gains)
+        abs_amp, phs_slope = compute_redcal_degen(
+            self.data, self.ants, self.antpos, wgts=wgts)
+        return redcal_degen_gains(abs_amp=abs_amp, phs_slope=phs_slope,
+                                  ants=self.ants, antpos=self.antpos)
+
     def rephase_to_refant(self, refant, inplace=False):
         """Divide out the phase of a reference antenna (reference :3073)."""
         obj = self if inplace else self.copy()
@@ -927,6 +992,15 @@ class HDF5Tensor:
 
     def load(self):
         return self[...]
+
+    def numel(self):
+        """Total element count (reference dataset.py HDF5Tensor.numel)."""
+        return int(np.prod(self.shape))
+
+    def size(self, dim=None):
+        """Shape (or one dim of it) without loading (reference
+        dataset.py HDF5Tensor.size)."""
+        return self.shape if dim is None else self.shape[dim]
 
     def __repr__(self):
         return f"HDF5Tensor({self.fname}:{self.dset}, shape={self._shape})"
@@ -1046,6 +1120,12 @@ class CatTensor:
                  else t for t in self.tensors]
         return jnp.concatenate([jnp.asarray(p) for p in parts],
                                axis=self.axis)
+
+    def numel(self):
+        return int(np.prod(self.shape))
+
+    def size(self, dim=None):
+        return self.shape if dim is None else self.shape[dim]
 
 
 class SelectedHDF5Tensor:

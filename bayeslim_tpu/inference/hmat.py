@@ -77,6 +77,15 @@ class BaseMat:
                                           maxiter=maxiter)
         return x
 
+    def to_transpose(self):
+        """Return the lazy transposed operator (reference hmat.py
+        to_transpose on every operator class): no densification."""
+        return TransposedMat(self)
+
+    # reference hmat.py's (misspelled) alias, kept for drop-in compat
+    def mat_vec_mult(self, v):
+        return self.mat_vec_mul(v)
+
     def __call__(self, v):
         return self.mat_vec_mul(v) if v.ndim == 1 else self.mat_mat_mul(v)
 
@@ -281,6 +290,9 @@ class TransposedMat(BaseMat):
     def scalar_mul(self, a):
         return TransposedMat(self.mat.scalar_mul(a))
 
+    def to_transpose(self):
+        return self.mat
+
 
 class SolveMat(BaseMat):
     """Inverse-as-solve operator: A^-1 v via triangular/Cholesky solves
@@ -426,6 +438,12 @@ class HierMat(BaseMat):
         return HierMat(self.A11.scalar_mul(a), self.A22.scalar_mul(a),
                        None if self.A12 is None else self.A12.scalar_mul(a),
                        None if self.A21 is None else self.A21.scalar_mul(a))
+
+    def to_SolveHierMat(self, **kwargs):
+        """Hierarchically Cholesky-factor this (SPD) HODLR operator into
+        its inverse action (reference hmat.py HierMat.to_SolveHierMat,
+        :2180-2210)."""
+        return SolveHierMat(self, **kwargs)
 
 
 class MatColumn(BaseMat):

@@ -345,6 +345,35 @@ class LogProb(Module):
             return ParamDict({"main": self.main_params.gather(self.model)})
         return model2pdict(self.model)
 
+    def send_main_params(self, main_params=None, inplace=True):
+        """Scatter main params back into the model (reference
+        send_main_params, optim.py:803-910). With sub-slice main_params
+        active, `main_params` is the flat master vector (or a ParamDict
+        holding it under 'main'); otherwise a ParamDict of leaves.
+        Returns the updated model (and rebinds self.model if inplace)."""
+        pd = main_params if main_params is not None \
+            else self.collect_main_params()
+        if self.main_params is not None:
+            vec = pd["main"] if isinstance(pd, (dict, ParamDict)) else pd
+            model = self.main_params.scatter(jnp.asarray(vec), self.model)
+        else:
+            model = self.model.updated(dict(pd))
+        if inplace:
+            self.model = model
+        return model
+
+    def sort_main_params(self, spec, incomplete=False):
+        """Re-spec the main-params layout (reference sort_main_params,
+        optim.py:639-700): rebuilds the gather/scatter metadata with a
+        new {key: indices} spec. With incomplete=True, keys absent from
+        spec keep their current selection."""
+        assert self.main_params is not None, "set_main_params first"
+        if incomplete:
+            cur = {k: self.main_params.idx[k] for k in self.main_params.keys}
+            cur.update(spec)
+            spec = cur
+        return self.set_main_params(spec)
+
     def _apply_LM(self, pdict):
         if self.LM is None:
             return pdict

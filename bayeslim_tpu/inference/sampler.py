@@ -255,6 +255,14 @@ class SamplerBase:
         for k in self.chain:
             self.chain[k].append(np.asarray(x[k]))
 
+    def clear_chain(self):
+        """Drop all chain history (reference sampler.py
+        SamplerBase.clear_chain); the current state x is kept."""
+        self.chain = {k: [] for k in self.chain}
+        self._acceptances = []
+        self._divergences = []
+        self.Usteps = []
+
     def step(self):
         raise NotImplementedError
 

@@ -55,6 +55,21 @@ class Trainer:
 
         return jax.jit(step)
 
+    def set_opt(self, optimizer, reset_state=True):
+        """Swap the optimizer mid-run (reference optim.py Trainer.set_opt):
+        re-initializes the optax state (unless reset_state=False and the
+        new transform's state is compatible) and rebuilds the jitted step."""
+        self.opt = optimizer
+        if reset_state:
+            self.opt_state = self.opt.init(self.pdict)
+        self._step = self._build_step()
+
+    def init_chain(self):
+        """(Re)initialize chain tracking (reference optim.py
+        Trainer.init_chain): clears any tracked history."""
+        self.track = True
+        self.chain = {k: [] for k in self.pdict}
+
     def train(self, Nepochs=1):
         """Run Nepochs of optimization (reference optim.py:1714-1790)."""
         from ..utils.logging import trace_profile, log_event

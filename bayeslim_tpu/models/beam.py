@@ -56,8 +56,12 @@ def pointing_offset(zen, az, theta_x=0.0, theta_y=0.0):
     zen/az in radians; theta_x/theta_y are rotations about the x/y axes
     [rad]. Returns new (zen, az) radians.
     """
-    sz, cz = np.sin(zen), np.cos(zen)
-    sa, ca = np.sin(az), np.cos(az)
+    # jnp so the offset also works on traced angles inside jit (the
+    # RIME time scan); host numpy inputs come back as device arrays,
+    # which every caller treats interchangeably
+    xp = jnp if isinstance(zen, jax.Array) else np
+    sz, cz = xp.sin(zen), xp.cos(zen)
+    sa, ca = xp.sin(az), xp.cos(az)
     # topocentric cartesian (x east, y north, z up)
     x, y, z = sz * sa, sz * ca, cz
     # rotate about x by theta_x, then about y by theta_y
@@ -66,8 +70,8 @@ def pointing_offset(zen, az, theta_x=0.0, theta_y=0.0):
     x2 = x
     x3 = x2 * np.cos(theta_y) + z2 * np.sin(theta_y)
     z3 = -x2 * np.sin(theta_y) + z2 * np.cos(theta_y)
-    new_zen = np.arccos(np.clip(z3, -1, 1))
-    new_az = np.mod(np.arctan2(x3, y2), 2 * np.pi)
+    new_zen = xp.arccos(xp.clip(z3, -1, 1))
+    new_az = xp.mod(xp.arctan2(x3, y2), 2 * np.pi)
     return new_zen, new_az
 
 
@@ -311,6 +315,16 @@ class PixelBeam(Module):
             self.ant2beam = dict(ant2beam)
         if powerbeam:
             assert self.Nvec == 1, "powerbeam requires Nvec=1"
+        self.theta_x = 0.0
+        self.theta_y = 0.0
+
+    def set_pointing_offset(self, theta_x=0.0, theta_y=0.0):
+        """Small-angle pointing offset [rad] applied to the sky angles in
+        gen_beam (non-differentiable; reference beam_model.py:515-536).
+        Model the beam to a zenith angle buffered beyond fov/2 by
+        theta_x & theta_y so interpolating responses don't extrapolate."""
+        self.theta_x = float(theta_x)
+        self.theta_y = float(theta_y)
 
     # --- host precompute -----------------------------------------------------
     def fov_cut(self, zen, pad_to=None):
@@ -369,6 +383,8 @@ class PixelBeam(Module):
         p = self.params if params is None else params
         if self.p0 is not None:
             p = p + self.p0
+        if self.theta_x != 0.0 or self.theta_y != 0.0:
+            zen, az = pointing_offset(zen, az, self.theta_x, self.theta_y)
         beam = self.R(p, zen, az, self.freqs, ctx=ctx)
         self.eval_prior(prior_cache, inp_params=self.params, out_params=None)
         return beam

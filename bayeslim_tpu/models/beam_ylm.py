@@ -134,6 +134,26 @@ class YlmResponse(Module):
             self.lm_poly_A[float(mm)] = (lm_inds, p_inds, A)
         self._lm_poly_ncoeff_in = i
 
+    def lm_poly_fit(self, params, fit_kwargs=None):
+        """Least-squares fit per-m poly weights from a full a_lm tensor:
+        the inverse of lm_poly_forward (reference beam_model.py
+        lm_poly_fit :1347-1381). params (..., Ncoeff) -> (..., Nweights)."""
+        from ..ops.linalg import least_squares as _lsq
+        assert self._lm_poly
+        out = jnp.zeros(params.shape[:-1] + (self._lm_poly_ncoeff_in,),
+                        dtype=params.dtype)
+        fit_kwargs = fit_kwargs or {}
+        for mm, (lm_inds, p_inds, A) in self.lm_poly_A.items():
+            kw = fit_kwargs.get(mm, fit_kwargs) \
+                if mm in fit_kwargs else fit_kwargs
+            if A is not None:
+                xhat, _ = _lsq(jnp.asarray(A, dtype=params.dtype),
+                               params[..., lm_inds], dim=-1, **kw)
+            else:
+                xhat = params[..., lm_inds]
+            out = out.at[..., p_inds].set(xhat)
+        return out
+
     def lm_poly_forward(self, params):
         """Expand per-m poly weights (..., Nweights) -> (..., Ncoeff)."""
         out = jnp.zeros(params.shape[:-1] + (len(self.alm.l),),

@@ -329,6 +329,29 @@ class RedVisCoupling(Module):
     def params(self):
         return self.coupling.params
 
+    def get_coupling_hits(self):
+        """How many (i, j) coupling-matrix cells each unique coupling
+        term feeds in the forward transform (reference calibration.py
+        RedVisCoupling.get_coupling_hits :2092-2116; here the count is
+        read off the CouplingInflate gather index — the analog of the
+        reference's conj/unconj index-array bookkeeping). Each hit is
+        doubled for prod='both' (E enters on both sides) and again for
+        double=True (the E@E second-order product). Returns
+        {term_index: Nhit}."""
+        vc = self.coupling
+        lm = getattr(vc.R, "LM", None)
+        inflate = lm if isinstance(lm, CouplingInflate) else (
+            vc.R if isinstance(vc.R, CouplingInflate) else None)
+        if inflate is not None:
+            gidx = inflate.gidx
+            nterms = int(gidx.max())
+            counts = np.bincount(gidx[gidx > 0] - 1, minlength=nterms)
+        else:
+            # uncompressed: every off-diagonal matrix cell is its own term
+            counts = np.ones(vc.Nants * vc.Nants, dtype=np.int64)
+        mult = (2 if vc.prod == "both" else 1) * (2 if vc.double else 1)
+        return {i: int(c) * mult for i, c in enumerate(counts)}
+
     def export_to_viscoupling(self):
         """Return the underlying VisCoupling acting on full baselines
         (reference :2020-2117 export path)."""

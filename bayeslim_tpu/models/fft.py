@@ -147,6 +147,12 @@ class PeakDelay(FFT):
             out.data = self.forward(inp.data)
             return out
         y = super().forward(inp)
+        return self.get_peak(y)
+
+    def get_peak(self, y):
+        """Quinn-interpolated peak location of an already-transformed
+        spectrum y along self.dim (reference fft.py PeakDelay.get_peak
+        :168-204)."""
         y = jnp.moveaxis(y, self.dim, -1)
         n = y.shape[-1]
         amax = jnp.argmax(jnp.abs(y), axis=-1)

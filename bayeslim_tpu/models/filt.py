@@ -148,6 +148,11 @@ class GPFilter(MatFilter):
         self.V = jnp.asarray(pred - cross @ C_inv64 @ cross.conj().T,
                              dtype=dt)
 
+    def set_GV(self):
+        """Recompute the filter matrix G and variance V from the current
+        Cs / Cn / Cs_cross / Cs_pred (reference filt.py:306-314)."""
+        self.setup_filter()
+
 
 class LstSqFilter(MatFilter):
     """Least-squares filter with precomputed G = A D A^H Ninv

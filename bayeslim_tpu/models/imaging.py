@@ -84,8 +84,64 @@ class VisMapper:
         self.Nbls = len(self.bls)
         self.blvecs = self.array.get_blvecs(self.bls)
         self.icov = None
+        self._vd_full = vd
+        self._sel = {}
+        self._pad_to = pad_to
         self.set_normalization()
         self._precompute(pad_to)
+
+    # --- observation sub-selection (reference imaging.py:105-227) ---------
+    def _reselect(self):
+        vd = self._vd_full.select(**self._sel, inplace=False) \
+            if self._sel else self._vd_full
+        self.vd = vd
+        self.freqs = np.asarray(vd.freqs)
+        self.Nfreqs = len(self.freqs)
+        self.times = np.asarray(vd.times)
+        self.bls = vd.bls
+        self.Nbls = len(self.bls)
+        self.blvecs = self.array.get_blvecs(self.bls)
+        self.D = None
+        self._precompute(self._pad_to)
+
+    def set_bl_inds(self, bl_inds=None, blnums=None):
+        """Image only these baselines (indices into the original VisData,
+        or blnums) (reference imaging.py:192-227)."""
+        assert not ((blnums is not None) and (bl_inds is not None))
+        if bl_inds is None and blnums is None:
+            self._sel.pop("bl", None)
+        elif bl_inds is not None:
+            self._sel["bl"] = [self._vd_full.bls[int(i)]
+                               for i in np.atleast_1d(bl_inds)]
+        else:
+            from ..utils.indexing import blnum2ants
+            self._sel["bl"] = [tuple(b) for b in
+                               blnum2ants(np.atleast_1d(blnums))]
+        self._reselect()
+
+    def set_time_inds(self, time_inds=None, times=None):
+        """Image only these times (indices or JD values)
+        (reference imaging.py:140-191)."""
+        assert not ((times is not None) and (time_inds is not None))
+        if time_inds is None and times is None:
+            self._sel.pop("times", None)
+        else:
+            t = np.asarray(self._vd_full.times)[np.atleast_1d(time_inds)] \
+                if time_inds is not None else np.atleast_1d(times)
+            self._sel["times"] = t
+        self._reselect()
+
+    def set_freq_inds(self, freq_inds=None, freqs=None):
+        """Image only these frequencies (indices or Hz values)
+        (reference imaging.py:105-139)."""
+        assert not ((freqs is not None) and (freq_inds is not None))
+        if freq_inds is None and freqs is None:
+            self._sel.pop("freqs", None)
+        else:
+            f = np.asarray(self._vd_full.freqs)[np.atleast_1d(freq_inds)] \
+                if freq_inds is not None else np.atleast_1d(freqs)
+            self._sel["freqs"] = f
+        self._reselect()
 
     def _precompute(self, pad_to=None):
         """Host precompute: per-time zen/az, FOV cut (padded), s-vectors,

@@ -37,6 +37,10 @@ class DefaultResponse(Module):
         self.freqs = None if freqs is None else np.asarray(freqs)
         self.freq_mode = "channel"
 
+    def set_freq_index(self, idx=None):
+        """No-op for the identity response (reference sky_model.py:141)."""
+        pass
+
     def forward(self, params, **kwargs):
         return params
 
@@ -103,6 +107,12 @@ class PointSkyResponse(Module):
         self.freq_LM = freq_LM
         self.f0 = f0
         self._freqs_arr = jnp.asarray(self.freqs, dtype=_float())
+        self._freq_idx = None
+
+    def set_freq_index(self, idx=None):
+        """Index the frequency axis of the response output (reference
+        sky_model.py:368-378) — frequency minibatching hook."""
+        self._freq_idx = None if idx is None else np.asarray(idx)
 
     def forward(self, params, **kwargs):
         if self.LM is not None:
@@ -118,6 +128,8 @@ class PointSkyResponse(Module):
             params = amp * (self._freqs_arr[:, None] / self.f0) ** params[..., 1:2, :]
         if self.log and self.freq_mode in ("channel", "linear"):
             params = jnp.exp(params)
+        if self._freq_idx is not None:
+            params = jnp.take(params, jnp.asarray(self._freq_idx), axis=-2)
         return params
 
 
@@ -173,6 +185,7 @@ class PixelSkyResponse(Module):
         self.kbins = kbins
         self.sky0 = None if sky0 is None else jnp.asarray(sky0)
         self._freqs_arr = jnp.asarray(self.freqs, dtype=_float())
+        self._freq_idx = None
         if freq_mode == "bessel":
             if cosmo is None:
                 from .cosmology import Cosmology
@@ -227,7 +240,14 @@ class PixelSkyResponse(Module):
             params = params + self.sky0
         if self.abs_output:
             params = jnp.abs(params)
+        if self._freq_idx is not None:
+            params = jnp.take(params, jnp.asarray(self._freq_idx), axis=-2)
         return params
+
+    def set_freq_index(self, idx=None):
+        """Index the frequency axis of the response output (reference
+        sky_model.py:703-713) — frequency minibatching hook."""
+        self._freq_idx = None if idx is None else np.asarray(idx)
 
 
 class CompositeModel(Module):

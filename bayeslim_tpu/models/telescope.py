@@ -582,6 +582,28 @@ class ArrayModel(Module):
     def set_freqs(self, freqs):
         self.freqs = None if freqs is None else np.asarray(freqs, dtype=np.float64)
 
+    def set_freq_index(self, idx=None):
+        """Index the frequency axis: functionally set_freqs(freqs[idx])
+        (reference telescope_model.py:286-296)."""
+        if idx is None:
+            return
+        self.set_freqs(self.freqs[idx])
+
+    def match_bl_len(self, bl, bls):
+        """If any baseline in bls matches bl's length within redtol,
+        return (angle from bl to the match [deg], matching bl tuple),
+        else (0, False) (reference telescope_model.py:242-280)."""
+        match, ang = False, 0.0
+        bllen = self.redlens[self.bl2red[bl]]
+        blang = self.redangs[self.bl2red[bl]]
+        for _bl in bls:
+            i = self.bl2red[_bl]
+            if np.isclose(bllen, self.redlens[i], atol=self.redtol):
+                ang = self.redangs[i] - blang
+                match = _bl
+                break
+        return ang, match
+
     def to_antpos(self):
         return AntposDict(self.ants, self.antvecs)
 

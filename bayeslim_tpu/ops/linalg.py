@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "cmult", "cdiv", "cconj", "ceinsum", "cinv",
+    "cmult", "cdiv", "cconj", "ceinsum", "cinv", "angle", "abs",
     "diag_matmul", "diag_inv", "invert_matrix", "cholesky_inverse",
     "least_squares",
 ]
@@ -22,6 +22,17 @@ __all__ = [
 # --- trivial complex aliases (reference linalg.py:10-115) -------------------
 def cmult(a, b):
     return a * b
+
+
+def angle(a):
+    """Complex phase [rad] (reference linalg.py angle — the reference
+    operates on 2-real-view tensors; JAX complex is native)."""
+    return jnp.angle(a)
+
+
+def abs(a):
+    """Complex magnitude (reference linalg.py abs)."""
+    return jnp.abs(a)
 
 
 def cdiv(a, b):

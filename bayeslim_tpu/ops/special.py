@@ -289,12 +289,30 @@ def softplus(x, beta=1.0, threshold=20.0):
 
 
 class Softplus:
-    """Callable softplus with fixed beta/threshold (reference
-    special.py:689)."""
+    """Callable softplus with fixed beta/threshold and an inverse
+    (reference special.py:689-729): f(x) = ln(1+exp(x)),
+    f^-1(y) = y + ln(1 - exp(-y)), with f(x) = x above the threshold."""
 
-    def __init__(self, beta=1.0, threshold=20.0):
+    def __init__(self, beta=1.0, threshold=20.0, inverted=False):
         self.beta = beta
         self.threshold = threshold
+        self.set_inverted(inverted)
+
+    def set_inverted(self, inverted):
+        """If True, __call__ applies the inverse instead of the forward
+        (reference special.py:710)."""
+        self.inverted = inverted
+
+    def forward(self, x):
+        return softplus(x, self.beta, self.threshold)
+
+    def inverse(self, x):
+        """Inverse softplus log(exp(beta y) - 1)/beta, stable form
+        y + log(-expm1(-beta y))/beta (reference special.py:719)."""
+        import jax.numpy as jnp
+        x = jnp.asarray(x)
+        out = x + jnp.log(-jnp.expm1(-self.beta * x)) / self.beta
+        return jnp.where(self.beta * x > self.threshold, x, out)
 
     def __call__(self, x):
-        return softplus(x, self.beta, self.threshold)
+        return self.inverse(x) if self.inverted else self.forward(x)

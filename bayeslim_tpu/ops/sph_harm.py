@@ -282,6 +282,23 @@ def load_Ylm(fname):
     return out
 
 
+def _cubic_interp1d(xs, ys, xq):
+    """Host-side cubic (Catmull-Rom) interpolation on a uniform grid —
+    stands in for the reference's scipy cubic interp1d (utils.interp1d)
+    without a scipy dependency."""
+    xs, ys, xq = map(np.asarray, (xs, ys, xq))
+    dx = xs[1] - xs[0]
+    t = np.clip((xq - xs[0]) / dx, 0, len(xs) - 1)
+    i = np.clip(t.astype(int), 0, len(xs) - 2)
+    f = t - i
+    yp = np.pad(ys, 1, mode="edge")
+    y0, y1, y2, y3 = yp[i], yp[i + 1], yp[i + 2], yp[i + 3]
+    a = -0.5 * y0 + 1.5 * y1 - 1.5 * y2 + 0.5 * y3
+    b = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
+    c = 0.5 * (y2 - y0)
+    return ((a * f + b) * f + c) * f + y1
+
+
 class AlmModel(Module):
     """a_lm -> map forward transform (reference sph_harm.py:1244-1850).
 
@@ -382,6 +399,38 @@ class AlmModel(Module):
 
     def forward(self, params, **kwargs):
         return self.forward_alm(params, **kwargs)
+
+    def taper_alm(self, alm, taper, comp_params=False, **kwargs):
+        """Taper alm modes with an l-dependent window (reference
+        sph_harm.py:1817-1848): generate the window over 2N samples,
+        keep the decaying half, cubic-interpolate it onto l/l_max, and
+        multiply into the trailing (Ncoeff) axis -- or the -2 axis when
+        the alm are complex stored as real pairs (comp_params=True)."""
+        from ..models.fft import gen_window
+        N = len(self.l)
+        win = np.asarray(gen_window(taper, N * 2, **kwargs))[N:]
+        lfrac = np.asarray(self.l, dtype=float)
+        lfrac = lfrac / lfrac.max() if lfrac.max() > 0 else lfrac
+        # cubic (Catmull-Rom) interpolation of the half-window onto lfrac
+        xs = np.linspace(0.0, 1.0, N, endpoint=True)
+        w = _cubic_interp1d(xs, win, lfrac)
+        w = jnp.asarray(w, dtype=alm.real.dtype if jnp.iscomplexobj(alm)
+                        else alm.dtype)
+        if comp_params and not jnp.iscomplexobj(alm):
+            return alm * w[:, None]
+        return alm * w
+
+    def make_closure(self, params, loss_fn, target, real=True):
+        """Return loss() evaluating loss_fn(forward_alm(params), target)
+        (reference sph_harm.py:1636-1690) — a pure function of params,
+        directly jax.grad-able."""
+        def closure(p=None):
+            out = self.forward_alm(params if p is None else p)
+            tgt = target
+            if real:
+                out, tgt = out.real, tgt.real
+            return loss_fn(out, tgt)
+        return closure
 
     def least_squares(self, y, Ninv=None, **kwargs):
         """Invert map -> a_lm (reference :1754-1850)."""
@@ -524,6 +573,41 @@ class SFBModel(Module):
         self.kbins = dict(kbins)
         self.LM = LM
         self.l_unique = np.unique(self.l)
+
+    def setup_gln(self, l, gln=None, kln=None, **gln_kwargs):
+        """(Re)attach the radial transform matrices; generate them with
+        gen_bessel2freq if gln is None (reference sph_harm.py
+        SFBModel.setup_gln :1873-1948)."""
+        self.l = np.asarray(l)
+        self.l_unique = np.unique(self.l)
+        if gln is None:
+            gln, kln = gen_bessel2freq(self.l_unique, **gln_kwargs)
+        self.gln = dict(gln)
+        if kln is not None:
+            self.kbins = dict(kln)
+
+    def forward_gln(self, params, gln=None):
+        """Radial forward t_lm(k_n) -> a_lm(r) with an optional gln
+        override (reference sph_harm.py:1949-2031)."""
+        gln_save = self.gln
+        if gln is not None:
+            self.gln = dict(gln)
+        try:
+            return self.forward(params)
+        finally:
+            self.gln = gln_save
+
+    def make_closure(self, params, loss_fn, target, real=False):
+        """Return loss() evaluating loss_fn(forward(params), target)
+        (reference sph_harm.py:2032-2067) — in JAX the closure is a pure
+        function of params, directly jax.grad-able."""
+        def closure(p=None):
+            out = self.forward(params if p is None else p)
+            tgt = target
+            if real:
+                out, tgt = out.real, tgt.real
+            return loss_fn(out, tgt)
+        return closure
 
     def forward(self, params, **kwargs):
         if self.LM is not None:

@@ -1,0 +1,397 @@
+"""Long-tail reference-API parity: small user-facing methods added to
+match the reference surface symbol-for-symbol (reference file:line cited
+per test)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import bayeslim_tpu as bl
+from bayeslim_tpu.utils import make_hex, AntposDict, healpix as hp
+
+
+def test_softplus_inverse():
+    # reference special.py:689-729
+    from bayeslim_tpu.ops.special import Softplus
+    sp = Softplus()
+    x = np.linspace(-3, 30, 64)
+    y = np.asarray(sp(x))
+    assert np.allclose(np.asarray(sp.inverse(y)), x, atol=1e-8)
+    sp.set_inverted(True)
+    assert np.allclose(np.asarray(sp(y)), x, atol=1e-8)
+
+
+def test_hmat_to_transpose_and_alias():
+    # reference hmat.py to_transpose on every operator; mat_vec_mult alias
+    from bayeslim_tpu.inference import hmat
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(6, 4))
+    D = hmat.DenseMat(jnp.asarray(A))
+    v = jnp.asarray(rng.normal(size=6))
+    assert np.allclose(np.asarray(D.to_transpose()(v)), A.T @ v, atol=1e-12)
+    assert D.to_transpose().to_transpose() is D
+    w = jnp.asarray(rng.normal(size=4))
+    assert np.allclose(np.asarray(D.mat_vec_mult(w)), np.asarray(D(w)))
+    # diag operator too (generic BaseMat path)
+    d = hmat.DiagMat(jnp.asarray(rng.normal(size=5)))
+    u = jnp.asarray(rng.normal(size=5))
+    assert np.allclose(np.asarray(d.to_transpose()(u)), np.asarray(d(u)))
+
+
+def test_hiermat_to_solvehiermat():
+    # reference hmat.py:2180-2354
+    from bayeslim_tpu.inference import hmat
+    rng = np.random.default_rng(1)
+    B = rng.normal(size=(8, 8))
+    S = B @ B.T + 8 * np.eye(8)
+    U = jnp.asarray(rng.normal(size=(4, 2)))
+    V = jnp.asarray(rng.normal(size=(4, 2)))
+    H = hmat.HierMat(hmat.DenseMat(jnp.asarray(S[:4, :4])),
+                     hmat.DenseMat(jnp.asarray(S[4:, 4:])),
+                     A12=hmat.SparseMat(U, V), A21=hmat.SparseMat(V, U))
+    solve = H.to_SolveHierMat()
+    Sd = np.asarray(H.to_dense())
+    w = rng.normal(size=8)
+    assert np.allclose(np.asarray(solve(jnp.asarray(w))),
+                       np.linalg.solve(Sd, w), atol=1e-8)
+
+
+def test_taper_alm():
+    # reference sph_harm.py:1817-1848
+    from bayeslim_tpu.ops.sph_harm import AlmModel, gen_lm
+    l, m = gen_lm(8)
+    am = AlmModel(l, m)
+    alm = jnp.ones(len(l), dtype=jnp.complex128)
+    out = np.asarray(am.taper_alm(alm, "hann"))
+    assert out.shape == alm.shape and np.all(np.isfinite(out))
+    # high-l modes attenuated more than low-l
+    lo = np.abs(out[np.argmin(l)])
+    hi = np.abs(out[np.argmax(l)])
+    assert hi < lo
+    # real-pair storage tapers the -2 axis
+    alm2 = jnp.ones((len(l), 2))
+    out2 = np.asarray(am.taper_alm(alm2, "hann", comp_params=True))
+    assert out2.shape == alm2.shape
+    assert np.allclose(out2[:, 0], out2[:, 1])
+
+
+def test_caldata_set_and_redcal_degens():
+    # reference dataset.py:2965 (set), :3085 (redcal_degens), :3107
+    ants, antvecs = make_hex(2, D=15.0)
+    ap = AntposDict(ants, antvecs)
+    cd = bl.CalData()
+    cd.setup_meta(antpos=ap)
+    times = np.arange(2.0)
+    freqs = np.linspace(1e8, 1.1e8, 3)
+    rng = np.random.default_rng(0)
+    g = np.exp(1j * rng.normal(scale=0.1, size=(1, 1, len(ants), 2, 3)))
+    cd.setup_data(list(ants), times, freqs, pol="e", data=jnp.asarray(g))
+    abs_amp, phs_slope = cd.redcal_degens()
+    assert abs_amp.shape == (1, 1, 1, 2, 3)
+    assert phs_slope.shape == (1, 1, 2, 2, 3)
+    gg = cd.redcal_degen_gains()
+    assert gg.shape == g.shape
+    cd.set(int(ants[0]), jnp.ones((1, 1, 1, 2, 3), dtype=cd.data.dtype))
+    assert np.allclose(np.asarray(cd.get_data(int(ants[0]), squeeze=False)),
+                       1.0)
+
+
+def test_visdata_set_and_from_hdf5(tmp_path):
+    # reference dataset.py:1052 (set), :1821 (from_hdf5)
+    ants, antvecs = make_hex(2, D=15.0)
+    ap = AntposDict(ants, antvecs)
+    bls = [(ants[0], ants[1]), (ants[0], ants[2])]
+    rng = np.random.default_rng(1)
+    data = jnp.asarray(rng.normal(size=(1, 1, 2, 2, 4))
+                       + 1j * rng.normal(size=(1, 1, 2, 2, 4)))
+    vd = bl.VisData()
+    vd.setup_meta(antpos=ap)
+    vd.setup_data(bls, np.arange(2.0), np.linspace(1e8, 1.1e8, 4),
+                  pol="ee", data=data)
+    vd.set(bls[0], jnp.zeros((1, 1, 1, 2, 4), dtype=data.dtype))
+    assert np.allclose(np.asarray(vd.get_data(bls[0], squeeze=False)), 0.0)
+    assert not np.allclose(np.asarray(vd.get_data(bls[1], squeeze=False)), 0.0)
+
+    f1 = str(tmp_path / "a.h5")
+    vd.write_hdf5(f1)
+    rd = bl.VisData.from_hdf5(f1)
+    assert np.allclose(np.asarray(rd.data), np.asarray(vd.data))
+    # list + concat along time
+    vd2 = vd.copy()
+    vd2.times = vd.times + 1.0
+    f2 = str(tmp_path / "b.h5")
+    vd2.write_hdf5(f2)
+    cat = bl.VisData.from_hdf5([f1, f2], axis="time")
+    assert cat.Ntimes == 4
+    lst = bl.VisData.from_hdf5([f1, f2])
+    assert isinstance(lst, list) and len(lst) == 2
+
+
+def test_gpfilter_set_GV():
+    # reference filt.py:306-314
+    from bayeslim_tpu.models.filt import GPFilter, rbf_cov
+    x = np.linspace(0, 10, 12)
+    Cs = np.asarray(rbf_cov(x, 3.0))
+    Cn = np.eye(12) * 0.1
+    f = GPFilter(Cs, Cn)
+    G0 = np.asarray(f.G)
+    f.Cs = jnp.asarray(Cs * 2.0)
+    f.set_GV()
+    assert not np.allclose(np.asarray(f.G), G0)
+    # G = Cs [Cs+Cn]^-1 with the updated Cs
+    expect = (2 * Cs) @ np.linalg.pinv(2 * Cs + Cn, hermitian=True)
+    assert np.allclose(np.asarray(f.G), expect, atol=1e-6)
+
+
+def test_match_bl_len_and_set_freq_index():
+    # reference telescope_model.py:242-296
+    from tests.test_rime import setup_Array
+    freqs = np.linspace(1e8, 1.2e8, 8)
+    arr = setup_Array(N=2, freqs=freqs)
+    bls = arr.get_bls(keep_autos=False)
+    ang, match = arr.match_bl_len(bls[0], bls[1:])
+    assert match is False or isinstance(match, tuple)
+    # same bl in the list matches itself with zero angle
+    ang, match = arr.match_bl_len(bls[0], bls)
+    assert match == bls[0] or np.isclose(
+        arr.redlens[arr.bl2red[match]],
+        arr.redlens[arr.bl2red[bls[0]]], atol=arr.redtol)
+    arr.set_freq_index([0, 2, 4])
+    assert np.allclose(arr.freqs, freqs[[0, 2, 4]])
+
+
+def test_sky_response_set_freq_index():
+    # reference sky_model.py:368-378, :703-713
+    from bayeslim_tpu.models.sky import (PointSky, PointSkyResponse,
+                                         PixelSky, PixelSkyResponse)
+    rng = np.random.default_rng(2)
+    freqs = np.linspace(1e8, 1.2e8, 8)
+    params = np.zeros((1, 1, 2, 3))
+    params[0, 0, 0] = rng.uniform(1, 5, 3)
+    params[0, 0, 1] = -2.0
+    R = PointSkyResponse(freqs, freq_mode="powerlaw", f0=freqs[0])
+    full = np.asarray(R(jnp.asarray(params)))
+    R.set_freq_index([1, 3])
+    sub = np.asarray(R(jnp.asarray(params)))
+    assert np.allclose(sub, full[..., [1, 3], :])
+    R.set_freq_index(None)
+    assert np.asarray(R(jnp.asarray(params))).shape == full.shape
+
+    npix = hp.nside2npix(2)
+    Rp = PixelSkyResponse(freqs, spatial_mode="pixel", freq_mode="channel")
+    p = jnp.asarray(rng.normal(size=(1, 1, len(freqs), npix)))
+    fullp = np.asarray(Rp(p))
+    Rp.set_freq_index([0, 5])
+    assert np.allclose(np.asarray(Rp(p)), fullp[..., [0, 5], :])
+
+
+def test_vismapper_ind_setters():
+    # reference imaging.py:105-227
+    from tests.test_rime import (setup_Telescope, setup_Array,
+                                 setup_UniformBeam, JD0)
+    from bayeslim_tpu.models.sky import PointSky, PointSkyResponse
+    from bayeslim_tpu.models.imaging import VisMapper
+    T = setup_Telescope()
+    freqs = np.linspace(130e6, 150e6, 4)
+    arr = setup_Array(N=2, freqs=freqs)
+    ra0 = T.JD2RA(JD0)
+    angs = np.asarray([[ra0], [-30.72]])
+    sky = PointSky(jnp.ones((1, 1, 4, 1)), jnp.asarray(angs),
+                   R=PointSkyResponse(freqs, freq_mode="channel"))
+    beam = setup_UniformBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)
+    times = JD0 + np.arange(3) * 1e-3
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs)
+    vd = rime.forward()
+    vd.setup_meta(T, arr.to_antpos())
+
+    grid = np.linspace(-3, 3, 5)
+    rr, dd = np.meshgrid(ra0 + grid, -30.72 + grid)
+    mapper = VisMapper(vd, rr.ravel(), dd.ravel(), fov=180.0)
+    m_all, _ = mapper.make_map(return_P=False)
+    assert np.asarray(m_all).shape == (4, 25)
+
+    mapper.set_freq_inds([0, 2])
+    m_f, _ = mapper.make_map(return_P=False)
+    assert np.asarray(m_f).shape == (2, 25)
+
+    mapper.set_time_inds([0])
+    mapper.set_bl_inds([0, 1])
+    assert mapper.Nbls == 2
+    assert len(mapper.times) == 1
+    m_sub, _ = mapper.make_map(return_P=False)
+    assert np.asarray(m_sub).shape == (2, 25)
+    # reset
+    mapper.set_freq_inds(None)
+    mapper.set_time_inds(None)
+    mapper.set_bl_inds(None)
+    m_back, _ = mapper.make_map(return_P=False)
+    assert np.allclose(np.asarray(m_back), np.asarray(m_all), atol=1e-10)
+
+
+def test_trainer_set_opt_init_chain():
+    # reference optim.py Trainer.set_opt / init_chain
+    import optax
+    from tests.test_inference import setup_NormalProb
+    prob, _, _ = setup_NormalProb(N=8)
+    tr = bl.Trainer(prob, optimizer=optax.adam(1e-1), track=False)
+    tr.train(2)
+    tr.init_chain()
+    assert tr.track and all(len(v) == 0 for v in tr.chain.values())
+    tr.set_opt(optax.sgd(1e-2))
+    tr.train(2)
+    assert len(tr.loss_history) == 4
+    assert all(len(v) == 2 for v in tr.chain.values())
+
+
+def test_send_sort_main_params():
+    # reference optim.py:639-700 (sort), :803-910 (send)
+    from tests.test_inference import setup_NormalProb
+    prob, _, _ = setup_NormalProb(N=6)
+    name = "params"
+    full = np.asarray(prob.model[name]).ravel()
+    prob.set_main_params({name: np.asarray([0, 2, 4])})
+    vec = prob.collect_main_params()["main"]
+    assert vec.shape == (3,)
+    new = jnp.asarray([10.0, 20.0, 30.0])
+    prob.send_main_params(new)
+    got = np.asarray(prob.model[name]).ravel()
+    assert np.allclose(got[[0, 2, 4]], [10.0, 20.0, 30.0])
+    assert np.allclose(got[[1, 3, 5]], full[[1, 3, 5]])
+    # re-spec via sort_main_params
+    prob.sort_main_params({name: np.asarray([1, 3])})
+    assert prob.collect_main_params()["main"].shape == (2,)
+
+
+def test_pixelbeam_set_pointing_offset():
+    # reference beam_model.py:515-536
+    from tests.test_rime import setup_GaussBeam
+    freqs = np.linspace(1e8, 1.2e8, 4)
+    beam = setup_GaussBeam(freqs)
+    zen = jnp.asarray(np.deg2rad(np.asarray([0.0, 10.0, 30.0])))
+    az = jnp.asarray(np.deg2rad(np.asarray([0.0, 90.0, 180.0])))
+    b0 = np.asarray(beam.gen_beam(zen, az))
+    beam.set_pointing_offset(0.0, 0.0)
+    assert np.allclose(np.asarray(beam.gen_beam(zen, az)), b0)
+    beam.set_pointing_offset(np.deg2rad(2.0), 0.0)
+    b1 = np.asarray(beam.gen_beam(zen, az))
+    assert not np.allclose(b1, b0)
+
+
+def test_lm_poly_fit_roundtrip():
+    # reference beam_model.py:1347-1381
+    from bayeslim_tpu.models.beam_ylm import YlmResponse
+    from bayeslim_tpu.ops.sph_harm import gen_lm
+    l, m = gen_lm(5)
+    freqs = np.linspace(1e8, 1.1e8, 2)
+    resp = YlmResponse(l, m, freqs, mode="generate", freq_mode="channel")
+    resp.lm_poly_setup({"Ndeg": 3, "basis": "direct"})
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(2, resp._lm_poly_ncoeff_in)))
+    alm = resp.lm_poly_forward(w)
+    w2 = resp.lm_poly_fit(alm)
+    # alm-level roundtrip: fit is exact on the poly-representable
+    # subspace (m groups with fewer l modes than Ndeg are
+    # underdetermined, so the weight vectors themselves may differ)
+    alm2 = resp.lm_poly_forward(w2)
+    assert np.allclose(np.asarray(alm2), np.asarray(alm), atol=1e-8)
+    # weight-level roundtrip holds for the overdetermined m=0 group
+    lm_inds, p_inds, A = resp.lm_poly_A[0.0]
+    assert np.allclose(np.asarray(w2)[..., p_inds],
+                       np.asarray(w)[..., p_inds], atol=1e-8)
+
+
+def test_sfb_forward_gln_setup_closure():
+    # reference sph_harm.py:1873-2067
+    from bayeslim_tpu.ops.sph_harm import SFBModel, gen_lm
+    rng = np.random.default_rng(4)
+    l = np.asarray([0.0, 0.0, 1.0])
+    m = np.asarray([0.0, 0.0, 1.0])
+    gln = {0.0: jnp.asarray(rng.normal(size=(6, 2))),
+           1.0: jnp.asarray(rng.normal(size=(6, 2)))}
+    kbins = {0.0: np.asarray([0.1, 0.2]), 1.0: np.asarray([0.1, 0.2])}
+    sfb = SFBModel(l, m, gln, kbins)
+    p = jnp.asarray(rng.normal(size=(2, 3)))
+    out = sfb.forward(p)
+    out2 = sfb.forward_gln(p, gln=gln)
+    assert np.allclose(np.asarray(out), np.asarray(out2))
+    # gln override actually overrides
+    gln_scaled = {k: v * 2 for k, v in gln.items()}
+    out3 = sfb.forward_gln(p, gln=gln_scaled)
+    assert np.allclose(np.asarray(out3), 2 * np.asarray(out))
+    # and restores the original afterwards
+    assert np.allclose(np.asarray(sfb.forward(p)), np.asarray(out))
+    # setup_gln rebinding
+    sfb.setup_gln(l, gln=gln_scaled, kln=kbins)
+    assert np.allclose(np.asarray(sfb.forward(p)), 2 * np.asarray(out))
+    # closure
+    tgt = out
+    loss = sfb.make_closure(p, lambda a, b: jnp.sum((a - b) ** 2), tgt)
+    assert float(loss()) > 0
+
+
+def test_peakdelay_get_peak():
+    # reference fft.py:168-204
+    from bayeslim_tpu.models.fft import PeakDelay
+    freqs = np.linspace(1e8, 1.2e8, 64)
+    tau0 = 310e-9
+    sig = jnp.asarray(np.exp(2j * np.pi * freqs * tau0))
+    pd = PeakDelay(dim=-1, N=64, dx=float(freqs[1] - freqs[0]))
+    peak = float(pd.forward(sig))
+    assert abs(peak - tau0) < 5e-9
+    # get_peak on an already-transformed spectrum agrees
+    import jax.numpy as _jnp
+    y = _jnp.fft.fftshift(_jnp.fft.fft(sig))
+    assert np.isclose(float(pd.get_peak(y)), peak)
+
+
+def test_lazy_tensor_numel_size(tmp_path):
+    # reference dataset.py HDF5Tensor.numel/size
+    import h5py
+    from bayeslim_tpu.data.containers import HDF5Tensor, CatTensor
+    f = str(tmp_path / "t.h5")
+    with h5py.File(f, "w") as h:
+        h["data"] = np.arange(24.0).reshape(2, 3, 4)
+    t = HDF5Tensor(f, "data")
+    assert t.numel() == 24
+    assert t.size() == (2, 3, 4) and t.size(1) == 3
+    c = CatTensor([t, t], axis=0)
+    assert c.numel() == 48 and c.size(0) == 4
+
+
+def test_coupling_hits():
+    # reference calibration.py:2092-2116
+    from tests.test_coupling import _setup
+    from bayeslim_tpu.models.coupling import RedVisCoupling
+    from bayeslim_tpu.models.telescope import build_reds
+    ants, antpos, freqs, bls, _, _, rng = _setup()
+    nant = len(ants)
+    reds, _, bl2red, all_bls, _, _, _ = build_reds(antpos)
+    red_bls = [r[0] for r in reds]
+    X = jnp.asarray((rng.normal(size=(1, 1, nant, nant, 1, len(freqs)))
+                     + 0j) * 0.01)
+    rvc = RedVisCoupling(X, freqs, antpos, red_bls, bl2red, list(all_bls))
+    hits = rvc.get_coupling_hits()
+    assert isinstance(hits, dict) and len(hits) > 0
+    # uncompressed params, prod='both': every matrix cell hits twice
+    assert all(v == 2 for v in hits.values())
+
+
+def test_sampler_clear_chain():
+    # reference sampler.py SamplerBase.clear_chain
+    from bayeslim_tpu.inference.sampler import SamplerBase
+    from bayeslim_tpu.utils import ParamDict
+    s = SamplerBase(ParamDict({"a": jnp.zeros(2)}))
+    s.append_chain({"a": jnp.ones(2)})
+    assert s.Nsamples == 1
+    s.clear_chain()
+    assert s.Nsamples == 0
+
+
+def test_tensordata_device():
+    # reference dataset.py TensorData.device
+    td = bl.VisData()
+    td.data = jnp.zeros(3)
+    assert td.device is not None
+    td.data = np.zeros(3)
+    assert td.device is None
