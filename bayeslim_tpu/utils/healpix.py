@@ -179,15 +179,14 @@ def pix2vec(nside, ipix):
 def get_interp_weights(nside, theta, phi):
     """Bilinear interpolation: 4 neighbor pixels + weights per target angle.
 
-    Mirrors healpy.get_interp_weights(theta, phi) semantics (used by the
-    reference's PixInterp, bayeslim/utils.py:765): interpolate between the
-    two phi-adjacent pixels on the ring above and the ring below.
-
-    Near the poles (|z| above the first/last ring) we use healpy's polar
-    scheme: the two phi-adjacent pixels on the polar ring get weight
-    wt*w_phi (wt = theta/theta_ring), and the two opposite-side (phi+pi)
-    pixels share (1-wt) equally, so the interpolant is continuous at the
-    pole (value -> ring average of opposite pixels).
+    Exact vectorized port of the published HEALPix `get_interpol`
+    algorithm (healpix_base; what healpy.get_interp_weights calls, used
+    by the reference's PixInterp, bayeslim/utils.py:765): the two
+    phi-adjacent pixels on the ring above and below, blended linearly in
+    THETA (not z). In the polar caps the missing ring is replaced by the
+    polar ring's opposite-side pixels — all four polar-ring pixels share
+    (1-wtheta)/4 — so the interpolant is continuous and equals the
+    4-pixel ring average at the pole.
 
     Returns
     -------
@@ -198,27 +197,24 @@ def get_interp_weights(nside, theta, phi):
     theta = np.atleast_1d(np.asarray(theta, dtype=np.float64))
     phi = np.atleast_1d(np.asarray(phi, dtype=np.float64))
     z = np.cos(theta)
+    npix = nside2npix(n)
 
     zr, start, npr, shift = ring_info(n)
-    nring = len(zr)
+    nring = len(zr)  # 4n - 1
+    theta_ring = np.arccos(np.clip(zr, -1.0, 1.0))
 
-    # ring above (zr[k] >= z): searchsorted on descending zr
-    # idx such that zr[idx-1] >= z > zr[idx]
-    idx = np.searchsorted(-zr, -z, side="right")
-    i_above = np.clip(idx - 1, 0, nring - 1)
-    i_below = np.clip(idx, 0, nring - 1)
-
-    # vertical weight: fraction toward ring below
-    z_above = zr[i_above]
-    z_below = zr[i_below]
-    dz = z_above - z_below
-    with np.errstate(divide="ignore", invalid="ignore"):
-        wz = np.where(dz > 0, (z_above - z) / np.where(dz > 0, dz, 1.0), 0.5)
-    # clamp beyond-pole targets onto the single nearest ring
-    wz = np.clip(wz, 0.0, 1.0)
+    # ring_above(z): 1-based index of the ring above z (0 = polar cap)
+    az = np.abs(z)
+    ir_eq = (n * (2.0 - 1.5 * z)).astype(np.int64)
+    ir_pc = (n * np.sqrt(3.0 * (1.0 - az))).astype(np.int64)
+    ir1 = np.where(az <= 2.0 / 3.0, ir_eq,
+                   np.where(z > 0, ir_pc, 4 * n - ir_pc - 1))
+    ir2 = ir1 + 1
+    north = ir1 == 0
+    south = ir2 == 4 * n
 
     def ring_neighbors(iring, ph):
-        """Two phi-adjacent pixels + fractional weight on a given ring."""
+        """Two phi-adjacent pixels + fractional weight on ring (0-based)."""
         npx = npr[iring]
         x = ph * npx / (2 * np.pi) - shift[iring]
         k0 = np.floor(x)
@@ -227,32 +223,38 @@ def get_interp_weights(nside, theta, phi):
         k1i = np.mod(k0i + 1, npx)
         return start[iring] + k0i, start[iring] + k1i, w1
 
-    pa0, pa1, wa = ring_neighbors(i_above, phi)
-    pb0, pb1, wb = ring_neighbors(i_below, phi)
+    pa0, pa1, wa = ring_neighbors(np.clip(ir1 - 1, 0, nring - 1), phi)
+    pb0, pb1, wb = ring_neighbors(np.clip(ir2 - 1, 0, nring - 1), phi)
+
+    # vertical blend in theta; virtual rings at the poles (theta 0 / pi)
+    theta1 = np.where(north, 0.0, theta_ring[np.clip(ir1 - 1, 0, nring - 1)])
+    theta2 = np.where(south, np.pi, theta_ring[np.clip(ir2 - 1, 0, nring - 1)])
+    wt = (theta - theta1) / (theta2 - theta1)
 
     pix = np.stack([pa0, pa1, pb0, pb1])
     wgts = np.stack([
-        (1 - wz) * (1 - wa), (1 - wz) * wa,
-        wz * (1 - wb), wz * wb,
+        (1 - wt) * (1 - wa), (1 - wt) * wa,
+        wt * (1 - wb), wt * wb,
     ])
 
-    # polar caps: replace the duplicate ring with opposite-side pixels
-    theta_r1 = np.arccos(zr[0])
-    north = theta < theta_r1
-    south = theta > np.arccos(zr[-1])
-    for mask, ring, tring in ((north, 0, theta_r1),
-                              (south, nring - 1, np.pi - np.arccos(zr[-1]))):
-        if not np.any(mask):
-            continue
-        tt = theta[mask] if ring == 0 else (np.pi - theta[mask])
-        wt = tt / tring
-        p0, p1, wphi = ring_neighbors(np.full(mask.sum(), ring), phi[mask])
-        o0, o1, _ = ring_neighbors(np.full(mask.sum(), ring),
-                                   phi[mask] + np.pi)
-        pix[0, mask], pix[1, mask] = p0, p1
-        pix[2, mask], pix[3, mask] = o0, o1
-        wgts[0, mask] = wt * (1 - wphi)
-        wgts[1, mask] = wt * wphi
-        wgts[2, mask] = (1 - wt) / 2
-        wgts[3, mask] = (1 - wt) / 2
+    if np.any(north):
+        # ring 1 has exactly 4 pixels (global indices 0..3): the "ring
+        # above" is its opposite side, each polar pixel gains fac
+        fac = 0.25 * (1 - wt[north])
+        pix[0, north] = (pix[2, north] + 2) & 3
+        pix[1, north] = (pix[3, north] + 2) & 3
+        wgts[0, north] = fac
+        wgts[1, north] = fac
+        wgts[2, north] += fac
+        wgts[3, north] += fac
+    if np.any(south):
+        # last ring: global indices npix-4 .. npix-1 (npix-4 is a
+        # multiple of 4, so the &3 opposite trick applies)
+        fac = 0.25 * wt[south]
+        pix[2, south] = ((pix[0, south] + 2) & 3) + npix - 4
+        pix[3, south] = ((pix[1, south] + 2) & 3) + npix - 4
+        wgts[0, south] += fac
+        wgts[1, south] += fac
+        wgts[2, south] = fac
+        wgts[3, south] = fac
     return pix, wgts

@@ -106,3 +106,46 @@ def test_rect_phi_wrap():
     est = float(interp_gather(jnp.asarray(f), inds, wgts)[0])
     truth = 0.5 * (np.cos(355 * np.pi / 180) + np.cos(0.0))
     assert np.isclose(est, truth, atol=1e-12)
+
+
+def test_interp_weights_polar_cap():
+    """Exact port of HEALPix get_interpol polar-cap scheme (what
+    healpy.get_interp_weights does; healpix_base get_interpol)."""
+    nside = 16
+    npix = hp.nside2npix(nside)
+    rng = np.random.default_rng(1)
+    f = rng.normal(size=npix)
+
+    # at the poles: the value is the mean of the 4 polar-ring pixels
+    pix, w = hp.get_interp_weights(nside, np.asarray([0.0, np.pi]),
+                                   np.asarray([0.3, 1.1]))
+    assert np.allclose(w.sum(0), 1.0, atol=1e-14)
+    val = (f[pix] * w).sum(0)
+    assert np.isclose(val[0], f[:4].mean(), atol=1e-13)
+    assert np.isclose(val[1], f[-4:].mean(), atol=1e-13)
+
+    # continuity across the first-ring boundary
+    tb = np.arccos(1.0 - 1.0 / (3.0 * nside ** 2))
+    for ph in (0.0, 0.7, 3.0, 5.5):
+        v = []
+        for t in (tb - 1e-10, tb + 1e-10):
+            ip, wp = hp.get_interp_weights(nside, np.asarray([t]),
+                                           np.asarray([ph]))
+            v.append(float((f[ip] * wp).sum()))
+        assert abs(v[0] - v[1]) < 1e-7, (ph, v)
+
+    # vertical blend is linear in THETA (healpix convention, not z):
+    # a function linear in theta is reproduced exactly between two rings
+    # at a shifted-ring-aligned phi
+    zr, start, npr, shift = hp.ring_info(nside)
+    theta_r = np.arccos(zr)
+    g = theta_r.repeat(npr)  # g(pix) = theta of its ring
+    k = 2 * nside  # equatorial ring pair with aligned centers
+    t_mid = 0.5 * (theta_r[k - 1] + theta_r[k])
+    # phi aligned with a pixel center on both rings (same parity trick:
+    # use a center of ring k, which lies midway between ring k-1 centers)
+    ph = (0 + shift[k - 1]) * 2 * np.pi / npr[k - 1]
+    ip, wp = hp.get_interp_weights(nside, np.asarray([t_mid]),
+                                   np.asarray([ph]))
+    est = float((g[ip] * wp).sum())
+    assert np.isclose(est, t_mid, atol=1e-12)
