@@ -33,7 +33,7 @@ import numpy as np
 
 
 def build_case(size):
-    cfg = {
+    cfgs = {
         "small": dict(hexN=3, nside=16, nfreq=32, ntime=1, reps=8),
         "medium": dict(hexN=4, nside=32, nfreq=64, ntime=2, reps=8),
         "large": dict(hexN=5, nside=32, nfreq=128, ntime=2, reps=8),
@@ -46,7 +46,15 @@ def build_case(size):
         # compiled executable for all batches). Takes ~15 min on v5e-1.
         "hera100": dict(hexN=11, nside=64, nfreq=1024, ntime=100, reps=1,
                         tbatch=5, skip_fwd_split=True),
-    }[size]
+    }
+    # "-red" variants: simulate only unique redundant baselines and
+    # expand to the full set via RIME's sim->data index (the reference's
+    # own sim_bls feature, rime_model.py:148-226) — the production
+    # configuration for a redundant array like HERA. Output data and
+    # gradients are identical to the full simulation.
+    base, red = (size[:-4], True) if size.endswith("-red") else (size, False)
+    cfg = dict(cfgs[base])
+    cfg["redundant"] = red
     return cfg
 
 
@@ -82,7 +90,8 @@ def run_jax(cfg, platform=None, x64=False):
     T = bl.TelescopeModel(loc)
     ants, antvecs = make_hex(cfg["hexN"], D=15.0)
     freqs = np.linspace(100e6, 200e6, cfg["nfreq"])
-    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs,
+                        redtol=0.5, skip_reds=not cfg.get("redundant"))
     jd0 = 2458168.3
 
     nside = cfg["nside"]
@@ -103,18 +112,25 @@ def run_jax(cfg, platform=None, x64=False):
                         freqs, R=bl.beam_model.AiryResponse(), pol="e",
                         powerbeam=True, fov=180.0)
     bls = arr.get_bls(keep_autos=False)
+    if cfg.get("redundant"):
+        sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]]
+        data_bls = bls
+    else:
+        sim_bls, data_bls = bls, None
     times = jd0 + np.arange(cfg["ntime"]) * 5e-4
     tb = cfg.get("tbatch")
     if tb:
         assert cfg["ntime"] % tb == 0
         tgroups = [times[i * tb:(i + 1) * tb]
                    for i in range(cfg["ntime"] // tb)]
-        rime = bl.RIME(sky, T, beam, arr, bls, tgroups, freqs,
-                       pix_chunk=2048)
+        rime = bl.RIME(sky, T, beam, arr, sim_bls, tgroups, freqs,
+                       data_bls=data_bls, pix_chunk=2048)
         rime.enable_indexed_batching()
     else:
-        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs, pix_chunk=2048)
+        rime = bl.RIME(sky, T, beam, arr, sim_bls, times, freqs,
+                       data_bls=data_bls, pix_chunk=2048)
     npix_cut = int(rime._pre[(0, 0)]["mask"].shape[-1])
+    cfg["nbls_sim"] = len(sim_bls)
 
     if tb:
         return _run_batched(cfg, rime, T, arr, bls, tgroups, freqs,
@@ -241,7 +257,11 @@ def run_torch_baseline(cfg, npix_cut, sub_pix=512, sub_bl=1024):
     # hex count
     n = cfg["hexN"]
     nant = sum(n + k for k in list(range(n)) + list(range(n - 2, -1, -1)))
-    nbl_full = nant * (nant - 1) // 2
+    nbl_data = nant * (nant - 1) // 2
+    # redundant configs simulate only the unique baselines (the reference
+    # would too, via sim_bls) and expand: extrapolate the fringe cost to
+    # the SIMULATED count, while points counts the full data delivered
+    nbl_full = cfg.get("nbls_sim", nbl_data)
     nbl = min(sub_bl, nbl_full)
     nf = cfg["nfreq"]
     nt = min(cfg["ntime"], 2)
@@ -277,7 +297,7 @@ def run_torch_baseline(cfg, npix_cut, sub_pix=512, sub_bl=1024):
     dt = (time.time() - t0) / nrep
     # extrapolate to the full pixel/baseline/time counts
     dt_full = dt * (npix_cut / npix) * (nbl_full / nbl) * (cfg["ntime"] / nt)
-    points = nbl_full * nf * cfg["ntime"]
+    points = nbl_data * nf * cfg["ntime"]
     return dict(step_time=dt_full, points=points, pps=points / dt_full)
 
 
@@ -285,7 +305,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--size", default="large",
-                    choices=["small", "medium", "large", "hera", "hera100"])
+                    choices=["small", "medium", "large", "hera", "hera100",
+                             "small-red", "medium-red", "large-red",
+                             "hera-red", "hera100-red"])
     ap.add_argument("--ntime", type=int, default=None)
     ap.add_argument("--x64", action="store_true")
     ap.add_argument("--no-baseline", action="store_true")
@@ -312,7 +334,8 @@ def main():
         "vs_baseline": round(vs, 3),
     }
     print(json.dumps(out))
-    print(f"# size={args.size} nbls={res['nbls']} nfreqs={cfg['nfreq']} "
+    print(f"# size={args.size} nbls={res['nbls']} "
+          f"nbls_sim={cfg.get('nbls_sim', res['nbls'])} nfreqs={cfg['nfreq']} "
           f"ntimes={cfg['ntime']} npix_cut={res['npix_cut']} "
           f"step={res['step_time']*1e3:.1f}ms "
           f"(fwd={res['fwd_time']*1e3:.1f}ms bwd={res['bwd_time']*1e3:.1f}ms) "

@@ -279,3 +279,61 @@ def test_indexed_batching_nonuniform_targets():
     v_u, _ = prob_u.value_and_grad()
     vg_keys = [k for k in prob_u._jit_cache if k[0] == "vg"]
     assert len(vg_keys) == 2
+
+
+def test_redundant_sim_expansion_identity():
+    """sim_bls (one per redundant group) + data_bls expansion produces
+    bit-identical visibilities AND LogProb gradients to simulating every
+    baseline (reference sim->data index, rime_model.py:148-226). This is
+    the production configuration benchmarked by bench.py --size *-red."""
+    from bayeslim_tpu.models.sky import PixelSky, PixelSkyResponse
+    from bayeslim_tpu.models.beam import AiryResponse
+    from bayeslim_tpu.inference import LogProb
+    from bayeslim_tpu.utils import healpix as hp
+    import bayeslim_tpu as bl
+
+    T = setup_Telescope()
+    ants, antvecs = make_hex(3, D=15.0)
+    freqs = np.linspace(100e6, 120e6, 8)
+    arr = tm.ArrayModel(AntposDict(ants, antvecs), freqs=freqs, redtol=0.5)
+    nside = 8
+    npix = hp.nside2npix(nside)
+    theta, phi = hp.pix2ang(nside, np.arange(npix))
+    angs = np.stack([phi * 180 / np.pi, 90 - theta * 180 / np.pi])
+    rng = np.random.default_rng(0)
+    params = np.zeros((1, 1, 2, npix))
+    params[0, 0, 0] = rng.uniform(1, 10, npix)
+    params[0, 0, 1] = -2.5
+
+    def mksky():
+        R = PixelSkyResponse(freqs, spatial_mode="pixel",
+                             freq_mode="powerlaw", f0=float(freqs[0]))
+        return PixelSky(jnp.asarray(params), jnp.asarray(angs),
+                        hp.nside2pixarea(nside), R=R)
+
+    beam = PixelBeam(jnp.ones((1, 1, 1, 1, 2)) * 14.0, freqs,
+                     R=AiryResponse(), pol="e", powerbeam=True, fov=180.0)
+    bls = arr.get_bls(keep_autos=False)
+    sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]]
+    assert len(sim_bls) < len(bls)
+    times = JD0 + np.arange(2) * 5e-4
+
+    r_full = RIME(mksky(), T, beam, arr, bls, times, freqs)
+    r_red = RIME(mksky(), T, beam, arr, sim_bls, times, freqs,
+                 data_bls=bls)
+    vf = jax.jit(lambda m: m.forward().data)(r_full)
+    vr = jax.jit(lambda m: m.forward().data)(r_red)
+    assert float(jnp.abs(vf - vr).max()) < 1e-10
+
+    tgt = bl.VisData()
+    tgt.setup_meta(T, arr.to_antpos())
+    tgt.setup_data(bls, times, freqs, pol="ee", data=vf + (0.1 + 0.05j))
+    outs = []
+    for rm in (r_full, r_red):
+        prob = LogProb(rm, tgt)
+        pd = prob.collect_main_params()
+        outs.append(prob.value_and_grad(pd))
+    (v0, g0), (v1, g1) = outs
+    assert abs(float(v1) - float(v0)) < 1e-6 * abs(float(v0))
+    gmax = max(float(jnp.abs(g0[k]).max()) for k in g0)
+    assert max(float(jnp.abs(g1[k] - g0[k]).max()) for k in g0) < 1e-10 * gmax
