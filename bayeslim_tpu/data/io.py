@@ -163,12 +163,16 @@ def build_beam(modfile=None, pdict=None, kind="gauss", params=None,
 
 def build_rime(modfile=None, sky=None, telescope=None, beam=None,
                array=None, sim_bls=None, times=None, freqs=None,
-               time_batch=None, indexed_batching=False, **kwargs):
+               time_batch=None, indexed_batching=False, redundant=False,
+               **kwargs):
     """RIME from pkl or sub-build dicts (reference io.py:~300-380).
 
     time_batch: optional group size — split `times` into uniform
     minibatch groups. indexed_batching: enable single-executable
-    indexed batching (RIME.enable_indexed_batching)."""
+    indexed batching (RIME.enable_indexed_batching). redundant: simulate
+    only one baseline per redundant group of the array and expand to
+    `sim_bls` via the sim->data index (identical data and gradients,
+    ~Nbls/Nred times less compute on a redundant array)."""
     from ..models.rime import RIME
     if isinstance(modfile, str):
         return read_pkl(modfile)
@@ -181,6 +185,10 @@ def build_rime(modfile=None, sky=None, telescope=None, beam=None,
     if isinstance(array, dict):
         array = build_array(**array)
     sim_bls = [tuple(bl) for bl in sim_bls]
+    if redundant and kwargs.get("data_bls") is None:
+        gids = sorted({array.bl2red[bl] for bl in sim_bls})
+        kwargs["data_bls"] = sim_bls
+        sim_bls = [array.reds[g][0] for g in gids]
     times = np.asarray(times)
     if time_batch:
         assert len(times) % int(time_batch) == 0, \

@@ -86,7 +86,7 @@ class RIME(Module):
         else:
             groups = {i: [tuple(b) for b in g] for i, g in enumerate(sim_bls)}
         self.sim_bl_groups = groups
-        self.all_sim_bls = _flatten(groups.values())
+        self.all_sim_bls = _flatten(groups.values(), max_depth=1)
         self.Nbl_groups = len(groups)
         self.bl_group_id = 0
 

@@ -309,6 +309,8 @@ def main():
                              "small-red", "medium-red", "large-red",
                              "hera-red", "hera100-red"])
     ap.add_argument("--ntime", type=int, default=None)
+    ap.add_argument("--tbatch", type=int, default=None,
+                    help="override time-minibatch size for batched sizes")
     ap.add_argument("--x64", action="store_true")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
@@ -316,6 +318,8 @@ def main():
     cfg = build_case(args.size)
     if args.ntime:
         cfg["ntime"] = args.ntime
+    if args.tbatch:
+        cfg["tbatch"] = args.tbatch
     res = run_jax(cfg, platform="cpu" if args.cpu else None, x64=args.x64)
 
     vs = 0.0
