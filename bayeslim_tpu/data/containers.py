@@ -489,6 +489,41 @@ class VisData(TensorData):
             obj.cov = 1.0 / obj.icov
         return obj
 
+    def reduce_by_redundancy(self, reds=None, redtol=1.0):
+        """Reduce data to redundant-group sufficient statistics for an
+        exact, cheaper Gaussian likelihood.
+
+        For diagonal noise, sum_b w_b |V_g(b) - d_b|^2 =
+        sum_g W_g |V_g - dbar_g|^2 + const, where dbar_g is the
+        icov-weighted group mean and W_g = sum w_b. So solving against
+        the returned averaged VisData (icov = W_g) gives IDENTICAL
+        posterior gradients to expanding the model onto every baseline,
+        at ~Nred/Nbls of the likelihood cost; add `const` to recover the
+        exact chi^2 value. (TPU-first companion of the reference's
+        sim_bls expansion, rime_model.py:148-226 — reduce the data once
+        instead of expanding the model every step.)
+
+        Returns (averaged VisData, const float).
+        """
+        if reds is None:
+            from ..models.telescope import build_reds
+            assert self.antpos is not None, "need antpos to build reds"
+            reds = build_reds(self.antpos, bls=self.bls, redtol=redtol)[0]
+        avg = self.bl_average(reds=reds, inplace=False)
+        ic = self.icov if (self.icov is not None and
+                           self.cov_axis is None) else None
+        const = 0.0
+        for red in reds:
+            idx = self._bl2ind(red)
+            d = jnp.take(self.data, jnp.asarray(idx), axis=2)
+            w = jnp.take(ic, jnp.asarray(idx), axis=2) if ic is not None \
+                else jnp.ones((1, 1, len(idx), 1, 1), dtype=d.real.dtype)
+            wsum = jnp.sum(w, axis=2, keepdims=True)
+            dbar = jnp.sum(d * w, axis=2, keepdims=True) / wsum
+            const += float(jnp.sum(w * jnp.abs(d) ** 2)
+                           - jnp.sum(wsum * jnp.abs(dbar) ** 2))
+        return avg, const
+
     def lst_rephase(self, dtime=None, dLST=None, inplace=False):
         """Rephase zenith drift-scan data by dLST [rad] (reference :1363)."""
         from ..models.telescope import vis_rephase

@@ -225,17 +225,26 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
 
     budget = 11 * 2 ** 20
     # cost-aware tile choice: a small freq tile re-streams the (big) tau
-    # blocks NFp/tf times, so maximize tf first, then the tile area
+    # blocks NFp/tf times, so maximize tf first; then minimize the PADDED
+    # work round_up(NB,tb)*round_up(NC,tc) (e.g. 630 baselines on tb=256
+    # pad to 768 — 22% wasted triples — where tb=128 pads to 640); tile
+    # area breaks ties (pipeline efficiency)
     best = None
     for tbc, tcc in ((tb, tc), (256, 512), (256, 256), (512, 256),
-                     (128, 256), (128, 128)):
+                     (128, 512), (128, 256), (128, 128)):
         tbc, tcc = min(tbc, NB), min(tcc, NC)
         tfc = _choose_tf(nfp, 1024)
         while vmem(G, tcc, tbc, tfc) > budget and tfc > 128 \
                 and tfc % 16 == 0:
             tfc //= 2
         if vmem(G, tcc, tbc, tfc) <= budget:
-            key = (tfc, tbc * tcc)
+            # bucket padding waste in 10% steps: a <10% saving does not
+            # repay halving the tile area (pipeline efficiency), a >=10%
+            # one does (measured: 630 bls on tb=128 -> -17% fwd time;
+            # 1830 bls on tb=128 -> +8% from the smaller tiles)
+            padded = _round_up(NB, tbc) * _round_up(NC, tcc)
+            waste_bucket = int(padded / (NB * NC) / 0.1)
+            key = (tfc, -waste_bucket, tbc * tcc)
             if best is None or key > best[0]:
                 best = (key, tbc, tcc, tfc)
     if best is not None:

@@ -337,3 +337,66 @@ def test_redundant_sim_expansion_identity():
     assert abs(float(v1) - float(v0)) < 1e-6 * abs(float(v0))
     gmax = max(float(jnp.abs(g0[k]).max()) for k in g0)
     assert max(float(jnp.abs(g1[k] - g0[k]).max()) for k in g0) < 1e-10 * gmax
+
+
+def test_reduce_by_redundancy_sufficient_stats():
+    """Solving against redundantly-reduced data (icov-weighted group
+    means + summed icov) gives IDENTICAL posterior gradients to
+    expanding the model onto every baseline, and the chi^2 differs by
+    exactly the returned constant — the O(Nred) likelihood for a
+    redundant array (VisData.reduce_by_redundancy)."""
+    from bayeslim_tpu.models.sky import PixelSky, PixelSkyResponse
+    from bayeslim_tpu.models.beam import AiryResponse
+    from bayeslim_tpu.inference import LogProb
+    from bayeslim_tpu.utils import healpix as hp
+    import bayeslim_tpu as bl
+
+    T = setup_Telescope()
+    ants, antvecs = make_hex(3, D=15.0)
+    freqs = np.linspace(100e6, 120e6, 4)
+    arr = tm.ArrayModel(AntposDict(ants, antvecs), freqs=freqs, redtol=0.5)
+    nside = 8
+    npix = hp.nside2npix(nside)
+    theta, phi = hp.pix2ang(nside, np.arange(npix))
+    angs = np.stack([phi * 180 / np.pi, 90 - theta * 180 / np.pi])
+    rng = np.random.default_rng(1)
+    params = np.zeros((1, 1, 2, npix))
+    params[0, 0, 0] = rng.uniform(1, 10, npix)
+    params[0, 0, 1] = -2.5
+
+    def mksky():
+        return PixelSky(
+            jnp.asarray(params), jnp.asarray(angs), hp.nside2pixarea(nside),
+            R=PixelSkyResponse(freqs, spatial_mode="pixel",
+                               freq_mode="powerlaw", f0=float(freqs[0])))
+
+    beam = PixelBeam(jnp.ones((1, 1, 1, 1, 2)) * 14.0, freqs,
+                     R=AiryResponse(), pol="e", powerbeam=True, fov=180.0,
+                     parameter=False)
+    bls = arr.get_bls(keep_autos=False)
+    sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]]
+    reds = [r for r in arr.reds if r[0][0] != r[0][1]]
+    times = JD0 + np.arange(2) * 5e-4
+
+    r0 = RIME(mksky(), T, beam, arr, bls, times, freqs)
+    vd_true = jax.jit(lambda m: m.forward().data)(r0)
+    noise = (rng.normal(size=vd_true.shape)
+             + 1j * rng.normal(size=vd_true.shape)) * 0.1
+    icov = jnp.asarray(rng.uniform(0.5, 2.0, vd_true.shape))
+    tgt = bl.VisData()
+    tgt.setup_meta(T, arr.to_antpos())
+    tgt.setup_data(bls, times, freqs, pol="ee", data=vd_true + noise,
+                   cov=1.0 / icov, cov_axis=None, icov=icov)
+
+    r_exp = RIME(mksky(), T, beam, arr, sim_bls, times, freqs, data_bls=bls)
+    vA, gA = LogProb(r_exp, tgt).value_and_grad(
+        LogProb(r_exp, tgt).collect_main_params())
+
+    tgt_red, const = tgt.reduce_by_redundancy(reds=reds)
+    r_red = RIME(mksky(), T, beam, arr, sim_bls, times, freqs)
+    pB = LogProb(r_red, tgt_red)
+    vB, gB = pB.value_and_grad(pB.collect_main_params())
+
+    gmax = max(float(jnp.abs(gA[k]).max()) for k in gA)
+    assert max(float(jnp.abs(gA[k] - gB[k]).max()) for k in gA) < 1e-12 * gmax
+    assert np.isclose(float(vA), float(vB) + const, rtol=1e-12)
