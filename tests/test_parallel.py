@@ -249,3 +249,44 @@ def test_shard_map_runs_fused_kernel(monkeypatch):
     assert np.abs(np.asarray(g1["sky.params"])
                   - np.asarray(g0["sky.params"])).max() \
         <= 1e-2 * np.abs(np.asarray(g0["sky.params"])).max() + 1e-8
+
+
+def test_sharded_redundant_expansion():
+    """Redundant sim->data expansion under the sharded (GSPMD) path:
+    sim baselines shard over 'model', the expansion gathers across
+    shards (XLA inserts the collective), gradients match single-device."""
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)
+    sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]]
+    # pad sim count to a multiple of the model axis by duplicating a bl
+    # group list (sharding needs even division) — use first 8 groups
+    sim_bls = sim_bls[:8]
+    gids = {arr.bl2red[b] for b in sim_bls}
+    data_bls = [b for b in bls if arr.bl2red[b] in gids]
+    times = JD0 + np.arange(4) * 5e-4
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, sim_bls, times, freqs,
+                       data_bls=data_bls)
+        vd = rime.forward()
+        tgt = vd.copy()
+        tgt.setup_data(data_bls, times, freqs, pol="ee",
+                       data=vd.data + 0.1,
+                       cov=jnp.ones(vd.data.shape), cov_axis=None,
+                       icov=jnp.ones(vd.data.shape))
+        return LogProb(rime, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    mesh = make_mesh({"data": 2, "model": 2})
+    sprob = ShardedLogProb(build(), mesh, bl_axis="model")
+    v2, g2 = sprob.value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    for k in g1:
+        assert np.allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                           rtol=1e-8), k
