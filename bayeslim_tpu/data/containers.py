@@ -512,7 +512,8 @@ class VisData(TensorData):
         avg = self.bl_average(reds=reds, inplace=False)
         ic = self.icov if (self.icov is not None and
                            self.cov_axis is None) else None
-        const = 0.0
+        const = jnp.asarray(0.0)        # one fetch at the end, not per group
+        counts = [] if ic is None else None
         for red in reds:
             idx = self._bl2ind(red)
             d = jnp.take(self.data, jnp.asarray(idx), axis=2)
@@ -520,9 +521,19 @@ class VisData(TensorData):
                 else jnp.ones((1, 1, len(idx), 1, 1), dtype=d.real.dtype)
             wsum = jnp.sum(w, axis=2, keepdims=True)
             dbar = jnp.sum(d * w, axis=2, keepdims=True) / wsum
-            const += float(jnp.sum(w * jnp.abs(d) ** 2)
-                           - jnp.sum(wsum * jnp.abs(dbar) ** 2))
-        return avg, const
+            const = const + (jnp.sum(w * jnp.abs(d) ** 2)
+                             - jnp.sum(wsum * jnp.abs(dbar) ** 2))
+            if counts is not None:
+                counts.append(len(idx))
+        if counts is not None:
+            # unit-weight data: the group weight is its baseline count —
+            # without it the identity breaks for unequal group sizes
+            shape = (1, 1, len(reds)) + avg.data.shape[-2:]
+            avg.icov = jnp.broadcast_to(
+                jnp.asarray(counts, dtype=avg.data.real.dtype
+                            )[None, None, :, None, None], shape)
+            avg.cov = 1.0 / avg.icov
+        return avg, float(const)
 
     def lst_rephase(self, dtime=None, dLST=None, inplace=False):
         """Rephase zenith drift-scan data by dLST [rad] (reference :1363)."""

@@ -439,11 +439,11 @@ class HierMat(BaseMat):
                        None if self.A12 is None else self.A12.scalar_mul(a),
                        None if self.A21 is None else self.A21.scalar_mul(a))
 
-    def to_SolveHierMat(self, **kwargs):
+    def to_SolveHierMat(self):
         """Hierarchically Cholesky-factor this (SPD) HODLR operator into
         its inverse action (reference hmat.py HierMat.to_SolveHierMat,
         :2180-2210)."""
-        return SolveHierMat(self, **kwargs)
+        return SolveHierMat(self)
 
 
 class MatColumn(BaseMat):

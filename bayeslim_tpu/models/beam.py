@@ -319,12 +319,28 @@ class PixelBeam(Module):
         self.theta_y = 0.0
 
     def set_pointing_offset(self, theta_x=0.0, theta_y=0.0):
-        """Small-angle pointing offset [rad] applied to the sky angles in
-        gen_beam (non-differentiable; reference beam_model.py:515-536).
-        Model the beam to a zenith angle buffered beyond fov/2 by
-        theta_x & theta_y so interpolating responses don't extrapolate."""
+        """Small-angle pointing offset [rad] applied to the (degree-
+        valued) sky angles in gen_beam (non-differentiable; reference
+        beam_model.py:515-536). Model the beam to a zenith angle buffered
+        beyond fov/2 by theta_x & theta_y so interpolating responses
+        don't extrapolate.
+
+        Note: RIME and VisMapper fold the offset into their host
+        precompute (angles AND interpolation ctx) — set the offset
+        BEFORE constructing them, or re-run `rime.precompute()` /
+        rebuild the mapper after changing it."""
         self.theta_x = float(theta_x)
         self.theta_y = float(theta_y)
+
+    def apply_pointing(self, zen, az):
+        """Offset degree-valued zen/az by the stored pointing offset;
+        identity when no offset is set. Host numpy in, numpy out (or
+        traced jnp in jit)."""
+        if self.theta_x == 0.0 and self.theta_y == 0.0:
+            return zen, az
+        zr, ar = pointing_offset(zen * D2R, az * D2R,
+                                 self.theta_x, self.theta_y)
+        return zr / D2R, ar / D2R
 
     # --- host precompute -----------------------------------------------------
     def fov_cut(self, zen, pad_to=None):
@@ -374,17 +390,23 @@ class PixelBeam(Module):
         return mp1, mp2, mp_idx
 
     # --- device ops ---------------------------------------------------------------
-    def gen_beam(self, zen, az, prior_cache=None, ctx=None, params=None):
-        """Evaluate the beam response at angles (device, jit-friendly).
+    def gen_beam(self, zen, az, prior_cache=None, ctx=None, params=None,
+                 angles_offset=False):
+        """Evaluate the beam response at angles [deg] (device,
+        jit-friendly).
 
         zen/az may carry leading batch dims (Ntimes, Npix). Returns
         (Npol, Nvec, Nmodel, Nfreqs, [Ntimes,] Npix).
+
+        angles_offset: True when the caller already folded the pointing
+        offset into zen/az (and any interp ctx) at precompute time —
+        RIME/VisMapper do; raw-angle callers leave it False.
         """
         p = self.params if params is None else params
         if self.p0 is not None:
             p = p + self.p0
-        if self.theta_x != 0.0 or self.theta_y != 0.0:
-            zen, az = pointing_offset(zen, az, self.theta_x, self.theta_y)
+        if not angles_offset:
+            zen, az = self.apply_pointing(zen, az)
         beam = self.R(p, zen, az, self.freqs, ctx=ctx)
         self.eval_prior(prior_cache, inp_params=self.params, out_params=None)
         return beam
@@ -442,10 +464,13 @@ class PixelBeam(Module):
         ra, dec = np.asarray(sky_comp.angs)
         zen, az = telescope.eq2top(time, ra, dec)
         cut, mask = self.fov_cut(zen)
-        zen_c, az_c = zen[cut], az[cut]
+        # pointing offset folded on host: beam angles + interp ctx (the
+        # FOV cut stays on the true zenith angle, as in the reference)
+        zen_c, az_c = self.apply_pointing(zen[cut], az[cut])
         ctx = self.R.precompute(zen_c, az_c) if hasattr(self.R, "precompute") else None
         beam = self.gen_beam(jnp.asarray(zen_c), jnp.asarray(az_c),
-                             prior_cache=prior_cache, ctx=ctx)
+                             prior_cache=prior_cache, ctx=ctx,
+                             angles_offset=True)
         beam = beam * jnp.asarray(mask, dtype=beam.real.dtype)
         sky = cut_sky_fov(sky_comp.data, cut)
         m1, m2 = self.modelpair_index(bls)

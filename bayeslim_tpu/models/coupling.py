@@ -344,7 +344,9 @@ class RedVisCoupling(Module):
             vc.R if isinstance(vc.R, CouplingInflate) else None)
         if inflate is not None:
             gidx = inflate.gidx
-            nterms = int(gidx.max())
+            # count every term the params carry, including trailing terms
+            # that feed no matrix cell (hit count 0)
+            nterms = max(int(gidx.max()), int(vc.params.shape[-3]))
             counts = np.bincount(gidx[gidx > 0] - 1, minlength=nterms)
         else:
             # uncompressed: every off-diagonal matrix cell is its own term

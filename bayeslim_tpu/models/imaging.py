@@ -102,6 +102,16 @@ class VisMapper:
         self.Nbls = len(self.bls)
         self.blvecs = self.array.get_blvecs(self.bls)
         self.D = None
+        # the jitted map fns close over freqs/Npix/Nbls: drop them (a
+        # same-shape different-frequency selection would otherwise reuse
+        # an executable with the OLD freqs baked in)
+        self._mm_cache = {}
+        # re-slice a user-supplied normalization icov onto the selection
+        if self.icov is not None and self._icov_full is not None:
+            inds = self._vd_full.get_inds(**{k: v for k, v in
+                                             self._sel.items()})
+            self.icov = self._vd_full._index_arr(
+                jnp.asarray(self._icov_full), inds)
         self._precompute(self._pad_to)
 
     def set_bl_inds(self, bl_inds=None, blnums=None):
@@ -154,35 +164,47 @@ class VisMapper:
             raw.append((zen, az))
             ncut = max(ncut, int((zen < self.fov / 2).sum()))
         pad = pad_to or max(8, int(np.ceil(ncut / 8) * 8))
+        s_l = []
         for zen, az in raw:
             idx = np.where(zen < self.fov / 2)[0]
             cut = np.zeros(pad, dtype=np.int32)
             cut[:len(idx)] = idx
             mask = np.zeros(pad, dtype=bool)
             mask[:len(idx)] = True
-            zen_l.append(zen[cut])
-            az_l.append(az[cut])
+            # fringe s-vectors from the TRUE angles; the beam's pointing
+            # offset applies only to beam evaluation (angles + ctx)
+            s_l.append(ArrayModel.s_vector(zen[cut], az[cut]))
+            zen_b, az_b = (self.beam.apply_pointing(zen[cut], az[cut])
+                           if self.beam is not None
+                           else (zen[cut], az[cut]))
+            zen_l.append(zen_b)
+            az_l.append(az_b)
             cut_l.append(cut)
             mask_l.append(mask)
             if self.beam is not None and hasattr(self.beam.R, "precompute"):
-                ctx_l.append(self.beam.R.precompute(zen[cut], az[cut]))
+                ctx_l.append(self.beam.R.precompute(zen_b, az_b))
         self._zen = np.stack(zen_l)
         self._az = np.stack(az_l)
         self._cut = np.stack(cut_l)
         self._mask = np.stack(mask_l)
-        self._s = np.stack([ArrayModel.s_vector(z, a)
-                            for z, a in zip(zen_l, az_l)])
+        self._s = np.stack(s_l)
         self._ctx = None
         if ctx_l:
             self._ctx = (jnp.asarray(np.stack([c[0] for c in ctx_l])),
                          jnp.asarray(np.stack([c[1] for c in ctx_l])))
 
     def set_normalization(self, method="A2w", icov=None, clip=1e-8):
+        """icov (if given) must have the ORIGINAL VisData's shape; the
+        set_*_inds selections re-slice it automatically."""
         assert method in ("w", "Aw", "A2w")
         self.method = method
+        self._icov_full = icov
         self.icov = icov
         self.clip = clip
         self.D = None
+        if icov is not None and getattr(self, "_sel", None):
+            inds = self._vd_full.get_inds(**self._sel)
+            self.icov = self._vd_full._index_arr(jnp.asarray(icov), inds)
 
     def build_A(self, time_ind):
         """Imaging matrix for one time: (Nbls, Nfreqs, Npad) complex
@@ -195,7 +217,8 @@ class VisMapper:
             ctx = None if self._ctx is None else \
                 (self._ctx[0][i], self._ctx[1][i])
             b = self.beam.gen_beam(jnp.asarray(self._zen[i]),
-                                   jnp.asarray(self._az[i]), ctx=ctx)
+                                   jnp.asarray(self._az[i]), ctx=ctx,
+                                   angles_offset=True)
             b = b[0, 0, 0]  # single-pol, antenna-independent
             if not self.beam.powerbeam:
                 b = b ** 2
@@ -272,7 +295,8 @@ class VisMapper:
                                  -1, 1)
                 if beam is not None:
                     c = None if len(ctx) == 0 else (ctx[0][i], ctx[1][i])
-                    b = beam.gen_beam(zen_all[i], az_all[i], ctx=c)[0, 0, 0]
+                    b = beam.gen_beam(zen_all[i], az_all[i], ctx=c,
+                                      angles_offset=True)[0, 0, 0]
                     if not beam.powerbeam:
                         b = b ** 2
                     A = A * b

@@ -209,17 +209,23 @@ class RIME(Module):
                 base = self.pix_chunk if ncut >= self.pix_chunk else 8
                 pad = int(np.ceil(max(ncut, 1) / base) * base)
                 ctx_list = []
+                s_list = []
                 for (zen, az) in raw:
                     cut, mask = self.beam.fov_cut(zen, pad_to=pad)
                     zen_c, az_c = zen[cut], az[cut]
-                    zen_list.append(zen_c)
-                    az_list.append(az_c)
+                    # fringe s-vectors from the TRUE angles; the beam's
+                    # pointing offset applies only to beam evaluation
+                    # (angles + interp ctx), as in the reference
+                    # (beam_model.py:246-255 offsets inside gen_beam)
+                    s_list.append(self.array.s_vector(zen_c, az_c))
+                    zen_b, az_b = self.beam.apply_pointing(zen_c, az_c)
+                    zen_list.append(zen_b)
+                    az_list.append(az_b)
                     cut_list.append(cut)
                     mask_list.append(mask)
                     if hasattr(self.beam.R, "precompute"):
-                        ctx_list.append(self.beam.R.precompute(zen_c, az_c))
-                s = np.stack([self.array.s_vector(z, a)
-                              for z, a in zip(zen_list, az_list)])
+                        ctx_list.append(self.beam.R.precompute(zen_b, az_b))
+                s = np.stack(s_list)
                 pre = dict(
                     zen=jnp.asarray(np.stack(zen_list), dtype=rdt),
                     az=jnp.asarray(np.stack(az_list), dtype=rdt),
@@ -309,7 +315,8 @@ class RIME(Module):
         def make_psky(sky_d, zen, az, cut, mask, ctx):
             csky = cut_sky_fov(sky_d, cut)
             csky = csky * mask.astype(csky.real.dtype)
-            b = beam.gen_beam(zen, az, ctx=ctx)         # (Np,Nv,Nm,Nf,Ncut)
+            b = beam.gen_beam(zen, az, ctx=ctx,
+                              angles_offset=True)       # (Np,Nv,Nm,Nf,Ncut)
             return beam.apply_beam_mp(b, mp1, mp2, csky)
 
         def one_time(xs):

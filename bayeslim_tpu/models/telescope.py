@@ -580,14 +580,19 @@ class ArrayModel(Module):
 
     # -- basic queries ------------------------------------------------------
     def set_freqs(self, freqs):
-        self.freqs = None if freqs is None else np.asarray(freqs, dtype=np.float64)
+        self._freqs_full = None if freqs is None \
+            else np.asarray(freqs, dtype=np.float64)
+        self.freqs = self._freqs_full
+        self._freq_idx = None
 
     def set_freq_index(self, idx=None):
-        """Index the frequency axis: functionally set_freqs(freqs[idx])
-        (reference telescope_model.py:286-296)."""
-        if idx is None:
-            return
-        self.set_freqs(self.freqs[idx])
+        """Index the frequency axis non-destructively: freqs becomes
+        freqs_full[idx]; idx=None restores the full axis; repeated calls
+        re-index the FULL grid (reference telescope_model.py:286-296
+        stores the index the same way)."""
+        self._freq_idx = None if idx is None else np.asarray(idx)
+        self.freqs = self._freqs_full if idx is None \
+            else self._freqs_full[self._freq_idx]
 
     def match_bl_len(self, bl, bls):
         """If any baseline in bls matches bl's length within redtol,

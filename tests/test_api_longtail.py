@@ -158,6 +158,11 @@ def test_match_bl_len_and_set_freq_index():
         arr.redlens[arr.bl2red[bls[0]]], atol=arr.redtol)
     arr.set_freq_index([0, 2, 4])
     assert np.allclose(arr.freqs, freqs[[0, 2, 4]])
+    # repeated calls index the FULL grid; None restores it
+    arr.set_freq_index([1, 3])
+    assert np.allclose(arr.freqs, freqs[[1, 3]])
+    arr.set_freq_index(None)
+    assert np.allclose(arr.freqs, freqs)
 
 
 def test_sky_response_set_freq_index():
@@ -214,6 +219,12 @@ def test_vismapper_ind_setters():
     mapper.set_freq_inds([0, 2])
     m_f, _ = mapper.make_map(return_P=False)
     assert np.asarray(m_f).shape == (2, 25)
+    # a same-shape different-frequency selection must NOT reuse the
+    # previous executable (its freqs are baked into the closure)
+    mapper.set_freq_inds([1, 3])
+    m_f2, _ = mapper.make_map(return_P=False)
+    assert np.allclose(np.asarray(m_f2), np.asarray(m_all)[[1, 3]],
+                       atol=1e-10)
 
     mapper.set_time_inds([0])
     mapper.set_bl_inds([0, 1])
@@ -264,18 +275,84 @@ def test_send_sort_main_params():
 
 
 def test_pixelbeam_set_pointing_offset():
-    # reference beam_model.py:515-536
+    # reference beam_model.py:515-536; angles are DEGREES framework-wide
     from tests.test_rime import setup_GaussBeam
     freqs = np.linspace(1e8, 1.2e8, 4)
     beam = setup_GaussBeam(freqs)
-    zen = jnp.asarray(np.deg2rad(np.asarray([0.0, 10.0, 30.0])))
-    az = jnp.asarray(np.deg2rad(np.asarray([0.0, 90.0, 180.0])))
-    b0 = np.asarray(beam.gen_beam(zen, az))
+    zen = np.asarray([0.0, 10.0, 30.0])
+    az = np.asarray([0.0, 90.0, 180.0])
+    b0 = np.asarray(beam.gen_beam(jnp.asarray(zen), jnp.asarray(az)))
     beam.set_pointing_offset(0.0, 0.0)
-    assert np.allclose(np.asarray(beam.gen_beam(zen, az)), b0)
-    beam.set_pointing_offset(np.deg2rad(2.0), 0.0)
-    b1 = np.asarray(beam.gen_beam(zen, az))
-    assert not np.allclose(b1, b0)
+    assert np.allclose(np.asarray(beam.gen_beam(jnp.asarray(zen),
+                                                jnp.asarray(az))), b0)
+    # rotate about x by delta: the point (zen=delta, az=0) maps to the
+    # pointing center, so the offset beam peaks (=1 for a Gaussian) there
+    delta = 5.0
+    beam.set_pointing_offset(np.deg2rad(delta), 0.0)
+    bpk = np.asarray(beam.gen_beam(jnp.asarray([delta]),
+                                   jnp.asarray([0.0])))
+    assert np.allclose(bpk, 1.0, atol=1e-8), bpk
+    # and the original zenith is now off-peak by the Gaussian at delta
+    bz = np.asarray(beam.gen_beam(jnp.asarray([0.0]), jnp.asarray([0.0])))
+    sig = 0.5
+    expect = np.exp(-0.5 * (np.sin(np.deg2rad(delta)) / sig) ** 2)
+    assert np.allclose(bz[0, 0, 0, :, 0], expect, atol=1e-6)
+    # host-numpy angles take the same path
+    bz_np = np.asarray(beam.gen_beam(np.asarray([0.0]), np.asarray([0.0])))
+    assert np.allclose(bz_np, bz)
+
+
+def test_pointing_offset_rime_paths():
+    """The offset must reach the visibilities through BOTH beam response
+    kinds: analytic (traced angles inside jit) and interpolated
+    (PixelResponse ctx precomputed on host) — the ctx path was a silent
+    no-op before the fix."""
+    from tests.test_rime import (setup_Telescope, setup_Array,
+                                 setup_PointSky, JD0)
+    from bayeslim_tpu.models.beam import PixelBeam, GaussResponse, PixelResponse
+    from bayeslim_tpu.utils import healpix as hp
+    import bayeslim_tpu as bl
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    bls = arr.get_bls(keep_autos=False)
+    times = JD0 + np.arange(2) * 5e-4
+
+    def vis(beam):
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs)
+        return np.asarray(jax.jit(lambda m: m.forward().data)(rime))
+
+    # analytic response
+    gb = lambda: PixelBeam(jnp.ones((1, 1, 1, len(freqs), 2)) * 0.5,
+                           freqs, R=GaussResponse(), pol="e",
+                           powerbeam=True, fov=180.0)
+    b = gb()
+    v0 = vis(b)
+    b = gb()
+    b.set_pointing_offset(np.deg2rad(3.0), 0.0)
+    v1 = vis(b)
+    assert not np.allclose(v1, v0)
+    rel = np.abs(v1 - v0).max() / np.abs(v0).max()
+    assert rel < 0.5, rel  # a 3-deg offset perturbs, not destroys
+
+    # interpolated response (ctx precompute path)
+    nside = 16
+    npix = hp.nside2npix(nside)
+    theta, _ = hp.pix2ang(nside, np.arange(npix))
+    bmap = np.cos(theta)[None, None, None, None, :] ** 2 * np.ones(
+        (1, 1, 1, len(freqs), 1))
+    pb = lambda: PixelBeam(jnp.asarray(np.clip(bmap, 0, None)), freqs,
+                           R=PixelResponse(freqs, "healpix", nside=nside),
+                           pol="e", powerbeam=True, fov=160.0)
+    b = pb()
+    w0 = vis(b)
+    b = pb()
+    b.set_pointing_offset(np.deg2rad(3.0), 0.0)
+    w1 = vis(b)
+    assert not np.allclose(w1, w0), "offset dropped on the ctx path"
+    rel = np.abs(w1 - w0).max() / np.abs(w0).max()
+    assert rel < 0.5, rel
 
 
 def test_lm_poly_fit_roundtrip():

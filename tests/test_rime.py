@@ -400,3 +400,19 @@ def test_reduce_by_redundancy_sufficient_stats():
     gmax = max(float(jnp.abs(gA[k]).max()) for k in gA)
     assert max(float(jnp.abs(gA[k] - gB[k]).max()) for k in gA) < 1e-12 * gmax
     assert np.isclose(float(vA), float(vB) + const, rtol=1e-12)
+
+    # unit weights (icov=None): group weight must be the baseline COUNT
+    # (hex groups have unequal sizes) — identity still holds
+    tgt_u = bl.VisData()
+    tgt_u.setup_meta(T, arr.to_antpos())
+    tgt_u.setup_data(bls, times, freqs, pol="ee", data=vd_true + noise)
+    assert len({len(r) for r in reds}) > 1  # genuinely unequal groups
+    vAu, gAu = LogProb(r_exp, tgt_u).value_and_grad(
+        LogProb(r_exp, tgt_u).collect_main_params())
+    tgt_ru, const_u = tgt_u.reduce_by_redundancy(reds=reds)
+    pBu = LogProb(r_red, tgt_ru)
+    vBu, gBu = pBu.value_and_grad(pBu.collect_main_params())
+    gmax = max(float(jnp.abs(gAu[k]).max()) for k in gAu)
+    assert max(float(jnp.abs(gAu[k] - gBu[k]).max())
+               for k in gAu) < 1e-12 * gmax
+    assert np.isclose(float(vAu), float(vBu) + const_u, rtol=1e-12)
