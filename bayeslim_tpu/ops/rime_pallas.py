@@ -196,6 +196,51 @@ def _choose_tf(nfp, budget):
     return tf
 
 
+def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
+                    budget=11 * 2 ** 20):
+    """Cost-aware forward-kernel tile choice. A small freq tile
+    re-streams the (big) tau blocks NFp/tf times, so maximize tf first;
+    then minimize the PADDED work round_up(NB,tb)*round_up(NC,tc) in 10%
+    buckets (630 baselines on tb=256 pad to 768 — 22% wasted triples —
+    where tb=128 pads to 640; but a <10% padding saving does not repay
+    halving the tile area: measured 630 bls tb=128 -> -17% fwd time,
+    1830 bls tb=128 -> +8%); tile area breaks ties (pipeline
+    efficiency). Returns (G, tb, tc, tf)."""
+    NB = _round_up(max(nbl, 128), 128)
+    NC = _round_up(max(npx, 128), 128)
+
+    def vmem(G, tc, tb, tf):
+        scratch = 2 * G * tc * tb                       # C, S
+        blocks = (tc * tb                               # tau
+                  + tf * tc * (1 if ps_real else 2)     # ps rows
+                  + 2 * tf * tb)                        # out re/im
+        return 4 * (scratch + 2 * blocks)               # double-buffered
+
+    best = None
+    for tbc, tcc in ((tb, tc), (256, 512), (256, 256), (512, 256),
+                     (128, 512), (128, 256), (128, 128)):
+        tbc, tcc = min(tbc, NB), min(tcc, NC)
+        tfc = _choose_tf(nfp, 1024)
+        while vmem(G, tcc, tbc, tfc) > budget and tfc > 128 \
+                and tfc % 16 == 0:
+            tfc //= 2
+        if vmem(G, tcc, tbc, tfc) <= budget:
+            padded = _round_up(NB, tbc) * _round_up(NC, tcc)
+            waste_bucket = int(padded / (NB * NC) / 0.1)
+            key = (tfc, -waste_bucket, tbc * tcc)
+            if best is None or key > best[0]:
+                best = (key, tbc, tcc, tfc)
+    if best is not None:
+        _, tb, tc, tf = best
+        return G, tb, tc, tf
+    tb, tc, tf = min(128, NB), min(128, NC), _choose_tf(nfp, 1024)
+    while vmem(G, tc, tb, tf) > budget and tf > 128 and tf % 16 == 0:
+        tf //= 2
+    while vmem(G, tc, tb, tf) > budget and G > 2:
+        G //= 2
+    return G, tb, tc, tf
+
+
 def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
                 tb=256, tc=512, interpret=False):
     """Run the forward kernel.
@@ -212,51 +257,9 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
     nstack = R // nfp
 
     ps_real = not jnp.iscomplexobj(ps)
-    G = 8
-    NB = _round_up(max(nbl, 128), 128)
-    NC = _round_up(max(npx, 128), 128)
-
-    def vmem(G, tc, tb, tf):
-        scratch = 2 * G * tc * tb                       # C, S
-        blocks = (tc * tb                               # tau
-                  + tf * tc * (1 if ps_real else 2)     # ps rows
-                  + 2 * tf * tb)                        # out re/im
-        return 4 * (scratch + 2 * blocks)               # double-buffered
-
-    budget = 11 * 2 ** 20
-    # cost-aware tile choice: a small freq tile re-streams the (big) tau
-    # blocks NFp/tf times, so maximize tf first; then minimize the PADDED
-    # work round_up(NB,tb)*round_up(NC,tc) (e.g. 630 baselines on tb=256
-    # pad to 768 — 22% wasted triples — where tb=128 pads to 640); tile
-    # area breaks ties (pipeline efficiency)
-    best = None
-    for tbc, tcc in ((tb, tc), (256, 512), (256, 256), (512, 256),
-                     (128, 512), (128, 256), (128, 128)):
-        tbc, tcc = min(tbc, NB), min(tcc, NC)
-        tfc = _choose_tf(nfp, 1024)
-        while vmem(G, tcc, tbc, tfc) > budget and tfc > 128 \
-                and tfc % 16 == 0:
-            tfc //= 2
-        if vmem(G, tcc, tbc, tfc) <= budget:
-            # bucket padding waste in 10% steps: a <10% saving does not
-            # repay halving the tile area (pipeline efficiency), a >=10%
-            # one does (measured: 630 bls on tb=128 -> -17% fwd time;
-            # 1830 bls on tb=128 -> +8% from the smaller tiles)
-            padded = _round_up(NB, tbc) * _round_up(NC, tcc)
-            waste_bucket = int(padded / (NB * NC) / 0.1)
-            key = (tfc, -waste_bucket, tbc * tcc)
-            if best is None or key > best[0]:
-                best = (key, tbc, tcc, tfc)
-    if best is not None:
-        _, tb, tc, tf = best
-    else:
-        tb, tc, tf = min(128, NB), min(128, NC), _choose_tf(nfp, 1024)
-        while vmem(G, tc, tb, tf) > budget and tf > 128 and tf % 16 == 0:
-            tf //= 2
-        while vmem(G, tc, tb, tf) > budget and G > 2:
-            G //= 2
-    NB = _round_up(NB, tb)
-    NC = _round_up(NC, tc)
+    G, tb, tc, tf = _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=tb, tc=tc)
+    NB = _round_up(_round_up(max(nbl, 128), 128), tb)
+    NC = _round_up(_round_up(max(npx, 128), 128), tc)
 
     tau_p = _pad2(tau_T.astype(jnp.float32), NC, NB)
     if ps_real:
