@@ -276,3 +276,61 @@ def test_rime_4pol_jones_end_to_end():
     vd_back = jm.forward(vd_cal, undo=True)
     assert np.allclose(np.asarray(vd_back.data), np.asarray(vd.data),
                        atol=1e-10)
+
+
+def test_rime_4pol_redundant_expansion():
+    """Redundant sim->data expansion in 4-pol polmode: the gather runs on
+    the baseline axis of (2, 2, Nbls, Nt, Nf) — identical to simulating
+    every baseline (production redundant config for Jones-chain runs)."""
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.models.sky import stokes2coherency
+    from bayeslim_tpu.models.beam import PixelBeam, PixelResponse
+    from bayeslim_tpu.utils import make_hex, AntposDict, healpix as hp
+
+    rng = np.random.default_rng(3)
+    T = bl.TelescopeModel((21.428, -30.721, 1073.0))
+    ants, antvecs = make_hex(2, D=15.0)
+    freqs = np.linspace(1e8, 1.1e8, 4)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs, redtol=0.5)
+    bls = arr.get_bls(keep_autos=False)
+    sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]]
+    assert len(sim_bls) < len(bls)
+    nside = 8
+    npix = hp.nside2npix(nside)
+    th, ph = hp.pix2ang(nside, np.arange(npix))
+    angs = np.stack([ph * 180 / np.pi, 90 - th * 180 / np.pi])
+
+    S = np.zeros((4, 1, len(freqs), npix))
+    S[0, 0] = rng.uniform(1, 5, npix)
+    S[1, 0] = 0.2 * S[0, 0]
+    B = stokes2coherency(jnp.asarray(S))
+
+    class CoherencySky(bl.utils.Module):
+        def __init__(self, data, angs):
+            super().__init__()
+            self.data = jnp.asarray(data)
+            self.angs = np.asarray(angs)
+
+        def forward(self, *a, prior_cache=None, **k):
+            from bayeslim_tpu.data.containers import MapData
+            md = MapData()
+            md.setup_data(freqs, data=self.data, angs=self.angs)
+            return md
+
+    sky = CoherencySky(B, angs)
+    jb = rng.normal(size=(2, 2, 1, len(freqs), npix)) * 0.1
+    jb = jb + np.tile(np.eye(2)[:, :, None, None, None],
+                      (1, 1, 1, len(freqs), npix))
+    R = PixelResponse(freqs, "healpix", nside=nside, powerbeam=False,
+                      realbeam=False)
+    beam = PixelBeam(jnp.asarray(jb + 0j), freqs, R=R, powerbeam=False,
+                     parameter=False, fov=180.0)
+
+    jd = np.asarray([2458168.3])
+    v_full = bl.RIME(sky, T, beam, arr, bls, jd, freqs).forward()
+    v_red = bl.RIME(sky, T, beam, arr, sim_bls, jd, freqs,
+                    data_bls=bls).forward()
+    assert v_red.data.shape == v_full.data.shape == (2, 2, len(bls), 1,
+                                                     len(freqs))
+    assert np.allclose(np.asarray(v_red.data), np.asarray(v_full.data),
+                       atol=1e-10)
