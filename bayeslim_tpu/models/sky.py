@@ -304,23 +304,37 @@ class CompositeModel(Module):
 
 
 def stokes2coherency(S):
-    """Stokes vector (4, 1, ...) or (Nstokes<=4, 1, ...) -> 2x2 coherency B.
+    """Stokes sky (Nstokes<=4, 1, ...) or (2, 2, ...) -> 2x2 coherency B
+    in the linear feed basis, with the REFERENCE's conventions
+    (sky_model.py:1160-1330): entries after I are FRACTIONAL
+    ([I, f_Q, f_U, f_V] with Q = I f_Q etc.; the (2, 2, ...) ordering is
+    [[I, f_Q], [f_U, f_V]]), and
 
-    B = 0.5 [[I+Q, U+iV], [U-iV, I-Q]] (linear feed basis). Reference
-    parity: sky_model.py Stokes2Coherency (:1160-1355).
+        B = [[I + Q, U - iV], [U + iV, I - Q]]
+
+    (no 1/2: the reference folds the normalization into the sky
+    amplitude). Stokes-I-only input returns the (1, 1, ...) power sky.
     """
-    ns = S.shape[0]
-    I = S[0, 0]
-    Q = S[1, 0] if ns > 1 else 0.0
-    U = S[2, 0] if ns > 2 else 0.0
-    V = S[3, 0] if ns > 3 else 0.0
-    B00 = 0.5 * (I + Q)
-    B11 = 0.5 * (I - Q)
-    B01 = 0.5 * (U + 1j * V)
-    B10 = 0.5 * (U - 1j * V)
-    row0 = jnp.stack([jnp.asarray(B00, dtype=jnp.result_type(B00, 1j)),
-                      jnp.asarray(B01)], axis=0)
-    row1 = jnp.stack([jnp.asarray(B10), jnp.asarray(B11, dtype=jnp.result_type(B11, 1j))], axis=0)
+    if S.shape[:2] == (2, 2):
+        I, fQ, fU, fV = S[0, 0], S[0, 1], S[1, 0], S[1, 1]
+    else:
+        ns = S.shape[0]
+        if ns == 1:
+            return S
+        I = S[0, 0]
+        fQ = S[1, 0]
+        fU = S[2, 0] if ns > 2 else 0.0
+        fV = S[3, 0] if ns > 3 else 0.0
+    Q, U, V = I * fQ, I * fU, I * fV
+    B00 = I + Q
+    B11 = I - Q
+    B01 = U - 1j * V
+    B10 = U + 1j * V
+    cdt = jnp.result_type(B00, 1j)
+    row0 = jnp.stack([jnp.asarray(B00, dtype=cdt),
+                      jnp.asarray(B01, dtype=cdt)], axis=0)
+    row1 = jnp.stack([jnp.asarray(B10, dtype=cdt),
+                      jnp.asarray(B11, dtype=cdt)], axis=0)
     return jnp.stack([row0, row1], axis=0)
 
 

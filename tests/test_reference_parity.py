@@ -343,3 +343,115 @@ def test_redcal_degen_vis_parity():
     assert np.allclose(np.asarray(jnp.exp(aa)) * len(bls),
                        np.exp(raa.numpy()), rtol=1e-10)
     assert np.allclose(np.asarray(ps), rps.numpy(), rtol=1e-9, atol=1e-12)
+
+
+def test_gen_sph2pix_parity():
+    """Integer-degree full-sphere Ylm matrices vs the reference's mpmath
+    path (sph_harm.py:255-476), complex and real modes."""
+    rng = np.random.default_rng(0)
+    theta = rng.uniform(0.2, np.pi - 0.2, 40)
+    phi = rng.uniform(0, 2 * np.pi, 40)
+    lmax = 5
+    l_ref, m_ref = ba.sph_harm.gen_lm(lmax)
+    from bayeslim_tpu.ops.sph_harm import gen_lm, gen_sph2pix
+    l, m = gen_lm(lmax)
+    assert np.allclose(np.sort(l), np.sort(np.asarray(l_ref).ravel()))
+
+    Y_ref = ba.sph_harm.gen_sph2pix(
+        theta, phi, np.asarray(l_ref, dtype=np.float64),
+        np.asarray(m_ref, dtype=np.float64), high_prec=True)
+    if isinstance(Y_ref, tuple):
+        Y_ref = Y_ref[0]
+    Y, _, _ = gen_sph2pix(theta, phi, np.asarray(l_ref, dtype=float).ravel(),
+                          np.asarray(m_ref, dtype=float).ravel(),
+                          high_prec=True)
+    assert np.allclose(np.asarray(Y), np.asarray(Y_ref), atol=1e-10), \
+        np.abs(np.asarray(Y) - np.asarray(Y_ref)).max()
+    # fast integer scipy path agrees with the mpmath path
+    Y2, _, _ = gen_sph2pix(theta, phi,
+                           np.asarray(l_ref, dtype=float).ravel(),
+                           np.asarray(m_ref, dtype=float).ravel(),
+                           high_prec=False)
+    assert np.allclose(np.asarray(Y2), np.asarray(Y_ref), atol=1e-10)
+
+
+def test_gen_fourier_A_parity():
+    x = np.linspace(0.0, 1.0, 16)
+    for ndeg in (None, 8, 7):
+        A_ref = ba.linear_model.gen_fourier_A(torch.tensor(x), Ndeg=ndeg)
+        if isinstance(A_ref, tuple):
+            A_ref = A_ref[0]
+        from bayeslim_tpu.models.linear_model import gen_fourier_A
+        A = gen_fourier_A(x, Ndeg=ndeg)
+        if isinstance(A, tuple):
+            A = A[0]
+        assert np.allclose(np.asarray(A), np.asarray(A_ref), atol=1e-12), ndeg
+
+
+def test_stokes2coherency_parity():
+    rng = np.random.default_rng(1)
+    S = np.zeros((4, 1, 3, 10))
+    S[0, 0] = rng.uniform(1, 5, (3, 10))
+    S[1, 0] = 0.2
+    S[2, 0] = 0.1
+    S[3, 0] = 0.05
+    ref = ba.sky_model.Stokes2Coherency()
+    B_ref = ref.forward(torch.tensor(S))
+    from bayeslim_tpu.models.sky import stokes2coherency
+    B = stokes2coherency(jnp.asarray(S))
+    assert np.allclose(np.asarray(B), np.asarray(B_ref.detach()),
+                       atol=1e-12), \
+        np.abs(np.asarray(B) - np.asarray(B_ref.detach())).max()
+
+
+def test_gen_coupling_terms_parity():
+    from bayeslim_tpu.utils import make_hex, AntposDict
+    ants, antvecs = make_hex(2, D=15.0)
+    ap_dict = {int(a): torch.tensor(np.asarray(v))
+               for a, v in zip(ants, antvecs)}
+    ref_terms = ba.calibration.gen_coupling_terms(ap_dict, max_len=40.0,
+                                                  no_auto_coupling=True)
+    if isinstance(ref_terms, tuple):
+        ref_terms = ref_terms[0]
+    from bayeslim_tpu.models.coupling import gen_coupling_terms
+    terms = gen_coupling_terms(AntposDict(ants, antvecs), max_len=40.0,
+                               no_auto_coupling=True)
+    if isinstance(terms, tuple):
+        terms = terms[0]
+    assert set(map(tuple, terms)) == set(map(tuple, ref_terms))
+
+
+def test_gen_window_parity():
+    from bayeslim_tpu.models.fft import gen_window
+    for win, kw in (("hann", {}), ("blackmanharris", {}), ("bh", {}),
+                    ("bh7", {}), ("tukey", {"alpha": 0.5})):
+        w_ref = ba.fft.gen_window(win, 32, **kw)
+        w = gen_window(win, 32, **kw)
+        assert np.allclose(np.asarray(w), np.asarray(w_ref), atol=1e-12), win
+    # edgecut (front, back) zero-padding
+    w_ref = ba.fft.gen_window("hann", 32, edgecut=(4, 2))
+    w = gen_window("hann", 32, edgecut=(4, 2))
+    assert np.allclose(np.asarray(w), np.asarray(w_ref), atol=1e-12)
+
+
+def test_gpfilter_parity():
+    """Wiener filter G and variance V vs the reference GPFilter
+    (filt.py:191-316)."""
+    rng = np.random.default_rng(2)
+    x = np.linspace(0, 10, 12)
+    Cs = np.asarray(ba.filt.rbf_cov(torch.tensor(x), 3.0))
+    Cn = np.eye(12) * 0.1
+    ref = ba.filt.GPFilter(torch.tensor(Cs), torch.tensor(Cn), dim=-1)
+    from bayeslim_tpu.models.filt import GPFilter, rbf_cov
+    assert np.allclose(np.asarray(rbf_cov(x, 3.0)), Cs, atol=1e-12)
+    f = GPFilter(Cs, Cn)
+    assert np.allclose(np.asarray(f.G), np.asarray(ref.G), atol=1e-8)
+    assert np.allclose(np.asarray(f.V), np.asarray(ref.V), atol=1e-8)
+    # filtering a vector agrees
+    y = rng.normal(size=12)
+    out_ref = ref.predict(torch.tensor(y)) if hasattr(ref, "predict") \
+        else ref.forward(torch.tensor(y))
+    out = f.forward(jnp.asarray(y))
+    o_r = out_ref.data if hasattr(out_ref, "data") and not torch.is_tensor(out_ref) else out_ref
+    o = out.data if hasattr(out, "data") and not isinstance(out, jnp.ndarray) else out
+    assert np.allclose(np.asarray(o), np.asarray(o_r.detach() if torch.is_tensor(o_r) else o_r), atol=1e-8)

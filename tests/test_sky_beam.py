@@ -82,16 +82,26 @@ def test_composite_sum():
 
 
 def test_stokes2coherency():
-    S = jnp.asarray(np.array([1.0, 0.2, 0.1, 0.05]).reshape(4, 1, 1, 1))
+    # reference conventions (sky_model.py:1160-1330): [I, f_Q, f_U, f_V]
+    # fractional, B = [[I+Q, U-iV], [U+iV, I-Q]], no 1/2
+    S = jnp.asarray(np.array([2.0, 0.2, 0.1, 0.05]).reshape(4, 1, 1, 1))
     B = stokes2coherency(S)
     assert B.shape == (2, 2, 1, 1)
     B = np.asarray(B).ravel().reshape(2, 2)
-    assert np.isclose(B[0, 0].real, 0.6)
-    assert np.isclose(B[1, 1].real, 0.4)
-    assert np.isclose(B[0, 1], 0.05 + 0.025j)
-    assert np.isclose(B[1, 0], 0.05 - 0.025j)
-    # trace recovers I
-    assert np.isclose((B[0, 0] + B[1, 1]).real, 1.0)
+    assert np.isclose(B[0, 0].real, 2.0 * 1.2)
+    assert np.isclose(B[1, 1].real, 2.0 * 0.8)
+    assert np.isclose(B[0, 1], 2.0 * (0.1 - 0.05j))
+    assert np.isclose(B[1, 0], 2.0 * (0.1 + 0.05j))
+    # trace recovers 2I
+    assert np.isclose((B[0, 0] + B[1, 1]).real, 4.0)
+    # (2, 2) fractional ordering [[I, fQ], [fU, fV]] agrees
+    S22 = jnp.asarray(np.array([[2.0, 0.2], [0.1, 0.05]]
+                               ).reshape(2, 2, 1, 1))
+    assert np.allclose(np.asarray(stokes2coherency(S22)), np.asarray(B
+                       ).reshape(2, 2, 1, 1))
+    # Stokes-I-only passes through as the (1, 1, ...) power sky
+    SI = jnp.ones((1, 1, 3))
+    assert stokes2coherency(SI).shape == (1, 1, 3)
 
 
 def test_catalogue_roundtrip(tmp_path):
