@@ -455,3 +455,79 @@ def test_gpfilter_parity():
     o_r = out_ref.data if hasattr(out_ref, "data") and not torch.is_tensor(out_ref) else out_ref
     o = out.data if hasattr(out, "data") and not isinstance(out, jnp.ndarray) else out
     assert np.allclose(np.asarray(o), np.asarray(o_r.detach() if torch.is_tensor(o_r) else o_r), atol=1e-8)
+
+
+def test_least_squares_parity():
+    """Generalized weighted LSQ vs reference linalg.least_squares
+    (linalg.py:481-820): plain, diag-Ninv, and complex cases."""
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(20, 5))
+    y = rng.normal(size=(3, 20))
+    from bayeslim_tpu.ops.linalg import least_squares as lsq
+
+    x_ref, D_ref = ba.linalg.least_squares(torch.tensor(A),
+                                           torch.tensor(y), dim=-1)
+    x, D = lsq(jnp.asarray(A), jnp.asarray(y), dim=-1)
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+
+    Ninv = rng.uniform(0.5, 2.0, 20)
+    x_ref, _ = ba.linalg.least_squares(torch.tensor(A), torch.tensor(y),
+                                       dim=-1, Ninv=torch.tensor(Ninv))
+    x, _ = lsq(jnp.asarray(A), jnp.asarray(y), dim=-1,
+               Ninv=jnp.asarray(Ninv))
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+
+    # Complex A: the reference takes Re(A^H A) before inverting
+    # (linalg.py:691-692), which equals the true LSQ only when A^H A is
+    # real — e.g. a Fourier design matrix on a uniform grid. We keep the
+    # exact normal equations (matching numpy.lstsq for ANY complex A, a
+    # deliberate correctness improvement); compare on the shared domain:
+    Ac = ba.linear_model.gen_fourier_A(
+        torch.tensor(np.linspace(0, 1.0, 16)), Ndeg=4)
+    if isinstance(Ac, tuple):
+        Ac = Ac[0]
+    Ac = np.asarray(Ac)
+    assert np.abs(np.imag(Ac.conj().T @ Ac)).max() < 1e-12
+    yc = rng.normal(size=16) + 1j * rng.normal(size=16)
+    x_ref, _ = ba.linalg.least_squares(torch.tensor(Ac), torch.tensor(yc),
+                                       dim=-1)
+    x, _ = lsq(jnp.asarray(Ac), jnp.asarray(yc), dim=-1)
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+    assert np.allclose(np.asarray(x),
+                       np.linalg.lstsq(Ac, yc, rcond=None)[0], atol=1e-10)
+
+
+def test_sph_bessel_kln_parity():
+    """SFB radial wavevectors vs the reference root solver
+    (sph_harm.py:1171-1243), ball boundary condition."""
+    for l in (0.0, 1.0, 3.0):
+        k_ref = np.asarray(ba.sph_harm.sph_bessel_kln(l, 0.0, 200.0,
+                                                      kmax=0.15))
+        from bayeslim_tpu.ops.sph_harm import sph_bessel_kln
+        k = np.asarray(sph_bessel_kln(l, 0.0, 200.0, 0.15, method="ball"))
+        n = min(len(k), len(k_ref))
+        assert n >= 3, (l, len(k), len(k_ref))
+        assert np.allclose(k[:n], k_ref[:n], rtol=1e-4), (l, k[:n], k_ref[:n])
+
+
+def test_compute_lm_parity():
+    """Cut-sky (cap) non-integer degree solver vs the reference
+    (sph_harm.py:47-253)."""
+    lmax = 8
+    theta_max = np.pi / 3
+    l_ref, m_ref = ba.sph_harm.compute_lm(2 * np.pi, 4, 0.0, theta_max,
+                                          lmax, dl=0.05, high_prec=True,
+                                          Nproc=None)
+    from bayeslim_tpu.ops.sph_harm import compute_lm
+    l, m = compute_lm(2 * np.pi, 4, 0.0, theta_max, lmax, dl=0.05,
+                      high_prec=True)
+    l_ref, m_ref = np.asarray(l_ref), np.asarray(m_ref)
+    l, m = np.asarray(l), np.asarray(m)
+    # same mode sets per m
+    for mm in np.unique(m_ref):
+        ref_ls = np.sort(l_ref[m_ref == mm])
+        our_ls = np.sort(l[m == mm])
+        n = min(len(ref_ls), len(our_ls))
+        assert n > 0, mm
+        assert np.allclose(our_ls[:n], ref_ls[:n], atol=5e-3), \
+            (mm, our_ls[:n], ref_ls[:n])
