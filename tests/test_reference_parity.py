@@ -531,3 +531,123 @@ def test_compute_lm_parity():
         assert n > 0, mm
         assert np.allclose(our_ls[:n], ref_ls[:n], atol=5e-3), \
             (mm, our_ls[:n], ref_ls[:n])
+
+
+def _make_visdata_pair(seed=4, Nbls=4, Nt=3, Nf=5):
+    """Matched (reference, ours) VisData with identical random content."""
+    rng = np.random.default_rng(seed)
+    bls = [(0, 1), (1, 2), (2, 3), (0, 3)][:Nbls]
+    times = 2458168.3 + np.arange(Nt) * 1e-3
+    freqs = np.linspace(100e6, 110e6, Nf)
+    data = rng.normal(size=(1, 1, Nbls, Nt, Nf)) \
+        + 1j * rng.normal(size=(1, 1, Nbls, Nt, Nf))
+    icov = rng.uniform(0.5, 2.0, (1, 1, Nbls, Nt, Nf))
+
+    vd_ref = ba.dataset.VisData()
+    vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data),
+                      cov=torch.tensor(1.0 / icov), cov_axis=None,
+                      icov=torch.tensor(icov))
+    vd = bl.VisData()
+    vd.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(data),
+                  cov=jnp.asarray(1.0 / icov), cov_axis=None,
+                  icov=jnp.asarray(icov))
+    return vd_ref, vd, bls, times, freqs
+
+
+def test_visdata_select_parity():
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair()
+    # single-baseline get_data
+    for bl_ in (bls[0], bls[2]):
+        a = np.asarray(vd.get_data(bl_, squeeze=True))
+        b = np.asarray(vd_ref.get_data(bl_, squeeze=True))
+        assert np.allclose(a, b, atol=1e-12), bl_
+    # select on bl + freq subsets
+    sub_ref = vd_ref.select(bl=bls[:2], freqs=torch.tensor(freqs[1:4]),
+                            inplace=False)
+    sub = vd.select(bl=bls[:2], freqs=freqs[1:4], inplace=False)
+    assert np.allclose(np.asarray(sub.data), np.asarray(sub_ref.data),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(sub.icov), np.asarray(sub_ref.icov),
+                       atol=1e-12)
+
+
+def test_visdata_bl_average_parity():
+    """Redundant averaging vs the reference (dataset.py:1257-1362):
+    icov-weighted means and propagated icov."""
+    vd_ref, vd, bls, _, _ = _make_visdata_pair()
+    reds = [[bls[0], bls[1]], [bls[2]], [bls[3]]]
+    avg_ref = vd_ref.bl_average(reds=reds, inplace=False)
+    avg = vd.bl_average(reds=reds, inplace=False)
+    assert np.allclose(np.asarray(avg.data), np.asarray(avg_ref.data),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(avg.icov), np.asarray(avg_ref.icov),
+                       atol=1e-12)
+
+
+def test_leapfrog_parity():
+    """Leapfrog trajectory vs the reference integrator
+    (sampler.py:1433-1585) on a correlated-Gaussian potential, identity
+    and diagonal mass matrices."""
+    rng = np.random.default_rng(5)
+    n = 6
+    A = rng.normal(size=(n, n))
+    icov = A @ A.T / n + np.eye(n)
+    q0 = rng.normal(size=n)
+    p0 = rng.normal(size=n)
+    eps, N = 0.05, 8
+
+    # reference: U = 0.5 q^T icov q on a ParamDict
+    t_icov = torch.tensor(icov)
+
+    def dUdq_ref(q, **kw):
+        out = {}
+        for k, v in q.items():
+            out[k] = t_icov @ v
+        return ba.paramdict.ParamDict(out)
+
+    q_r = ba.paramdict.ParamDict({"x": torch.tensor(q0.copy())})
+    p_r = ba.paramdict.ParamDict({"x": torch.tensor(p0.copy())})
+    # NB the reference's default cov_L=1.0 crashes for ParamDict q
+    # (ParamDict of floats, paramdict.py:24); pass explicit unit mass
+    ones = ba.paramdict.ParamDict({"x": torch.ones(n)})
+    q_r, p_r = ba.sampler.leapfrog(q_r, p_r, dUdq_ref,
+                                   torch.tensor(eps), N, cov_L=ones,
+                                   diag_mass=True)[:2]
+
+    from bayeslim_tpu.inference.sampler import leapfrog
+    from bayeslim_tpu.utils import ParamDict
+    jicov = jnp.asarray(icov)
+
+    def dUdq(q):
+        g = {k: jicov @ v for k, v in q.items()}
+        U = 0.5 * sum(float(v @ (jicov @ v)) for v in q.values())
+        return U, ParamDict(g)
+
+    q_j = ParamDict({"x": jnp.asarray(q0)})
+    p_j = ParamDict({"x": jnp.asarray(p0)})
+    q_j, p_j = leapfrog(q_j, p_j, dUdq, eps, N)[:2]
+
+    assert np.allclose(np.asarray(q_j["x"]), np.asarray(q_r["x"]),
+                       atol=1e-10), \
+        np.abs(np.asarray(q_j["x"]) - np.asarray(q_r["x"])).max()
+    assert np.allclose(np.asarray(p_j["x"]), np.asarray(p_r["x"]),
+                       atol=1e-10)
+
+    # diagonal inverse-mass: reference takes cov_L = sqrt(diag(C))
+    dmass = rng.uniform(0.5, 2.0, n)
+    q_r = ba.paramdict.ParamDict({"x": torch.tensor(q0.copy())})
+    p_r = ba.paramdict.ParamDict({"x": torch.tensor(p0.copy())})
+    covL = ba.paramdict.ParamDict({"x": torch.tensor(np.sqrt(dmass))})
+    q_r, p_r = ba.sampler.leapfrog(q_r, p_r, dUdq_ref,
+                                   torch.tensor(eps), N,
+                                   cov_L=covL, diag_mass=True)[:2]
+
+    jd = jnp.asarray(dmass)
+    q_j = ParamDict({"x": jnp.asarray(q0)})
+    p_j = ParamDict({"x": jnp.asarray(p0)})
+    q_j, p_j = leapfrog(q_j, p_j, dUdq, eps, N,
+                        Minv=lambda pd: ParamDict(
+                            {k: jd * v for k, v in pd.items()}))[:2]
+    assert np.allclose(np.asarray(q_j["x"]), np.asarray(q_r["x"]),
+                       atol=1e-10)
