@@ -26,9 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _dtype(x):
-    import jax.numpy as _j
-    return _j.float32 if x.dtype in (_j.complex64, _j.float32) \
-        else _j.float64
+    return jnp.float32 if x.dtype in (jnp.complex64, jnp.float32) \
+        else jnp.float64
 
 __all__ = ["make_mesh", "shard_rime", "shard_visdata", "shard_pixels",
            "ShardedLogProb",
@@ -201,11 +200,21 @@ class ShardedLogProb:
         """
         if pdict is None:
             pdict = self.collect_main_params()
-        if not hasattr(self, "_smap_vg"):
+        # cache keyed on the statics the closure bakes in (LogProb clears
+        # its _jit_cache on such changes; mirror that here)
+        tgt = self.prob.target[0]
+        key = (tgt.get_icov() is not None, tgt.cov_logdet,
+               id(self.prob.prior_dict),
+               jax.tree_util.tree_structure(self.prob.model))
+        if getattr(self, "_smap_key", None) != key:
             self._smap_vg = self._build_smap_vg()
+            self._smap_key = key
         data, icov = self.prob._batch_args(0)
         icov = icov if icov is not None else jnp.ones((1,), _dtype(data))
-        return self._smap_vg(dict(pdict), self.prob.model, data, icov)
+        v, g = self._smap_vg(dict(pdict), self.prob.model, data, icov)
+        from ..utils import ParamDict
+        g = self.prob.grad_modify(ParamDict(dict(g)))
+        return v, g
 
     def _build_smap_vg(self):
         try:
@@ -222,6 +231,14 @@ class ShardedLogProb:
         assert mp[2] is None and rime._sim2data[rime.bl_group_id] is None,             "shard_map path needs Nmp == 1 and no redundancy expansion"
         tgt = prob.target[0]
         assert getattr(tgt, "cov_axis", None) is None,             "shard_map path: diagonal covariance only"
+        # features the smap closure does not implement -- fail loudly
+        # rather than silently disagreeing with value_and_grad
+        assert prob.compute == "post", \
+            "shard_map path supports compute='post' only"
+        assert prob.LM is None and prob.main_params is None, \
+            "shard_map path: no LM preconditioner / main_params sub-slices"
+        assert prob.start_inp is None, \
+            "shard_map path: start_inp not supported"
         cc, negate = prob.complex_circular, prob.negate
         has_icov = tgt.get_icov() is not None
         if has_icov and tgt.cov_logdet is not None:
@@ -231,7 +248,11 @@ class ShardedLogProb:
         else:
             norm = 0.0
         mesh = self.mesh
-        axes = tuple(mesh.axis_names)
+        # psum ONLY over the axes that partition the data: a mesh axis
+        # that shards nothing sees identical replicas on every device,
+        # and summing those would multiply the likelihood by its size
+        axes = tuple(a for a in (self.time_axis, self.bl_axis)
+                     if a is not None)
 
         def spec_of(x):
             s = getattr(x, "sharding", None)
@@ -255,12 +276,34 @@ class ShardedLogProb:
             # with_sharding_constraint must not run on local blocks
             m.vis_sharding = None
             mm = m.updated(pd)
-            out = mm.forward(None, prior_cache={})
+            # prior_cache captures priors evaluated during the forward,
+            # incl. priors on response OUTPUTS (params and responses are
+            # replicated over the mesh, so every device computes the
+            # same prior; it is added once outside the psum)
+            pc = {}
+            out = mm.forward(None, prior_cache=pc)
             res = (out.data if hasattr(out, "data") else out) - data
             chi = (res.conj() * res).real
             if has_icov:
                 chi = chi * icov.real
-            return jax.lax.psum(jnp.sum(chi), axes)
+            prior = jnp.asarray(0.0)
+            for k in pc:
+                prior = prior + pc[k]
+            return jax.lax.psum(jnp.sum(chi), axes), prior
+
+        # whether the model's forward populates its prior cache is a
+        # STATIC model property (priors are host metadata): probe with
+        # an abstract trace so the closure can branch at build time
+        pc_probe = {}
+
+        def _probe(leaves):
+            m = jax.tree_util.tree_unflatten(model_def, leaves).copy()
+            m.vis_sharding = None
+            out = m.forward(None, prior_cache=pc_probe)
+            return out.data if hasattr(out, "data") else out
+
+        jax.eval_shape(_probe, jax.tree_util.tree_leaves(model))
+        fwd_has_priors = len(pc_probe) > 0
 
         # leaf specs from the CONCRETE sharded model (tracers inside the
         # jit have no .sharding)
@@ -269,28 +312,33 @@ class ShardedLogProb:
             smap = shard_map(local_fn, mesh=mesh,
                              in_specs=(pd_specs, leaf_specs, data_spec,
                                        icov_spec),
-                             out_specs=P(), check_vma=False)
+                             out_specs=(P(), P()), check_vma=False)
         except TypeError:  # older jax spells it check_rep
             smap = shard_map(local_fn, mesh=mesh,
                              in_specs=(pd_specs, leaf_specs, data_spec,
                                        icov_spec),
-                             out_specs=P(), check_rep=False)
+                             out_specs=(P(), P()), check_rep=False)
 
         prior_dict = prob.prior_dict
 
         def total(pd, m, data, icov):
             leaves = jax.tree_util.tree_leaves(m)
-            chisq = smap(pd, leaves, data, icov)
+            chisq, fwd_prior = smap(pd, leaves, data, icov)
             loglike = (-chisq - norm) if cc else (-0.5 * chisq - norm)
-            mm = m.updated(pd)
             logprior = jnp.asarray(0.0)
             if prior_dict is not None:
+                mm = m.updated(pd)
                 for key, pr in prior_dict.items():
                     prs = pr if isinstance(pr, (list, tuple)) else [pr]
                     val = mm[key]
                     for p_ in prs:
                         logprior = logprior + p_(val)
+            elif fwd_has_priors:
+                # priors evaluated during the (replicated-param) forward,
+                # incl. response-output priors — counted once
+                logprior = fwd_prior
             else:
+                mm = m.updated(pd)
                 pc = {}
                 _walk_priors(mm, pc)
                 for k in pc:

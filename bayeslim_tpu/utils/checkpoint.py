@@ -93,6 +93,9 @@ class CheckpointManager:
 
     def restore_latest(self, like=None):
         import orbax.checkpoint as ocp
+        # orbax saves are async: finalize any in-flight save before
+        # reading, or a save-then-resume can see a partial checkpoint
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step()
         if step is None:
             return None
@@ -106,6 +109,7 @@ class CheckpointManager:
 
     @property
     def latest_step(self):
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def close(self):

@@ -290,3 +290,61 @@ def test_sharded_redundant_expansion():
     for k in g1:
         assert np.allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                            rtol=1e-8), k
+
+
+def test_shard_map_unused_mesh_axis():
+    """bl_axis=None on a data x model mesh: the chi^2 psum must skip the
+    replicated 'model' axis (it previously double-counted the
+    likelihood by that axis' size)."""
+    prob1, _ = _build_prob(Ntimes=4)
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    prob2, _ = _build_prob(Ntimes=4)
+    mesh = make_mesh({"data": 2, "model": 2})
+    sprob = ShardedLogProb(prob2, mesh, time_axis="data", bl_axis=None)
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10), \
+        (float(v1), float(v2))
+    for k in g1:
+        assert np.allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                           rtol=1e-8), k
+
+
+def test_shard_map_out_params_priors():
+    """Priors on response OUTPUTS must survive the shard_map path (they
+    were previously dropped: the forward's prior_cache was discarded
+    and _walk_priors sees inp_params only)."""
+    from bayeslim_tpu.inference.prob import LogGaussPrior
+
+    def build():
+        prob, rime = _build_prob(Ntimes=4)
+        rime.sky.set_priors(
+            priors_out_params=LogGaussPrior(0.0, 4.0, diag_cov=True))
+        prob._jit_cache = {}
+        return prob
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    mesh = make_mesh({"data": 4})
+    sprob = ShardedLogProb(build(), mesh)
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10), \
+        (float(v1), float(v2))
+    for k in g1:
+        assert np.allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                           rtol=1e-8), k
+
+
+def test_shard_map_rejects_unsupported():
+    """LM preconditioners / sub-slice main_params / non-post compute must
+    fail loudly on the smap path, not silently disagree."""
+    prob, _ = _build_prob(Ntimes=4)
+    mesh = make_mesh({"data": 4})
+    sprob = ShardedLogProb(prob, mesh)
+    sprob.prob.compute = "like"
+    import pytest as _pt
+    with _pt.raises(AssertionError):
+        sprob.smap_value_and_grad(sprob.collect_main_params())
