@@ -56,3 +56,15 @@ from .models.sky import PointSky, PixelSky
 from .models.beam import PixelBeam
 from .inference import LogProb, Trainer, BFGS, LBFGS
 from .utils.paramdict import read_pdict, write_pdict
+
+# complete the reference-style aliases with names the reference keeps in
+# those modules but this package organizes elsewhere (so notebook-style
+# access like ba.optim.Trainer / ba.dataset.Dataset works verbatim)
+from .inference import hessian as _hessian
+from .inference import trainer as _trainer
+dataset.Dataset = Dataset
+optim.Trainer = Trainer
+optim.compute_hessian = _hessian.compute_hessian
+optim.invert_hessian = _hessian.invert_hessian
+optim.compute_icov = _hessian.compute_icov
+optim.DistributedLogProb = parallel.DistributedLogProb
