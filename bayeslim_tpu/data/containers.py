@@ -84,6 +84,20 @@ class _AuxDict:
         return hash(tuple(sorted(self.d.keys())))
 
 
+class _hybridmethod:
+    """Method usable both class-style (VisData.read_hdf5(f) -> new
+    object) and reference instance-style (vd.read_hdf5(f) populates vd
+    in place and returns it, matching dataset.py's mutating read)."""
+
+    def __init__(self, f):
+        self.f = f
+
+    def __get__(self, obj, cls):
+        import functools
+        target = obj if obj is not None else cls()
+        return functools.partial(self.f, target)
+
+
 def _to_list_of_slices_or_array(idx):
     if isinstance(idx, slice):
         return idx
@@ -668,11 +682,14 @@ class VisData(TensorData):
             if self.telescope is not None:
                 f.attrs["tloc"] = np.asarray(self.telescope.location)
 
-    @classmethod
-    def read_hdf5(cls, fname, read_data=True, bl=None, times=None,
-                  freqs=None, pol=None, lazy=False):
-        """Read from HDF5, optionally lazily / partially (reference :1683)."""
-        obj = cls()
+    @_hybridmethod
+    def read_hdf5(obj, fname, read_data=True, bl=None, times=None,
+                  freqs=None, pol=None, lazy=False, lazy_load=False):
+        """Read from HDF5, optionally lazily / partially (reference :1683;
+        lazy_load is the reference's kwarg name, an alias for lazy).
+        Callable as VisData.read_hdf5(f) (returns a new object) or
+        vd.read_hdf5(f) (populates vd in place, reference-style)."""
+        lazy = lazy or lazy_load
         f = h5py.File(fname, "r")
         try:
             antpos = None
@@ -702,7 +719,8 @@ class VisData(TensorData):
             if not lazy:
                 f.close()
         if (bl, times, freqs, pol) != (None, None, None, None):
-            obj = obj.select(bl=bl, times=times, freqs=freqs, pol=pol)
+            obj.select(bl=bl, times=times, freqs=freqs, pol=pol,
+                       inplace=True)
         return obj
 
 
@@ -804,9 +822,8 @@ class MapData(TensorData):
             if self.flags is not None:
                 f.create_dataset("flags", data=np.asarray(self.flags))
 
-    @classmethod
-    def read_hdf5(cls, fname, **kwargs):
-        obj = cls()
+    @_hybridmethod
+    def read_hdf5(obj, fname, **kwargs):
         with h5py.File(fname, "r") as f:
             obj.setup_meta(name=f.attrs.get("name", None))
             obj.setup_data(f["freqs"][:],
@@ -993,9 +1010,8 @@ class CalData(TensorData):
                        data=data)
         return obj
 
-    @classmethod
-    def read_hdf5(cls, fname, **kwargs):
-        obj = cls()
+    @_hybridmethod
+    def read_hdf5(obj, fname, **kwargs):
         with h5py.File(fname, "r") as f:
             obj.setup_data([int(a) for a in f["ants"][:]], f["times"][:],
                            f["freqs"][:], pol=f.attrs.get("pol", None),

@@ -14,3 +14,6 @@ from . import healpix
 from . import multires
 from . import logging  # noqa: F401  (structured logging + profiler hooks)
 from . import checkpoint  # noqa: F401  (orbax training-state checkpoints)
+
+# reference-compat alias (utils.py:1943 names it _make_hex)
+_make_hex = make_hex
