@@ -129,3 +129,91 @@ def test_notebook_minibatching_flow(tmp_path):
     for k in g0:
         assert np.allclose(np.asarray(g0[k]), np.asarray(g4[k]),
                            rtol=1e-8), k
+
+
+def test_notebook_beam_fg_flow():
+    """Mirror of the reference's beam_fg_demo notebook (cells 12-92):
+    priors on indexed params, perturbed-truth simulation, delay-space
+    FFT, a sub-slice main_params LBFGS solve at the MAP, and
+    posterior/prior Hessians + covariances."""
+    freqs = np.linspace(120e6, 130e6, 6)
+    times = np.linspace(2458148.15, 2458148.16, 4)
+    rime, sim_bls = _build(freqs, times)
+
+    # priors: 10% Gaussian on log-fluxes only (index selects them), and
+    # on the beam widths (cells 15, 29)
+    sky = rime.sky
+    beam = rime.beam
+    mean = np.asarray(sky.params)[0, 0, 0]
+    sky.set_priors(ba.optim.LogGaussPrior(
+        jnp.asarray(mean), jnp.ones_like(jnp.asarray(mean)) * 0.1 ** 2,
+        diag_cov=True, index=(0, 0, 0)))
+    beam.set_priors(ba.optim.LogGaussPrior(
+        beam.params, (beam.params * 0.1) ** 2, diag_cov=True))
+
+    # perturbed truth -> raw data (+ known noise) (cells 43-47, 56)
+    rng = np.random.default_rng(10)
+    sky_pert = np.zeros(sky.params.shape)
+    sky_pert[0, 0, 0] = rng.normal(size=sky.params.shape[-1]) * 0.1
+    beam_pert = rng.normal(size=2) / 10
+    true_model = rime.updated({
+        "sky.params": sky.params + jnp.asarray(sky_pert),
+        "beam.params": beam.params + jnp.asarray(beam_pert)})
+    raw_vis = true_model.forward()
+    noise = (rng.normal(size=raw_vis.data.shape)
+             + 1j * rng.normal(size=raw_vis.data.shape)) * 0.05
+    raw_vis.data = raw_vis.data + jnp.asarray(noise)
+    raw_vis.set_cov(jnp.ones(raw_vis.data.shape) * 0.05 ** 2, None)
+    raw_vis.compute_icov()
+
+    # delay-space FFT of the VisData (cells 52-54)
+    FT = ba.fft.FFT(dim=-1, window="blackmanharris", N=len(freqs), ndim=5,
+                    dx=float(freqs[1] - freqs[0]), abs=True)
+    raw_fft = FT(raw_vis)
+    assert raw_fft.data.shape == raw_vis.data.shape
+    assert FT.freqs is not None and np.all(np.asarray(raw_fft.data) >= 0)
+
+    # posterior + sub-slice main_params: a subset of log-fluxes + all
+    # beam params (cells 57-59, 88)
+    prob = ba.optim.LogProb(rime, ba.dataset.Dataset(raw_vis),
+                            compute="post")
+    nsrc = sky.params.shape[-1]
+    ps_idx = np.sort(rng.choice(nsrc, size=10, replace=False))
+    flat_idx = np.ravel_multi_index(
+        (np.zeros(10, int), np.zeros(10, int), np.zeros(10, int), ps_idx),
+        sky.params.shape)
+    prob.set_main_params({"sky.params": flat_idx, "beam.params": None})
+    mp = prob.collect_main_params()
+    assert mp["main"].shape == (10 + beam.params.size,)
+
+    # LBFGS solve from the un-perturbed start (cells 63-68)
+    opt = ba.bfgs.LBFGS(prob, history_size=10)
+    losses = opt.minimize(15)
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    # push the MAP into the model (optimized params live in opt.pdict)
+    prob.send_main_params(opt.pdict["main"])
+
+    # Hessians at the MAP: posterior and prior-only (cells 89-92)
+    post_h, idx = ba.optim.compute_hessian(prob)
+    n = 10 + beam.params.size
+    assert np.asarray(post_h).shape == (n, n)
+    prob.compute = "prior"
+    prob._jit_cache = {}
+    prior_h, _ = ba.optim.compute_hessian(prob)
+    prob.compute = "post"
+    prob._jit_cache = {}
+    post_cov = np.linalg.pinv(np.asarray(post_h))
+    prior_cov = np.linalg.pinv(np.asarray(prior_h))
+    # the prior covariance recovers the attached prior widths (use the
+    # returned index map: main-params keys are sorted, beam comes first)
+    # sub-slice main_params: the flat layout comes from MainParams
+    off = prob.main_params.offsets["sky.params"]
+    sl = slice(off, off + prob.main_params.sizes["sky.params"])
+    assert np.allclose(np.diag(prior_cov)[sl], 0.1 ** 2, rtol=1e-6), \
+        np.diag(prior_cov)[sl]
+    # data tightens the posterior for most sources (at a 15-step
+    # approximate MAP the non-PSD curvature terms can nudge a marginal
+    # slightly above its prior, so assert the bulk behavior)
+    ratio = np.diag(post_cov)[sl] / np.diag(prior_cov)[sl]
+    assert (ratio < 1.0).mean() >= 0.8, ratio
+    assert ratio.max() < 2.0, ratio
