@@ -52,9 +52,24 @@ def build_case(size):
     # own sim_bls feature, rime_model.py:148-226) — the production
     # configuration for a redundant array like HERA. Output data and
     # gradients are identical to the full simulation.
-    base, red = (size[:-4], True) if size.endswith("-red") else (size, False)
+    # "-stat" variants additionally solve against the redundant-group
+    # SUFFICIENT STATISTICS (VisData.reduce_by_redundancy: icov-weighted
+    # group means with summed weights): the per-baseline cube is never
+    # materialized, yet posterior gradients are identical and chi^2
+    # exact up to a data constant. hera100-stat then fits in one
+    # executable (no time minibatching).
+    if size.endswith("-stat"):
+        base, red, stat = size[:-5], True, True
+    elif size.endswith("-red"):
+        base, red, stat = size[:-4], True, False
+    else:
+        base, red, stat = size, False, False
     cfg = dict(cfgs[base])
     cfg["redundant"] = red
+    cfg["stat"] = stat
+    if stat:
+        cfg.pop("tbatch", None)   # whole time axis in one executable
+        cfg["reps"] = 2
     return cfg
 
 
@@ -113,8 +128,9 @@ def run_jax(cfg, platform=None, x64=False):
                         powerbeam=True, fov=180.0)
     bls = arr.get_bls(keep_autos=False)
     if cfg.get("redundant"):
-        sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]]
-        data_bls = bls
+        red_groups = [r for r in arr.reds if r[0][0] != r[0][1]]
+        sim_bls = [r[0] for r in red_groups]
+        data_bls = None if cfg.get("stat") else bls
     else:
         sim_bls, data_bls = bls, None
     times = jd0 + np.arange(cfg["ntime"]) * 5e-4
@@ -141,8 +157,19 @@ def run_jax(cfg, platform=None, x64=False):
     tgt_data = jax.jit(lambda m: m.forward().data)(rime)
     tgt = bl.VisData()
     tgt.setup_meta(T, arr.to_antpos())
-    tgt.setup_data(bls, times, freqs, pol="ee", data=tgt_data,
-                   cov=None, cov_axis=None, icov=None)
+    if cfg.get("stat"):
+        # sufficient-statistics likelihood: target is the redundant-group
+        # means with icov = group baseline counts (exact gradients for
+        # the full per-baseline posterior; see
+        # VisData.reduce_by_redundancy)
+        counts = np.asarray([len(r) for r in red_groups], dtype=np.float32)
+        icov = jnp.broadcast_to(
+            jnp.asarray(counts)[None, None, :, None, None], tgt_data.shape)
+        tgt.setup_data(sim_bls, times, freqs, pol="ee", data=tgt_data,
+                       cov=None, cov_axis=None, icov=icov)
+    else:
+        tgt.setup_data(bls, times, freqs, pol="ee", data=tgt_data,
+                       cov=None, cov_axis=None, icov=None)
     prob = LogProb(rime, tgt)
     pd = dict(prob.collect_main_params())
     fn = prob._batch_fn(0)
@@ -307,7 +334,8 @@ def main():
     ap.add_argument("--size", default="large",
                     choices=["small", "medium", "large", "hera", "hera100",
                              "small-red", "medium-red", "large-red",
-                             "hera-red", "hera100-red"])
+                             "hera-red", "hera100-red",
+                             "hera-stat", "hera100-stat"])
     ap.add_argument("--ntime", type=int, default=None)
     ap.add_argument("--tbatch", type=int, default=None,
                     help="override time-minibatch size for batched sizes")
