@@ -61,7 +61,6 @@ from .utils.paramdict import read_pdict, write_pdict
 # those modules but this package organizes elsewhere (so notebook-style
 # access like ba.optim.Trainer / ba.dataset.Dataset works verbatim)
 from .inference import hessian as _hessian
-from .inference import trainer as _trainer
 dataset.Dataset = Dataset
 optim.Trainer = Trainer
 optim.compute_hessian = _hessian.compute_hessian

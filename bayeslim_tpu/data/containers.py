@@ -526,28 +526,26 @@ class VisData(TensorData):
         avg = self.bl_average(reds=reds, inplace=False)
         ic = self.icov if (self.icov is not None and
                            self.cov_axis is None) else None
-        const = jnp.asarray(0.0)        # one fetch at the end, not per group
-        counts = [] if ic is None else None
-        for red in reds:
-            idx = self._bl2ind(red)
-            d = jnp.take(self.data, jnp.asarray(idx), axis=2)
-            w = jnp.take(ic, jnp.asarray(idx), axis=2) if ic is not None \
-                else jnp.ones((1, 1, len(idx), 1, 1), dtype=d.real.dtype)
-            wsum = jnp.sum(w, axis=2, keepdims=True)
-            dbar = jnp.sum(d * w, axis=2, keepdims=True) / wsum
-            const = const + (jnp.sum(w * jnp.abs(d) ** 2)
-                             - jnp.sum(wsum * jnp.abs(dbar) ** 2))
-            if counts is not None:
-                counts.append(len(idx))
-        if counts is not None:
+        if ic is None:
             # unit-weight data: the group weight is its baseline count —
             # without it the identity breaks for unequal group sizes
+            counts = [len(r) for r in reds]
             shape = (1, 1, len(reds)) + avg.data.shape[-2:]
             avg.icov = jnp.broadcast_to(
                 jnp.asarray(counts, dtype=avg.data.real.dtype
                             )[None, None, :, None, None], shape)
             avg.cov = 1.0 / avg.icov
-        return avg, float(const)
+        # const = sum_b w_b |d_b|^2 - sum_g W_g |dbar_g|^2: both terms
+        # vectorized (the second reuses the just-computed group stats;
+        # an eager per-group loop would cost an RPC per op on the
+        # remote backend)
+        idx_all = jnp.asarray(np.concatenate([self._bl2ind(r)
+                                              for r in reds]))
+        d_all = jnp.take(self.data, idx_all, axis=2)
+        w_all = jnp.take(ic, idx_all, axis=2) if ic is not None else 1.0
+        term1 = jnp.sum(w_all * jnp.abs(d_all) ** 2)
+        term2 = jnp.sum(avg.icov * jnp.abs(avg.data) ** 2)
+        return avg, float(term1 - term2)
 
     def lst_rephase(self, dtime=None, dLST=None, inplace=False):
         """Rephase zenith drift-scan data by dLST [rad] (reference :1363)."""

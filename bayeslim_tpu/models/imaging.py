@@ -106,13 +106,17 @@ class VisMapper:
         # same-shape different-frequency selection would otherwise reuse
         # an executable with the OLD freqs baked in)
         self._mm_cache = {}
-        # re-slice a user-supplied normalization icov onto the selection
-        if self.icov is not None and self._icov_full is not None:
-            inds = self._vd_full.get_inds(**{k: v for k, v in
-                                             self._sel.items()})
-            self.icov = self._vd_full._index_arr(
-                jnp.asarray(self._icov_full), inds)
+        self._reslice_icov()
         self._precompute(self._pad_to)
+
+    def _reslice_icov(self):
+        """Slice the user-supplied normalization icov (original VisData
+        shape) onto the current set_*_inds selection."""
+        if getattr(self, "_icov_full", None) is None:
+            return
+        inds = self._vd_full.get_inds(**self._sel)
+        self.icov = self._vd_full._index_arr(
+            jnp.asarray(self._icov_full), inds)
 
     def set_bl_inds(self, bl_inds=None, blnums=None):
         """Image only these baselines (indices into the original VisData,
@@ -202,9 +206,8 @@ class VisMapper:
         self.icov = icov
         self.clip = clip
         self.D = None
-        if icov is not None and getattr(self, "_sel", None):
-            inds = self._vd_full.get_inds(**self._sel)
-            self.icov = self._vd_full._index_arr(jnp.asarray(icov), inds)
+        if getattr(self, "_sel", None):
+            self._reslice_icov()
 
     def build_A(self, time_ind):
         """Imaging matrix for one time: (Nbls, Nfreqs, Npad) complex
@@ -250,8 +253,8 @@ class VisMapper:
         icov = self.icov if self.icov is not None else vd.icov
         if not hasattr(self, "_mm_cache"):
             self._mm_cache = {}
-        key = (return_P, contract, self.method, icov is not None,
-               np.shape(data))
+        key = (return_P, contract, self.method, self.clip,
+               icov is not None, np.shape(data))
         if key not in self._mm_cache:
             self._mm_cache[key] = jax.jit(
                 self._build_mm_fn(return_P, contract, icov is not None))

@@ -590,6 +590,10 @@ class ArrayModel(Module):
         freqs_full[idx]; idx=None restores the full axis; repeated calls
         re-index the FULL grid (reference telescope_model.py:286-296
         stores the index the same way)."""
+        if not hasattr(self, "_freqs_full"):
+            # object predates this attribute (e.g. restored from an old
+            # pickle): adopt the current grid as the full axis
+            self._freqs_full = self.freqs
         self._freq_idx = None if idx is None else np.asarray(idx)
         self.freqs = self._freqs_full if idx is None \
             else self._freqs_full[self._freq_idx]

@@ -205,6 +205,8 @@ class ShardedLogProb:
         tgt = self.prob.target[0]
         key = (tgt.get_icov() is not None, tgt.cov_logdet,
                id(self.prob.prior_dict),
+               self.prob.compute, self.prob.negate,
+               self.prob.complex_circular,
                jax.tree_util.tree_structure(self.prob.model))
         if getattr(self, "_smap_key", None) != key:
             self._smap_vg = self._build_smap_vg()

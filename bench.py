@@ -347,6 +347,8 @@ def main():
     if args.ntime:
         cfg["ntime"] = args.ntime
     if args.tbatch:
+        assert not cfg.get("stat"), \
+            "-stat sizes run the whole time axis in one executable"
         cfg["tbatch"] = args.tbatch
     res = run_jax(cfg, platform="cpu" if args.cpu else None, x64=args.x64)
 
