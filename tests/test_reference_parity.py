@@ -651,3 +651,70 @@ def test_leapfrog_parity():
                             {k: jd * v for k, v in pd.items()}))[:2]
     assert np.allclose(np.asarray(q_j["x"]), np.asarray(q_r["x"]),
                        atol=1e-10)
+
+
+def test_jones_model_forward_parity():
+    """JonesModel gain application V_d = J_p V_m J_q^H vs the reference
+    (calibration.py:416-743): 1-pol 'com' gains with a reference
+    antenna, forward and undo."""
+    rng = np.random.default_rng(6)
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=6)
+    ants = [0, 1, 2, 3]
+    g = (rng.normal(size=(1, 1, 4, len(times), len(freqs))) * 0.1
+         + 1j * rng.normal(size=(1, 1, 4, len(times), len(freqs))) * 0.1
+         + 1.0)
+
+    Jr = ba.calibration.JonesModel(torch.tensor(g), ants, refant=0,
+                                   parameter=False, polmode="1pol")
+    # the reference's IndexCache must know the params' time grid before
+    # forward can index a VisData against it
+    ba.calibration.IndexCache.__init__(Jr, times=torch.tensor(times))
+    out_ref = Jr.forward(vd_ref)
+
+    from bayeslim_tpu.models.calibration import JonesModel
+    J = JonesModel(jnp.asarray(g), ants, refant=0, parameter=False,
+                   polmode="1pol")
+    out = J.forward(vd)
+    assert np.allclose(np.asarray(out.data), np.asarray(out_ref.data),
+                       atol=1e-12), \
+        np.abs(np.asarray(out.data) - np.asarray(out_ref.data)).max()
+
+    # undo returns the input
+    back = J.forward(out, undo=True)
+    assert np.allclose(np.asarray(back.data), np.asarray(vd.data),
+                       atol=1e-10)
+
+
+def test_params2complex_parity():
+    """Gain parameterizations (amp/phs/amp_phs/real/com) -> complex
+    (reference calibration.py:215-270)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 1, 3, 2, 4))
+    from bayeslim_tpu.models.calibration import params2complex
+    for ptype in ("amp", "phs", "real"):
+        ref = ba.calibration.params2complex(torch.tensor(x), ptype)
+        mine = params2complex(jnp.asarray(x), ptype)
+        assert np.allclose(np.asarray(mine), np.asarray(ref),
+                           atol=1e-12), ptype
+    # amp_phs packs (amp, phs) in a trailing axis of size 2
+    xc = rng.normal(size=(1, 1, 3, 2, 4, 2))
+    ref = ba.calibration.params2complex(torch.tensor(xc), "amp_phs")
+    mine = params2complex(jnp.asarray(xc), "amp_phs")
+    assert np.allclose(np.asarray(mine), np.asarray(ref), atol=1e-12)
+
+
+def test_peakdelay_parity():
+    """Quinn-estimator delay peak vs the reference PeakDelay
+    (fft.py:146-204)."""
+    rng = np.random.default_rng(8)
+    nf = 64
+    freqs = np.linspace(100e6, 120e6, nf)
+    tau0 = 250e-9
+    sig = np.exp(2j * np.pi * freqs * tau0) * (1 + 0.02 * rng.normal(size=nf))
+    df = float(freqs[1] - freqs[0])
+
+    ref_pd = ba.fft.PeakDelay(dim=-1, N=nf, dx=df)
+    peak_ref = float(ref_pd(torch.tensor(sig)))
+    from bayeslim_tpu.models.fft import PeakDelay
+    peak = float(PeakDelay(dim=-1, N=nf, dx=df)(jnp.asarray(sig)))
+    assert np.isclose(peak, peak_ref, rtol=1e-8), (peak, peak_ref)
