@@ -718,3 +718,41 @@ def test_peakdelay_parity():
     from bayeslim_tpu.models.fft import PeakDelay
     peak = float(PeakDelay(dim=-1, N=nf, dx=df)(jnp.asarray(sig)))
     assert np.isclose(peak, peak_ref, rtol=1e-8), (peak, peak_ref)
+
+
+def test_vismodel_redvismodel_parity():
+    """VisModel (per-baseline) and RedVisModel (per-group, expanded)
+    forward/undo vs the reference (calibration.py:877-1211)."""
+    rng = np.random.default_rng(9)
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=9)
+    shape = (1, 1, len(bls), len(times), len(freqs))
+    vis = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+
+    Vr = ba.calibration.VisModel(torch.tensor(vis), parameter=False)
+    ba.calibration.IndexCache.__init__(Vr, times=torch.tensor(times))
+    out_ref = Vr.forward(vd_ref)
+    from bayeslim_tpu.models.calibration import VisModel, RedVisModel
+    V = VisModel(jnp.asarray(vis), parameter=False)
+    out = V.forward(vd)
+    assert np.allclose(np.asarray(out.data), np.asarray(out_ref.data),
+                       atol=1e-12)
+    back = V.forward(out, undo=True)
+    assert np.allclose(np.asarray(back.data), np.asarray(vd.data),
+                       atol=1e-12)
+
+    # redundant: two groups over the 4 baselines
+    bl2red = {bls[0]: 0, bls[1]: 0, bls[2]: 1, bls[3]: 1}
+    redvis = rng.normal(size=(1, 1, 2, len(times), len(freqs))) \
+        + 1j * rng.normal(size=(1, 1, 2, len(times), len(freqs)))
+    # the reference keys bl2red by blnum integers
+    from bayeslim_tpu.utils import ants2blnum
+    ref_bl2red = {ants2blnum(bl): i for bl, i in bl2red.items()}
+    Rr = ba.calibration.RedVisModel(torch.tensor(redvis), ref_bl2red,
+                                    parameter=False)
+    ba.calibration.IndexCache.__init__(Rr, times=torch.tensor(times))
+    out_ref = Rr.forward(vd_ref)
+    R = RedVisModel(jnp.asarray(redvis), bl2red, parameter=False)
+    out = R.forward(vd)
+    assert np.allclose(np.asarray(out.data), np.asarray(out_ref.data),
+                       atol=1e-12), \
+        np.abs(np.asarray(out.data) - np.asarray(out_ref.data)).max()
