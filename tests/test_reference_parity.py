@@ -756,3 +756,46 @@ def test_vismodel_redvismodel_parity():
     assert np.allclose(np.asarray(out.data), np.asarray(out_ref.data),
                        atol=1e-12), \
         np.abs(np.asarray(out.data) - np.asarray(out_ref.data)).max()
+
+
+def test_viscoupling_forward_parity():
+    """First-order antenna cross-coupling Vc = (I+X) V (I+X)^H vs the
+    reference VisCoupling (calibration.py:1258-1587): full-baseline
+    hermitian visibility matrix, delay-phasor-weighted coupling."""
+    rng = np.random.default_rng(11)
+    from bayeslim_tpu.utils import make_hex, AntposDict
+    ants, antvecs = make_hex(2, D=15.0)
+    nant = len(ants)
+    freqs = np.linspace(100e6, 110e6, 4)
+    times = np.asarray([2458168.3])
+    # full upper-tri bls incl. autos (coupling mixes autos in)
+    bls = [(a1, a2) for i, a1 in enumerate(ants) for a2 in ants[i:]]
+    Vm = rng.normal(size=(nant, nant, 1, 4)) \
+        + 1j * rng.normal(size=(nant, nant, 1, 4))
+    Vm = Vm + Vm.conj().transpose(1, 0, 2, 3)
+    lut = {a: i for i, a in enumerate(ants)}
+    data = np.stack([Vm[lut[b[0]], lut[b[1]]] for b in bls])[None, None]
+    X = (rng.normal(size=(1, 1, nant, nant, 1, 4))
+         + 1j * rng.normal(size=(1, 1, nant, nant, 1, 4))) * 0.01
+
+    # reference
+    ap_dict = {int(a): torch.tensor(np.asarray(v))
+               for a, v in zip(ants, antvecs)}
+    vd_ref = ba.dataset.VisData()
+    vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data))
+    Cr = ba.calibration.VisCoupling(torch.tensor(X), torch.tensor(freqs),
+                                    ap_dict, bls, parameter=False)
+    Cr.setup_coupling()
+    ba.calibration.IndexCache.__init__(Cr, times=torch.tensor(times))
+    out_ref = Cr.forward(vd_ref)
+
+    # ours
+    from bayeslim_tpu.models.coupling import VisCoupling
+    vd = bl.VisData()
+    vd.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(data))
+    C = VisCoupling(jnp.asarray(X), freqs, AntposDict(ants, antvecs), bls,
+                    parameter=False)
+    out = C.forward(vd)
+    err = np.abs(np.asarray(out.data) - np.asarray(out_ref.data)).max()
+    assert err < 1e-10 * np.abs(np.asarray(out_ref.data)).max(), err
