@@ -238,17 +238,37 @@ def build_sequential(modfile=None, order=None, kind=None, mdict=None):
 
 
 def build_prob(modfile=None, seq_dict=None, data=None, start_inp=None,
-               prior_dict=None, compute="post", negate=True, **kwargs):
-    """Full LogProb from a config (reference io.py:491-538)."""
+               prior_dict=None, compute="post", negate=True,
+               reduce_by_redundancy=False, redtol=1.0, **kwargs):
+    """Full LogProb from a config (reference io.py:491-538).
+
+    reduce_by_redundancy: reduce each target VisData to its redundant-
+    group sufficient statistics (VisData.reduce_by_redundancy) — exact
+    posterior gradients at ~Nred/Nbls of the likelihood cost; the
+    dropped chi^2 constants are recorded on the returned prob as
+    `chisq_const` (add to recover exact chi^2 values). Pair with a RIME
+    built without data_bls (sim_bls = group representatives)."""
     from ..inference.prob import LogProb
     if isinstance(modfile, str):
         return read_pkl(modfile)
     model = build_sequential(**seq_dict)
-    target = Dataset(dataset.load_data(data))
+    targets = dataset.load_data(data)
+    targets = targets if isinstance(targets, list) else [targets]
+    chisq_const = 0.0
+    if reduce_by_redundancy:
+        reduced = []
+        for t in targets:
+            t, c = t.reduce_by_redundancy(redtol=redtol)
+            chisq_const += c
+            reduced.append(t)
+        targets = reduced
+    target = Dataset(targets if len(targets) > 1 else targets[0])
     if isinstance(start_inp, str):
         start_inp = read_pkl(start_inp)
     if isinstance(prior_dict, str):
         prior_dict = read_pkl(prior_dict)
-    return LogProb(model, target, start_inp=start_inp,
+    prob = LogProb(model, target, start_inp=start_inp,
                    prior_dict=prior_dict, compute=compute, negate=negate,
                    **kwargs)
+    prob.chisq_const = chisq_const
+    return prob

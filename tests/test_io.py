@@ -144,3 +144,59 @@ def test_setup_uvdata_mock_obs():
     f = parse_freq_params({"Nfreqs": 10, "start_freq": 1.2e8,
                            "bandwidth": 1e7})
     assert np.allclose(np.diff(f["freq_array"]), 1e6)
+
+
+def test_build_prob_reduce_by_redundancy(tmp_path):
+    """build_prob(reduce_by_redundancy=True): config-level sufficient-
+    statistics likelihood — gradients identical to the full-baseline
+    solve, chi^2 exact after adding prob.chisq_const."""
+    T = io.build_telescope(location=HERA_LOC)
+    catfile = _write_cat(tmp_path, T)
+    from bayeslim_tpu.utils import make_hex, AntposDict
+    from bayeslim_tpu.models.telescope import ArrayModel
+    import jax.numpy as jnp
+    ants, antvecs = make_hex(2)
+    freqs = np.linspace(100e6, 110e6, 4)
+    arr = ArrayModel(AntposDict(ants, antvecs), freqs=freqs, redtol=0.5)
+    bls = arr.get_bls(keep_autos=False)
+    sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]]
+    times = [JD0]
+
+    def mk_seq(simlist, data_bls=None):
+        return dict(
+            order=["rime"], kind=["rime"],
+            mdict=dict(rime=dict(
+                sky=dict(catfile=catfile, freqs=freqs),
+                telescope=dict(location=HERA_LOC),
+                beam=dict(kind="gauss",
+                          params=np.ones((1, 1, 1, 4, 2)) * 0.5,
+                          freqs=freqs, pol="e"),
+                array=dict(ants=ants, antvecs=antvecs, freqs=freqs,
+                           redtol=0.5),
+                sim_bls=simlist, times=times, freqs=freqs,
+                data_bls=data_bls,
+            )),
+        )
+
+    # full-baseline noisy data on disk
+    rime_full = io.build_rime(**mk_seq(bls)["mdict"]["rime"])
+    vd = rime_full.forward()
+    rng = np.random.default_rng(0)
+    vd.data = vd.data + jnp.asarray(
+        rng.normal(size=vd.data.shape) * 0.1
+        + 1j * rng.normal(size=vd.data.shape) * 0.1)
+    vd.setup_meta(T, arr.to_antpos())
+    fdata = str(tmp_path / "data_red.h5")
+    vd.write_hdf5(fdata)
+
+    # A: expansion solve; B: reduced-statistics solve
+    probA = io.build_prob(seq_dict=mk_seq(sim_bls, data_bls=bls),
+                          data=fdata)
+    pd = probA.collect_main_params()
+    vA, gA = probA.value_and_grad(pd)
+    probB = io.build_prob(seq_dict=mk_seq(sim_bls), data=fdata,
+                          reduce_by_redundancy=True, redtol=0.5)
+    vB, gB = probB.value_and_grad(pd)
+    gmax = max(float(jnp.abs(gA[k]).max()) for k in gA)
+    assert max(float(jnp.abs(gA[k] - gB[k]).max()) for k in gA) < 1e-10 * gmax
+    assert np.isclose(float(vA), float(vB) + probB.chisq_const, rtol=1e-10)
