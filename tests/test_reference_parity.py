@@ -799,3 +799,92 @@ def test_viscoupling_forward_parity():
     out = C.forward(vd)
     err = np.abs(np.asarray(out.data) - np.asarray(out_ref.data)).max()
     assert err < 1e-10 * np.abs(np.asarray(out_ref.data)).max(), err
+
+
+def test_full_posterior_gradient_parity():
+    """THE BASELINE.md headline requirement: full posterior gradients of
+    a complete RIME forward model (point sky x Gaussian beam x fringe ->
+    LogProb) match the reference end to end. The only stubbed piece is
+    the astropy ephemeris: the reference TelescopeModel's conv_cache is
+    pre-populated with OUR eq2top angles so both codes see identical
+    pointing (the parity domain is everything downstream; the ephemeris
+    itself is pinned against published worked examples in
+    tests/test_telescope.py)."""
+    rng = np.random.default_rng(12)
+    loc = (21.42827, -30.72148, 1051.69)
+    ants, antvecs = bl.utils.make_hex(2)
+    freqs = np.linspace(120e6, 130e6, 4)
+    times = 2458148.15 + np.arange(2) * 1e-3
+    nsrc = 6
+
+    T = bl.TelescopeModel(loc)
+    ra0 = T.JD2RA(float(times[0]))
+    ra = ra0 + rng.uniform(-20, 20, nsrc)
+    dec = loc[1] + rng.uniform(-20, 20, nsrc)
+    sky_params = np.zeros((1, 1, 2, nsrc))
+    sky_params[0, 0, 0] = rng.uniform(1, 5, nsrc)
+    sky_params[0, 0, 1] = -2.2
+    angs = np.stack([ra, dec])
+    beam_params = np.full((1, 1, 1, len(freqs), 2), 0.5)
+    bls = [(a, b) for i, a in enumerate(ants) for b in ants[i + 1:]][:8]
+
+    # ---- ours
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    sky = bl.PointSky(jnp.asarray(sky_params), jnp.asarray(angs),
+                      R=bl.sky_model.PointSkyResponse(
+                          freqs, freq_mode="powerlaw", f0=float(freqs[0])))
+    beam = bl.PixelBeam(jnp.asarray(beam_params), freqs,
+                        R=bl.beam_model.GaussResponse(), pol="e",
+                        powerbeam=True, fov=180.0)
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs)
+    vd = rime.forward()
+    noise = (rng.normal(size=vd.data.shape)
+             + 1j * rng.normal(size=vd.data.shape)) * 0.3
+    data = np.asarray(vd.data) + noise
+
+    tgt = bl.VisData()
+    tgt.setup_meta(T, arr.to_antpos())
+    tgt.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(data))
+    prob = bl.LogProb(rime, tgt)
+    pd = prob.collect_main_params()
+    v_j, g_j = prob.value_and_grad(pd)
+
+    # ---- reference, with our ephemeris angles injected into its cache
+    T_ref = ba.telescope_model.TelescopeModel(loc)
+    arr_ref = ba.telescope_model.ArrayModel(
+        ba.utils.AntposDict(list(ants), torch.tensor(np.asarray(antvecs))),
+        freqs=torch.tensor(freqs))
+    sky_ref = ba.sky_model.PointSky(
+        torch.tensor(sky_params), torch.tensor(angs),
+        R=ba.sky_model.PointSkyResponse(torch.tensor(freqs),
+                                        freq_mode="powerlaw",
+                                        f0=torch.tensor(freqs[:1])),
+        parameter=True)
+    beam_ref = ba.beam_model.PixelBeam(
+        torch.tensor(beam_params), torch.tensor(freqs),
+        R=ba.beam_model.GaussResponse(), pol="e", powerbeam=True,
+        parameter=True, fov=180.0)
+    # reference RIME keys its ephemeris cache by (sky name, len(ra),
+    # time element): pass numpy times (value-hashable) and pre-populate
+    # the cache with OUR eq2top angles under those exact keys
+    rime_ref = ba.rime_model.RIME(sky_ref, T_ref, beam_ref, arr_ref,
+                                  bls, times, torch.tensor(freqs))
+    for t in rime_ref.sim_times:
+        zen, az = T.eq2top(float(t), ra, dec)
+        key = (sky_ref.name, len(ra), t)
+        T_ref.conv_cache[key] = torch.tensor(np.stack([zen, az]))
+    vd_ref = ba.dataset.VisData()
+    vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data))
+    prob_ref = ba.optim.LogProb(rime_ref, ba.dataset.Dataset(vd_ref))
+    v_r = prob_ref.closure()
+
+    g_sky_ref = sky_ref.params.grad.numpy()
+    g_beam_ref = beam_ref.params.grad.numpy()
+
+    assert np.isclose(float(v_j), float(v_r), rtol=1e-10), \
+        (float(v_j), float(v_r))
+    for ours, ref, name in ((g_j["sky.params"], g_sky_ref, "sky"),
+                            (g_j["beam.params"], g_beam_ref, "beam")):
+        rel = np.abs(np.asarray(ours) - ref).max() / np.abs(ref).max()
+        assert rel < 1e-9, f"{name} posterior gradient parity {rel:.2e}"
