@@ -888,3 +888,208 @@ def test_full_posterior_gradient_parity():
                             (g_j["beam.params"], g_beam_ref, "beam")):
         rel = np.abs(np.asarray(ours) - ref).max() / np.abs(ref).max()
         assert rel < 1e-9, f"{name} posterior gradient parity {rel:.2e}"
+
+
+def test_jones_chain_posterior_gradient_parity():
+    """Config #3 at the gradient level: Sequential(RIME -> JonesModel)
+    posterior, per-antenna complex gain + sky gradients vs the
+    reference end to end (ephemeris injected identically)."""
+    rng = np.random.default_rng(13)
+    loc = (21.42827, -30.72148, 1051.69)
+    ants, antvecs = bl.utils.make_hex(2)
+    freqs = np.linspace(120e6, 130e6, 3)
+    times = 2458148.15 + np.arange(2) * 1e-3
+    nsrc = 4
+    nant = len(ants)
+
+    T = bl.TelescopeModel(loc)
+    ra0 = T.JD2RA(float(times[0]))
+    ra = ra0 + rng.uniform(-15, 15, nsrc)
+    dec = loc[1] + rng.uniform(-15, 15, nsrc)
+    sky_params = np.zeros((1, 1, 2, nsrc))
+    sky_params[0, 0, 0] = rng.uniform(1, 5, nsrc)
+    sky_params[0, 0, 1] = -2.2
+    angs = np.stack([ra, dec])
+    beam_params = np.full((1, 1, 1, len(freqs), 2), 0.5)
+    bls = [(a, b) for i, a in enumerate(ants) for b in ants[i + 1:]][:8]
+    gains = (rng.normal(size=(1, 1, nant, len(times), len(freqs))) * 0.05
+             + 1j * rng.normal(size=(1, 1, nant, len(times),
+                                     len(freqs))) * 0.05 + 1.0)
+
+    # ---- ours
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    sky = bl.PointSky(jnp.asarray(sky_params), jnp.asarray(angs),
+                      R=bl.sky_model.PointSkyResponse(
+                          freqs, freq_mode="powerlaw", f0=float(freqs[0])))
+    beam = bl.PixelBeam(jnp.asarray(beam_params), freqs,
+                        R=bl.beam_model.GaussResponse(), pol="e",
+                        powerbeam=True, fov=180.0, parameter=False)
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs)
+    from bayeslim_tpu.models.calibration import JonesModel
+    from bayeslim_tpu.utils import viewreal
+    jones = JonesModel(viewreal(jnp.asarray(gains)), list(ants),
+                       parameter=True, polmode="1pol")
+    model = bl.utils.Sequential({"rime": rime, "cal": jones})
+    vd = model.forward(None)
+    noise = (rng.normal(size=vd.data.shape)
+             + 1j * rng.normal(size=vd.data.shape)) * 0.2
+    data = np.asarray(vd.data) + noise
+
+    tgt = bl.VisData()
+    tgt.setup_meta(T, arr.to_antpos())
+    tgt.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(data))
+    prob = bl.LogProb(model, tgt)
+    pd = prob.collect_main_params()
+    v_j, g_j = prob.value_and_grad(pd)
+
+    # ---- reference
+    T_ref = ba.telescope_model.TelescopeModel(loc)
+    arr_ref = ba.telescope_model.ArrayModel(
+        ba.utils.AntposDict(list(ants), torch.tensor(np.asarray(antvecs))),
+        freqs=torch.tensor(freqs))
+    sky_ref = ba.sky_model.PointSky(
+        torch.tensor(sky_params), torch.tensor(angs),
+        R=ba.sky_model.PointSkyResponse(torch.tensor(freqs),
+                                        freq_mode="powerlaw",
+                                        f0=torch.tensor(freqs[:1])),
+        parameter=True)
+    beam_ref = ba.beam_model.PixelBeam(
+        torch.tensor(beam_params), torch.tensor(freqs),
+        R=ba.beam_model.GaussResponse(), pol="e", powerbeam=True,
+        parameter=False, fov=180.0)
+    rime_ref = ba.rime_model.RIME(sky_ref, T_ref, beam_ref, arr_ref,
+                                  bls, times, torch.tensor(freqs))
+    for t in rime_ref.sim_times:
+        zen, az = T.eq2top(float(t), ra, dec)
+        T_ref.conv_cache[(sky_ref.name, len(ra), t)] = \
+            torch.tensor(np.stack([zen, az]))
+    jones_ref = ba.calibration.JonesModel(
+        torch.view_as_real(torch.tensor(gains)).clone(), list(ants),
+        parameter=True, polmode="1pol",
+        R=ba.calibration.JonesResponse(param_type="com"))
+    ba.calibration.IndexCache.__init__(jones_ref,
+                                       times=torch.tensor(times))
+    from collections import OrderedDict
+    model_ref = ba.utils.Sequential(OrderedDict(rime=rime_ref,
+                                                cal=jones_ref))
+    vd_ref = ba.dataset.VisData()
+    vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data))
+    prob_ref = ba.optim.LogProb(model_ref, ba.dataset.Dataset(vd_ref))
+    v_r = prob_ref.closure()
+
+    assert np.isclose(float(v_j), float(v_r), rtol=1e-10)
+    g_sky_ref = sky_ref.params.grad.numpy()
+    g_g_ref = jones_ref.params.grad.numpy()
+    rel = np.abs(np.asarray(g_j["models.rime.sky.params"]
+                            if "models.rime.sky.params" in g_j
+                            else g_j["rime.sky.params"]) -
+                 g_sky_ref).max() / np.abs(g_sky_ref).max()
+    assert rel < 1e-9, f"sky grad {rel:.2e}"
+    kg = [k for k in g_j if "cal" in k][0]
+    rel = np.abs(np.asarray(g_j[kg]) - g_g_ref).max() / np.abs(g_g_ref).max()
+    assert rel < 1e-9, f"gain grad {rel:.2e}"
+
+
+def test_alm_sky_posterior_gradient_parity():
+    """Config #2 at the gradient level: diffuse a_lm sky (PixelSky alm
+    spatial mode) through the RIME posterior, a_lm gradients vs the
+    reference end to end — the SAME Ylm synthesis matrix (itself pinned
+    by test_gen_sph2pix_parity) attached on both sides. NB: 2 times, not
+    1 — the reference's get_data squeezes a singleton time axis and its
+    LogProb then silently mis-broadcasts the residual to
+    (..., Nbls, Nbls, Nfreqs)."""
+    rng = np.random.default_rng(14)
+    loc = (21.42827, -30.72148, 1051.69)
+    ants, antvecs = bl.utils.make_hex(2)
+    freqs = np.linspace(120e6, 130e6, 3)
+    times = 2458148.15 + np.arange(2) * 1e-3
+    npix = 96
+
+    T = bl.TelescopeModel(loc)
+    ra0 = T.JD2RA(float(times[0]))
+    # a patch of sky pixels above the horizon
+    ra = ra0 + rng.uniform(-25, 25, npix)
+    dec = loc[1] + rng.uniform(-25, 25, npix)
+    angs = np.stack([ra, dec])
+    px_area = 4 * np.pi / (12 * 16 ** 2)
+
+    from bayeslim_tpu.ops.sph_harm import gen_lm, gen_sph2pix
+    l, m = gen_lm(4)
+    # theta/phi of the sky pixels (co-latitude from dec)
+    theta = np.deg2rad(90 - dec)
+    phi = np.deg2rad(ra)
+    Y, _, am = gen_sph2pix(theta, phi, np.asarray(l, float),
+                           np.asarray(m, float), real=False,
+                           high_prec=False)
+    alm = (rng.normal(size=(1, 1, len(freqs), len(l)))
+           + 1j * rng.normal(size=(1, 1, len(freqs), len(l)))) * 0.5
+    beam_params = np.full((1, 1, 1, len(freqs), 2), 0.5)
+    bls = [(a, b) for i, a in enumerate(ants) for b in ants[i + 1:]][:6]
+
+    # ---- ours
+    from bayeslim_tpu.ops.sph_harm import AlmModel
+    from bayeslim_tpu.utils import viewreal
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    # real cast happens at the RESPONSE level (as in the reference,
+    # sky_model.py:686): the AlmModel keeps complex output mid-chain
+    almmod = AlmModel(l, m, real_output=False)
+    almmod.setup_Ylm(Y, alm_mult=am)
+    R = bl.sky_model.PixelSkyResponse(freqs, comp_params=True,
+                                      spatial_mode="alm", real_output=True,
+                                      freq_mode="channel", spat_LM=almmod)
+    sky = bl.PixelSky(viewreal(jnp.asarray(alm)), jnp.asarray(angs),
+                      px_area, R=R)
+    beam = bl.PixelBeam(jnp.asarray(beam_params), freqs,
+                        R=bl.beam_model.GaussResponse(), pol="e",
+                        powerbeam=True, fov=180.0, parameter=False)
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs)
+    vd = rime.forward()
+    data = np.asarray(vd.data) + (rng.normal(size=vd.data.shape)
+                                  + 1j * rng.normal(size=vd.data.shape)) * 0.1
+    tgt = bl.VisData()
+    tgt.setup_meta(T, arr.to_antpos())
+    tgt.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(data))
+    prob = bl.LogProb(rime, tgt)
+    pd = prob.collect_main_params()
+    v_j, g_j = prob.value_and_grad(pd)
+
+    # ---- reference (same Ylm attached)
+    T_ref = ba.telescope_model.TelescopeModel(loc)
+    arr_ref = ba.telescope_model.ArrayModel(
+        ba.utils.AntposDict(list(ants), torch.tensor(np.asarray(antvecs))),
+        freqs=torch.tensor(freqs))
+    alm_ref = ba.sph_harm.AlmModel(np.asarray(l, float),
+                                   np.asarray(m, float), real_output=False)
+    alm_ref.setup_Ylm(np.rad2deg(theta), np.rad2deg(phi),
+                      Ylm=torch.tensor(np.asarray(Y)),
+                      alm_mult=None if am is None
+                      else torch.tensor(np.asarray(am)))
+    R_ref = ba.sky_model.PixelSkyResponse(
+        torch.tensor(freqs), comp_params=True, spatial_mode="alm",
+        real_output=True, freq_mode="channel", spat_LM=alm_ref)
+    sky_ref = ba.sky_model.PixelSky(
+        torch.view_as_real(torch.tensor(alm)).clone(),
+        torch.tensor(angs), px_area, R=R_ref, parameter=True)
+    beam_ref = ba.beam_model.PixelBeam(
+        torch.tensor(beam_params), torch.tensor(freqs),
+        R=ba.beam_model.GaussResponse(), pol="e", powerbeam=True,
+        parameter=False, fov=180.0)
+    rime_ref = ba.rime_model.RIME(sky_ref, T_ref, beam_ref, arr_ref,
+                                  bls, times, torch.tensor(freqs))
+    for t in rime_ref.sim_times:
+        zen, az = T.eq2top(float(t), ra, dec)
+        T_ref.conv_cache[(sky_ref.name, len(ra), t)] = \
+            torch.tensor(np.stack([zen, az]))
+    vd_ref = ba.dataset.VisData()
+    vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data))
+    prob_ref = ba.optim.LogProb(rime_ref, ba.dataset.Dataset(vd_ref))
+    v_r = prob_ref.closure()
+
+    assert np.isclose(float(v_j), float(v_r), rtol=1e-10), \
+        (float(v_j), float(v_r))
+    g_ref = sky_ref.params.grad.numpy()
+    rel = np.abs(np.asarray(g_j["sky.params"]) - g_ref).max() \
+        / np.abs(g_ref).max()
+    assert rel < 1e-9, f"alm posterior gradient parity {rel:.2e}"
