@@ -1093,3 +1093,84 @@ def test_alm_sky_posterior_gradient_parity():
     rel = np.abs(np.asarray(g_j["sky.params"]) - g_ref).max() \
         / np.abs(g_ref).max()
     assert rel < 1e-9, f"alm posterior gradient parity {rel:.2e}"
+
+
+def test_vismapper_parity():
+    """Dirty-map imaging m = D A^T W y and PSF P vs the reference
+    VisMapper (imaging.py:12-972), ephemeris stubbed identically.
+
+    Uses the 'w' normalization: the reference's 'A2w' branch computes
+    Re(A^2) where its own docstring (and ours) say w @ |A|^2
+    (imaging.py make_map `A.pow(2).real`) — for a complex fringe the
+    oscillating Re(A^2) nearly cancels, the clip floor takes over and
+    the reference maps blow up by ~1/clip. Documented reference bug;
+    our A2w implements the stated least-squares normalization."""
+    rng = np.random.default_rng(15)
+    loc = (21.42827, -30.72148, 1051.69)
+    ants, antvecs = bl.utils.make_hex(2)
+    freqs = np.linspace(120e6, 130e6, 3)
+    times = 2458148.15 + np.arange(2) * 1e-3
+    bls = [(a, b) for i, a in enumerate(ants) for b in ants[i + 1:]][:6]
+
+    T = bl.TelescopeModel(loc)
+    ra0 = T.JD2RA(float(times[0]))
+    grid = np.linspace(-4, 4, 5)
+    rr, dd = np.meshgrid(ra0 + grid, loc[1] + grid)
+    ra, dec = rr.ravel(), dd.ravel()
+
+    data = (rng.normal(size=(1, 1, len(bls), len(times), len(freqs)))
+            + 1j * rng.normal(size=(1, 1, len(bls), len(times),
+                                    len(freqs))))
+    icov = rng.uniform(0.5, 2.0, data.shape)
+
+    # ---- ours
+    from bayeslim_tpu.models.imaging import VisMapper
+    vd = bl.VisData()
+    vd.setup_meta(T, AntposDict(ants, antvecs))
+    vd.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(data),
+                  cov=jnp.asarray(1.0 / icov), cov_axis=None,
+                  icov=jnp.asarray(icov))
+    mapper = VisMapper(vd, ra, dec, fov=180.0)
+    mapper.set_normalization("w", icov=jnp.asarray(icov))
+    maps, P = mapper.make_map(return_P=True)
+
+    # ---- reference, with OUR eq2top injected
+    class StubTel:
+        """Reference-telescope stand-in: same eq2top contract, angles
+        delegated to OUR (Meeus-pinned) ephemeris."""
+        location = loc
+        tloc = None
+        device = None
+
+        def __init__(self, location=loc, tloc=None, device=None):
+            pass
+
+        def eq2top(self, time, ra_, dec_, store=False, key=None):
+            zen, az = T.eq2top(float(time), np.asarray(ra_),
+                               np.asarray(dec_))
+            return torch.tensor(zen), torch.tensor(az)
+
+    vd_ref = ba.dataset.VisData()
+    vd_ref.setup_meta(
+        telescope=StubTel(),
+        antpos=ba.utils.AntposDict(list(ants),
+                                   torch.tensor(np.asarray(antvecs))))
+    vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data),
+                      cov=torch.tensor(1.0 / icov), cov_axis=None,
+                      icov=torch.tensor(icov))
+    mapper_ref = ba.imaging.VisMapper(vd_ref, torch.tensor(ra),
+                                      torch.tensor(dec), fov=180.0)
+    mapper_ref.set_normalization("w", icov=torch.tensor(icov))
+    with torch.no_grad():
+        maps_ref, P_ref = mapper_ref.make_map(return_P=True)
+
+    m = np.asarray(maps)
+    mr = np.asarray(maps_ref)
+    assert m.shape == tuple(mr.shape), (m.shape, mr.shape)
+    rel = np.abs(m - mr).max() / np.abs(mr).max()
+    assert rel < 1e-8, f"map parity {rel:.2e}"
+    p = np.asarray(P)
+    pr = np.asarray(P_ref)
+    rel = np.abs(p - pr).max() / np.abs(pr).max()
+    assert rel < 1e-8, f"PSF parity {rel:.2e}"
