@@ -1174,3 +1174,40 @@ def test_vismapper_parity():
     pr = np.asarray(P_ref)
     rel = np.abs(p - pr).max() / np.abs(pr).max()
     assert rel < 1e-8, f"PSF parity {rel:.2e}"
+
+
+def test_fft_forward_parity():
+    """FFT block (window, edgecut zero-padding, fftshift, abs/square)
+    vs the reference (fft.py:11-145) on a VisData."""
+    rng = np.random.default_rng(16)
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=16, Nf=16)
+    df = float(freqs[1] - freqs[0])
+    for kw in (dict(window="bh", abs=True),
+               dict(window="hann", square=True, abs=True),
+               dict(window=None, fftshift=False),
+               dict(window="hann", edgecut=(2, 1), abs=True)):
+        FT_ref = ba.fft.FFT(dim=-1, N=16, dx=df, ndim=5, **kw)
+        FT = bl.fft.FFT(dim=-1, N=16, dx=df, ndim=5, **kw)
+        out_ref = FT_ref(vd_ref)
+        out = FT(vd)
+        assert np.allclose(np.asarray(out.data),
+                           out_ref.data.detach().numpy(), atol=1e-12), kw
+        assert np.allclose(np.asarray(FT.freqs), np.asarray(FT_ref.freqs),
+                           atol=1e-12)
+
+
+def test_time_average_parity():
+    """Icov-weighted time averaging vs the reference
+    (dataset.py:1452-1567)."""
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=17, Nt=4)
+    tinds = [np.asarray([0, 1]), np.asarray([2, 3])]
+    avg_ref = vd_ref.time_average(
+        time_inds=[torch.tensor(t) for t in tinds], inplace=False)
+    avg = vd.time_average(time_inds=tinds, inplace=False)
+    assert np.allclose(np.asarray(avg.data),
+                       avg_ref.data.detach().numpy(), atol=1e-12)
+    assert np.allclose(np.asarray(avg.times), np.asarray(avg_ref.times),
+                       atol=1e-12)
+    if avg_ref.icov is not None and avg.icov is not None:
+        assert np.allclose(np.asarray(avg.icov),
+                           avg_ref.icov.detach().numpy(), atol=1e-12)
