@@ -205,14 +205,23 @@ class LinearModel(Module):
 
 
 class MultiLM(Module):
-    """Apply a sequence of LinearModels to matching inputs (reference :262)."""
+    """Chain LinearModels on ONE tensor: params -> LM_n(...LM_1(params))
+    (reference :262-298 — each LM typically acts along a different dim;
+    least_squares inverts the chain the same way)."""
 
     def __init__(self, LMs, name=None):
         super().__init__(name=name)
         self.LMs = list(LMs)
 
-    def forward(self, params_list, **kwargs):
-        return [lm(p) for lm, p in zip(self.LMs, params_list)]
+    def forward(self, params, **kwargs):
+        for lm in self.LMs:
+            params = lm(params, **kwargs)
+        return params
+
+    def least_squares(self, y, **kwargs):
+        for lm in self.LMs:
+            y = lm.least_squares(y, **kwargs)
+        return y
 
 
 class DictLM(Module):

@@ -1211,3 +1211,43 @@ def test_time_average_parity():
     if avg_ref.icov is not None and avg.icov is not None:
         assert np.allclose(np.asarray(avg.icov),
                            avg_ref.icov.detach().numpy(), atol=1e-12)
+
+
+def test_multilm_dictlm_parity():
+    """MultiLM chains LinearModels on one tensor (different dims);
+    DictLM dispatches by parameter name (reference linear_model.py
+    :262-346)."""
+    rng = np.random.default_rng(18)
+    x1 = np.linspace(0, 1, 8)
+    x2 = np.linspace(0, 1, 6)
+    p = rng.normal(size=(3, 4))   # (Ndeg1=3, Ndeg2=4)
+
+    from bayeslim_tpu.models.linear_model import LinearModel, MultiLM, DictLM
+    lm1 = LinearModel("poly", dim=0, x=x1, Ndeg=3, basis="direct",
+                      whiten=True)
+    lm2 = LinearModel("poly", dim=1, x=x2, Ndeg=4, basis="direct",
+                      whiten=True)
+    out = MultiLM([lm1, lm2])(jnp.asarray(p))
+
+    lm1_r = ba.linear_model.LinearModel("poly", dim=0,
+                                        x=torch.tensor(x1), Ndeg=3,
+                                        basis="direct", whiten=True)
+    lm2_r = ba.linear_model.LinearModel("poly", dim=1,
+                                        x=torch.tensor(x2), Ndeg=4,
+                                        basis="direct", whiten=True)
+    out_ref = ba.linear_model.MultiLM([lm1_r, lm2_r])(torch.tensor(p))
+    assert np.asarray(out).shape == tuple(out_ref.shape)
+    assert np.allclose(np.asarray(out), out_ref.detach().numpy(),
+                       atol=1e-12)
+
+    # DictLM dispatch
+    d = DictLM({"a.params": lm1})
+    d_ref = ba.linear_model.DictLM({"a.params": lm1_r})
+    q = rng.normal(size=(3, 5))
+    o = d("a.params", jnp.asarray(q))
+    o_ref = d_ref("a.params", torch.tensor(q))
+    assert np.allclose(np.asarray(o), o_ref.detach().numpy(), atol=1e-12)
+    # deliberate deviation: the reference asserts on unknown names; ours
+    # passes them through (LogProb._apply_LM maps over EVERY key, so a
+    # partial preconditioner dict must be a no-op elsewhere)
+    assert np.allclose(np.asarray(d("missing", jnp.asarray(q))), q)
