@@ -693,6 +693,11 @@ class VisData(TensorData):
             antpos = None
             if "ants" in f:
                 antpos = AntposDict([int(a) for a in f["ants"][:]], f["antvecs"][:])
+            elif "ants" in f.attrs:
+                # files written by the reference store ants/antvecs as
+                # HDF5 attributes (dataset.py write_hdf5)
+                antpos = AntposDict([int(a) for a in f.attrs["ants"]],
+                                    np.asarray(f.attrs["antvecs"]))
             telescope = None
             if "tloc" in f.attrs:
                 from ..models.telescope import TelescopeModel

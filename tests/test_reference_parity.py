@@ -1251,3 +1251,72 @@ def test_multilm_dictlm_parity():
     # passes them through (LogProb._apply_LM maps over EVERY key, so a
     # partial preconditioner dict must be a no-op elsewhere)
     assert np.allclose(np.asarray(d("missing", jnp.asarray(q))), q)
+
+
+def test_ylm_store_cross_compat(tmp_path):
+    """Ylm HDF5 store cross-compatibility: files written by the
+    REFERENCE's write_Ylm load through OUR load_Ylm with identical
+    contents (drop-in for users with stored Ylm banks), and vice versa
+    (sph_harm.py:620-954)."""
+    rng = np.random.default_rng(19)
+    from bayeslim_tpu.ops.sph_harm import (gen_lm, gen_sph2pix,
+                                           write_Ylm, load_Ylm)
+    theta = rng.uniform(0.3, np.pi - 0.3, 24)
+    phi = rng.uniform(0, 2 * np.pi, 24)
+    l, m = gen_lm(3)
+    Y, norm, am = gen_sph2pix(theta, phi, np.asarray(l, float),
+                              np.asarray(m, float), high_prec=False)
+    angs = np.stack([np.rad2deg(theta), np.rad2deg(phi)])
+
+    # reference-written -> our loader
+    f1 = str(tmp_path / "ref_ylm.h5")
+    ba.sph_harm.write_Ylm(f1, torch.tensor(np.asarray(Y)), angs,
+                          np.asarray(l, float), np.asarray(m, float),
+                          alm_mult=None if am is None
+                          else torch.tensor(np.asarray(am)))
+    ours = load_Ylm(f1)
+    assert np.allclose(np.asarray(ours["Ylm"]), np.asarray(Y), atol=1e-12)
+    assert np.allclose(np.asarray(ours["l"]), np.asarray(l, float))
+    assert np.allclose(np.asarray(ours["m"]), np.asarray(m, float))
+    assert np.allclose(np.asarray(ours["angs"]), angs, atol=1e-12)
+
+    # our-written -> reference loader
+    f2 = str(tmp_path / "our_ylm.h5")
+    write_Ylm(f2, Y, angs, np.asarray(l, float), np.asarray(m, float),
+              alm_mult=am)
+    ref = ba.sph_harm.load_Ylm(f2)
+    Y_ref = ref[0] if isinstance(ref, tuple) else ref["Ylm"]
+    assert np.allclose(np.asarray(Y_ref), np.asarray(Y), atol=1e-12)
+
+
+def test_visdata_hdf5_cross_compat(tmp_path):
+    """VisData HDF5 files written by the REFERENCE load through OUR
+    read_hdf5 (data, metadata, antpos-from-attrs), so stored visibility
+    banks carry over verbatim (dataset.py write_hdf5/read_hdf5)."""
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=20)
+    from bayeslim_tpu.utils import AntposDict
+    ants = [0, 1, 2, 3]
+    antvecs = np.arange(12.0).reshape(4, 3)
+    class _Tel:  # reference write_hdf5 requires telescope.location
+        location = (21.43, -30.72, 1051.0)
+        tloc = None
+        device = None
+
+        def __init__(self, *a, **k):
+            pass
+    vd_ref.setup_meta(telescope=_Tel(),
+                      antpos=ba.utils.AntposDict(
+                          ants, torch.tensor(antvecs)))
+    f1 = str(tmp_path / "ref_vis.h5")
+    vd_ref.write_hdf5(f1)
+
+    mine = bl.VisData.read_hdf5(f1)
+    assert np.allclose(np.asarray(mine.data),
+                       vd_ref.data.detach().numpy(), atol=1e-12)
+    assert np.allclose(np.asarray(mine.times), times)
+    assert np.allclose(np.asarray(mine.freqs), freqs)
+    assert [tuple(b) for b in mine.bls] == bls
+    assert np.allclose(np.asarray(mine.icov),
+                       vd_ref.icov.detach().numpy(), atol=1e-12)
+    assert mine.antpos is not None
+    assert np.allclose(np.asarray(mine.antpos.antvecs), antvecs)
