@@ -1320,3 +1320,39 @@ def test_visdata_hdf5_cross_compat(tmp_path):
                        vd_ref.icov.detach().numpy(), atol=1e-12)
     assert mine.antpos is not None
     assert np.allclose(np.asarray(mine.antpos.antvecs), antvecs)
+
+
+def test_caldata_hdf5_cross_compat(tmp_path):
+    """CalData gain files written by the REFERENCE load through OUR
+    read_hdf5 (dataset.py CalData.write_hdf5)."""
+    rng = np.random.default_rng(21)
+    ants = [0, 1, 2]
+    times = 2458168.3 + np.arange(2) * 1e-3
+    freqs = np.linspace(1e8, 1.1e8, 4)
+    g = rng.normal(size=(1, 1, 3, 2, 4)) \
+        + 1j * rng.normal(size=(1, 1, 3, 2, 4))
+
+    class _Tel:
+        location = (21.43, -30.72, 1051.0)
+        tloc = None
+        device = None
+
+        def __init__(self, *a, **k):
+            pass
+
+    cd_ref = ba.dataset.CalData()
+    cd_ref.setup_meta(telescope=_Tel(),
+                      antpos=ba.utils.AntposDict(
+                          ants, torch.tensor(np.arange(9.0).reshape(3, 3))))
+    # the reference expects Jones-pol strings ('Jee'; NB its validity
+    # list ['jee', 'jee'] has a typo that rejects 'Jnn')
+    cd_ref.setup_data(ants, torch.tensor(times), torch.tensor(freqs),
+                      pol="Jee", data=torch.tensor(g))
+    f1 = str(tmp_path / "ref_cal.h5")
+    cd_ref.write_hdf5(f1)
+
+    mine = bl.CalData.read_hdf5(f1)
+    assert np.allclose(np.asarray(mine.data), g, atol=1e-12)
+    assert mine.ants == ants
+    assert np.allclose(np.asarray(mine.times), times)
+    assert np.allclose(np.asarray(mine.freqs), freqs)
