@@ -1356,3 +1356,50 @@ def test_caldata_hdf5_cross_compat(tmp_path):
     assert mine.ants == ants
     assert np.allclose(np.asarray(mine.times), times)
     assert np.allclose(np.asarray(mine.freqs), freqs)
+
+
+def test_lst_rephase_inflate_concat_parity(tmp_path):
+    """Container-level lst_rephase, redundancy inflation and
+    concat_VisData vs the reference (dataset.py:1363, :1604, :3739)."""
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=22)
+    ants = [0, 1, 2, 3]
+    antvecs = np.asarray([[0., 0, 0], [15., 0, 0], [30., 0, 0],
+                          [15., 15, 0]])
+
+    loc = (21.43, -30.72, 1051.0)
+    vd_ref.setup_meta(telescope=ba.telescope_model.TelescopeModel(loc),
+                      antpos=ba.utils.AntposDict(ants,
+                                                 torch.tensor(antvecs)))
+    T = bl.TelescopeModel(loc)
+    vd.setup_meta(telescope=T, antpos=AntposDict(ants, antvecs))
+
+    # lst_rephase by a time offset
+    out_ref = vd_ref.lst_rephase(dLST=0.01, inplace=False)
+    out = vd.lst_rephase(dLST=0.01, inplace=False)
+    assert np.allclose(np.asarray(out.data),
+                       out_ref.data.detach().numpy(), atol=1e-10), \
+        np.abs(np.asarray(out.data) - out_ref.data.detach().numpy()).max()
+
+    # concat along time
+    vd2_ref = vd_ref.copy(copydata=True)
+    vd2_ref.times = vd_ref.times + 1.0
+    cat_ref = ba.dataset.concat_VisData([vd_ref, vd2_ref], 'time')
+    vd2 = vd.copy(copydata=True)
+    vd2.times = np.asarray(vd.times) + 1.0
+    cat = bl.dataset.concat_VisData([vd, vd2], 'time')
+    assert cat.Ntimes == int(cat_ref.Ntimes)
+    assert np.allclose(np.asarray(cat.data),
+                       cat_ref.data.detach().numpy(), atol=1e-12)
+
+    # redundancy inflation: bls (0,1),(1,2) are redundant (15 m EW)
+    red_vd_ref = vd_ref.select(bl=[(0, 1), (0, 3)], inplace=False)
+    red_vd = vd.select(bl=[(0, 1), (0, 3)], inplace=False)
+    bl2red = {(0, 1): 0, (1, 2): 0, (0, 3): 1}
+    infl_ref = red_vd_ref.inflate_by_redundancy(
+        bls=[(0, 1), (1, 2), (0, 3)], bl2red=dict(bl2red))
+    infl = red_vd.inflate_by_redundancy([(0, 1), (1, 2), (0, 3)],
+                                        bl2red=bl2red)
+    assert [tuple(b) for b in infl.bls] == \
+        [tuple(b) for b in infl_ref.bls]
+    assert np.allclose(np.asarray(infl.data),
+                       infl_ref.data.detach().numpy(), atol=1e-12)
