@@ -1403,3 +1403,44 @@ def test_lst_rephase_inflate_concat_parity(tmp_path):
         [tuple(b) for b in infl_ref.bls]
     assert np.allclose(np.asarray(infl.data),
                        infl_ref.data.detach().numpy(), atol=1e-12)
+
+
+def test_ylm_beam_response_parity():
+    """YlmResponse beam synthesis (a_lm -> beam map) vs the reference
+    (beam_model.py:1019-1405), same Ylm matrix injected into the
+    reference's Ylm cache (generate mode, channel freqs)."""
+    rng = np.random.default_rng(23)
+    from bayeslim_tpu.ops.sph_harm import gen_lm, gen_sph2pix
+    freqs = np.linspace(1e8, 1.1e8, 3)
+    npix = 40
+    zen = np.sort(rng.uniform(0, 80, npix))      # degrees
+    az = rng.uniform(0, 360, npix)
+    l, m = gen_lm(3)
+    Y, _, am = gen_sph2pix(np.deg2rad(zen), np.deg2rad(az),
+                           np.asarray(l, float), np.asarray(m, float),
+                           high_prec=False)
+    params = rng.normal(size=(1, 1, 1, len(freqs), len(l))) \
+        + 1j * rng.normal(size=(1, 1, 1, len(freqs), len(l)))
+
+    # ours (generate mode, preset Ylm)
+    from bayeslim_tpu.models.beam_ylm import YlmResponse
+    R = YlmResponse(l, m, freqs, mode="generate", freq_mode="channel",
+                    powerbeam=True, realbeam=True)
+    R.setup_Ylm(Y, alm_mult=am)
+    out = R(jnp.asarray(params), jnp.asarray(zen), jnp.asarray(az), freqs)
+
+    # reference (generate mode, Ylm pre-cached under arr_hash(zen))
+    R_ref = ba.beam_model.YlmResponse(
+        np.asarray(l, float), np.asarray(m, float), torch.tensor(freqs),
+        mode="generate", freq_mode="channel", powerbeam=True,
+        realbeam=True)
+    R_ref.setup_Ylm(torch.tensor(zen), torch.tensor(az),
+                    Ylm=torch.tensor(np.asarray(Y)),
+                    alm_mult=torch.tensor(np.asarray(am)), cache=True)
+    out_ref = R_ref(torch.tensor(params), torch.tensor(zen),
+                    torch.tensor(az), torch.tensor(freqs))
+
+    assert np.asarray(out).shape == tuple(out_ref.shape)
+    rel = np.abs(np.asarray(out) - out_ref.detach().numpy()).max() \
+        / np.abs(out_ref.detach().numpy()).max()
+    assert rel < 1e-10, f"Ylm beam parity {rel:.2e}"
