@@ -75,19 +75,33 @@ def pointing_offset(zen, az, theta_x=0.0, theta_y=0.0):
     return new_zen, new_az
 
 
-def beam_edge_taper(zen, alpha=None, zen_start=80.0, sigma=5.0, mode="gauss"):
-    """Taper the beam to zero toward the horizon (reference :1701).
+def beam_edge_taper(zen, mode="gauss", fov=180.0, mu=85.0, sigma=2.5,
+                    alpha=0.1, zen_start=None):
+    """Taper the beam to zero toward the horizon (reference
+    beam_model.py:1701-1736, matching parameter names and defaults).
 
-    zen in degrees (array, possibly batched). Gaussian rolloff beyond
-    zen_start.
+    zen in degrees (array, possibly batched). 'gauss': unity below mu,
+    Gaussian rolloff beyond (zen_start is the pre-rename alias for mu);
+    'tukey': a Tukey window over [-fov/2, fov/2] sampled at zen.
     """
     zen = jnp.asarray(zen)
+    if zen_start is not None:
+        mu = zen_start
     if mode == "gauss":
-        t = jnp.where(zen > zen_start,
-                      jnp.exp(-0.5 * ((zen - zen_start) / sigma) ** 2), 1.0)
-    else:
-        raise ValueError(f"unknown taper mode {mode}")
-    return t
+        return jnp.where(zen >= mu,
+                         jnp.exp(-0.5 * ((zen - mu) / sigma) ** 2), 1.0)
+    if mode == "tukey":
+        from scipy.signal import windows
+        th = np.linspace(-fov / 2, fov / 2, 5000, endpoint=True)
+        mask = windows.tukey(5000, alpha=alpha)
+        # linear interp onto zen, zero outside the fov (host or traced)
+        x = (zen - th[0]) / (th[1] - th[0])
+        i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, 4998)
+        f = x - i
+        w = jnp.asarray(mask)
+        t = w[i] * (1 - f) + w[i + 1] * f
+        return jnp.where((zen >= th[0]) & (zen <= th[-1]), t, 0.0)
+    raise ValueError(f"unknown taper mode {mode}")
 
 
 def airy_disk(zen_rad, az_rad, Dew, freqs, Dns=None, freq_ratio=1.0,

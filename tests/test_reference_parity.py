@@ -1444,3 +1444,14 @@ def test_ylm_beam_response_parity():
     rel = np.abs(np.asarray(out) - out_ref.detach().numpy()).max() \
         / np.abs(out_ref.detach().numpy()).max()
     assert rel < 1e-10, f"Ylm beam parity {rel:.2e}"
+
+
+def test_beam_edge_taper_parity():
+    """Horizon edge taper (gauss and tukey modes) vs the reference
+    (beam_model.py:1701-1736)."""
+    zen = np.linspace(0, 95, 120)
+    for kw in (dict(mode="gauss"), dict(mode="gauss", mu=80.0, sigma=5.0),
+               dict(mode="tukey", alpha=0.2)):
+        ref = ba.beam_model.beam_edge_taper(torch.tensor(zen), **kw)
+        mine = bl.beam_model.beam_edge_taper(zen, **kw)
+        assert np.allclose(np.asarray(mine), ref.numpy(), atol=1e-6), kw
