@@ -1455,3 +1455,31 @@ def test_beam_edge_taper_parity():
         ref = ba.beam_model.beam_edge_taper(torch.tensor(zen), **kw)
         mine = bl.beam_model.beam_edge_taper(zen, **kw)
         assert np.allclose(np.asarray(mine), ref.numpy(), atol=1e-6), kw
+
+
+def test_rect_pixinterp_parity():
+    """Rectangular-grid bipolynomial interpolation (PixInterp 'rect')
+    vs the reference's own setup_bipoly_interp machinery
+    (utils.py:684-878): linear, quadratic, and mixed per-axis modes."""
+    rng = np.random.default_rng(24)
+    tg = np.linspace(0.0, 90.0, 19)
+    pg = np.arange(0.0, 360.0, 10.0)
+    P, T = np.meshgrid(pg, tg)
+    f = (np.cos(np.deg2rad(T)) ** 2
+         + 0.3 * np.sin(np.deg2rad(T)) * np.cos(np.deg2rad(P))).ravel()
+    zen = rng.uniform(3, 85, 40)
+    az = rng.uniform(5, 350, 40)
+
+    from bayeslim_tpu.utils.interp import PixInterp, interp_gather
+    for mode in ("linear", "quadratic", "linear,quadratic"):
+        ref = ba.utils.PixInterp("rect", interp_mode=mode,
+                                 theta_grid=torch.tensor(tg),
+                                 phi_grid=torch.tensor(pg))
+        out_ref = ref.interp(torch.tensor(f), torch.tensor(zen),
+                             torch.tensor(az))
+        ours = PixInterp("rect", interp_mode=mode, theta_grid=tg,
+                         phi_grid=pg)
+        inds, wgts = ours.precompute(zen, az)
+        out = interp_gather(jnp.asarray(f), inds, wgts)
+        assert np.allclose(np.asarray(out), out_ref.detach().numpy(),
+                           atol=1e-10), mode
