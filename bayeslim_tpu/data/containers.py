@@ -299,6 +299,31 @@ class VisData(TensorData):
         else:
             self.blnums = np.asarray(ants2blnum(list(bls)), dtype=np.int64)
 
+    def check(self):
+        """Consistency checks on data/flags/cov shapes and baseline
+        antennas (reference dataset.py:1791-1818)."""
+        if self.data is not None:
+            assert self.data.shape[-3:] == (self.Nbls, self.Ntimes,
+                                            self.Nfreqs)
+            if self.flags is not None:
+                assert self.flags.shape == self.data.shape
+        for arr in ("cov", "icov"):
+            cov = getattr(self, arr, None)
+            if cov is None:
+                continue
+            P, B, T, F = self.Npol, self.Nbls, self.Ntimes, self.Nfreqs
+            expect = {None: self.data.shape if self.data is not None
+                      else cov.shape,
+                      "bl": (P, P, T, F, B, B),
+                      "time": (P, P, B, F, T, T),
+                      "freq": (P, P, B, T, F, F)}
+            if self.cov_axis in expect:
+                assert tuple(cov.shape) == tuple(expect[self.cov_axis])
+        if self.ants is not None:
+            ants = set(self.ants)
+            for (a1, a2) in self.bls:
+                assert a1 in ants and a2 in ants
+
     # --- properties -------------------------------------------------------------
     @property
     def bls(self):

@@ -128,7 +128,10 @@ def build_sky(multi=None, modfile=None, pdict=None, catfile=None,
     if isinstance(modfile, str):
         return read_pkl(modfile, pdict=pdict)
     if catfile is not None:
-        params, angs, meta = read_catalogue(catfile)
+        params, angs, meta = read_catalogue(catfile, freqs=freqs,
+                                            freq_interp=freq_interp)
+        if freqs is None:
+            freqs = meta.get("freqs")
         assert freqs is not None, "catalogue sky needs freqs"
         R = PointSkyResponse(freqs, freq_mode=meta["freq_mode"],
                              f0=meta.get("f0"))

@@ -14,8 +14,9 @@ import numpy as np
 from .containers import VisData
 from ..utils import AntposDict
 
-__all__ = ["HAS_PYUVDATA", "PyVisData", "run_rime_sim", "setup_uvdata",
-           "complete_uvdata", "parse_time_params", "parse_freq_params"]
+__all__ = ["HAS_PYUVDATA", "PyVisData", "read_uvh5", "run_rime_sim",
+           "setup_uvdata", "complete_uvdata", "parse_time_params",
+           "parse_freq_params"]
 
 try:
     import pyuvdata  # noqa: F401
@@ -31,12 +32,113 @@ def _require_pyuvdata():
             "(pip install pyuvdata); it is an optional dependency.")
 
 
+def _ecef_to_enu_matrix(lat_deg, lon_deg):
+    """Rotation taking ECEF vectors (relative to the telescope) to local
+    East-North-Up at geodetic (lat, lon)."""
+    phi, lam = np.radians(lat_deg), np.radians(lon_deg)
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    slam, clam = np.sin(lam), np.cos(lam)
+    return np.array([[-slam, clam, 0.0],
+                     [-sphi * clam, -sphi * slam, cphi],
+                     [cphi * clam, cphi * slam, sphi]])
+
+
+# AIPS polarization codes -> (feed1, feed2); feeds map to 'e'/'n' via
+# the file's x_orientation ('east': x->e, 'north': x->n; IAU default north)
+_AIPS_POL_FEEDS = {-5: "xx", -6: "yy", -7: "xy", -8: "yx"}
+
+
+def read_uvh5(fname, run_check=True):
+    """Read a UVH5 file directly with h5py into a VisData — no pyuvdata
+    required (UVH5 is a documented plain-HDF5 layout).
+
+    Matches the reference's PyVisData.read_uvdata semantics
+    (reference uvdata_interface.py:58-133): baselines are the unique
+    (ant1, ant2) pairs in sorted order, data lands in the
+    (Npol, Npol, Nbls, Ntimes, Nfreqs) VisData layout with
+    data[0,0]='ee', data[1,1]='nn' (resolved through the file's
+    x_orientation), antenna positions are converted ECEF->ENU, and the
+    telescope location is (lon, lat, alt) degrees/m.
+    """
+    import h5py
+    import jax.numpy as jnp
+    from ..models.telescope import TelescopeModel
+    from ..utils.dtypes import _cfloat, _float
+
+    with h5py.File(fname, "r") as f:
+        h = f["Header"]
+        lat = float(h["latitude"][()])
+        lon = float(h["longitude"][()])
+        alt = float(h["altitude"][()])
+        ant1 = np.asarray(h["ant_1_array"])
+        ant2 = np.asarray(h["ant_2_array"])
+        time_array = np.asarray(h["time_array"], dtype=np.float64)
+        freqs = np.asarray(h["freq_array"], dtype=np.float64).ravel()
+        pol_array = np.asarray(h["polarization_array"]).astype(int)
+        ant_nums = np.asarray(h["antenna_numbers"]).astype(int)
+        ant_pos_ecef = np.asarray(h["antenna_positions"], dtype=np.float64)
+        x_orient = h["x_orientation"][()] if "x_orientation" in h else b"north"
+        if isinstance(x_orient, bytes):
+            x_orient = x_orient.decode()
+        history = h["history"][()] if "history" in h else b""
+        if isinstance(history, bytes):
+            history = history.decode(errors="replace")
+
+        vis = np.asarray(f["Data"]["visdata"])
+        flg = np.asarray(f["Data"]["flags"])
+
+    # old-style files carry a singleton spw axis: (Nblts, 1, Nfreqs, Npols)
+    if vis.ndim == 4:
+        vis = vis[:, 0]
+        flg = flg[:, 0]
+
+    # blt rows -> (bl, time) grid
+    times, t_inv = np.unique(time_array, return_inverse=True)
+    blnum = ant1.astype(np.int64) * 100000 + ant2.astype(np.int64)
+    ubl, bl_inv = np.unique(blnum, return_inverse=True)
+    bls = [(int(b // 100000), int(b % 100000)) for b in ubl]
+    Nbls, Ntimes, Nfreqs = len(bls), len(times), len(freqs)
+
+    # feed labels: x_orientation='east' -> x is the east dipole
+    feed_map = ({"x": "e", "y": "n"} if x_orient.lower().startswith("e")
+                else {"x": "n", "y": "e"})
+    grid = {"e": 0, "n": 1}
+    pols = ["".join(feed_map[c] for c in _AIPS_POL_FEEDS[p])
+            for p in pol_array]
+    Npol = 1 if len(pols) == 1 else 2
+
+    data = np.zeros((Npol, Npol, Nbls, Ntimes, Nfreqs), dtype=vis.dtype)
+    flags = np.zeros((Npol, Npol, Nbls, Ntimes, Nfreqs), dtype=bool)
+    for k, pname in enumerate(pols):
+        i, j = (0, 0) if Npol == 1 else (grid[pname[0]], grid[pname[1]])
+        data[i, j, bl_inv, t_inv] = vis[:, :, k]
+        flags[i, j, bl_inv, t_inv] = flg[:, :, k]
+
+    # antenna positions: relative ECEF -> ENU at the site
+    enu = ant_pos_ecef @ _ecef_to_enu_matrix(lat, lon).T
+    antpos = AntposDict([int(a) for a in ant_nums], enu)
+
+    obj = PyVisData()
+    telescope = TelescopeModel((lon, lat, alt))
+    obj.setup_meta(telescope=telescope, antpos=antpos)
+    obj.setup_data(bls, times, freqs, pol=pols[0] if Npol == 1 else None,
+                   data=jnp.asarray(data, dtype=_cfloat()),
+                   flags=jnp.asarray(flags), history=history)
+    if run_check:
+        obj.check()
+    return obj
+
+
 class PyVisData(VisData):
     """VisData constructed from a pyuvdata.UVData / UVH5 file
-    (reference uvdata_interface.py:58-133)."""
+    (reference uvdata_interface.py:58-133). When pyuvdata is absent and
+    `fname` is a path, falls back to the self-contained h5py UVH5 reader
+    (read_uvh5)."""
 
     @classmethod
     def read_uvdata(cls, fname, run_check=True, **kwargs):
+        if not HAS_PYUVDATA and isinstance(fname, str):
+            return read_uvh5(fname, run_check=run_check)
         _require_pyuvdata()
         from pyuvdata import UVData
         uvd = fname

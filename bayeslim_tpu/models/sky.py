@@ -350,41 +350,70 @@ class Stokes2Coherency(Module):
         return md
 
 
-def read_catalogue(catfile, freqs=None, device=None, parameter=False):
-    """Read a YAML point-source catalogue (reference :1007-1086).
+def read_catalogue(catfile, freqs=None, device=None, parameter=False,
+                   freq_interp="linear"):
+    """Read a YAML point-source catalogue (reference sky_model.py:1007-1086).
+
+    Uses the reference's columnar schema — ``sources`` holds parallel
+    lists (``name``, ``ra``, ``dec``, plus ``amp``/``alpha`` for powerlaw
+    or ``freq{i}`` rows for channel mode) with ``mode_kwargs: {f0: ...}``
+    — exactly as in the reference's bundled GLEAM_ATEAM.yml and
+    pointsource_*_cat.yaml files, which load verbatim (parity-tested).
 
     Returns (params, angs, meta) arrays ready for PointSky; powerlaw
-    catalogues yield params (1, 1, 2, Nsource) [amp, spix] and need a
-    PointSkyResponse(freq_mode='powerlaw', f0=meta['f0']).
+    catalogues yield params (1, 1, 2, Nsource) [amp, alpha] and need a
+    PointSkyResponse(freq_mode='powerlaw', f0=meta['f0']).  Channel
+    catalogues are interpolated onto `freqs` when given (scipy interp1d,
+    fill_value='extrapolate', matching the reference); with freqs=None the
+    catalogue's own channel fluxes are returned (the reference instead
+    returns all-ones here — sky_model.py:1060-1062 — discarding the
+    fluxes; we keep them).
     """
     with open(catfile) as f:
         cat = yaml.safe_load(f)
     sources = cat["sources"]
-    names = list(sources.keys())
-    ra = np.asarray([sources[n]["ra"] for n in names], dtype=np.float64)
-    dec = np.asarray([sources[n]["dec"] for n in names], dtype=np.float64)
-    angs = np.stack([ra, dec])
     mode = cat.get("freq_mode", "powerlaw")
+    mode_kwargs = dict(cat.get("mode_kwargs") or {})
+
+    ra = np.asarray(sources["ra"], dtype=np.float64)
+    dec = np.asarray(sources["dec"], dtype=np.float64)
+    names = (list(sources["name"]) if "name" in sources
+             else [f"src{i}" for i in range(len(ra))])
+    angs = np.stack([ra, dec])
+
     if mode == "powerlaw":
-        amp = np.asarray([np.atleast_1d(sources[n]["amp"]) for n in names]).T
-        spix = np.asarray([np.atleast_1d(sources[n].get("spix", 0.0)).ravel()[0]
-                           for n in names])
-        nstokes = amp.shape[0]
-        params = np.zeros((nstokes, 1, 2, len(names)))
-        params[:, 0, 0] = amp
-        params[:, 0, 1] = spix
-        meta = dict(f0=float(cat.get("f0", 150e6)), freq_mode="powerlaw",
-                    names=names)
+        f0 = mode_kwargs.get("f0", cat.get("f0", 150e6))
+        f0 = float(f0) if f0 is not None else None
+        amp = np.asarray(sources["amp"], dtype=np.float64)
+        alpha = np.asarray(sources.get("alpha", sources.get("spix", 0.0)),
+                           dtype=np.float64)
+        alpha = np.broadcast_to(np.atleast_1d(alpha), amp.shape)
+        params = np.stack([amp, alpha])[None, None]  # (1, 1, 2, Nsrc)
+        meta = dict(f0=f0, freq_mode="powerlaw", names=names)
+    elif mode == "channel":
+        cat_freqs = np.asarray(cat["freqs"], dtype=np.float64)
+        S = np.asarray([sources[f"freq{i}"] for i in range(len(cat_freqs))],
+                       dtype=np.float64)  # (Nfreq_cat, Nsrc)
+        if freqs is not None:
+            from scipy import interpolate
+            S = interpolate.interp1d(cat_freqs, S, kind=freq_interp, axis=0,
+                                     fill_value="extrapolate")(np.asarray(freqs))
+            out_freqs = np.asarray(freqs, dtype=np.float64)
+        else:
+            out_freqs = cat_freqs
+        params = S[None, None]  # (1, 1, Nfreq, Nsrc)
+        meta = dict(freq_mode="channel", names=names, freqs=out_freqs,
+                    f0=None)
     else:
-        amp = np.asarray([np.atleast_2d(sources[n]["amp"]) for n in names])
-        params = np.moveaxis(amp, 0, -1)[None]
-        meta = dict(freq_mode="channel", names=names)
+        raise NotImplementedError(f"freq_mode {mode}")
     return jnp.asarray(params, dtype=_float()), jnp.asarray(angs), meta
 
 
 def write_catalogue(catfile, params, angs, names=None, freq_mode="powerlaw",
-                    f0=150e6, overwrite=False):
-    """Write a YAML point-source catalogue (reference :1088-1138)."""
+                    f0=150e6, freqs=None, overwrite=False):
+    """Write a YAML point-source catalogue in the reference's columnar
+    schema (reference sky_model.py:1088-1138), readable by the reference's
+    own read_catalogue."""
     import os
     if os.path.exists(catfile) and not overwrite:
         raise FileExistsError(catfile)
@@ -392,18 +421,24 @@ def write_catalogue(catfile, params, angs, names=None, freq_mode="powerlaw",
     angs = np.asarray(angs)
     n = angs.shape[1]
     names = names if names is not None else [f"src{i}" for i in range(n)]
-    sources = {}
-    for i, name in enumerate(names):
-        if freq_mode == "powerlaw":
-            sources[name] = dict(ra=float(angs[0, i]), dec=float(angs[1, i]),
-                                 amp=params[:, 0, 0, i].tolist(),
-                                 spix=float(params[0, 0, 1, i]))
-        else:
-            sources[name] = dict(ra=float(angs[0, i]), dec=float(angs[1, i]),
-                                 amp=params[:, 0, :, i].tolist())
+    sources = dict(name=list(names), ra=angs[0].tolist(),
+                   dec=angs[1].tolist())
+    d = dict(freq_mode=freq_mode, sources=sources)
+    if freq_mode == "powerlaw":
+        sources["amp"] = params[0, 0, 0].tolist()
+        sources["alpha"] = params[0, 0, 1].tolist()
+        d["mode_kwargs"] = dict(f0=float(f0))
+    elif freq_mode == "channel":
+        assert freqs is not None, "channel catalogue needs freqs"
+        freqs = np.asarray(freqs, dtype=np.float64)
+        for i in range(len(freqs)):
+            sources[f"freq{i}"] = params[0, 0, i].tolist()
+        d["freqs"] = freqs.tolist()
+        d["mode_kwargs"] = dict(f0=None)
+    else:
+        raise NotImplementedError(f"freq_mode {freq_mode}")
     with open(catfile, "w") as f:
-        yaml.safe_dump(dict(freq_mode=freq_mode, f0=float(f0),
-                            sources=sources), f)
+        yaml.safe_dump(d, f)
 
 
 def Jy2K(freqs, px_area):

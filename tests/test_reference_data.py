@@ -1,0 +1,232 @@
+"""The reference's BUNDLED data files load verbatim through this package:
+catalogue YAMLs (reference data/configs/*.yml, reader sky_model.py:1007)
+and UVH5 visibility files (reference data/*.uvh5, reader
+uvdata_interface.py:58-133 — here via the self-contained h5py reader,
+pyuvdata-free). Values pinned against the files themselves and, where
+importable, against the reference's own reader."""
+import os
+import sys
+from unittest.mock import MagicMock
+
+import numpy as np
+import pytest
+
+import bayeslim_tpu as bl
+from bayeslim_tpu.models.sky import read_catalogue, write_catalogue
+from bayeslim_tpu.data import io
+from bayeslim_tpu.data.uvdata_interface import read_uvh5
+
+REF_DATA = "/root/reference/bayeslim/data"
+CONFIGS = os.path.join(REF_DATA, "configs")
+UVH5 = os.path.join(REF_DATA,
+                    "hera_hex37_full_gleam_plus_brights_v01_downselect.uvh5")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                                reason="reference data not present")
+
+
+# --------------------------------------------------------------- catalogues
+
+def test_gleam_ateam_catalogue():
+    params, angs, meta = read_catalogue(
+        os.path.join(CONFIGS, "GLEAM_ATEAM.yml"))
+    n = params.shape[-1]
+    assert meta["freq_mode"] == "powerlaw"
+    assert meta["f0"] == 181e6
+    assert params.shape == (1, 1, 2, n)
+    assert angs.shape == (2, n)
+    assert n == len(meta["names"]) and n > 100  # GLEAM + A-team
+    # first entries of the file (FornaxA W/E lobes per the A-team list)
+    np.testing.assert_allclose(np.asarray(params)[0, 0, 1, :2],
+                               [-0.88, -0.88])
+    assert np.all(np.asarray(angs)[1] >= -90) and \
+        np.all(np.asarray(angs)[1] <= 90)
+
+
+def test_pointsource_powerlaw_catalogue():
+    params, angs, meta = read_catalogue(
+        os.path.join(CONFIGS, "pointsource_powerlaw_cat.yaml"))
+    p = np.asarray(params)
+    assert meta["f0"] == 200e6
+    assert meta["names"][-1] == "CassA"
+    np.testing.assert_allclose(p[0, 0, 0], [395, 99, 280, 390, 377, 861,
+                                            1340, 7920, 11900])
+    np.testing.assert_allclose(p[0, 0, 1, -2:], [-0.78, -0.41])  # CygA, CasA
+    np.testing.assert_allclose(np.asarray(angs)[:, -1], [350.85, 58.8117])
+
+
+def test_pointsource_channel_catalogue_interp():
+    f = os.path.join(CONFIGS, "pointsource_channel_cat.yaml")
+    # without freqs: the catalogue's own channels come back
+    params, angs, meta = read_catalogue(f)
+    p = np.asarray(params)
+    assert p.shape == (1, 1, 4, 3)
+    np.testing.assert_allclose(meta["freqs"], [100e6, 110e6, 120e6, 130e6])
+    np.testing.assert_allclose(p[0, 0, 0], [20.5, 15.2, 14.5])
+    # linear interpolation halfway between channels (reference interp1d)
+    params, _, _ = read_catalogue(f, freqs=[105e6])
+    np.testing.assert_allclose(np.asarray(params)[0, 0, 0],
+                               [(20.5 + 19.1) / 2, (15.2 + 14.8) / 2,
+                                (14.5 + 12.2) / 2])
+    # extrapolation below the grid (fill_value='extrapolate')
+    params, _, _ = read_catalogue(f, freqs=[90e6])
+    np.testing.assert_allclose(np.asarray(params)[0, 0, 0, 0],
+                               20.5 + (20.5 - 19.1))
+
+
+def test_build_sky_from_reference_catalogue():
+    freqs = np.linspace(150e6, 200e6, 8)
+    sky = io.build_sky(catfile=os.path.join(CONFIGS,
+                                            "pointsource_powerlaw_cat.yaml"),
+                       freqs=freqs)
+    out = sky.forward()
+    assert out.data.shape == (1, 1, 8, 9)
+    # CygnusA: 7920 Jy at 200 MHz with alpha=-0.78
+    np.testing.assert_allclose(
+        np.asarray(out.data)[0, 0, :, -2],
+        7920.0 * (freqs / 200e6) ** -0.78, rtol=1e-6)
+
+
+def test_build_sky_channel_catalogue_no_freqs():
+    sky = io.build_sky(catfile=os.path.join(CONFIGS,
+                                            "pointsource_channel_cat.yaml"))
+    out = sky.forward()
+    assert out.data.shape == (1, 1, 4, 3)
+    np.testing.assert_allclose(np.asarray(out.data)[0, 0, :, 2],
+                               [14.5, 12.2, 11.0, 10.0], rtol=1e-6)
+
+
+def test_catalogue_reference_reader_parity():
+    """Our columnar reader returns the same params/angs as the reference's
+    own read_catalogue (sky_model.py:1007-1086) on its bundled files."""
+    for _mod in ["astropy", "astropy.coordinates", "astropy.units",
+                 "astropy.time", "astropy.cosmology", "astropy.constants",
+                 "healpy"]:
+        sys.modules.setdefault(_mod, MagicMock())
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    torch = pytest.importorskip("torch")
+    try:
+        import bayeslim as ba
+    except Exception:
+        pytest.skip("reference import failed")
+    torch.set_default_dtype(torch.float64)
+    freqs = np.linspace(120e6, 180e6, 16)
+
+    for cat in ["GLEAM_ATEAM.yml", "pointsource_powerlaw_cat.yaml",
+                "pointsource_channel_cat.yaml"]:
+        f = os.path.join(CONFIGS, cat)
+        sky_ref, names_ref = ba.sky_model.read_catalogue(
+            f, freqs=torch.tensor(freqs))
+        params, angs, meta = read_catalogue(f, freqs=freqs)
+        assert list(names_ref) == list(meta["names"])
+        np.testing.assert_allclose(np.asarray(angs),
+                                   sky_ref.angs.detach().numpy(), atol=1e-12)
+        # the reference's channel params carry a stray singleton axis
+        # ((1,1,Nf,1,Nsrc) — sky_model.py:1055 [None,None,:,None]); compare
+        # squeezed
+        np.testing.assert_allclose(np.squeeze(np.asarray(params)),
+                                   np.squeeze(sky_ref.params.detach().numpy()),
+                                   rtol=1e-6)
+        # evaluated fluxes agree too (response conventions)
+        out_ref = sky_ref.forward().data.detach().numpy()
+        R = bl.models.sky.PointSkyResponse(freqs,
+                                           freq_mode=meta["freq_mode"],
+                                           f0=meta.get("f0"))
+        sky = bl.models.sky.PointSky(params, angs, R=R)
+        np.testing.assert_allclose(np.squeeze(np.asarray(sky.forward().data)),
+                                   np.squeeze(out_ref), rtol=1e-5)
+
+
+def test_catalogue_roundtrip_reference_readable(tmp_path):
+    """Catalogues we write are readable by the REFERENCE's reader."""
+    for _mod in ["astropy", "healpy"]:
+        sys.modules.setdefault(_mod, MagicMock())
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    torch = pytest.importorskip("torch")
+    try:
+        import bayeslim as ba
+    except Exception:
+        pytest.skip("reference import failed")
+    rng = np.random.default_rng(3)
+    n = 4
+    params = np.zeros((1, 1, 2, n))
+    params[0, 0, 0] = rng.uniform(1, 10, n)
+    params[0, 0, 1] = rng.uniform(-1, 0, n)
+    angs = np.stack([rng.uniform(0, 360, n), rng.uniform(-90, 90, n)])
+    f = str(tmp_path / "cat.yaml")
+    write_catalogue(f, params, angs, f0=150e6)
+    freqs = np.linspace(100e6, 120e6, 4)
+    sky_ref, names = ba.sky_model.read_catalogue(f, freqs=torch.tensor(freqs))
+    np.testing.assert_allclose(sky_ref.params.detach().numpy(), params,
+                               rtol=1e-8)
+    np.testing.assert_allclose(sky_ref.angs.numpy(), angs, rtol=1e-8)
+
+
+# --------------------------------------------------------------- UVH5 files
+
+def test_read_bundled_uvh5_shapes_and_values():
+    import h5py
+    vd = read_uvh5(UVH5)
+    assert vd.pol is None and vd.data.shape == (2, 2, 55, 10, 200)
+    assert vd.Nbls == 55 and vd.Ntimes == 10 and vd.Nfreqs == 200
+    # hex37 downselect: 10 data antennas -> 55 upper-triangle pairs
+    assert len(vd.antpos.ants) == 33
+    # telescope is HERA
+    lon, lat, alt = vd.telescope.location
+    assert abs(lat - -30.7215) < 1e-3 and abs(lon - 21.4283) < 1e-3
+
+    # ENU conversion: array is flat on the ground, 14.7 m shortest spacing
+    ap = np.asarray(vd.antpos.antvecs)
+    assert np.ptp(ap[:, 2]) < 1e-6
+    d = np.linalg.norm(ap[None] - ap[:, None], axis=-1)
+    d[d == 0] = np.inf
+    assert abs(d.min() - 14.7) < 0.1
+
+    # pinned values against the raw file (x_orientation='east': XX->'ee')
+    with h5py.File(UVH5, "r") as f:
+        a1 = f["Header/ant_1_array"][:]
+        a2 = f["Header/ant_2_array"][:]
+        t = f["Header/time_array"][:]
+        vis = f["Data/visdata"][:, 0]
+        flg = f["Data/flags"][:, 0]
+    for bl in [vd.bls[0], vd.bls[7], vd.bls[-1]]:
+        rows = np.where((a1 == bl[0]) & (a2 == bl[1]))[0]
+        rows = rows[np.argsort(t[rows])]
+        for pol, k in [("ee", 0), ("nn", 1), ("en", 2), ("ne", 3)]:
+            np.testing.assert_allclose(
+                np.asarray(vd.get_data(bl, pol=pol, squeeze=True)),
+                vis[rows, :, k], rtol=1e-6)
+    assert np.asarray(vd.flags).any() == flg.any()
+    vd.check()
+
+
+def test_read_all_bundled_uvh5():
+    for fn in ["hera_hex37_gsm2008_downselect.uvh5",
+               "realization_0_downselect.uvh5"]:
+        vd = read_uvh5(os.path.join(REF_DATA, fn))
+        assert vd.data.shape == (2, 2, 55, 10, 200)
+        assert np.isfinite(np.asarray(vd.data)).all()
+
+
+def test_pyvisdata_read_uvdata_fallback():
+    """PyVisData.read_uvdata transparently uses the h5py reader when
+    pyuvdata is absent."""
+    from bayeslim_tpu.data.uvdata_interface import PyVisData, HAS_PYUVDATA
+    if HAS_PYUVDATA:
+        pytest.skip("pyuvdata present; fallback not exercised")
+    vd = PyVisData.read_uvdata(UVH5)
+    assert vd.data.shape == (2, 2, 55, 10, 200)
+
+
+def test_uvh5_select_and_rime_compat():
+    """A bundled file flows into the normal analysis path: selection,
+    ArrayModel from its antpos, chisq against itself."""
+    vd = read_uvh5(UVH5)
+    sub = vd.select(bl=vd.bls[:6], times=vd.times[:3],
+                    freqs=vd.freqs[:16], pol="ee", inplace=False)
+    assert sub.data.shape == (1, 1, 6, 3, 16)
+    arr = bl.ArrayModel(vd.antpos, freqs=sub.freqs)
+    blv = np.asarray(arr.get_blvecs(sub.bls))
+    assert blv.shape == (6, 3)
