@@ -425,6 +425,13 @@ class VisData(TensorData):
         return self.get_data(**kwargs) if self.flags is not None else None
 
     def get_icov(self, **kwargs):
+        if self.icov is not None and self.cov_axis is not None:
+            # structured covariance (6-dim, e.g. (P,P,B,T,F,F) for
+            # cov_axis='freq'): the visibility-grid indexing below would
+            # misalign its axes — hand it to apply_icov unchanged
+            assert not kwargs, \
+                "selection on a structured (cov_axis) icov is not supported"
+            return self.icov
         kwargs.setdefault("data", self.icov)
         return self.get_data(**kwargs) if self.icov is not None else None
 

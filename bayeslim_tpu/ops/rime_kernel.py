@@ -25,6 +25,8 @@ real TPU hardware for additional HBM-traffic savings.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,35 +161,43 @@ def rime_reduce_ref(psky, tau, freqs, mp_idx=None, conj=False):
 
 
 def _chunk_body(psky_c, tau_c, freqs, mp_idx, conj, out_dtype):
-    """Reduce one pixel chunk: returns (..., Nbls, Nfreqs) complex."""
+    """Reduce one pixel chunk: returns (..., Nbls, Nfreqs) complex.
+
+    All contractions run at Precision.HIGHEST: TPU XLA's DEFAULT f32
+    matmul precision is bf16-multiply (~2e-3 relative error on this
+    reduction, measured by bench.py --check); this path is the parity
+    reference for the fused kernels and the HVP fallback, so it must be
+    true f32."""
     cyc = fringe_cycles(tau_c, freqs)          # (Nb, C, F)
     ang = (2 * np.pi) * cyc
     cosf = jnp.cos(ang)
     sinf = -jnp.sin(ang) if conj else jnp.sin(ang)
+    _es = functools.partial(jnp.einsum,
+                            precision=jax.lax.Precision.HIGHEST)
 
     nmp = psky_c.shape[-3]
     if mp_idx is None and nmp == 1:
         ps = psky_c[..., 0, :, :]              # (..., F, C)
         if jnp.iscomplexobj(ps):
             # (..., F, C) x (B, C, F): contract C, batch F
-            re = jnp.einsum("...fc,bcf->...bf", ps.real, cosf) - \
-                jnp.einsum("...fc,bcf->...bf", ps.imag, sinf)
-            im = jnp.einsum("...fc,bcf->...bf", ps.real, sinf) + \
-                jnp.einsum("...fc,bcf->...bf", ps.imag, cosf)
+            re = _es("...fc,bcf->...bf", ps.real, cosf) - \
+                _es("...fc,bcf->...bf", ps.imag, sinf)
+            im = _es("...fc,bcf->...bf", ps.real, sinf) + \
+                _es("...fc,bcf->...bf", ps.imag, cosf)
         else:
-            re = jnp.einsum("...fc,bcf->...bf", ps, cosf)
-            im = jnp.einsum("...fc,bcf->...bf", ps, sinf)
+            re = _es("...fc,bcf->...bf", ps, cosf)
+            im = _es("...fc,bcf->...bf", ps, sinf)
     else:
         ps = psky_c if mp_idx is None else \
             jnp.take(psky_c, jnp.asarray(mp_idx), axis=-3)  # (..., B, F, C)
         if jnp.iscomplexobj(ps):
-            re = jnp.einsum("...bfc,bcf->...bf", ps.real, cosf) - \
-                jnp.einsum("...bfc,bcf->...bf", ps.imag, sinf)
-            im = jnp.einsum("...bfc,bcf->...bf", ps.real, sinf) + \
-                jnp.einsum("...bfc,bcf->...bf", ps.imag, cosf)
+            re = _es("...bfc,bcf->...bf", ps.real, cosf) - \
+                _es("...bfc,bcf->...bf", ps.imag, sinf)
+            im = _es("...bfc,bcf->...bf", ps.real, sinf) + \
+                _es("...bfc,bcf->...bf", ps.imag, cosf)
         else:
-            re = jnp.einsum("...bfc,bcf->...bf", ps, cosf)
-            im = jnp.einsum("...bfc,bcf->...bf", ps, sinf)
+            re = _es("...bfc,bcf->...bf", ps, cosf)
+            im = _es("...bfc,bcf->...bf", ps, sinf)
     return jax.lax.complex(re, im).astype(out_dtype)
 
 
@@ -214,7 +224,10 @@ def rime_reduce(psky, tau, freqs, mp_idx=None, conj=False, chunk=1024,
         return _rime_fused_dispatch(psky, tau, freqs, mp_idx, conj,
                                     blvecs=blvecs, s_c=s_c)
     if tau is None:
-        tau = blvecs @ s_c
+        # true-f32 delays (TPU default matmul precision is bf16; phase
+        # accuracy scales as 2*pi*f*dtau)
+        tau = jnp.matmul(blvecs, s_c,
+                         precision=jax.lax.Precision.HIGHEST)
     rdtype = jnp.result_type(psky.real.dtype, tau.dtype)
     out_dtype = jnp.result_type(rdtype, jnp.complex64)
 

@@ -145,6 +145,10 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
            ).astype(jnp.float32)
 
     def dot(a, b):
+        # Mosaic's DEFAULT f32 matmul is already exact f32 (measured
+        # bit-identical to interpret mode on v5e); do NOT request
+        # Precision.HIGHEST here — its bf16x6 operand decomposition
+        # blows the 16M scoped-vmem limit (bench --check found this)
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
@@ -587,7 +591,9 @@ def _bs_fwd(ps2d, blvecs, s_c, freqs_tuple, conj):
     ps_p = _stack_pad(ps2d, nf, nfp)
     out_re = out_im = None
     for sl in _pix_chunks(blvecs.shape[0], ps_p.shape[1]):
-        tau_T = (s_c[:, sl].T @ blvecs.T).astype(jnp.float32)
+        tau_T = jnp.matmul(s_c[:, sl].T, blvecs.T,
+                           precision=jax.lax.Precision.HIGHEST
+                           ).astype(jnp.float32)
         re, im = _fwd_pallas(ps_p[:, sl], tau_T, f0, df, nfp, conj=conj)
         out_re = re if out_re is None else out_re + re
         out_im = im if out_im is None else out_im + im
@@ -607,12 +613,16 @@ def _bs_bwd(freqs_tuple, conj, res, ct):
     # are transients, contracted to (Nbls, 3)/(3, chunk) immediately
     dps_parts, dblvecs, ds_parts = [], None, []
     for sl in _pix_chunks(blvecs.shape[0], ps_p.shape[1]):
-        tau_T = (s_c[:, sl].T @ blvecs.T).astype(jnp.float32)
+        tau_T = jnp.matmul(s_c[:, sl].T, blvecs.T,
+                           precision=jax.lax.Precision.HIGHEST
+                           ).astype(jnp.float32)
         dtau_T = _dtau_pallas(ct_p, ps_p[:, sl], tau_T, f0, df, nfp,
                               conj=conj)
-        db = (s_c[:, sl].astype(jnp.float32) @ dtau_T).T
+        db = jnp.matmul(s_c[:, sl].astype(jnp.float32), dtau_T,
+                        precision=jax.lax.Precision.HIGHEST).T
         dblvecs = db if dblvecs is None else dblvecs + db
-        ds_parts.append((dtau_T @ bv32).T)
+        ds_parts.append(jnp.matmul(
+            dtau_T, bv32, precision=jax.lax.Precision.HIGHEST).T)
 
         # dps[r, c] = sum_b ct[r, b] E: role-swapped forward
         dre, dim = _fwd_pallas(ct_p, tau_T.T, f0, df, nfp, conj=conj,
@@ -656,17 +666,21 @@ def rime_pallas_reduce(psky, tau, freqs, conj=False, tb=256, tc=256,
 
 
 def _chunk_forward(ps, tu, freqs, conj):
-    """XLA forward of one pixel chunk: sum_c ps[f,c] E[b,f,c]."""
+    """XLA forward of one pixel chunk: sum_c ps[f,c] E[b,f,c].
+
+    Precision.HIGHEST: TPU default f32 matmuls are bf16-multiply."""
     cyc = fringe_cycles(tu, freqs)            # (B, C, F)
     ang = (2 * np.pi) * cyc
     s = -1.0 if conj else 1.0
     cosf, sinf = jnp.cos(ang), s * jnp.sin(ang)
+    _es = functools.partial(jnp.einsum,
+                            precision=jax.lax.Precision.HIGHEST)
     if jnp.iscomplexobj(ps):
-        re = jnp.einsum("fc,bcf->bf", ps.real, cosf) - \
-            jnp.einsum("fc,bcf->bf", ps.imag, sinf)
-        im = jnp.einsum("fc,bcf->bf", ps.real, sinf) + \
-            jnp.einsum("fc,bcf->bf", ps.imag, cosf)
+        re = _es("fc,bcf->bf", ps.real, cosf) - \
+            _es("fc,bcf->bf", ps.imag, sinf)
+        im = _es("fc,bcf->bf", ps.real, sinf) + \
+            _es("fc,bcf->bf", ps.imag, cosf)
     else:
-        re = jnp.einsum("fc,bcf->bf", ps, cosf)
-        im = jnp.einsum("fc,bcf->bf", ps, sinf)
+        re = _es("fc,bcf->bf", ps, cosf)
+        im = _es("fc,bcf->bf", ps, sinf)
     return jax.lax.complex(re, im)

@@ -120,15 +120,29 @@ def shard_rime(rime, mesh, time_axis="data", bl_axis=None, inplace=False):
 
 def shard_visdata(vd, mesh, time_axis="data", bl_axis=None):
     """Shard VisData (Npol, Npol, Nbls, Ntimes, Nfreqs) arrays over the
-    mesh: times over `time_axis`, baselines over `bl_axis`."""
+    mesh: times over `time_axis`, baselines over `bl_axis`.
+
+    Structured covariances shard over their batch dims: cov_axis='bl'
+    icov (P,P,T,F,B,B) gets T over time_axis; 'freq' icov (P,P,B,T,F,F)
+    gets (B, T) over (bl_axis, time_axis). cov_axis='time' couples times
+    and is left replicated (only bl sharding partitions it)."""
     spec = P(None, None, bl_axis, time_axis, None)
     s = NamedSharding(mesh, spec)
-    for f in ("data", "flags", "icov"):
+    cov_axis = getattr(vd, "cov_axis", None)
+    cov_specs = {
+        "bl": P(None, None, time_axis, None, bl_axis, None),
+        "freq": P(None, None, bl_axis, time_axis, None, None),
+        "time": P(None, None, bl_axis, None, None, None),
+    }
+    for f in ("data", "flags", "icov", "cov"):
         v = getattr(vd, f, None)
-        if v is not None and np.ndim(v) == 5:
+        if v is None:
+            continue
+        if np.ndim(v) == 5:
             setattr(vd, f, jax.device_put(jnp.asarray(v), s))
-    if vd.cov is not None and vd.cov_axis is None and np.ndim(vd.cov) == 5:
-        vd.cov = jax.device_put(jnp.asarray(vd.cov), s)
+        elif np.ndim(v) == 6 and cov_axis in cov_specs:
+            setattr(vd, f, jax.device_put(
+                jnp.asarray(v), NamedSharding(mesh, cov_specs[cov_axis])))
     return vd
 
 
@@ -143,13 +157,25 @@ class ShardedLogProb:
     over ICI automatically).
     """
 
-    def __init__(self, prob, mesh=None, time_axis="data", bl_axis=None):
+    def __init__(self, prob, mesh=None, time_axis="data", bl_axis=None,
+                 param_shardings=None):
+        """param_shardings: optional {pdict key: PartitionSpec} for
+        parameters that should shard over the mesh instead of
+        replicating — e.g. per-time gain params under time ('data')
+        sharding: {'models.jones.params': P(None, None, None, 'data',
+        None)}. The model leaf is device_put with the spec and the
+        shard_map closure passes the parameter through with it, so each
+        device updates/applies only its local slice (gradients come back
+        as the global sharded array)."""
         import copy as _copy
         if mesh is None:
             mesh = make_mesh({"data": len(jax.devices())})
         self.mesh = mesh
         self.time_axis = time_axis
         self.bl_axis = bl_axis
+        self.param_shardings = None if param_shardings is None else {
+            k: (v if isinstance(v, P) else P(*v))
+            for k, v in param_shardings.items()}
 
         # non-destructive: wrap shallow copies so the original prob and
         # model stay valid for single-device use
@@ -177,11 +203,23 @@ class ShardedLogProb:
             shard_visdata(t.copy(), mesh, time_axis=time_axis,
                           bl_axis=bl_axis) if hasattr(t, "blnums") else t
             for t in prob.target]
+        if self.param_shardings:
+            # leaf copies keep the wrapped model untouched
+            prob.model = prob.model.copy()
+            for k, spec in self.param_shardings.items():
+                prob.model[k] = jax.device_put(
+                    prob.model[k], NamedSharding(mesh, spec))
         self.prob = prob
 
     def collect_main_params(self):
         pd = self.prob.collect_main_params()
-        return pd.push(NamedSharding(self.mesh, P()))
+        rep = NamedSharding(self.mesh, P())
+        from ..utils import ParamDict
+        ps = self.param_shardings or {}
+        return ParamDict({
+            k: jax.device_put(v, NamedSharding(self.mesh, ps[k]))
+            if k in ps else jax.device_put(v, rep)
+            for k, v in pd.items()})
 
     def value_and_grad(self, pdict=None):
         with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else self.mesh:
@@ -195,53 +233,101 @@ class ShardedLogProb:
         the chi^2 psums over the mesh and the prior is added once on
         replicated parameters.
 
-        Requirements: single batch, diagonal (or absent) covariance,
-        Nmp == 1 model pairs, no sim->data redundancy expansion.
+        Carries the production configurations: Sequential chains,
+        sim->data redundancy expansion, multi-pol / Nmp > 1 model pairs,
+        structured covariances ('bl'/'freq'), LM preconditioners,
+        main_params sub-slices, and Nbatch > 1 minibatch accumulation
+        (prior counted once on batch 0) — all under time ('data')
+        sharding. bl_axis sharding additionally requires a bare RIME
+        with Nmp == 1 and no redundancy expansion (per-baseline host
+        metadata cannot differ across shards in one traced program).
         """
+        prob = self.prob
         if pdict is None:
             pdict = self.collect_main_params()
+        from ..utils import ParamDict
+        if prob.compute == "prior":
+            # pure parameter-space work: nothing to shard
+            return prob.value_and_grad(pdict)
+        if prob.grad_type == "accumulate" and prob.Nbatch > 1:
+            loss, grads = None, None
+            for i in range(prob.Nbatch):
+                prob.batch_idx = i
+                v, g = self._smap_eval(i, pdict)
+                g = ParamDict(dict(g))
+                loss = v if loss is None else loss + v
+                grads = g if grads is None else grads + g
+            prob.batch_idx = 0
+            return loss / prob.Nbatch, prob.grad_modify(grads)
+        idx = prob.batch_idx
+        v, g = self._smap_eval(idx, pdict)
+        return v, prob.grad_modify(ParamDict(dict(g)))
+
+    def _smap_eval(self, idx, pdict):
+        """Evaluate one batch through the cached shard_map closure."""
+        prob = self.prob
+        tgt, _ = prob.get_batch_data(idx)
         # cache keyed on the statics the closure bakes in (LogProb clears
         # its _jit_cache on such changes; mirror that here)
-        tgt = self.prob.target[0]
-        key = (tgt.get_icov() is not None, tgt.cov_logdet,
-               id(self.prob.prior_dict),
-               self.prob.compute, self.prob.negate,
-               self.prob.complex_circular,
-               jax.tree_util.tree_structure(self.prob.model))
-        if getattr(self, "_smap_key", None) != key:
-            self._smap_vg = self._build_smap_vg()
-            self._smap_key = key
-        data, icov = self.prob._batch_args(0)
+        key = (prob._fn_key(idx), tgt.get_icov() is not None,
+               getattr(tgt, "cov_axis", None), tgt.cov_logdet,
+               id(prob.prior_dict), prob.compute, prob.negate,
+               prob.complex_circular, id(prob.LM), id(prob.main_params),
+               jax.tree_util.tree_structure(prob.model))
+        cache = getattr(self, "_smap_cache", None)
+        if cache is None:
+            cache = self._smap_cache = {}
+        if key not in cache:
+            cache.clear()  # statics changed: old closures are stale
+            cache[key] = self._build_smap_vg(idx)
+        data, icov = prob._batch_args(idx)
         icov = icov if icov is not None else jnp.ones((1,), _dtype(data))
-        v, g = self._smap_vg(dict(pdict), self.prob.model, data, icov)
-        from ..utils import ParamDict
-        g = self.prob.grad_modify(ParamDict(dict(g)))
-        return v, g
+        return cache[key](dict(pdict), prob.model, data, icov)
 
-    def _build_smap_vg(self):
+    def _build_smap_vg(self, idx=0):
         try:
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
-        from ..inference.prob import _walk_priors
+        from ..inference.prob import _walk_priors, apply_icov
         prob = self.prob
         model = prob.model
-        rime = model if hasattr(model, "_pre") else None
-        assert rime is not None, "shard_map path needs a bare RIME model"
-        assert prob.Nbatch == 1, "shard_map path: single batch only"
-        mp = rime._mp_groups[rime.bl_group_id]
-        assert mp[2] is None and rime._sim2data[rime.bl_group_id] is None,             "shard_map path needs Nmp == 1 and no redundancy expansion"
-        tgt = prob.target[0]
-        assert getattr(tgt, "cov_axis", None) is None,             "shard_map path: diagonal covariance only"
-        # features the smap closure does not implement -- fail loudly
-        # rather than silently disagreeing with value_and_grad
-        assert prob.compute == "post", \
-            "shard_map path supports compute='post' only"
-        assert prob.LM is None and prob.main_params is None, \
-            "shard_map path: no LM preconditioner / main_params sub-slices"
-        assert prob.start_inp is None, \
-            "shard_map path: start_inp not supported"
+        if hasattr(model, "_pre"):
+            rimes = [model]
+        elif hasattr(model, "models"):
+            rimes = [m for m in model.models.values() if hasattr(m, "_pre")]
+        else:
+            rimes = []
+        assert len(rimes) == 1, "shard_map path needs exactly one RIME"
+        rime = rimes[0]
+        tgt, inp = prob.get_batch_data(idx)
+        cov_axis = getattr(tgt, "cov_axis", None)
+        assert inp is None, "shard_map path: start_inp not supported"
+        assert prob.compute in ("post", "like")
+        if self.bl_axis is not None:
+            # per-baseline host metadata (mp grouping, expansion indices,
+            # Jones/VisModel baseline indexing) cannot differ across the
+            # shards of ONE traced program — those features ride the time
+            # axis or the GSPMD path instead
+            mp = rime._mp_groups[rime.bl_group_id]
+            assert model is rime, \
+                "bl_axis sharding needs a bare RIME (chains: time axis)"
+            assert mp[2] is None, \
+                "bl_axis sharding needs Nmp == 1 (multi-pol: time axis)"
+            assert rime._sim2data[rime.bl_group_id] is None, \
+                "bl_axis sharding: redundancy expansion rides the time " \
+                "axis or the GSPMD value_and_grad path"
+            assert cov_axis in (None, "time"), \
+                "bl-coupled covariance cannot shard over baselines"
+        if cov_axis is not None:
+            allowed = ("bl", "freq") if self.bl_axis is None \
+                else ("time",)
+            assert cov_axis in allowed, \
+                f"cov_axis '{cov_axis}' incompatible with this sharding " \
+                f"(time sharding: bl/freq; bl sharding: time)"
+        include_prior = (idx == 0) and prob.compute == "post"
         cc, negate = prob.complex_circular, prob.negate
+        LM, main_params = prob.LM, prob.main_params
         has_icov = tgt.get_icov() is not None
         if has_icov and tgt.cov_logdet is not None:
             norm = (tgt.cov_ndim * np.log(np.pi) + tgt.cov_logdet) if cc \
@@ -261,23 +347,42 @@ class ShardedLogProb:
             sp = getattr(s, "spec", None)
             return sp if sp is not None else P()
 
-        data, icov = prob._batch_args(0)
+        data, icov = prob._batch_args(idx)
         # Module pytrees classify attributes by VALUE (arrays=leaves), so
         # a spec-shaped model tree would reflatten differently; hand the
         # model to shard_map as its flat leaf list instead
         _, model_def = jax.tree_util.tree_flatten(model)
         data_spec = spec_of(data)
         icov_spec = spec_of(icov) if icov is not None else P()
-        pd_specs = jax.tree_util.tree_map(
-            lambda _: P(), dict(prob.collect_main_params()))
+        pd_specs = {k: P() for k in dict(prob.collect_main_params())}
+        for k, spec in (self.param_shardings or {}).items():
+            if k in pd_specs:
+                pd_specs[k] = spec
+
+        def apply_pd(m, pd):
+            """LM preconditioning + (sub-slice) scatter, as _batch_fn."""
+            if LM is not None:
+                pd = {k: LM(k, v) for k, v in pd.items()}
+            if main_params is not None:
+                return main_params.scatter(pd["main"], m)
+            return m.updated(pd)
+
+        def strip_vis_sharding(m):
+            # inside shard_map every mesh axis is manual: the global
+            # with_sharding_constraint must not run on local blocks
+            mc = m.copy()
+            if hasattr(mc, "_pre"):
+                mc.vis_sharding = None
+            elif hasattr(mc, "models"):
+                mc.models = {k: strip_vis_sharding(v)
+                             if hasattr(v, "_pre") else v
+                             for k, v in mc.models.items()}
+            return mc
 
         def local_fn(pd, model_leaves, data, icov):
             m = jax.tree_util.tree_unflatten(model_def, model_leaves)
-            m = m.copy()
-            # inside shard_map every mesh axis is manual: the global
-            # with_sharding_constraint must not run on local blocks
-            m.vis_sharding = None
-            mm = m.updated(pd)
+            m = strip_vis_sharding(m)
+            mm = apply_pd(m, pd)
             # prior_cache captures priors evaluated during the forward,
             # incl. priors on response OUTPUTS (params and responses are
             # replicated over the mesh, so every device computes the
@@ -285,13 +390,14 @@ class ShardedLogProb:
             pc = {}
             out = mm.forward(None, prior_cache=pc)
             res = (out.data if hasattr(out, "data") else out) - data
-            chi = (res.conj() * res).real
-            if has_icov:
-                chi = chi * icov.real
+            chi = apply_icov(res, icov if has_icov else None, cov_axis)
+            chi = jnp.sum(chi)
+            if jnp.iscomplexobj(chi):
+                chi = chi.real
             prior = jnp.asarray(0.0)
             for k in pc:
                 prior = prior + pc[k]
-            return jax.lax.psum(jnp.sum(chi), axes), prior
+            return jax.lax.psum(chi, axes), prior
 
         # whether the model's forward populates its prior cache is a
         # STATIC model property (priors are host metadata): probe with
@@ -299,8 +405,8 @@ class ShardedLogProb:
         pc_probe = {}
 
         def _probe(leaves):
-            m = jax.tree_util.tree_unflatten(model_def, leaves).copy()
-            m.vis_sharding = None
+            m = strip_vis_sharding(
+                jax.tree_util.tree_unflatten(model_def, leaves))
             out = m.forward(None, prior_cache=pc_probe)
             return out.data if hasattr(out, "data") else out
 
@@ -327,9 +433,12 @@ class ShardedLogProb:
             leaves = jax.tree_util.tree_leaves(m)
             chisq, fwd_prior = smap(pd, leaves, data, icov)
             loglike = (-chisq - norm) if cc else (-0.5 * chisq - norm)
+            if not include_prior:
+                lp = loglike
+                return -lp if negate else lp
             logprior = jnp.asarray(0.0)
             if prior_dict is not None:
-                mm = m.updated(pd)
+                mm = apply_pd(m, pd)
                 for key, pr in prior_dict.items():
                     prs = pr if isinstance(pr, (list, tuple)) else [pr]
                     val = mm[key]
@@ -340,7 +449,7 @@ class ShardedLogProb:
                 # incl. response-output priors — counted once
                 logprior = fwd_prior
             else:
-                mm = m.updated(pd)
+                mm = apply_pd(m, pd)
                 pc = {}
                 _walk_priors(mm, pc)
                 for k in pc:

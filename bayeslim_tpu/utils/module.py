@@ -374,3 +374,16 @@ class Sequential(Module):
     def Nbatch(self):
         first = self.models[self._order[0]]
         return getattr(first, "Nbatch", 1)
+
+    @property
+    def batch_idx(self):
+        first = self.models[self._order[0]]
+        return getattr(first, "batch_idx", 0)
+
+    @batch_idx.setter
+    def batch_idx(self, val):
+        first = self.models[self._order[0]]
+        if hasattr(type(first), "batch_idx") or hasattr(first, "batch_idx"):
+            first.batch_idx = val
+        elif val > 0:
+            raise ValueError("first model in the chain is not batched")

@@ -88,18 +88,14 @@ def _fetch_floor():
     return (time.time() - t0) / n
 
 
-def run_jax(cfg, platform=None, x64=False):
-    import jax
-    if platform:
-        jax.config.update("jax_platforms", platform)
-    if x64:
-        jax.config.update("jax_enable_x64", True)
+def build_model(cfg):
+    """Construct the benchmark RIME (+ redundant/stat variants) for a
+    size config. Returns (rime, T, arr, bls, sim_bls, times_or_tgroups,
+    freqs, red_groups)."""
     import jax.numpy as jnp
-    import optax
     import bayeslim_tpu as bl
     from bayeslim_tpu.utils import make_hex, AntposDict, healpix as hp
     from bayeslim_tpu.models.sky import PixelSky, PixelSkyResponse
-    from bayeslim_tpu.inference import LogProb
 
     loc = (21.428305555, -30.72152777, 1073.0)
     T = bl.TelescopeModel(loc)
@@ -147,14 +143,25 @@ def run_jax(cfg, platform=None, x64=False):
                        data_bls=data_bls, pix_chunk=2048)
     npix_cut = int(rime._pre[(0, 0)]["mask"].shape[-1])
     cfg["nbls_sim"] = len(sim_bls)
+    return dict(rime=rime, T=T, arr=arr, bls=bls, sim_bls=sim_bls,
+                times=times, tgroups=tgroups if tb else None, freqs=freqs,
+                red_groups=red_groups if cfg.get("redundant") else None,
+                npix_cut=npix_cut)
 
-    if tb:
-        return _run_batched(cfg, rime, T, arr, bls, tgroups, freqs,
-                            npix_cut)
 
+def build_prob(cfg, m):
+    """Target + LogProb for a (non-time-batched) built model."""
+    import jax
+    import jax.numpy as jnp
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.inference import LogProb
+
+    rime, T, arr = m["rime"], m["T"], m["arr"]
+    bls, sim_bls, times, freqs = m["bls"], m["sim_bls"], m["times"], \
+        m["freqs"]
     # build target via a jitted forward (op-by-op dispatch is slow on the
     # remote TPU backend)
-    tgt_data = jax.jit(lambda m: m.forward().data)(rime)
+    tgt_data = jax.jit(lambda mm: mm.forward().data)(rime)
     tgt = bl.VisData()
     tgt.setup_meta(T, arr.to_antpos())
     if cfg.get("stat"):
@@ -162,7 +169,8 @@ def run_jax(cfg, platform=None, x64=False):
         # means with icov = group baseline counts (exact gradients for
         # the full per-baseline posterior; see
         # VisData.reduce_by_redundancy)
-        counts = np.asarray([len(r) for r in red_groups], dtype=np.float32)
+        counts = np.asarray([len(r) for r in m["red_groups"]],
+                            dtype=np.float32)
         icov = jnp.broadcast_to(
             jnp.asarray(counts)[None, None, :, None, None], tgt_data.shape)
         tgt.setup_data(sim_bls, times, freqs, pol="ee", data=tgt_data,
@@ -170,7 +178,26 @@ def run_jax(cfg, platform=None, x64=False):
     else:
         tgt.setup_data(bls, times, freqs, pol="ee", data=tgt_data,
                        cov=None, cov_axis=None, icov=None)
-    prob = LogProb(rime, tgt)
+    return LogProb(rime, tgt), tgt_data
+
+
+def run_jax(cfg, platform=None, x64=False):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import optax
+
+    m = build_model(cfg)
+    npix_cut = m["npix_cut"]
+    bls, freqs = m["bls"], m["freqs"]
+    if m["tgroups"] is not None:
+        return _run_batched(cfg, m["rime"], m["T"], m["arr"], bls,
+                            m["tgroups"], freqs, npix_cut)
+
+    prob, tgt_data = build_prob(cfg, m)
     pd = dict(prob.collect_main_params())
     fn = prob._batch_fn(0)
     _, icov = prob._batch_args(0)
@@ -274,6 +301,180 @@ def _run_batched(cfg, rime, T, arr, bls, tgroups, freqs, npix_cut):
                 nbls=nb, npix_cut=npix_cut, pps=points / dt)
 
 
+def run_hvp_bench(cfg, platform=None, x64=False, nhvp=2):
+    """Second-order benchmark (VERDICT r2 #4): wall-clock of one
+    Hessian-vector product through the XLA-recompute path (the
+    compute_hessian / Laplace-covariance inner loop; second-order AD
+    cannot cross the fused kernels' custom_vjp, see
+    ops/rime_kernel.force_xla) vs the fused first-order gradient.
+
+    Reports sec/HVP and the recompute penalty = t_HVP / (4 x t_grad):
+    an ideal kernel-based forward-over-reverse HVP costs ~4 forward
+    sweeps, i.e. ~2x a fwd+bwd gradient step; penalty ~1 means the XLA
+    fallback costs about what a kernel HVP would.
+    """
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from bayeslim_tpu.utils import ParamDict
+    from bayeslim_tpu.ops.rime_kernel import force_xla
+
+    m = build_model(cfg)
+    prob, tgt_data = build_prob(cfg, m)
+    pd = prob.collect_main_params()
+    fn = prob._batch_fn(0)
+    data, icov = prob._batch_args(0)
+    template = pd.copy()
+    x0 = pd.ravel()
+    n = int(x0.size)
+
+    def f(x):
+        return fn(ParamDict(dict(template.unravel(x))), prob.model, data,
+                  icov)
+
+    grad_f = jax.grad(f)
+    hvp = jax.jit(lambda x, v: jax.jvp(grad_f, (x,), (v,))[1])
+    rng = np.random.default_rng(0)
+    v0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    fetch = _fetch_floor()
+    with force_xla():  # statics read at trace time
+        t0 = time.time()
+        out = hvp(x0, v0)
+        _ = float(jnp.ravel(out)[0])
+        compile_hvp = time.time() - t0
+        t0 = time.time()
+        for _i in range(nhvp):
+            out = hvp(x0, v0)
+            _ = float(jnp.ravel(out)[0])
+        t_hvp = max((time.time() - t0) / nhvp - fetch, 1e-9)
+
+    # fused first-order gradient for the penalty denominator
+    vg = jax.jit(jax.value_and_grad(f))
+    t0 = time.time()
+    val, g = vg(x0)
+    _ = float(val)
+    compile_vg = time.time() - t0
+    t0 = time.time()
+    for _i in range(nhvp):
+        val, g = vg(x0)
+        _ = float(val)
+    t_vg = max((time.time() - t0) / nhvp - fetch, 1e-9)
+
+    penalty = t_hvp / (2.0 * t_vg)  # kernel-ideal HVP ~ 2x fwd+bwd
+    return dict(t_hvp=t_hvp, t_vg=t_vg, penalty=penalty, nparam=n,
+                compile_hvp=compile_hvp, compile_vg=compile_vg,
+                nbls=len(m["bls"]), npix_cut=m["npix_cut"])
+
+
+def run_hmc_bench(platform=None, x64=False, hexN=3, nfreq=128, nside=32,
+                  lmax=8, nsample=20, nstep=10, nwarm=3):
+    """Joint-posterior HMC throughput (BASELINE config #4 shape): alm
+    diffuse sky + per-antenna complex gains through the full
+    RIME+Jones chain, sampled with the on-device leapfrog trajectory
+    (lax.scan — one device dispatch per trajectory).
+
+    Reports leapfrog steps/s and seconds per effective sample (ESS from
+    the energy-chain autocorrelation).
+    """
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.utils import make_hex, AntposDict, Sequential
+    from bayeslim_tpu.utils import healpix as hp
+    from bayeslim_tpu.models.sky import PixelSky, PixelSkyResponse
+    from bayeslim_tpu.models.calibration import JonesModel
+    from bayeslim_tpu.ops import sph_harm as sh
+    from bayeslim_tpu.inference import LogProb
+    from bayeslim_tpu.inference.sampler import HMC, Potential
+
+    loc = (21.428305555, -30.72152777, 1073.0)
+    T = bl.TelescopeModel(loc)
+    ants, antvecs = make_hex(hexN, D=15.0)
+    freqs = np.linspace(100e6, 200e6, nfreq)
+    arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+    bls = arr.get_bls(keep_autos=False)
+    jd0 = 2458168.3
+
+    # alm diffuse sky (real Ylm basis), one spectral surface per freq
+    npix = hp.nside2npix(nside)
+    theta, phi = hp.pix2ang(nside, np.arange(npix))
+    angs = np.stack([phi * 180 / np.pi, 90 - theta * 180 / np.pi])
+    l, m = sh.gen_lm(lmax)
+    spat = sh.AlmModel(l, m, real_output=True)
+    spat.generate_Ylm(theta, phi, method="sphere", high_prec=False)
+    rng = np.random.default_rng(0)
+    alm = np.zeros((1, 1, 2, len(l)))
+    alm[0, 0, 0] = rng.normal(size=len(l)) * 2.0
+    alm[0, 0, 0, 0] = 20.0
+    alm[0, 0, 1] = -2.5
+    R = PixelSkyResponse(freqs, spatial_mode="alm", freq_mode="powerlaw",
+                         f0=float(freqs[0]), spat_LM=spat)
+    sky = PixelSky(jnp.asarray(alm, dtype=bl._float()), jnp.asarray(angs),
+                   hp.nside2pixarea(nside), R=R)
+    beam = bl.PixelBeam(jnp.ones((1, 1, 1, 1, 2), dtype=bl._float()) * 14.0,
+                        freqs, R=bl.beam_model.AiryResponse(), pol="e",
+                        powerbeam=True, fov=180.0, parameter=False)
+    times = jd0 + np.arange(1) * 5e-4
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs, pix_chunk=2048)
+
+    # per-antenna complex gains (viewreal trainable), refant fixed
+    g0 = jnp.asarray(np.ones((1, 1, len(ants), 1, nfreq)) + 0j)
+    J = JonesModel(bl.viewreal(g0), ants, refant=ants[0])
+    model = Sequential({"rime": rime, "cal": J})
+
+    tgt_data = jax.jit(lambda mm: mm.forward().data)(model)
+    noise = 1e-2
+    tgt = bl.VisData()
+    tgt.setup_meta(T, arr.to_antpos())
+    icov_val = 1.0 / (2 * noise ** 2)
+    tgt.setup_data(bls, times, freqs, pol="ee", data=tgt_data,
+                   icov=jnp.full(tgt_data.shape, icov_val,
+                                 dtype=jnp.float32))
+    prob = LogProb(model, tgt, negate=True)
+    pot = Potential(prob)
+    x0 = prob.collect_main_params()
+    nparam = int(sum(np.prod(np.shape(v)) for v in dict(x0).values()))
+
+    hmc = HMC(pot, x0, eps=2e-5, Nstep=nstep, seed=1)
+    t0 = time.time()
+    hmc.sample(nwarm)
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    hmc.sample(nsample)
+    dt = time.time() - t0
+
+    steps_per_s = nsample * nstep / dt
+    # ESS from the energy chain (Geyer initial positive sequence)
+    u = np.asarray(hmc.Usteps[-nsample:], dtype=np.float64)
+    if len(u) >= 4 and np.std(u) > 0:
+        uc = u - u.mean()
+        ac = np.correlate(uc, uc, mode="full")[len(uc) - 1:]
+        ac = ac / ac[0]
+        tau = 1.0
+        for k in range(1, len(ac) - 1, 2):
+            pair = ac[k] + ac[k + 1]
+            if pair < 0:
+                break
+            tau += 2 * pair
+        ess = max(1.0, len(u) / tau)
+    else:
+        ess = float(len(u))
+    sec_per_ess = dt / ess
+    return dict(steps_per_s=steps_per_s, sec_per_ess=sec_per_ess,
+                ess=ess, accept=hmc.acceptance_rate, nbls=len(bls),
+                nfreq=nfreq, nparam=nparam, compile_time=compile_time,
+                step_time=dt / nsample)
+
+
 def run_torch_baseline(cfg, npix_cut, sub_pix=512, sub_bl=1024):
     """Reference-pattern inner loop in torch (CPU), pixel- and
     baseline-subsampled then linearly extrapolated (the fringe tensor is
@@ -330,12 +531,18 @@ def run_torch_baseline(cfg, npix_cut, sub_pix=512, sub_bl=1024):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="on-device fused-Pallas vs XLA parity check "
+                         "(scripts/kernel_check.py) instead of timing")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--size", default="large",
                     choices=["small", "medium", "large", "hera", "hera100",
                              "small-red", "medium-red", "large-red",
                              "hera-red", "hera100-red",
-                             "hera-stat", "hera100-stat"])
+                             "hera-stat", "hera100-stat",
+                             "hmc", "hmc-small"])
+    ap.add_argument("--hvp", action="store_true",
+                    help="second-order (HVP) benchmark on the given size")
     ap.add_argument("--ntime", type=int, default=None)
     ap.add_argument("--tbatch", type=int, default=None,
                     help="override time-minibatch size for batched sizes")
@@ -343,9 +550,55 @@ def main():
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
+    if args.check:
+        sys.path.insert(0, "scripts")
+        from kernel_check import run_checks
+        results, failures = run_checks(
+            platform="cpu" if args.cpu else None, quick=args.cpu)
+        worst = max(v for errs in results.values() for v in errs.values())
+        print(json.dumps({
+            "metric": "fused-vs-XLA kernel parity "
+                      "(max rel err, fwd+cotangents)",
+            "value": worst, "unit": "relerr",
+            "vs_baseline": 1.0 if not failures else 0.0}))
+        sys.exit(1 if failures else 0)
+
+    if args.size.startswith("hmc"):
+        kw = dict(hexN=2, nfreq=16, nside=8, nsample=10) \
+            if args.size == "hmc-small" else {}
+        res = run_hmc_bench(platform="cpu" if args.cpu else None,
+                            x64=args.x64, **kw)
+        print(json.dumps({
+            "metric": "joint-posterior HMC leapfrog steps/s "
+                      "(alm sky + gains, RIME+Jones chain)",
+            "value": round(res["steps_per_s"], 3),
+            "unit": "steps/s",
+            "vs_baseline": 0.0}))
+        print(f"# size={args.size} nbls={res['nbls']} nfreqs={res['nfreq']} "
+              f"nparam={res['nparam']} accept={res['accept']:.2f} "
+              f"ESS={res['ess']:.1f} sec/ESS={res['sec_per_ess']:.2f} "
+              f"traj={res['step_time']*1e3:.0f}ms "
+              f"compile={res['compile_time']:.1f}s", file=sys.stderr)
+        return
+
     cfg = build_case(args.size)
     if args.ntime:
         cfg["ntime"] = args.ntime
+    if args.hvp:
+        assert not cfg.get("tbatch"), "--hvp needs a non-time-batched size"
+        res = run_hvp_bench(cfg, platform="cpu" if args.cpu else None,
+                            x64=args.x64)
+        print(json.dumps({
+            "metric": "HVP wall-clock (XLA-recompute second-order path)",
+            "value": round(res["t_hvp"], 4), "unit": "s/HVP",
+            "vs_baseline": round(1.0 / res["penalty"], 3)}))
+        print(f"# size={args.size} nparam={res['nparam']} "
+              f"nbls={res['nbls']} npix_cut={res['npix_cut']} "
+              f"HVP={res['t_hvp']*1e3:.1f}ms grad={res['t_vg']*1e3:.1f}ms "
+              f"penalty={res['penalty']:.2f}x (vs 2x-grad kernel ideal) "
+              f"compile: hvp={res['compile_hvp']:.1f}s "
+              f"vg={res['compile_vg']:.1f}s", file=sys.stderr)
+        return
     if args.tbatch:
         assert not cfg.get("stat"), \
             "-stat sizes run the whole time axis in one executable"

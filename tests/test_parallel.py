@@ -339,12 +339,302 @@ def test_shard_map_out_params_priors():
 
 
 def test_shard_map_rejects_unsupported():
-    """LM preconditioners / sub-slice main_params / non-post compute must
-    fail loudly on the smap path, not silently disagree."""
-    prob, _ = _build_prob(Ntimes=4)
-    mesh = make_mesh({"data": 4})
-    sprob = ShardedLogProb(prob, mesh)
-    sprob.prob.compute = "like"
+    """Features that genuinely cross baseline shards must fail loudly on
+    the bl-sharded smap path, not silently disagree."""
     import pytest as _pt
+    # redundancy expansion cannot ride bl sharding (host metadata differs
+    # per shard); it is supported under time sharding + the GSPMD path
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)
+    sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]][:4]
+    gids = {arr.bl2red[b] for b in sim_bls}
+    data_bls = [b for b in bls if arr.bl2red[b] in gids]
+    times = JD0 + np.arange(4) * 5e-4
+    rime = bl.RIME(sky, T, beam, arr, sim_bls, times, freqs,
+                   data_bls=data_bls)
+    vd = rime.forward()
+    tgt = vd.copy()
+    tgt.setup_data(data_bls, times, freqs, pol="ee", data=vd.data)
+    prob = LogProb(rime, tgt)
+    mesh = make_mesh({"data": 2, "model": 2})
+    sprob = ShardedLogProb(prob, mesh, bl_axis="model")
     with _pt.raises(AssertionError):
         sprob.smap_value_and_grad(sprob.collect_main_params())
+
+
+def _grad_allclose(g0, g1, rtol=1e-8, atol=1e-12):
+    for k in g0:
+        assert np.allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                           rtol=rtol, atol=atol), k
+
+
+def test_shard_map_redundant_expansion_time_sharded():
+    """sim->data redundancy expansion (the production redundant-array
+    configuration) through the smap path under time sharding: gradients
+    match single-device exactly."""
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)
+    sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]]
+    gids = {arr.bl2red[b] for b in sim_bls}
+    data_bls = [b for b in bls if arr.bl2red[b] in gids]
+    times = JD0 + np.arange(8) * 5e-4
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, sim_bls, times, freqs,
+                       data_bls=data_bls, time_mode="vmap")
+        vd = rime.forward()
+        tgt = vd.copy()
+        tgt.setup_data(data_bls, times, freqs, pol="ee",
+                       data=vd.data + 0.05,
+                       cov=jnp.ones(vd.data.shape), cov_axis=None,
+                       icov=jnp.ones(vd.data.shape))
+        return LogProb(rime, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 4}))
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+
+def test_shard_map_sequential_jones_chain():
+    """A Sequential RIME + Jones calibration chain runs through the smap
+    path (time sharding): the full chain executes per-device on local
+    time shards, gradients (sky, beam AND gain params) match
+    single-device."""
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    times = JD0 + np.arange(4) * 5e-4
+    ants = sorted(set(a for b in bls for a in b))
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(1, 0.05, (1, 1, len(ants), 1, len(freqs)))
+                    + 1j * rng.normal(0, 0.05,
+                                      (1, 1, len(ants), 1, len(freqs))))
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        J = JonesModel(g, ants, R=JonesResponse())
+        seq = Sequential({"rime": rime, "cal": J})
+        vd = seq.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.02)
+        return LogProb(seq, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+    assert "models.cal.params" in g1
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 4}))
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+
+def test_shard_map_time_sharded_gain_params():
+    """Per-time gain parameters shard over the 'data' axis via
+    param_shardings: each device applies only its local gain slice, and
+    the returned gradient is the correct global per-time gradient."""
+    from jax.sharding import PartitionSpec as P
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    Ntimes = 8
+    times = JD0 + np.arange(Ntimes) * 5e-4
+    ants = sorted(set(a for b in bls for a in b))
+    rng = np.random.default_rng(1)
+    g = jnp.asarray(
+        rng.normal(1, 0.05, (1, 1, len(ants), Ntimes, len(freqs)))
+        + 1j * rng.normal(0, 0.05,
+                          (1, 1, len(ants), Ntimes, len(freqs))))
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        J = JonesModel(g, ants, R=JonesResponse())
+        seq = Sequential({"rime": rime, "cal": J})
+        vd = seq.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.02)
+        return LogProb(seq, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    sprob = ShardedLogProb(
+        build(), make_mesh({"data": 4}),
+        param_shardings={"models.cal.params":
+                         P(None, None, None, "data", None)})
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+
+def test_shard_map_minibatch_accumulate():
+    """Nbatch > 1 time minibatches accumulate through the smap path
+    (prior counted once on batch 0), matching the single-device
+    accumulate loop."""
+    from bayeslim_tpu.inference import LogGaussPrior
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    sky.set_priors(LogGaussPrior(jnp.zeros(1), jnp.ones(1) * 50.0))
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    tgroups = [JD0 + np.arange(4) * 5e-4,
+               JD0 + 0.01 + np.arange(4) * 5e-4]
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, bls, tgroups, freqs,
+                       time_mode="vmap")
+        tgts = []
+        for i in range(rime.Nbatch):
+            rime.batch_idx = i
+            vd = rime.forward()
+            tgt = vd.copy()
+            tgt.setup_data(bls, tgroups[i], freqs, pol="ee",
+                           data=vd.data + 0.05)
+            tgts.append(tgt)
+        rime.batch_idx = 0
+        return LogProb(rime, tgts)
+
+    prob1 = build()
+    assert prob1.Nbatch == 2
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 4}))
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+
+def test_shard_map_cov_axis_freq():
+    """Frequency-coupled covariance (icov (P,P,B,T,F,F)) through the
+    smap path under time sharding."""
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    times = JD0 + np.arange(4) * 5e-4
+    nf = len(freqs)
+    rng = np.random.default_rng(2)
+    A = rng.normal(size=(nf, nf))
+    icov_f = np.eye(nf) * 2.0 + 0.1 * (A @ A.T)  # SPD
+    icov = jnp.asarray(np.broadcast_to(
+        icov_f, (1, 1, len(bls), len(times), nf, nf)))
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        vd = rime.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.05,
+                       cov=None, cov_axis="freq", icov=icov)
+        return LogProb(rime, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 4}))
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+
+def test_shard_map_main_params_and_compute_like():
+    """main_params sub-slice solving and compute='like' both run through
+    the smap path (replicated parameter-space work composes with the
+    sharded likelihood)."""
+    prob1, _ = _build_prob(Ntimes=8)
+    spec = {"sky.params": np.arange(3)}
+    prob1.set_main_params(spec)
+    pd = prob1.collect_main_params()
+    assert list(pd.keys()) == ["main"]
+    v1, g1 = prob1.value_and_grad(pd)
+
+    prob2, _ = _build_prob(Ntimes=8)
+    prob2.set_main_params(spec)
+    sprob = ShardedLogProb(prob2, make_mesh({"data": 4}))
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+    # compute='like' (no prior term)
+    prob1.compute = "like"
+    prob1._jit_cache = {}
+    v3, g3 = prob1.value_and_grad(pd)
+    sprob.prob.compute = "like"
+    v4, g4 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v3), float(v4), rtol=1e-10)
+    _grad_allclose(g3, g4)
+
+
+def test_shard_map_multipol():
+    """2x2 polarized visibilities (Npol=2) through the smap path under
+    time+bl sharding."""
+    T = setup_Telescope()
+    freqs = np.linspace(1e8, 1.1e8, 4)
+    arr = setup_Array(N=2, freqs=freqs)
+    rng = np.random.default_rng(3)
+    Nsource = 3
+    ra0 = T.JD2RA(JD0)
+    angs = np.stack([ra0 + rng.uniform(-20, 20, Nsource),
+                     -30.7 + rng.uniform(-20, 20, Nsource)])
+    # 4-pol coherency sky: (2, 2, Nfreqs, Nsource) via stokes I only
+    params = np.zeros((1, 1, 2, Nsource))
+    params[0, 0, 0] = rng.uniform(1, 10, Nsource)
+    params[0, 0, 1] = -2.2
+    from bayeslim_tpu.models.sky import PointSky, PointSkyResponse
+    R = PointSkyResponse(freqs, freq_mode="powerlaw", f0=freqs[0])
+    sky = PointSky(jnp.asarray(params), jnp.asarray(angs), R=R)
+    # 2-pol (Npol=2) beam -> 4-pol visibilities
+    beam = bl.PixelBeam(jnp.ones((2, 1, 1, len(freqs), 2)) * 0.5, freqs,
+                        R=bl.beam_model.GaussResponse(), pol=None,
+                        powerbeam=False, fov=180.0)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    times = JD0 + np.arange(4) * 5e-4
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        vd = rime.forward()
+        assert vd.data.shape[:2] == (2, 2)
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol=None, data=vd.data + 0.02)
+        return LogProb(rime, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 2, "model": 2}),
+                           bl_axis="model")
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)

@@ -176,6 +176,84 @@ def test_chain_checkpoint(tmp_path):
     assert hmc2.Nsamples == 60
 
 
+def test_joint_posterior_hmc_scaled():
+    """Scaled joint HMC (VERDICT r2 #5): >=50 baselines x 64 freqs, sky
+    amplitudes + per-antenna complex gains sampled jointly through the
+    RIME+Jones chain on the on-device trajectory path; asserts
+    acceptance in a healthy band and moment recovery (posterior mean
+    within a few posterior sigma of the truth, posterior spread finite
+    and non-degenerate)."""
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.inference import LogProb
+    from bayeslim_tpu.models.calibration import JonesModel
+    from bayeslim_tpu.utils import Sequential
+    from tests.test_rime import (setup_Telescope, setup_PointSky,
+                                 setup_Array, setup_UniformBeam, JD0)
+
+    T = setup_Telescope()
+    rng = np.random.default_rng(7)
+    Nfreqs = 64
+    freqs = np.linspace(100e6, 150e6, Nfreqs)
+    arr = setup_Array(N=3, freqs=freqs)         # 19 ants
+    bls = arr.get_bls(keep_autos=False)[:56]    # >= 50 baselines
+    ants = sorted(set(a for b in bls for a in b))
+
+    # point-source sky with free amplitudes
+    from bayeslim_tpu.models.sky import PointSky, PointSkyResponse
+    Nsource = 3
+    ra0 = T.JD2RA(JD0)
+    angs = np.stack([ra0 + rng.uniform(-15, 15, Nsource),
+                     -30.7 + rng.uniform(-15, 15, Nsource)])
+    true_amp = rng.uniform(5, 10, Nsource)
+    params = np.zeros((1, 1, 2, Nsource))
+    params[0, 0, 0] = true_amp
+    params[0, 0, 1] = -2.2
+    R = PointSkyResponse(freqs, freq_mode="powerlaw", f0=freqs[0])
+    sky = PointSky(jnp.asarray(params), jnp.asarray(angs), R=R)
+
+    beam = setup_UniformBeam(freqs)
+    beam.unset_param("params")
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs,
+                   time_mode="vmap")
+    true_g = jnp.asarray(np.ones((1, 1, len(ants), 1, Nfreqs)) + 0j)
+    J = JonesModel(bl.viewreal(true_g), ants, refant=ants[0])
+    model = Sequential({"rime": rime, "cal": J})
+    vd = model.forward()
+
+    noise = 5e-3
+    tgt = vd.copy()
+    tgt.setup_data(bls, vd.times, freqs, pol="ee",
+                   data=vd.data + noise * (rng.normal(size=vd.data.shape)
+                                           + 1j * rng.normal(
+                                               size=vd.data.shape)),
+                   cov=jnp.full(vd.data.shape, 2 * noise ** 2),
+                   cov_axis=None,
+                   icov=jnp.full(vd.data.shape, 1 / (2 * noise ** 2)))
+
+    prob = LogProb(model, tgt, negate=True)
+    pot = Potential(prob)
+    x0 = prob.collect_main_params()
+    hmc = HMC(pot, x0, eps=6e-6, Nstep=10, seed=3)
+    hmc.sample(60)
+    assert hmc.Nsamples == 60
+    assert 0.5 < hmc.acceptance_rate <= 1.0, hmc.acceptance_rate
+    assert hmc._traj is not None  # on-device trajectory path in use
+
+    ch = hmc.get_chain(burn=20)
+    amps = ch["models.rime.sky.params"][:, 0, 0, 0, :]   # (Nsamp, Nsource)
+    assert np.isfinite(amps).all()
+    mean, std = amps.mean(axis=0), amps.std(axis=0)
+    assert (std > 0).all()
+    # chain initialized AT the posterior mode (truth): the mean must stay
+    # within a few posterior widths of the truth, and the spread must be
+    # small relative to the signal (tight data => tight posterior)
+    assert np.all(np.abs(mean - true_amp) < 6 * std + 1e-3), \
+        (mean, true_amp, std)
+    assert np.all(std < 0.1 * true_amp)
+    gains = ch["models.cal.params"]
+    assert np.isfinite(gains).all()
+
+
 def test_joint_posterior_hmc_rime():
     """BASELINE config #4 (reduced): sky + gain joint posterior HMC
     through the full RIME chain."""
