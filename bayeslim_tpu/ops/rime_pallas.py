@@ -52,10 +52,24 @@ from jax.experimental.pallas import tpu as pltpu
 from .phase import fringe_cycles, mod1
 
 __all__ = ["rime_pallas_reduce", "rime_fused", "rime_fused_bs",
-           "pallas_available"]
+           "pallas_available", "set_precise_dots"]
 
 # test hook: force interpret mode (CPU emulation) for all pallas calls
 INTERPRET = False
+
+# MXU contraction precision mode. True (default): 3-pass compensated
+# bf16 products — ~1.6e-5 relative agreement with true-f32 (the
+# correctness bar bench.py --check enforces), ~1.6x the kernel time.
+# False: single-pass bf16 MXU (Mosaic's DEFAULT f32 rounding) — fastest,
+# ~2e-3 relative on this cancellation-heavy reduction; use for
+# throughput-critical exploratory optimization where forward/gradient
+# noise at that level is immaterial. Set via set_precise_dots().
+PRECISE_DOTS = [True]
+
+
+def set_precise_dots(precise: bool):
+    """Toggle the fused kernels' MXU precision mode (see PRECISE_DOTS)."""
+    PRECISE_DOTS[0] = bool(precise)
 
 
 def pallas_available():
@@ -96,9 +110,22 @@ def _phase0(c0, c1, k0f):
 
 def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
                 *, f0_split, df_split, tf, nfp, nc, G, conj, ps_real,
-                out_imag):
+                out_imag, precise=True):
     """V(tf, tb) += sum over this pixel tile. Layout: tau (tc, tb),
-    ps rows (tf, tc), out (tf, tb); G-chain phasor scratch (G*tc, tb)."""
+    ps rows (tf, tc), out (tf, tb); G-chain phasor scratch (G*tc, tb).
+
+    Precision: Mosaic's f32 MXU matmul at DEFAULT precision rounds both
+    operands to bf16 (~2e-3 relative on this cancellation-heavy
+    reduction — found by bench.py --check on v5e); Precision.HIGHEST
+    fixes it but its 6-pass decomposition blows the 16M scoped-vmem
+    limit (and measures slower than the hand-rolled scheme here). The
+    contraction instead runs as a 3-pass compensated product
+    a*b ~= a_hi*b_hi + a_hi*b_lo + a_lo*b_hi where the hi parts are
+    TRUNCATED-to-bf16-valued f32 arrays (one bitmask, no lane
+    repacking; the MXU's internal bf16 rounding of an already
+    bf16-valued f32 operand is exact) and the lo residuals ride the
+    MXU's internal rounding harmlessly (error ~2^-17). All arrays stay
+    f32-typed, avoiding bf16 pack/unpack on the VPU."""
     if_ = pl.program_id(0)
     ic = pl.program_id(2)
     tc = tau_ref.shape[0]
@@ -145,28 +172,50 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
            ).astype(jnp.float32)
 
     def dot(a, b):
-        # Mosaic's DEFAULT f32 matmul is already exact f32 (measured
-        # bit-identical to interpret mode on v5e); do NOT request
-        # Precision.HIGHEST here — its bf16x6 operand decomposition
-        # blows the 16M scoped-vmem limit (bench --check found this)
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
+
+    def hi_lo(x):
+        """x = hi + lo with hi exactly bf16-valued, both f32-typed
+        (mantissa truncation by bitmask — no lane repacking)."""
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32)
+        return hi, x - hi
+
+    def dot3(ah, al, bh, bl):
+        return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
 
     nj = tf // G
 
     def body(j, _):
         rows_r = psr_ref[pl.ds(j * G, G), :]       # (G, tc)
-        lhs_r = (rows_r[:, None, :] * eye).reshape(G, G * tc)
-        C = c_ref[:, :]
-        S = s_ref[:, :]
-        re = dot(lhs_r, C)
-        im = dot(lhs_r, S) if out_imag else None
+        if precise:
+            rh, rl = hi_lo(rows_r)
+            lhs_rh = (rh[:, None, :] * eye).reshape(G, G * tc)
+            lhs_rl = (rl[:, None, :] * eye).reshape(G, G * tc)
+            Ch, Cl = hi_lo(c_ref[:, :])
+            Sh, Sl = hi_lo(s_ref[:, :])
+            re = dot3(lhs_rh, lhs_rl, Ch, Cl)
+            im = dot3(lhs_rh, lhs_rl, Sh, Sl) if out_imag else None
+        else:
+            lhs_r = (rows_r[:, None, :] * eye).reshape(G, G * tc)
+            re = dot(lhs_r, c_ref[:, :])
+            im = dot(lhs_r, s_ref[:, :]) if out_imag else None
         if not ps_real:
             rows_i = psi_ref[pl.ds(j * G, G), :]
-            lhs_i = (rows_i[:, None, :] * eye).reshape(G, G * tc)
-            re = re - dot(lhs_i, S)
-            if out_imag:
-                im = im + dot(lhs_i, C)
+            if precise:
+                ih, il = hi_lo(rows_i)
+                lhs_ih = (ih[:, None, :] * eye).reshape(G, G * tc)
+                lhs_il = (il[:, None, :] * eye).reshape(G, G * tc)
+                re = re - dot3(lhs_ih, lhs_il, Sh, Sl)
+                if out_imag:
+                    im = im + dot3(lhs_ih, lhs_il, Ch, Cl)
+            else:
+                lhs_i = (rows_i[:, None, :] * eye).reshape(G, G * tc)
+                re = re - dot(lhs_i, s_ref[:, :])
+                if out_imag:
+                    im = im + dot(lhs_i, c_ref[:, :])
         ore_ref[pl.ds(j * G, G), :] += re
         if out_imag:
             oim_ref[pl.ds(j * G, G), :] += im
@@ -201,7 +250,7 @@ def _choose_tf(nfp, budget):
 
 
 def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
-                    budget=11 * 2 ** 20):
+                    budget=int(14.5 * 2 ** 20)):
     """Cost-aware forward-kernel tile choice. A small freq tile
     re-streams the (big) tau blocks NFp/tf times, so maximize tf first;
     then minimize the PADDED work round_up(NB,tb)*round_up(NC,tc) in 10%
@@ -214,11 +263,15 @@ def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
     NC = _round_up(max(npx, 128), 128)
 
     def vmem(G, tc, tb, tf):
-        scratch = 2 * G * tc * tb                       # C, S
+        scratch_bytes = 4 * 2 * G * tc * tb             # f32 C, S chains
         blocks = (tc * tb                               # tau
                   + tf * tc * (1 if ps_real else 2)     # ps rows
                   + 2 * tf * tb)                        # out re/im
-        return 4 * (scratch + 2 * blocks)               # double-buffered
+        # Mosaic stack temporaries (seed/trig/hi-lo intermediates,
+        # ~12 live (tc, tb) f32 arrays): calibrated against the
+        # compiler's scoped-vmem accounting on v5e
+        temps = 48 * tc * tb
+        return scratch_bytes + 4 * 2 * blocks + temps
 
     best = None
     for tbc, tcc in ((tb, tc), (256, 512), (256, 256), (512, 256),
@@ -281,7 +334,7 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
     kernel = functools.partial(
         _fwd_kernel, f0_split=_split_f32(f0), df_split=_split_f32(df),
         tf=tf, nfp=nfp, nc=grid[2], G=G, conj=conj, ps_real=ps_real,
-        out_imag=out_imag)
+        out_imag=out_imag, precise=PRECISE_DOTS[0])
 
     out_shape = [jax.ShapeDtypeStruct((R, NB), jnp.float32)] * 2
     out_re, out_im = pl.pallas_call(

@@ -547,8 +547,17 @@ def main():
     ap.add_argument("--tbatch", type=int, default=None,
                     help="override time-minibatch size for batched sizes")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="single-pass bf16 MXU contraction in the fused "
+                         "kernels (~2e-3 relative vs the default 3-pass "
+                         "compensated ~1.6e-5; see ops/rime_pallas.py "
+                         "PRECISE_DOTS)")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
+
+    if args.fast:
+        from bayeslim_tpu.ops.rime_pallas import set_precise_dots
+        set_precise_dots(False)
 
     if args.check:
         sys.path.insert(0, "scripts")

@@ -139,7 +139,15 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="skip the large shapes")
     ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--fast", action="store_true",
+                    help="measure the single-pass bf16 kernel mode "
+                         "(informational: ~2e-3 expected; tolerance "
+                         "relaxed to 1e-2)")
     args = ap.parse_args()
+    if args.fast:
+        from bayeslim_tpu.ops.rime_pallas import set_precise_dots
+        set_precise_dots(False)
+        args.tol = max(args.tol, 1e-2)
     results, failures = run_checks(platform="cpu" if args.cpu else None,
                                    quick=args.quick, tol=args.tol)
     worst = max(v for errs in results.values() for v in errs.values())
