@@ -117,17 +117,26 @@ def build_array(modfile=None, antpos=None, ants=None, antvecs=None,
 
 
 def build_sky(multi=None, modfile=None, pdict=None, catfile=None,
-              freqs=None, freq_interp="linear", parameter=True, **kwargs):
+              freqs=None, freq_interp="linear", parameter=True,
+              set_param=None, unset_param=None, comp_kwargs=None,
+              **kwargs):
     """Sky model from pkl / YAML catalogue / kwargs
-    (reference io.py:129-230)."""
+    (reference io.py:129-199; full kwargs surface).
+
+    multi: either the reference's list of (name, kwargs) 2-tuples or a
+    {name: kwargs} dict — each built via build_sky and composed into a
+    CompositeModel(**comp_kwargs). pdict (ParamDict or pkl path) updates
+    the built model; set_param/unset_param toggle an attribute's
+    trainability after construction."""
     from ..models.sky import (PointSky, PointSkyResponse, CompositeModel,
                               read_catalogue)
     if multi is not None:
-        models = {k: build_sky(**v) for k, v in multi.items()}
-        return CompositeModel(models, **kwargs)
+        items = multi.items() if isinstance(multi, dict) else list(multi)
+        models = {name: build_sky(**kw) for name, kw in items}
+        return CompositeModel(models, **(comp_kwargs or {}))
     if isinstance(modfile, str):
-        return read_pkl(modfile, pdict=pdict)
-    if catfile is not None:
+        model = read_pkl(modfile, pdict=pdict)
+    elif catfile is not None:
         params, angs, meta = read_catalogue(catfile, freqs=freqs,
                                             freq_interp=freq_interp)
         if freqs is None:
@@ -135,10 +144,20 @@ def build_sky(multi=None, modfile=None, pdict=None, catfile=None,
         assert freqs is not None, "catalogue sky needs freqs"
         R = PointSkyResponse(freqs, freq_mode=meta["freq_mode"],
                              f0=meta.get("f0"))
-        sky = PointSky(params, angs, R=R, parameter=parameter,
-                       name=kwargs.get("name"))
-        return sky
-    raise ValueError("need multi, modfile or catfile")
+        model = PointSky(params, angs, R=R, parameter=parameter,
+                         name=kwargs.get("name"))
+        if pdict is not None:
+            if isinstance(pdict, str):
+                from ..utils.paramdict import read_pdict
+                pdict = read_pdict(pdict)
+            model.update(pdict)
+    else:
+        raise ValueError("need multi, modfile or catfile")
+    if set_param is not None and hasattr(model, set_param):
+        model.set_param(set_param)
+    if unset_param is not None and hasattr(model, unset_param):
+        model.unset_param(unset_param)
+    return model
 
 
 def build_beam(modfile=None, pdict=None, kind="gauss", params=None,
@@ -175,22 +194,59 @@ def build_rime(modfile=None, sky=None, telescope=None, beam=None,
     indexed batching (RIME.enable_indexed_batching). redundant: simulate
     only one baseline per redundant group of the array and expand to
     `sim_bls` via the sim->data index (identical data and gradients,
-    ~Nbls/Nred times less compute on a redundant array)."""
+    ~Nbls/Nred times less compute on a redundant array).
+
+    Reference kwargs surface (io.py:310-426): sky/beam/telescope/array
+    accept a built model, a build dict, or a pkl path; times/freqs/
+    sim_bls/data_bls accept arrays/lists or pkl paths; sim_bls and
+    data_bls also accept a {get_bls kwargs} dict resolved through the
+    built array; sim_bls may be a list of baseline groups; pdict (or a
+    pkl path) updates the built model."""
     from ..models.rime import RIME
+    pdict = kwargs.pop("pdict", None)
     if isinstance(modfile, str):
-        return read_pkl(modfile)
+        return read_pkl(modfile, pdict=pdict)
+    if isinstance(sky, str):
+        sky = dict(modfile=sky)
     if isinstance(sky, dict):
         sky = build_sky(**sky)
+    if isinstance(telescope, str):
+        telescope = dict(modfile=telescope)
     if isinstance(telescope, dict):
         telescope = build_telescope(**telescope)
+    if isinstance(beam, str):
+        beam = dict(modfile=beam)
     if isinstance(beam, dict):
         beam = build_beam(**beam)
+    if isinstance(array, str):
+        array = dict(modfile=array)
     if isinstance(array, dict):
         array = build_array(**array)
-    sim_bls = [tuple(bl) for bl in sim_bls]
-    if redundant and kwargs.get("data_bls") is None:
+    if isinstance(times, str):
+        times = read_pkl(times)
+    if isinstance(freqs, str):
+        freqs = read_pkl(freqs)
+    if isinstance(sim_bls, str):
+        sim_bls = read_pkl(sim_bls)
+    elif isinstance(sim_bls, dict):
+        sim_bls = array.get_bls(**sim_bls)
+    data_bls = kwargs.pop("data_bls", None)
+    if isinstance(data_bls, str):
+        data_bls = read_pkl(data_bls)
+    elif isinstance(data_bls, dict):
+        data_bls = array.get_bls(**data_bls)
+    if data_bls is not None:
+        data_bls = [tuple(int(a) for a in bl) for bl in data_bls]
+    grouped = (len(sim_bls) > 0 and not isinstance(sim_bls[0], tuple)
+               and np.ndim(sim_bls[0]) > 1)
+    if grouped:
+        sim_bls = [[tuple(int(a) for a in bl) for bl in grp]
+                   for grp in sim_bls]
+    else:
+        sim_bls = [tuple(int(a) for a in bl) for bl in sim_bls]
+    if redundant and data_bls is None and not grouped:
         gids = sorted({array.bl2red[bl] for bl in sim_bls})
-        kwargs["data_bls"] = sim_bls
+        data_bls = sim_bls
         sim_bls = [array.reds[g][0] for g in gids]
     times = np.asarray(times)
     if time_batch:
@@ -199,9 +255,14 @@ def build_rime(modfile=None, sky=None, telescope=None, beam=None,
         tb = int(time_batch)
         times = [times[i:i + tb] for i in range(0, len(times), tb)]
     rime = RIME(sky, telescope, beam, array, sim_bls, times,
-                np.asarray(freqs), **kwargs)
+                np.asarray(freqs), data_bls=data_bls, **kwargs)
     if indexed_batching:
         rime.enable_indexed_batching()
+    if pdict is not None:
+        if isinstance(pdict, str):
+            from ..utils.paramdict import read_pdict
+            pdict = read_pdict(pdict)
+        rime.update(pdict)
     return rime
 
 

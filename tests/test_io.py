@@ -200,3 +200,112 @@ def test_build_prob_reduce_by_redundancy(tmp_path):
     gmax = max(float(jnp.abs(gA[k]).max()) for k in gA)
     assert max(float(jnp.abs(gA[k] - gB[k]).max()) for k in gA) < 1e-10 * gmax
     assert np.isclose(float(vA), float(vB) + probB.chisq_const, rtol=1e-10)
+
+
+def test_builder_kwargs_surface_audit():
+    """Every kwarg the reference's build_* functions accept is either
+    accepted here or explicitly obsolete-by-design (VERDICT r2 #7)."""
+    import ast
+    import inspect
+    from bayeslim_tpu.data import io as tio
+
+    # kwargs obsolete on TPU (device plumbing, runtime fringe caches)
+    OBSOLETE = {"device", "cache_f", "cache_f_angs", "interp_mode"}
+
+    src = open("/root/reference/bayeslim/io.py").read()
+    tree = ast.parse(src)
+    ref_sigs = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and \
+                node.name.startswith("build_"):
+            ref_sigs[node.name] = [a.arg for a in node.args.args]
+
+    assert len(ref_sigs) >= 7
+    for name, ref_args in ref_sigs.items():
+        ours = getattr(tio, name, None)
+        assert ours is not None, f"{name} missing"
+        sig = inspect.signature(ours)
+        accepts_var = any(p.kind is p.VAR_KEYWORD
+                          for p in sig.parameters.values())
+        for a in ref_args:
+            if a in OBSOLETE:
+                continue
+            ok = a in sig.parameters or accepts_var
+            assert ok, f"{name} does not accept reference kwarg '{a}'"
+
+
+def test_build_sky_multi_and_param_toggles(tmp_path):
+    """Reference multi list-of-tuples form, comp_kwargs, set/unset_param
+    and pdict-on-catalogue (reference io.py:129-199)."""
+    T = io.build_telescope(location=HERA_LOC)
+    cat = _write_cat(tmp_path, T)
+    freqs = np.linspace(100e6, 110e6, 4)
+
+    sky = io.build_sky(catfile=cat, freqs=freqs, unset_param="params")
+    assert "params" not in sky._params
+    sky2 = io.build_sky(catfile=cat, freqs=freqs, parameter=False,
+                        set_param="params")
+    assert "params" in sky2._params
+
+    # pdict applied to a catalogue-built sky
+    p3 = np.asarray(sky2.params) * 2
+    sky3 = io.build_sky(catfile=cat, freqs=freqs,
+                        pdict={"params": jnp.asarray(p3)})
+    assert np.allclose(np.asarray(sky3.params), p3)
+
+    # reference multi form: list of (name, kwargs)
+    comp = io.build_sky(multi=[("a", dict(catfile=cat, freqs=freqs)),
+                               ("b", dict(catfile=cat, freqs=freqs))])
+    assert set(comp.models.keys()) == {"a", "b"}
+
+
+def test_build_rime_reference_forms(tmp_path):
+    """build_rime accepts pkl paths and get_bls dicts for its components
+    (reference io.py:310-426)."""
+    from bayeslim_tpu.utils import make_hex
+    T = io.build_telescope(location=HERA_LOC)
+    cat = _write_cat(tmp_path, T)
+    ants, antvecs = make_hex(2)
+    freqs = np.linspace(100e6, 110e6, 4)
+    times = np.asarray([JD0, JD0 + 5e-4])
+
+    # pickle the component models + times/freqs/bls
+    sky = io.build_sky(catfile=cat, freqs=freqs)
+    arr = io.build_array(ants=ants, antvecs=antvecs, freqs=freqs,
+                         redtol=0.5)
+    beam = io.build_beam(kind="gauss", freqs=freqs,
+                         params=np.ones((1, 1, 1, len(freqs), 2)) * 0.5,
+                         pol="e", powerbeam=True, fov=180.0)
+    fsky = str(tmp_path / "sky.pkl")
+    farr = str(tmp_path / "arr.pkl")
+    fbeam = str(tmp_path / "beam.pkl")
+    ftel = str(tmp_path / "tel.pkl")
+    ftimes = str(tmp_path / "times.pkl")
+    io.write_pkl(fsky, sky)
+    io.write_pkl(farr, arr)
+    io.write_pkl(fbeam, beam)
+    io.write_pkl(ftel, T)
+    io.write_pkl(ftimes, times)
+
+    rime = io.build_rime(sky=fsky, telescope=ftel, beam=fbeam, array=farr,
+                         sim_bls=dict(keep_autos=False), times=ftimes,
+                         freqs=freqs)
+    assert rime.Nbls_all == len(arr.get_bls(keep_autos=False))
+    vd = rime.forward()
+    assert np.isfinite(np.asarray(vd.data)).all()
+
+    # grouped sim_bls (list of baseline groups -> Nbatch over bl groups)
+    bls = arr.get_bls(keep_autos=False)
+    groups = [bls[:3], bls[3:6]]
+    rime2 = io.build_rime(sky=fsky, telescope=ftel, beam=fbeam,
+                          array=farr, sim_bls=groups, times=times,
+                          freqs=freqs)
+    assert rime2.Nbl_groups == 2
+
+    # pdict updates the built model
+    pd = {"sky.params": sky.params * 3.0}
+    rime3 = io.build_rime(sky=fsky, telescope=ftel, beam=fbeam,
+                          array=farr, sim_bls=bls[:3], times=times,
+                          freqs=freqs, pdict=pd)
+    assert np.allclose(np.asarray(rime3.sky.params),
+                       np.asarray(sky.params) * 3.0)
