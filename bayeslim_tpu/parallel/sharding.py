@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .multihost import global_put as _gput
+
 
 def _dtype(x):
     return jnp.float32 if x.dtype in (jnp.complex64, jnp.float32) \
@@ -48,7 +50,7 @@ def make_mesh(axis_sizes, devices=None):
 def replicate(tree, mesh):
     """Place every leaf replicated on the mesh."""
     s = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s)
+    return jax.tree_util.tree_map(lambda x: _gput(x, s)
                                   if isinstance(x, (jax.Array, np.ndarray))
                                   else x, tree)
 
@@ -82,7 +84,7 @@ def shard_rime(rime, mesh, time_axis="data", bl_axis=None, inplace=False):
     def shard_leaf(x, lead_dims=0):
         spec = P(*((None,) * lead_dims + (time_axis,)
                    + (None,) * (x.ndim - lead_dims - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _gput(x, NamedSharding(mesh, spec))
 
     for key, pre in rime._pre.items():
         for name in ("zen", "az", "cut", "mask", "s"):
@@ -103,7 +105,7 @@ def shard_rime(rime, mesh, time_axis="data", bl_axis=None, inplace=False):
         # baselines' visibilities)
         bspec = NamedSharding(mesh, P(bl_axis))
         rime._blidx_groups = {
-            k: tuple(jax.device_put(ix, bspec) for ix in v)
+            k: tuple(_gput(ix, bspec) for ix in v)
             for k, v in rime._blidx_groups.items()}
 
     rime.time_mode = "vmap"
@@ -114,7 +116,7 @@ def shard_rime(rime, mesh, time_axis="data", bl_axis=None, inplace=False):
     rep = NamedSharding(mesh, P())
     rime.sky.push(rep)
     rime.beam.push(rep)
-    rime.array.antvecs = jax.device_put(rime.array.antvecs, rep)
+    rime.array.antvecs = _gput(rime.array.antvecs, rep)
     return rime
 
 
@@ -139,9 +141,9 @@ def shard_visdata(vd, mesh, time_axis="data", bl_axis=None):
         if v is None:
             continue
         if np.ndim(v) == 5:
-            setattr(vd, f, jax.device_put(jnp.asarray(v), s))
+            setattr(vd, f, _gput(jnp.asarray(v), s))
         elif np.ndim(v) == 6 and cov_axis in cov_specs:
-            setattr(vd, f, jax.device_put(
+            setattr(vd, f, _gput(
                 jnp.asarray(v), NamedSharding(mesh, cov_specs[cov_axis])))
     return vd
 
@@ -207,7 +209,7 @@ class ShardedLogProb:
             # leaf copies keep the wrapped model untouched
             prob.model = prob.model.copy()
             for k, spec in self.param_shardings.items():
-                prob.model[k] = jax.device_put(
+                prob.model[k] = _gput(
                     prob.model[k], NamedSharding(mesh, spec))
         self.prob = prob
 
@@ -217,8 +219,8 @@ class ShardedLogProb:
         from ..utils import ParamDict
         ps = self.param_shardings or {}
         return ParamDict({
-            k: jax.device_put(v, NamedSharding(self.mesh, ps[k]))
-            if k in ps else jax.device_put(v, rep)
+            k: _gput(v, NamedSharding(self.mesh, ps[k]))
+            if k in ps else _gput(v, rep)
             for k, v in pd.items()})
 
     def value_and_grad(self, pdict=None):
@@ -501,7 +503,7 @@ def shard_pixels(rime, mesh, pix_axis="model", inplace=False):
 
     def put(x, axes_before):
         spec = P(*((None,) * axes_before + (pix_axis,)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _gput(x, NamedSharding(mesh, spec))
 
     for key, pre in rime._pre.items():
         for name in ("zen", "az", "cut", "mask"):

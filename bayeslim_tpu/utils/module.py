@@ -273,9 +273,18 @@ class Module:
 
     # --- misc -------------------------------------------------------------
     def push(self, device):
-        """Move all array leaves to a device/sharding, in place."""
+        """Move all array leaves to a device/sharding, in place.
+
+        Multi-process (jax.distributed): shardings spanning processes go
+        through parallel.multihost.global_put (every process holds the
+        same full host copy)."""
         leaves, treedef = jax.tree_util.tree_flatten(self)
-        moved = [jax.device_put(x, device) for x in leaves]
+        if jax.process_count() > 1 and \
+                isinstance(device, jax.sharding.Sharding):
+            from ..parallel.multihost import global_put
+            moved = [global_put(x, device) for x in leaves]
+        else:
+            moved = [jax.device_put(x, device) for x in leaves]
         new = jax.tree_util.tree_unflatten(treedef, moved)
         self.__dict__.update(new.__dict__)
         return self

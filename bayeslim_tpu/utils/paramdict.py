@@ -146,7 +146,12 @@ class ParamDict:
         return ParamDict(out)
 
     def push(self, device):
-        """Move all values to a device (or shard with a Sharding)."""
+        """Move all values to a device (or shard with a Sharding);
+        multi-process shardings route through multihost.global_put."""
+        if jax.process_count() > 1 and \
+                isinstance(device, jax.sharding.Sharding):
+            from ..parallel.multihost import global_put
+            return self.operator(lambda v: global_put(v, device))
         return self.operator(lambda v: jax.device_put(v, device))
 
     def write_pkl(self, fname, overwrite=False):
