@@ -14,9 +14,9 @@ import numpy as np
 from .containers import VisData
 from ..utils import AntposDict
 
-__all__ = ["HAS_PYUVDATA", "PyVisData", "read_uvh5", "run_rime_sim",
-           "setup_uvdata", "complete_uvdata", "parse_time_params",
-           "parse_freq_params"]
+__all__ = ["HAS_PYUVDATA", "PyVisData", "read_uvh5", "read_calfits",
+           "run_rime_sim", "setup_uvdata", "complete_uvdata",
+           "parse_time_params", "parse_freq_params"]
 
 try:
     import pyuvdata  # noqa: F401
@@ -127,6 +127,155 @@ def read_uvh5(fname, run_check=True):
     if run_check:
         obj.check()
     return obj
+
+
+def _read_fits_hdus(fname):
+    """Minimal FITS reader (pure numpy): list of (header dict, data).
+
+    Handles the two HDU kinds a pyuvdata calfits file contains: a
+    primary image HDU (big-endian array, axes NAXISn reversed to C
+    order) and BINTABLE extensions (structured big-endian records from
+    TFORMn codes A/D/E/J with optional repeat counts)."""
+    hdus = []
+    with open(fname, "rb") as f:
+        raw = f.read()
+    pos = 0
+    while pos < len(raw):
+        cards = {}
+        end = False
+        while not end:
+            block = raw[pos:pos + 2880]
+            if len(block) < 2880:
+                return hdus
+            pos += 2880
+            for i in range(0, 2880, 80):
+                card = block[i:i + 80].decode("ascii", errors="replace")
+                key = card[:8].strip()
+                if key == "END":
+                    end = True
+                    break
+                if "=" in card[:10]:
+                    val = card[10:].split("/")[0].strip()
+                    cards[key] = val.strip("' ").strip()
+        naxis = int(cards.get("NAXIS", 0))
+        shape = [int(cards[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
+        n = int(np.prod(shape)) if shape else 0
+        n += int(cards.get("PCOUNT", 0))
+        bitpix = int(cards.get("BITPIX", 8))
+        itemsize = abs(bitpix) // 8
+        nbytes = n * itemsize
+        data_raw = raw[pos:pos + nbytes]
+        pos += ((nbytes + 2879) // 2880) * 2880
+        if cards.get("XTENSION", "").startswith("BINTABLE") and naxis:
+            nfields = int(cards["TFIELDS"])
+            names, formats = [], []
+            fmap = {"A": "S", "D": ">f8", "E": ">f4", "J": ">i4",
+                    "K": ">i8", "I": ">i2"}
+            for i in range(1, nfields + 1):
+                tform = cards[f"TFORM{i}"]
+                rep = int(tform[:-1]) if tform[:-1] else 1
+                code = tform[-1]
+                names.append(cards.get(f"TTYPE{i}", f"col{i}").strip())
+                if code == "A":
+                    formats.append(f"S{rep}")
+                else:
+                    formats.append((fmap[code], (rep,)) if rep > 1
+                                   else fmap[code])
+            dt = np.dtype({"names": names, "formats": formats})
+            data = np.frombuffer(data_raw, dtype=dt,
+                                 count=int(cards["NAXIS2"]))
+        elif naxis:
+            dtmap = {8: "u1", 16: ">i2", 32: ">i4", -32: ">f4",
+                     -64: ">f8"}
+            data = np.frombuffer(data_raw, dtype=dtmap[bitpix]
+                                 ).reshape(shape)
+        else:
+            data = None
+        hdus.append((cards, data))
+    return hdus
+
+
+def read_calfits(fname, run_check=True):
+    """Read a pyuvdata calfits gain file into a CalData — no
+    pyuvdata/astropy required (pure-numpy FITS parse).
+
+    The calfits primary HDU is (Nants, Nspw, Nfreqs, Ntimes, Njones, 4)
+    float64 with the trailing axis = [gain_re, gain_im, flags, quality];
+    the JONES axis carries AIPS codes from CRVAL2/CDELT2 (XORIENT
+    resolves x->e/n); the ANTENNAS bintable gives antenna numbers
+    (ANTARR), names and positions. The reference reads these files only
+    through pyuvdata (dataset.py read_uvcal); this is the standalone
+    equivalent, parity-pinned on the bundled
+    2458101.sum.true_gains calfits file.
+    """
+    import jax.numpy as jnp
+    from .containers import CalData
+    from ..utils.dtypes import _float
+
+    hdus = _read_fits_hdus(fname)
+    hdr, arr = hdus[0]
+    assert hdr.get("CALTYPE", "gain").startswith("gain"), \
+        "only gain-type calfits supported"
+    ants_tab = None
+    for cards, data in hdus[1:]:
+        if cards.get("EXTNAME", "").startswith("ANTENNAS"):
+            ants_tab = data
+    assert ants_tab is not None, "no ANTENNAS extension"
+
+    # axes (C order after reversal): (Nants, Nspw, Nfreqs, Ntimes,
+    # Njones, 4)
+    na, nspw, nf, nt, nj, _ = arr.shape
+    arr = np.asarray(arr, dtype=np.float64)[:, 0]   # drop spw
+    gains = arr[..., 0] + 1j * arr[..., 1]          # (Na, Nf, Nt, Nj)
+    flags = arr[..., 2] > 0
+
+    def axis_grid(ax, n):
+        crval = float(hdr[f"CRVAL{ax}"])
+        cdelt = float(hdr.get(f"CDELT{ax}", 1.0))
+        crpix = float(hdr.get(f"CRPIX{ax}", 1.0))
+        return crval + (np.arange(1, n + 1) - crpix) * cdelt
+
+    freqs = axis_grid(4, nf)
+    times = axis_grid(3, nt)
+    jones = axis_grid(2, nj).astype(int)
+    x_orient = hdr.get("XORIENT", "north")
+    feed_map = ({"x": "e", "y": "n"} if x_orient.lower().startswith("e")
+                else {"x": "n", "y": "e"})
+    grid = {"e": 0, "n": 1}
+    pols = ["".join(feed_map[c] for c in _AIPS_POL_FEEDS[j]) for j in jones]
+
+    ant_nums = np.asarray(ants_tab["ANTARR"], dtype=np.float64).astype(int)
+    keep = ant_nums >= 0
+    ant_nums = ant_nums[keep]
+    gains = gains[keep]
+    flags = flags[keep]
+
+    npol = 1 if len(pols) == 1 else 2
+    data = np.zeros((npol, npol, len(ant_nums), nt, nf), dtype=complex)
+    fl = np.zeros((npol, npol, len(ant_nums), nt, nf), dtype=bool)
+    for k, pname in enumerate(pols):
+        assert pname[0] == pname[1], "calfits gains are per-feed (diag)"
+        i = 0 if npol == 1 else grid[pname[0]]
+        # (Na, Nf, Nt) -> (Na, Nt, Nf)
+        data[i, i] = np.moveaxis(gains[..., k], 1, 2)
+        fl[i, i] = np.moveaxis(flags[..., k], 1, 2)
+
+    cd = CalData()
+    telescope = None
+    if "LON" in hdr and "LAT" in hdr:
+        from ..models.telescope import TelescopeModel
+        telescope = TelescopeModel((float(hdr["LON"]), float(hdr["LAT"]),
+                                    float(hdr.get("ALT", 0.0))))
+    antpos = None
+    if "ANTXYZ" in (ants_tab.dtype.names or ()):
+        xyz = np.asarray(ants_tab["ANTXYZ"], dtype=np.float64)[keep]
+        antpos = AntposDict([int(a) for a in ant_nums], xyz)
+    cd.setup_meta(telescope=telescope, antpos=antpos)
+    cd.setup_data([int(a) for a in ant_nums], times, freqs,
+                  pol=pols[0] if npol == 1 else None,
+                  data=jnp.asarray(data), flags=jnp.asarray(fl),
+                  history=f"read_calfits({fname})")
+    return cd
 
 
 class PyVisData(VisData):

@@ -331,37 +331,44 @@ def run_hvp_bench(cfg, platform=None, x64=False, nhvp=2):
     x0 = pd.ravel()
     n = int(x0.size)
 
-    def f(x):
-        return fn(ParamDict(dict(template.unravel(x))), prob.model, data,
+    # model/data/icov are explicit jit ARGUMENTS: a complex64 device
+    # array captured as a closure constant would be fetched to host for
+    # MLIR embedding at trace time, which the axon backend cannot do
+    def f(x, model, data, icov):
+        return fn(ParamDict(dict(template.unravel(x))), model, data,
                   icov)
 
     grad_f = jax.grad(f)
-    hvp = jax.jit(lambda x, v: jax.jvp(grad_f, (x,), (v,))[1])
+    hvp = jax.jit(lambda x, v, model, data, icov: jax.jvp(
+        lambda y: grad_f(y, model, data, icov), (x,), (v,))[1])
     rng = np.random.default_rng(0)
     v0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
 
     fetch = _fetch_floor()
     with force_xla():  # statics read at trace time
         t0 = time.time()
-        out = hvp(x0, v0)
+        out = hvp(x0, v0, prob.model, data, icov)
         _ = float(jnp.ravel(out)[0])
         compile_hvp = time.time() - t0
         t0 = time.time()
         for _i in range(nhvp):
-            out = hvp(x0, v0)
+            out = hvp(x0, v0, prob.model, data, icov)
             _ = float(jnp.ravel(out)[0])
         t_hvp = max((time.time() - t0) / nhvp - fetch, 1e-9)
 
-    # fused first-order gradient for the penalty denominator
+    # fused first-order gradient for the penalty denominator. Fetch a
+    # GRADIENT element, not just the value: on the remote backend only
+    # value fetches synchronize, and the loss alone would let the
+    # backward kernels run past the timer
     vg = jax.jit(jax.value_and_grad(f))
     t0 = time.time()
-    val, g = vg(x0)
-    _ = float(val)
+    val, g = vg(x0, prob.model, data, icov)
+    _ = float(jnp.ravel(g)[0])
     compile_vg = time.time() - t0
     t0 = time.time()
     for _i in range(nhvp):
-        val, g = vg(x0)
-        _ = float(val)
+        val, g = vg(x0, prob.model, data, icov)
+        _ = float(jnp.ravel(g)[0])
     t_vg = max((time.time() - t0) / nhvp - fetch, 1e-9)
 
     penalty = t_hvp / (2.0 * t_vg)  # kernel-ideal HVP ~ 2x fwd+bwd
@@ -425,9 +432,13 @@ def run_hmc_bench(platform=None, x64=False, hexN=3, nfreq=128, nside=32,
     times = jd0 + np.arange(1) * 5e-4
     rime = bl.RIME(sky, T, beam, arr, bls, times, freqs, pix_chunk=2048)
 
-    # per-antenna complex gains (viewreal trainable), refant fixed
-    g0 = jnp.asarray(np.ones((1, 1, len(ants), 1, nfreq)) + 0j)
-    J = JonesModel(bl.viewreal(g0), ants, refant=ants[0])
+    # per-antenna complex gains as a real (re, im) pair view built with
+    # HOST numpy (a complex64 host->device transfer fails on the axon
+    # backend), refant fixed
+    shape = (1, 1, len(ants), 1, nfreq)
+    g0 = np.stack([np.ones(shape, np.float32),
+                   np.zeros(shape, np.float32)], axis=-1)
+    J = JonesModel(jnp.asarray(g0), ants, refant=ants[0])
     model = Sequential({"rime": rime, "cal": J})
 
     tgt_data = jax.jit(lambda mm: mm.forward().data)(model)

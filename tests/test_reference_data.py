@@ -230,3 +230,40 @@ def test_uvh5_select_and_rime_compat():
     arr = bl.ArrayModel(vd.antpos, freqs=sub.freqs)
     blv = np.asarray(arr.get_blvecs(sub.bls))
     assert blv.shape == (6, 3)
+
+
+def test_read_bundled_calfits():
+    """The bundled true-gains calfits file loads verbatim through the
+    pure-numpy FITS reader (no pyuvdata/astropy; reference reads these
+    only through pyuvdata)."""
+    from bayeslim_tpu.data.uvdata_interface import read_calfits
+    f = os.path.join(REF_DATA,
+                     "2458101.sum.true_gains.singletime_downselect.calfits")
+    cd = read_calfits(f)
+    assert cd.data.shape == (2, 2, 33, 1, 200)
+    assert cd.pol is None and cd.Nants == 33
+    # frequency grid from the FITS WCS cards
+    np.testing.assert_allclose(cd.freqs[0], 158651026.3929665)
+    np.testing.assert_allclose(np.diff(cd.freqs), 97751.71065494418)
+    np.testing.assert_allclose(cd.times[0], 2458101.259800491)
+    d = np.asarray(cd.data)
+    # per-feed (diagonal) gains only
+    assert np.abs(d[0, 1]).max() == 0 and np.abs(d[1, 0]).max() == 0
+    assert np.isfinite(d).all() and np.abs(d[0, 0]).mean() > 0
+
+    # pin one element against a manual big-endian parse of the primary
+    # HDU (2 header blocks of 2880 bytes, then (33,1,200,1,2,4) f64)
+    with open(f, "rb") as fh:
+        raw = fh.read()
+    arr = np.frombuffer(raw[2 * 2880:2 * 2880 + 33 * 200 * 2 * 4 * 8],
+                        dtype=">f8").reshape(33, 1, 200, 1, 2, 4)
+    expect = arr[5, 0, 17, 0, 0, 0] + 1j * arr[5, 0, 17, 0, 0, 1]
+    np.testing.assert_allclose(d[0, 0, 5, 0, 17], expect, rtol=1e-12)
+
+    # telescope location card matches HERA
+    lon, lat, alt = cd.telescope.location
+    assert abs(lat - -30.7215) < 1e-3 and abs(lon - 21.4283) < 1e-3
+    # gains flow into apply_cal on a matching VisData selection
+    vd = read_uvh5(UVH5)
+    sub = vd.select(times=vd.times[:1], inplace=False)
+    assert set(a for bl in sub.bls for a in bl) <= set(cd.ants)
