@@ -428,7 +428,10 @@ def rephase_to_refant(params, param_type, refant_idx, p0=None,
             params = viewcomp(params)
         full = params if p0 is None else params + p0
         if mode == "rephase":
-            phs = jnp.exp(1j * jnp.angle(full[:, :, i:i + 1]))
+            # lax.complex (not 1j*angle): a complex scalar constant
+            # cannot be transferred to the axon TPU backend
+            ang = jnp.angle(full[:, :, i:i + 1])
+            phs = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
             return params / phs if p0 is None else (full / phs) - p0
         # zero mode: strip imag of refant
         return params.at[:, :, i:i + 1].set(params[:, :, i:i + 1].real

@@ -339,7 +339,10 @@ class AlmModel(Module):
             if separable is None else separable
 
     def generate_Ylm(self, theta, phi, separable=False, **kwargs):
-        """Generate + attach Ylm for given angles [rad]."""
+        """Generate + attach Ylm for given angles [rad].
+
+        On the axon TPU backend pass real=True (real basis): a complex
+        Ylm matrix cannot be host->device transferred there."""
         th, ph = (theta, phi) if not separable else (theta, phi)
         if separable:
             Y, norm, am = gen_sph2pix(th, ph, self.l, self.m,

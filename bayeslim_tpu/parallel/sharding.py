@@ -306,21 +306,44 @@ class ShardedLogProb:
         cov_axis = getattr(tgt, "cov_axis", None)
         assert inp is None, "shard_map path: start_inp not supported"
         assert prob.compute in ("post", "like")
+        expand_s2d = None
         if self.bl_axis is not None:
-            # per-baseline host metadata (mp grouping, expansion indices,
-            # Jones/VisModel baseline indexing) cannot differ across the
-            # shards of ONE traced program — those features ride the time
-            # axis or the GSPMD path instead
+            # per-baseline host metadata (mp grouping, Jones/VisModel
+            # baseline indexing) cannot differ across the shards of ONE
+            # traced program — those features ride the time axis or the
+            # GSPMD path instead
             mp = rime._mp_groups[rime.bl_group_id]
             assert model is rime, \
                 "bl_axis sharding needs a bare RIME (chains: time axis)"
             assert mp[2] is None, \
                 "bl_axis sharding needs Nmp == 1 (multi-pol: time axis)"
-            assert rime._sim2data[rime.bl_group_id] is None, \
-                "bl_axis sharding: redundancy expansion rides the time " \
-                "axis or the GSPMD value_and_grad path"
             assert cov_axis in (None, "time"), \
                 "bl-coupled covariance cannot shard over baselines"
+            s2d = rime._sim2data[rime.bl_group_id]
+            if s2d is not None:
+                # sim->data redundancy expansion across baseline shards:
+                # each device computes its LOCAL sim baselines, the sim
+                # cube (small: Nred rows) is all-gathered over the bl
+                # axis, and each device takes ITS shard of data-baseline
+                # rows (the expansion index arrives as a bl-sharded
+                # input). The model handed to shard_map has the internal
+                # expansion stripped (static metadata; the leaf list is
+                # identical).
+                nsh = dict(zip(self.mesh.axis_names,
+                               self.mesh.devices.shape))[self.bl_axis]
+                nsim = len(rime.sim_bl_groups[rime.bl_group_id])
+                assert nsim % nsh == 0 and len(s2d) % nsh == 0, \
+                    (f"bl_axis expansion needs Nsim ({nsim}) and Ndata "
+                     f"({len(s2d)}) divisible by the '{self.bl_axis}' "
+                     f"axis size {nsh}")
+                stripped = rime.copy()
+                stripped._sim2data = dict(rime._sim2data)
+                stripped._sim2data[rime.bl_group_id] = None
+                stripped.data_bl_groups = dict(rime.sim_bl_groups)
+                model = stripped   # treedef donor; leaves are identical
+                expand_s2d = _gput(
+                    jnp.asarray(np.asarray(s2d), jnp.int32),
+                    NamedSharding(self.mesh, P(self.bl_axis)))
         if cov_axis is not None:
             allowed = ("bl", "freq") if self.bl_axis is None \
                 else ("time",)
@@ -381,7 +404,9 @@ class ShardedLogProb:
                              for k, v in mc.models.items()}
             return mc
 
-        def local_fn(pd, model_leaves, data, icov):
+        bl_axis = self.bl_axis
+
+        def local_fn(pd, model_leaves, data, icov, s2d):
             m = jax.tree_util.tree_unflatten(model_def, model_leaves)
             m = strip_vis_sharding(m)
             mm = apply_pd(m, pd)
@@ -391,7 +416,14 @@ class ShardedLogProb:
             # same prior; it is added once outside the psum)
             pc = {}
             out = mm.forward(None, prior_cache=pc)
-            res = (out.data if hasattr(out, "data") else out) - data
+            vis = out.data if hasattr(out, "data") else out
+            if expand_s2d is not None:
+                # gather the (small) sim cube across baseline shards,
+                # expand onto this device's data-baseline shard
+                visg = jax.lax.all_gather(vis, bl_axis, axis=2,
+                                          tiled=True)
+                vis = jnp.take(visg, s2d, axis=2)
+            res = vis - data
             chi = apply_icov(res, icov if has_icov else None, cov_axis)
             chi = jnp.sum(chi)
             if jnp.iscomplexobj(chi):
@@ -418,22 +450,22 @@ class ShardedLogProb:
         # leaf specs from the CONCRETE sharded model (tracers inside the
         # jit have no .sharding)
         leaf_specs = [spec_of(x) for x in jax.tree_util.tree_leaves(model)]
+        s2d_spec = P(self.bl_axis) if expand_s2d is not None else P()
+        in_specs = (pd_specs, leaf_specs, data_spec, icov_spec, s2d_spec)
         try:
-            smap = shard_map(local_fn, mesh=mesh,
-                             in_specs=(pd_specs, leaf_specs, data_spec,
-                                       icov_spec),
+            smap = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
                              out_specs=(P(), P()), check_vma=False)
         except TypeError:  # older jax spells it check_rep
-            smap = shard_map(local_fn, mesh=mesh,
-                             in_specs=(pd_specs, leaf_specs, data_spec,
-                                       icov_spec),
+            smap = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
                              out_specs=(P(), P()), check_rep=False)
 
         prior_dict = prob.prior_dict
+        s2d_arg = expand_s2d if expand_s2d is not None \
+            else jnp.zeros((1,), jnp.int32)
 
         def total(pd, m, data, icov):
             leaves = jax.tree_util.tree_leaves(m)
-            chisq, fwd_prior = smap(pd, leaves, data, icov)
+            chisq, fwd_prior = smap(pd, leaves, data, icov, s2d_arg)
             loglike = (-chisq - norm) if cc else (-0.5 * chisq - norm)
             if not include_prior:
                 lp = loglike

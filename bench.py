@@ -416,7 +416,8 @@ def run_hmc_bench(platform=None, x64=False, hexN=3, nfreq=128, nside=32,
     angs = np.stack([phi * 180 / np.pi, 90 - theta * 180 / np.pi])
     l, m = sh.gen_lm(lmax)
     spat = sh.AlmModel(l, m, real_output=True)
-    spat.generate_Ylm(theta, phi, method="sphere", high_prec=False)
+    spat.generate_Ylm(theta, phi, method="sphere", high_prec=False,
+                      real=True)
     rng = np.random.default_rng(0)
     alm = np.zeros((1, 1, 2, len(l)))
     alm[0, 0, 0] = rng.normal(size=len(l)) * 2.0

@@ -340,29 +340,97 @@ def test_shard_map_out_params_priors():
 
 def test_shard_map_rejects_unsupported():
     """Features that genuinely cross baseline shards must fail loudly on
-    the bl-sharded smap path, not silently disagree."""
+    the bl-sharded smap path, not silently disagree: a Sequential chain
+    (per-baseline Jones host indexing) cannot shard over baselines."""
     import pytest as _pt
-    # redundancy expansion cannot ride bl sharding (host metadata differs
-    # per shard); it is supported under time sharding + the GSPMD path
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:4]
+    times = JD0 + np.arange(4) * 5e-4
+    ants = sorted(set(a for b in bls for a in b))
+    g = jnp.asarray(np.ones((1, 1, len(ants), 1, len(freqs))) + 0j)
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                   time_mode="vmap")
+    seq = Sequential({"rime": rime,
+                      "cal": JonesModel(g, ants, R=JonesResponse())})
+    vd = seq.forward()
+    tgt = vd.copy()
+    tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data)
+    prob = LogProb(seq, tgt)
+    mesh = make_mesh({"data": 2, "model": 2})
+    sprob = ShardedLogProb(prob, mesh, bl_axis="model")
+    with _pt.raises(AssertionError):
+        sprob.smap_value_and_grad(sprob.collect_main_params())
+
+
+def test_shard_map_bl_sharded_redundant_expansion():
+    """sim->data redundancy expansion ACROSS baseline shards: each
+    device simulates its local sim baselines, the sim cube all-gathers
+    over the 'model' axis, and each device expands onto its local
+    data-baseline shard. Gradients match single-device."""
     T = setup_Telescope()
     sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
     arr = setup_Array(N=2, freqs=freqs)
     beam = setup_GaussBeam(freqs)
     bls = arr.get_bls(keep_autos=False)
-    sim_bls = [r[0] for r in arr.reds if r[0][0] != r[0][1]][:4]
-    gids = {arr.bl2red[b] for b in sim_bls}
-    data_bls = [b for b in bls if arr.bl2red[b] in gids]
+    red_groups = [r for r in arr.reds if r[0][0] != r[0][1]]
+    # pick an EVEN number of groups whose total data count is even
+    # (both axes must divide the 'model' axis size 2)
+    chosen = None
+    for k in range(2, len(red_groups) + 1, 2):
+        gids_k = {arr.bl2red[r[0]] for r in red_groups[:k]}
+        data_k = [b for b in bls if arr.bl2red[b] in gids_k]
+        if len(data_k) % 2 == 0 and len(data_k) > k:
+            chosen = (red_groups[:k], data_k)
+            break
+    assert chosen is not None
+    sim_bls = [r[0] for r in chosen[0]]
+    data_bls = chosen[1]
     times = JD0 + np.arange(4) * 5e-4
-    rime = bl.RIME(sky, T, beam, arr, sim_bls, times, freqs,
-                   data_bls=data_bls)
-    vd = rime.forward()
-    tgt = vd.copy()
-    tgt.setup_data(data_bls, times, freqs, pol="ee", data=vd.data)
-    prob = LogProb(rime, tgt)
-    mesh = make_mesh({"data": 2, "model": 2})
-    sprob = ShardedLogProb(prob, mesh, bl_axis="model")
-    with _pt.raises(AssertionError):
-        sprob.smap_value_and_grad(sprob.collect_main_params())
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, sim_bls, times, freqs,
+                       data_bls=data_bls, time_mode="vmap")
+        vd = rime.forward()
+        tgt = vd.copy()
+        tgt.setup_data(data_bls, times, freqs, pol="ee",
+                       data=vd.data + 0.05,
+                       cov=jnp.ones(vd.data.shape), cov_axis=None,
+                       icov=jnp.ones(vd.data.shape))
+        return LogProb(rime, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 2, "model": 2}),
+                           bl_axis="model")
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+    # indivisible sim count fails loudly
+    import pytest as _pt
+    sim3 = [r[0] for r in red_groups[:3]]
+    data3 = [b for b in bls
+             if arr.bl2red[b] in {arr.bl2red[x] for x in sim3}]
+    rime3 = bl.RIME(sky, T, beam, arr, sim3, times, freqs,
+                    data_bls=data3, time_mode="vmap")
+    vd3 = rime3.forward()
+    tgt3 = vd3.copy()
+    tgt3.setup_data(data3, times, freqs, pol="ee", data=vd3.data)
+    with _pt.raises((AssertionError, ValueError)):
+        # either the construction-time device_put (indivisible sim-bl
+        # index arrays) or the smap divisibility assert fires
+        sprob3 = ShardedLogProb(LogProb(rime3, tgt3),
+                                make_mesh({"data": 2, "model": 2}),
+                                bl_axis="model")
+        sprob3.smap_value_and_grad(sprob3.collect_main_params())
 
 
 def _grad_allclose(g0, g1, rtol=1e-8, atol=1e-12):
