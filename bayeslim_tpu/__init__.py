@@ -14,7 +14,25 @@ Layer map (mirrors SURVEY.md section 1):
 - parallel/   : device-mesh sharding of the posterior (data/bl-freq axes)
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
+
+# TPU XLA's DEFAULT f32 matmul precision rounds operands to bf16 —
+# ~2e-3 relative error on cancellation-heavy reductions (measured by
+# bench.py --check; see docs/performance.md). For a Bayesian framework
+# whose correctness bar is 1e-5 gradients, true-f32 matmuls are the only
+# defensible default: Ylm synthesis, imaging A-matrices, covariance
+# solves and linear models all run through jnp matmuls/einsums. The hot
+# RIME path is unaffected (its fused Pallas kernels manage their own
+# MXU precision). Opt out (e.g. for throughput experiments) with
+# BAYESLIM_TPU_MATMUL_PRECISION=default, or set any other value the
+# jax_default_matmul_precision config accepts.
+import os as _os
+
+import jax as _jax
+
+_prec = _os.environ.get("BAYESLIM_TPU_MATMUL_PRECISION", "highest")
+if _prec and _prec.lower() not in ("default", "none"):
+    _jax.config.update("jax_default_matmul_precision", _prec)
 
 from . import utils
 from .utils import (

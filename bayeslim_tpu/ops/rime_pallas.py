@@ -172,8 +172,14 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
            ).astype(jnp.float32)
 
     def dot(a, b):
+        # pinned DEFAULT (single-pass bf16): the kernel manages its own
+        # precision via the compensated 3-pass scheme below, and the
+        # package-level jax_default_matmul_precision=highest would
+        # otherwise trigger the 6-pass decomposition that blows the 16M
+        # scoped-vmem limit
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     def hi_lo(x):
         """x = hi + lo with hi exactly bf16-valued, both f32-typed
