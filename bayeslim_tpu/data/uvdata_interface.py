@@ -108,7 +108,10 @@ def read_uvh5(fname, run_check=True):
     Npol = 1 if len(pols) == 1 else 2
 
     data = np.zeros((Npol, Npol, Nbls, Ntimes, Nfreqs), dtype=vis.dtype)
-    flags = np.zeros((Npol, Npol, Nbls, Ntimes, Nfreqs), dtype=bool)
+    # polarization slots the file does NOT carry stay FLAGGED (a 2-pol
+    # file in the 2x2 layout must not present zero cross-hands as
+    # unflagged measurements)
+    flags = np.ones((Npol, Npol, Nbls, Ntimes, Nfreqs), dtype=bool)
     for k, pname in enumerate(pols):
         i, j = (0, 0) if Npol == 1 else (grid[pname[0]], grid[pname[1]])
         data[i, j, bl_inv, t_inv] = vis[:, :, k]
@@ -287,6 +290,11 @@ class PyVisData(VisData):
     @classmethod
     def read_uvdata(cls, fname, run_check=True, **kwargs):
         if not HAS_PYUVDATA and isinstance(fname, str):
+            if kwargs:
+                raise TypeError(
+                    f"pyuvdata selection kwargs {sorted(kwargs)} require "
+                    f"pyuvdata; the h5py fallback reads the full file — "
+                    f"use read_uvh5 + VisData.select instead")
             return read_uvh5(fname, run_check=run_check)
         _require_pyuvdata()
         from pyuvdata import UVData

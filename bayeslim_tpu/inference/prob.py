@@ -239,6 +239,12 @@ def apply_icov(data, icov, cov_axis, mode="vis"):
            'time' (Npol,Npol,Nbls,Nfreqs,Ntimes,Ntimes),
            'freq' (Npol,Npol,Nbls,Ntimes,Nfreqs,Nfreqs)
       map: 'freq' (Npol,1,Npix,Nfreqs,Nfreqs), 'pix' (Npol,1,Nfreqs,Npix,Npix)
+
+    The 'time' shape follows the reference's DOCUMENTED convention
+    (optim.py:1878: batch dims first, coupled times last, per-freq);
+    note the reference's own einsum (optim.py:1905) contradicts its
+    docstring by consuming a 5-dim freq-independent (P,P,B,T,T) icov —
+    a reference bug, pinned in tests/test_inference.py.
     """
     d = data
     if cov_axis is None:
@@ -249,7 +255,8 @@ def apply_icov(data, icov, cov_axis, mode="vis"):
     elif cov_axis == "bl":
         out = jnp.einsum("ijklm,ijlmkn,ijnlm->ijlm", d.conj(), icov, d)
     elif cov_axis == "time":
-        out = jnp.einsum("ijklm,ijklmn,ijknm->ijkm", d.conj(), icov, d)
+        # icov (P, P, B, F, T, T'); contract the two time axes per freq
+        out = jnp.einsum("ijklm,ijkmln,ijknm->ijkm", d.conj(), icov, d)
     elif cov_axis == "freq":
         if mode == "vis":
             out = jnp.einsum("ijklm,ijklmn,ijkln->ijkl", d.conj(), icov, d)

@@ -425,6 +425,10 @@ def write_catalogue(catfile, params, angs, names=None, freq_mode="powerlaw",
                    dec=angs[1].tolist())
     d = dict(freq_mode=freq_mode, sources=sources)
     if freq_mode == "powerlaw":
+        assert params.shape[0] == 1, \
+            ("the columnar catalogue schema holds Stokes-I only; "
+             f"got Nstokes={params.shape[0]} (polarized catalogues are "
+             "'under development' in the reference too, sky_model.py:1078)")
         sources["amp"] = params[0, 0, 0].tolist()
         sources["alpha"] = params[0, 0, 1].tolist()
         d["mode_kwargs"] = dict(f0=float(f0))

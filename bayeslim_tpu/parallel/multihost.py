@@ -92,7 +92,17 @@ def global_put(x, sharding):
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        return x  # already a global array
+        # already a global array: only pass through if it carries the
+        # REQUESTED sharding — cross-process resharding of a
+        # non-addressable array is not supported here, and silently
+        # returning a differently-sharded array would corrupt the
+        # caller's spec bookkeeping
+        if x.sharding == sharding:
+            return x
+        raise ValueError(
+            f"global_put: cannot reshard a non-fully-addressable array "
+            f"from {x.sharding} to {sharding}; rebuild it from the host "
+            f"copy instead")
     x = np.asarray(x)
     return jax.make_array_from_callback(x.shape, sharding,
                                         lambda idx: x[idx])

@@ -280,7 +280,13 @@ class ShardedLogProb:
         if cache is None:
             cache = self._smap_cache = {}
         if key not in cache:
-            cache.clear()  # statics changed: old closures are stale
+            # keys fully encode the closure statics, so entries never go
+            # stale — and batches 0 and >0 ALTERNATE keys (the prior
+            # enters at batch 0 only), so clearing on miss would rebuild
+            # and re-jit every batch of every accumulate step. Bound the
+            # cache instead.
+            if len(cache) > 16:
+                cache.pop(next(iter(cache)))
             cache[key] = self._build_smap_vg(idx)
         data, icov = prob._batch_args(idx)
         icov = icov if icov is not None else jnp.ones((1,), _dtype(data))
@@ -446,6 +452,16 @@ class ShardedLogProb:
 
         jax.eval_shape(_probe, jax.tree_util.tree_leaves(model))
         fwd_has_priors = len(pc_probe) > 0
+        if self.param_shardings and prob.prior_dict is None \
+                and fwd_has_priors:
+            # module-attached (forward-cache) priors evaluate on each
+            # device's LOCAL slice of a sharded parameter and are NOT
+            # psummed — only prior_dict priors (computed globally outside
+            # shard_map) are correct with param_shardings
+            raise AssertionError(
+                "param_shardings with module-attached priors would count "
+                "only one shard's prior; attach priors via LogProb's "
+                "prior_dict instead (evaluated on global parameters)")
 
         # leaf specs from the CONCRETE sharded model (tracers inside the
         # jit have no .sharding)

@@ -255,3 +255,35 @@ def test_main_params_subslice():
     final = np.asarray(mp.scatter(pd["main"], prob.model).sky.params)
     assert np.allclose(final[sel], truth[sel], atol=2e-2)
     assert np.allclose(final[~sel], p0[~sel], atol=0)
+
+
+def test_apply_icov_time_axis_convention():
+    """cov_axis='time' consumes the documented (P,P,B,F,T,T) layout
+    (reference optim.py:1878 docstring; NOTE the reference's own einsum
+    at optim.py:1905 contradicts its docstring by consuming a 5-dim
+    freq-independent icov — we follow the documented 6-dim convention,
+    consistent with 'bl' and 'freq')."""
+    from bayeslim_tpu.inference.prob import apply_icov
+    rng = np.random.default_rng(0)
+    P, B, T, F = 1, 3, 4, 2
+    d = jnp.asarray(rng.normal(size=(P, P, B, T, F))
+                    + 1j * rng.normal(size=(P, P, B, T, F)))
+    A = rng.normal(size=(P, P, B, F, T, T))
+    icov = jnp.asarray(A @ np.swapaxes(A, -1, -2)
+                       + 3 * np.eye(T))          # SPD per (b, f)
+    out = np.asarray(apply_icov(d, icov, "time"))
+    # brute force: per (b, f), x^H C^-1-style quadratic over times
+    expect = np.zeros((P, P, B, F))
+    dn = np.asarray(d)
+    ic = np.asarray(icov)
+    for b in range(B):
+        for f in range(F):
+            x = dn[0, 0, b, :, f]
+            expect[0, 0, b, f] = (x.conj() @ ic[0, 0, b, f] @ x).real
+    np.testing.assert_allclose(out.real, expect, rtol=1e-10)
+    # diagonal icov reduces to the diagonal result
+    icov_d = jnp.asarray(np.broadcast_to(np.eye(T) * 2.0,
+                                         (P, P, B, F, T, T)))
+    out2 = np.asarray(apply_icov(d, icov_d, "time")).real
+    np.testing.assert_allclose(out2.sum(),
+                               (2 * np.abs(dn) ** 2).sum(), rtol=1e-10)
