@@ -706,3 +706,73 @@ def test_shard_map_multipol():
     v2, g2 = sprob.smap_value_and_grad(pd)
     assert np.isclose(float(v1), float(v2), rtol=1e-10)
     _grad_allclose(g1, g2)
+
+
+def test_shard_map_cov_axis_time_bl_sharded():
+    """Time-coupled covariance icov (P,P,B,F,T,T) under BASELINE
+    sharding (times replicated): the per-baseline icov shards over
+    'model' and the quadratic form matches single-device."""
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    times = JD0 + np.arange(3) * 5e-4
+    nt, nf = len(times), len(freqs)
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(1, 1, len(bls), nf, nt, nt))
+    icov = jnp.asarray(A @ np.swapaxes(A, -1, -2) + 2 * np.eye(nt))
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        vd = rime.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.05,
+                       cov=None, cov_axis="time", icov=icov)
+        return LogProb(rime, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    sprob = ShardedLogProb(build(), make_mesh({"model": 2}),
+                           time_axis=None, bl_axis="model")
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+
+def test_shard_map_param_shardings_rejects_fwd_priors():
+    """param_shardings + module-attached priors must fail loudly (local
+    shard priors are not psummed); prior_dict is the supported route."""
+    import pytest as _pt
+    from jax.sharding import PartitionSpec as P
+    from bayeslim_tpu.inference import LogGaussPrior
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:6]
+    Ntimes = 4
+    times = JD0 + np.arange(Ntimes) * 5e-4
+    ants = sorted(set(a for b in bls for a in b))
+    g = jnp.asarray(np.ones((1, 1, len(ants), Ntimes, len(freqs))) + 0j)
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                   time_mode="vmap")
+    J = JonesModel(g, ants, R=JonesResponse())
+    J.set_priors(LogGaussPrior(jnp.zeros(1), jnp.ones(1)))
+    seq = Sequential({"rime": rime, "cal": J})
+    vd = seq.forward()
+    tgt = vd.copy()
+    tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data)
+    prob = LogProb(seq, tgt)
+    sprob = ShardedLogProb(
+        prob, make_mesh({"data": 4}),
+        param_shardings={"models.cal.params":
+                         P(None, None, None, "data", None)})
+    with _pt.raises(AssertionError):
+        sprob.smap_value_and_grad(sprob.collect_main_params())
