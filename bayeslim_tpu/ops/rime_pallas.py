@@ -273,10 +273,12 @@ def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
         blocks = (tc * tb                               # tau
                   + tf * tc * (1 if ps_real else 2)     # ps rows
                   + 2 * tf * tb)                        # out re/im
-        # Mosaic stack temporaries (seed/trig/hi-lo intermediates,
-        # ~12 live (tc, tb) f32 arrays): calibrated against the
-        # compiler's scoped-vmem accounting on v5e
-        temps = 48 * tc * tb
+        # Mosaic stack temporaries (seed/trig intermediates, plus the
+        # hi/lo split temps in precise mode; ~12 vs ~6 live (tc, tb)
+        # f32 arrays): calibrated against the compiler's scoped-vmem
+        # accounting on v5e (16.02M measured vs 16.25M modeled at
+        # tb=256, tc=512, tf=64 precise)
+        temps = (48 if PRECISE_DOTS[0] else 24) * tc * tb
         return scratch_bytes + 4 * 2 * blocks + temps
 
     best = None
@@ -289,7 +291,12 @@ def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
             tfc //= 2
         if vmem(G, tcc, tbc, tfc) <= budget:
             padded = _round_up(NB, tbc) * _round_up(NC, tcc)
-            waste_bucket = int(padded / (NB * NC) / 0.1)
+            # precise (3-pass) mode is VPU-issue-bound and benefits from
+            # LESS padded work (measured: 1830 bls tb=128 7% faster than
+            # tb=256); the single-pass mode pipelines better with larger
+            # tiles (10% buckets keep its round-2 preferences)
+            gran = 0.05 if PRECISE_DOTS[0] else 0.1
+            waste_bucket = int(padded / (NB * NC) / gran)
             key = (tfc, -waste_bucket, tbc * tcc)
             if best is None or key > best[0]:
                 best = (key, tbc, tcc, tfc)
