@@ -776,3 +776,105 @@ def test_shard_map_param_shardings_rejects_fwd_priors():
                          P(None, None, None, "data", None)})
     with _pt.raises(AssertionError):
         sprob.smap_value_and_grad(sprob.collect_main_params())
+
+
+def test_shard_map_sufficient_statistics_path():
+    """The hera100-stat production configuration through the smap path:
+    solve against redundant-group sufficient statistics (sim baselines
+    only, icov = group weights) sharded over time x sim-baselines;
+    gradients match BOTH the single-device stat solve and the full
+    per-baseline expansion solve."""
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)
+    red_groups = [r for r in arr.reds if r[0][0] != r[0][1]]
+    sim_bls = [r[0] for r in red_groups[:4]]   # divisible by model axis
+    gids = {arr.bl2red[b] for b in sim_bls}
+    data_bls = [b for b in bls if arr.bl2red[b] in gids]
+    times = JD0 + np.arange(4) * 5e-4
+    rng = np.random.default_rng(9)
+
+    # full noisy per-baseline data
+    rime_full = bl.RIME(sky, T, beam, arr, data_bls, times, freqs)
+    vd = rime_full.forward()
+    vd.setup_meta(T, arr.to_antpos())
+    noisy = vd.data + jnp.asarray(
+        0.05 * (rng.normal(size=vd.data.shape)
+                + 1j * rng.normal(size=vd.data.shape)))
+    vd.setup_data(data_bls, times, freqs, pol="ee", data=noisy,
+                  icov=jnp.ones(vd.data.shape), cov_axis=None)
+
+    # A: full expansion solve (single device)
+    def build_exp():
+        rime = bl.RIME(sky, T, beam, arr, sim_bls, times, freqs,
+                       data_bls=data_bls)
+        return LogProb(rime, vd)
+
+    probA = build_exp()
+    pd = probA.collect_main_params()
+    vA, gA = probA.value_and_grad(pd)
+
+    # B: sufficient-stats solve, single device
+    red, const = vd.reduce_by_redundancy(redtol=0.5)
+
+    def build_stat():
+        rime = bl.RIME(sky, T, beam, arr, sim_bls, times, freqs,
+                       time_mode="vmap")
+        return LogProb(rime, red)
+
+    probB = build_stat()
+    vB, gB = probB.value_and_grad(pd)
+    _grad_allclose(gA, gB, rtol=1e-6, atol=1e-10)
+
+    # C: the same stat solve through the smap path on time x model
+    sprob = ShardedLogProb(build_stat(), make_mesh({"data": 2,
+                                                    "model": 2}),
+                           bl_axis="model")
+    vC, gC = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(vB), float(vC), rtol=1e-10)
+    _grad_allclose(gB, gC)
+
+
+def test_shard_map_coupling_chain():
+    """A Sequential RIME -> VisCoupling (antenna cross-coupling E V E^H)
+    chain through the smap path under time sharding — the coupling block
+    mixes ALL baselines (incl. autos), which stays local per time
+    shard."""
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.coupling import VisCoupling
+    from bayeslim_tpu.utils import make_hex, AntposDict
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    ants, antvecs = make_hex(2, D=15.0)
+    arr = setup_Array(N=2, freqs=freqs)
+    antpos = AntposDict(ants, antvecs)
+    # coupling needs the full pair set including autos
+    bls = [(a1, a2) for i, a1 in enumerate(ants) for a2 in ants[i:]]
+    times = JD0 + np.arange(4) * 5e-4
+    rng = np.random.default_rng(11)
+    nant = len(ants)
+    X = (rng.normal(size=(nant, nant, 1, len(freqs)))
+         + 1j * rng.normal(size=(nant, nant, 1, len(freqs)))) * 0.01
+
+    def build():
+        rime = bl.RIME(sky, T, setup_GaussBeam(freqs), arr, bls, times,
+                       freqs, time_mode="vmap")
+        vc = VisCoupling(jnp.asarray(X[None, None]), freqs, antpos, bls)
+        seq = Sequential({"rime": rime, "coupling": vc})
+        vd = seq.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.03)
+        return LogProb(seq, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    assert "models.coupling.params" in pd
+    v1, g1 = prob1.value_and_grad(pd)
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 4}))
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
