@@ -267,3 +267,39 @@ def test_read_bundled_calfits():
     vd = read_uvh5(UVH5)
     sub = vd.select(times=vd.times[:1], inplace=False)
     assert set(a for bl in sub.bls for a in bl) <= set(cd.ants)
+
+
+def test_read_uvh5_partial_pols_flagged(tmp_path):
+    """A 2-pol UVH5 file (ee/nn only) loads with the absent cross-hand
+    slots FLAGGED (not presented as unflagged zero measurements)."""
+    import h5py
+    f = str(tmp_path / "twopol.uvh5")
+    rng = np.random.default_rng(0)
+    nbl, nt, nf = 3, 2, 5
+    ant1 = np.repeat([0, 0, 1], nt)
+    ant2 = np.repeat([1, 2, 2], nt)
+    t = np.tile(2458168.3 + np.arange(nt) * 1e-3, 3)
+    vis = (rng.normal(size=(nbl * nt, 1, nf, 2))
+           + 1j * rng.normal(size=(nbl * nt, 1, nf, 2))).astype(np.complex64)
+    with h5py.File(f, "w") as h:
+        hd = h.create_group("Header")
+        hd["latitude"] = -30.72
+        hd["longitude"] = 21.43
+        hd["altitude"] = 1073.0
+        hd["ant_1_array"] = ant1
+        hd["ant_2_array"] = ant2
+        hd["time_array"] = t
+        hd["freq_array"] = np.linspace(1e8, 1.1e8, nf)[None]
+        hd["polarization_array"] = np.asarray([-5, -6])
+        hd["antenna_numbers"] = np.arange(3)
+        hd["antenna_positions"] = rng.normal(size=(3, 3))
+        hd["x_orientation"] = np.bytes_("east")
+        d = h.create_group("Data")
+        d["visdata"] = vis
+        d["flags"] = np.zeros(vis.shape, bool)
+    vd = read_uvh5(f)
+    assert vd.data.shape == (2, 2, nbl, nt, nf)
+    fl = np.asarray(vd.flags)
+    assert not fl[0, 0].any() and not fl[1, 1].any()   # measured pols
+    assert fl[0, 1].all() and fl[1, 0].all()           # absent pols
+    assert np.abs(np.asarray(vd.data)[0, 1]).max() == 0
