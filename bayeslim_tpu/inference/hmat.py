@@ -392,52 +392,74 @@ class HierMat(BaseMat):
     diagonal blocks are HierMat/DenseMat, off-diagonals low-rank
     SparseMat."""
 
-    def __init__(self, A11, A22, A12=None, A21=None):
+    def __init__(self, A00, A11, A01=None, A10=None, sym=False,
+                 scalar=None):
+        """Block naming follows the reference (hmat.py:1925): A00 upper
+        diagonal, A11 lower diagonal, A01/A10 off-diagonals. Raw arrays
+        are wrapped as DenseMat; sym=True mirrors a single off-diagonal
+        through a lazy transpose; scalar multiplies the output."""
+        def wrap(x):
+            return DenseMat(jnp.asarray(x)) \
+                if x is not None and not isinstance(x, BaseMat) else x
+        A00, A11, A01, A10 = wrap(A00), wrap(A11), wrap(A01), wrap(A10)
+        if sym:
+            if A01 is None and A10 is not None:
+                A01 = TransposedMat(A10)
+            if A10 is None and A01 is not None:
+                A10 = TransposedMat(A01)
+        self.A00 = A00
         self.A11 = A11
-        self.A22 = A22
-        self.A12 = A12
-        self.A21 = A21
-        self.shape = (A11.shape[0] + A22.shape[0],
-                      A11.shape[1] + A22.shape[1])
+        self.A01 = A01
+        self.A10 = A10
+        self.sym = sym
+        self.scalar = scalar
+        self.shape = (A00.shape[0] + A11.shape[0],
+                      A00.shape[1] + A11.shape[1])
 
     def mat_vec_mul(self, v):
-        n1 = self.A11.shape[1]
+        n1 = self.A00.shape[1]
         v1, v2 = v[:n1], v[n1:]
-        o1 = self.A11.mat_vec_mul(v1)
-        o2 = self.A22.mat_vec_mul(v2)
-        if self.A12 is not None:
-            o1 = o1 + self.A12.mat_vec_mul(v2)
-        if self.A21 is not None:
-            o2 = o2 + self.A21.mat_vec_mul(v1)
-        return jnp.concatenate([o1, o2])
+        o1 = self.A00.mat_vec_mul(v1)
+        o2 = self.A11.mat_vec_mul(v2)
+        if self.A01 is not None:
+            o1 = o1 + self.A01.mat_vec_mul(v2)
+        if self.A10 is not None:
+            o2 = o2 + self.A10.mat_vec_mul(v1)
+        out = jnp.concatenate([o1, o2])
+        if self.scalar is not None:
+            out = out * self.scalar
+        return out
 
     def t_mat_vec_mul(self, v):
-        n1 = self.A11.shape[0]
+        n1 = self.A00.shape[0]
         v1, v2 = v[:n1], v[n1:]
-        o1 = self.A11.t_mat_vec_mul(v1)
-        o2 = self.A22.t_mat_vec_mul(v2)
-        if self.A21 is not None:
-            o1 = o1 + self.A21.t_mat_vec_mul(v2)
-        if self.A12 is not None:
-            o2 = o2 + self.A12.t_mat_vec_mul(v1)
-        return jnp.concatenate([o1, o2])
+        o1 = self.A00.t_mat_vec_mul(v1)
+        o2 = self.A11.t_mat_vec_mul(v2)
+        if self.A10 is not None:
+            o1 = o1 + self.A10.t_mat_vec_mul(v2)
+        if self.A01 is not None:
+            o2 = o2 + self.A01.t_mat_vec_mul(v1)
+        out = jnp.concatenate([o1, o2])
+        if self.scalar is not None:
+            out = out * self.scalar
+        return out
 
     def to_dense(self):
-        n1, n2 = self.A11.shape[0], self.A22.shape[0]
+        n1, n2 = self.A00.shape[0], self.A11.shape[0]
         top = jnp.concatenate([
-            self.A11.to_dense(),
-            self.A12.to_dense() if self.A12 is not None
-            else jnp.zeros((n1, self.A22.shape[1]))], axis=1)
+            self.A00.to_dense(),
+            self.A01.to_dense() if self.A01 is not None
+            else jnp.zeros((n1, self.A11.shape[1]))], axis=1)
         bot = jnp.concatenate([
-            self.A21.to_dense() if self.A21 is not None
-            else jnp.zeros((n2, self.A11.shape[1])),
-            self.A22.to_dense()], axis=1)
+            self.A10.to_dense() if self.A10 is not None
+            else jnp.zeros((n2, self.A00.shape[1])),
+            self.A11.to_dense()], axis=1)
         return jnp.concatenate([top, bot], axis=0)
 
     def scalar_mul(self, a):
-        return HierMat(self.A11.scalar_mul(a), self.A22.scalar_mul(a),
-                       None if self.A12 is None else self.A12.scalar_mul(a),
-                       None if self.A21 is None else self.A21.scalar_mul(a))
+        return HierMat(self.A00.scalar_mul(a), self.A11.scalar_mul(a),
+                       None if self.A01 is None else self.A01.scalar_mul(a),
+                       None if self.A10 is None else self.A10.scalar_mul(a))
 
     def to_SolveHierMat(self):
         """Hierarchically Cholesky-factor this (SPD) HODLR operator into
@@ -548,9 +570,9 @@ class SolveHierMat(BaseMat):
     HODLR operator (reference SolveHierMat, hmat.py:2211-2354).
 
     Factors A = L L^T where L is itself hierarchical:
-        A = [[A11, U V^T], [V U^T, A22]]
+        A = [[A00, U V^T], [V U^T, A11]]
         L = [[L11, 0], [W, L22]],  W = V (L11^{-1} U)^T   (low rank)
-        L22 = chol(A22 - W W^T)
+        L22 = chol(A11 - W W^T)
     The rank-r Schur downdate propagates recursively as a pending
     (C, M) pair with A_eff = A - C M C^T, so only leaf-sized dense
     blocks and (n x rank) factors are ever materialized -- never a
@@ -559,8 +581,8 @@ class SolveHierMat(BaseMat):
     forward_sub (L^{-1} v), back_sub (L^{-T} v), mat_vec_mul (A^{-1} v,
     the SolveMat convention) and logdet (for mass-matrix learning).
 
-    Symmetry: uses the upper off-diagonal (A12) of each HierMat node and
-    mirrors it; A21 is ignored.
+    Symmetry: uses the upper off-diagonal (A01) of each HierMat node and
+    mirrors it; A10 is ignored.
     """
 
     def __init__(self, hier):
@@ -575,18 +597,18 @@ class SolveHierMat(BaseMat):
                 D = D - C @ (M @ C.T)
             return {"leaf": True, "L": jnp.linalg.cholesky(D),
                     "n": D.shape[0]}
-        n1 = A.A11.shape[0]
+        n1 = A.A00.shape[0]
         C1 = None if C is None else C[:n1]
         C2 = None if C is None else C[n1:]
-        node1 = self._factor(A.A11, C1, M)
+        node1 = self._factor(A.A00, C1, M)
 
-        if A.A12 is not None:
-            assert isinstance(A.A12, SparseMat), \
+        if A.A01 is not None:
+            assert isinstance(A.A01, SparseMat), \
                 "SolveHierMat needs low-rank (SparseMat) off-diagonals"
-            U, V = A.A12.U, A.A12.V
+            U, V = A.A01.U, A.A01.V
         else:
             U = jnp.zeros((n1, 0))
-            V = jnp.zeros((A.A22.shape[0], 0))
+            V = jnp.zeros((A.A11.shape[0], 0))
         if C is not None:
             # fold the pending downdate's off-diagonal part -C1 M C2^T
             # into the low-rank block: [U, C1] [V, -C2 M^T]^T
@@ -600,7 +622,7 @@ class SolveHierMat(BaseMat):
         else:
             Cp = jnp.concatenate([C2, V], axis=1)
             Mp = jax.scipy.linalg.block_diag(M, Ms)
-        node2 = self._factor(A.A22, Cp, Mp)
+        node2 = self._factor(A.A11, Cp, Mp)
         return {"leaf": False, "L1": node1, "L2": node2, "V": V,
                 "Ut": Ut, "n1": n1, "n": A.shape[0]}
 
@@ -674,9 +696,9 @@ def make_hodlr(A, min_size=64, rank=8, depth=None):
     if n <= min_size or (depth is not None and depth <= 0):
         return DenseMat(A)
     h = n // 2
-    A11 = make_hodlr(A[:h, :h], min_size, rank,
+    A00 = make_hodlr(A[:h, :h], min_size, rank,
                      None if depth is None else depth - 1)
-    A22 = make_hodlr(A[h:, h:], min_size, rank,
+    A11 = make_hodlr(A[h:, h:], min_size, rank,
                      None if depth is None else depth - 1)
 
     def lowrank(B):
@@ -684,4 +706,4 @@ def make_hodlr(A, min_size=64, rank=8, depth=None):
         r = min(rank, len(s))
         return SparseMat(U[:, :r] * s[:r], Vt[:r].T)
 
-    return HierMat(A11, A22, lowrank(A[:h, h:]), lowrank(A[h:, :h]))
+    return HierMat(A00, A11, lowrank(A[:h, h:]), lowrank(A[h:, :h]))

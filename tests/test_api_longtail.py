@@ -48,7 +48,7 @@ def test_hiermat_to_solvehiermat():
     V = jnp.asarray(rng.normal(size=(4, 2)))
     H = hmat.HierMat(hmat.DenseMat(jnp.asarray(S[:4, :4])),
                      hmat.DenseMat(jnp.asarray(S[4:, 4:])),
-                     A12=hmat.SparseMat(U, V), A21=hmat.SparseMat(V, U))
+                     A01=hmat.SparseMat(U, V), A10=hmat.SparseMat(V, U))
     solve = H.to_SolveHierMat()
     Sd = np.asarray(H.to_dense())
     w = rng.normal(size=8)
