@@ -1665,3 +1665,57 @@ def test_hmat_operator_parity():
     np.testing.assert_allclose(
         np.asarray(ms_ours.mat_vec_mul(jnp.asarray(v))), expect,
         rtol=1e-12)
+
+
+def test_special_functions_parity():
+    """jl/yl spherical Bessels, hypF, pochln, aperture j1 and Softplus
+    vs reference special.py (non-integer degrees included)."""
+    z = np.linspace(0.3, 20.0, 9)
+    for l in [0.0, 1.0, 2.37, 5.81]:
+        ref_j = np.asarray(ba.special.jl(l, z), dtype=np.float64)
+        my_j = np.asarray(bl.special.jl(l, jnp.asarray(z)))
+        assert np.abs(my_j - ref_j).max() < 1e-10, ("jl", l)
+        ref_y = np.asarray(ba.special.yl(l, z), dtype=np.float64)
+        my_y = np.asarray(bl.special.yl(l, jnp.asarray(z)))
+        assert np.abs(my_y - ref_y).max() < 1e-9, ("yl", l)
+
+    # Gauss hypergeometric + log Pochhammer
+    zz = np.linspace(-0.7, 0.7, 5)
+    ref_f = np.asarray(ba.special.hypF(0.5, 1.3, 2.1, zz,
+                                       high_prec=True), dtype=np.float64)
+    my_f = np.asarray(bl.special.hypF(0.5, 1.3, 2.1, jnp.asarray(zz),
+                                      high_prec=True))
+    assert np.abs(my_f - ref_f).max() < 1e-10
+    for (a, n) in [(1.5, 3.0), (0.3, 2.2), (4.0, 0.5)]:
+        mine = float(np.asarray(bl.special.pochln(a, n),
+                                dtype=np.float64).ravel()[0])
+        ref = float(np.asarray(ba.special.pochln(a, n),
+                               dtype=np.float64).ravel()[0])
+        assert abs(mine - ref) < 1e-12
+
+    # Bessel J1 (reference special.j1 default path) and the
+    # brute-force aperture integral
+    x = np.linspace(0.1, 8.0, 7)
+    ref_j1 = np.asarray(ba.special.j1(torch.tensor(x)), dtype=np.float64)
+    from bayeslim_tpu.models.bessel import j1 as my_bessel_j1
+    assert np.abs(np.asarray(my_bessel_j1(jnp.asarray(x)))
+                  - ref_j1).max() < 1e-6
+    ref_bf = np.asarray(ba.special.j1(torch.tensor(x), Ntau=400,
+                                      brute_force=True), dtype=np.float64)
+    my_bf = np.asarray(bl.special.j1_integral(jnp.asarray(x), Ntau=400))
+    assert np.abs(my_bf - ref_bf).max() < 1e-4
+
+    # Softplus forward/inverse (reference special.py:689: threshold +
+    # inverted kwargs)
+    sp_ref = ba.special.Softplus(threshold=50.0)
+    sp = bl.special.Softplus(threshold=50.0)
+    y = np.linspace(-2, 3, 11)
+    np.testing.assert_allclose(np.asarray(sp(jnp.asarray(y))),
+                               np.asarray(sp_ref(torch.tensor(y))),
+                               rtol=1e-10)
+    sp_ref.set_inverted(True)
+    sp.set_inverted(True)
+    yp = np.linspace(0.2, 3, 8)
+    np.testing.assert_allclose(np.asarray(sp(jnp.asarray(yp))),
+                               np.asarray(sp_ref(torch.tensor(yp))),
+                               rtol=1e-9)
