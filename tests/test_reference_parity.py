@@ -1719,3 +1719,61 @@ def test_special_functions_parity():
     np.testing.assert_allclose(np.asarray(sp(jnp.asarray(yp))),
                                np.asarray(sp_ref(torch.tensor(yp))),
                                rtol=1e-9)
+
+
+def test_compute_hessian_parity():
+    """compute_hessian matches the reference's on the same Gaussian
+    posterior (reference optim.py:2008-2181): both recover the analytic
+    inverse covariance as the Hessian."""
+    N = 12
+    torch.manual_seed(3)
+    a = torch.randn(N, 2 * N)
+    cov_t = (a @ a.T) / (2 * N)
+    icov = np.linalg.inv(cov_t.numpy())
+
+    class _RefNormal(ba.utils.Module):
+        def __init__(self, shape):
+            super().__init__()
+            self.params = torch.nn.Parameter(torch.zeros(shape))
+
+        def forward(self, params=None, *ar, **k):
+            return params if params is not None else self.params
+
+    raw = ba.dataset.TensorData()
+    raw.setup_data(data=torch.zeros(N))
+    raw.set_cov(cov_t, "full")
+    raw.compute_icov()
+    prob_ref = ba.optim.LogProb(_RefNormal(N), ba.dataset.Dataset([raw]),
+                                complex_circular=False)
+    prob_ref.model.params.data[:] = torch.randn(N) * 0.1
+    H_ref = ba.optim.compute_hessian(prob_ref, ["model.params"])
+    H_ref = list(H_ref.values())[0] if hasattr(H_ref, "values") \
+        else H_ref[0]
+    if hasattr(H_ref, "values"):  # nested ParamDict
+        H_ref = list(H_ref.values())[0]
+    H_ref = H_ref.detach().numpy().reshape(N, N)
+    np.testing.assert_allclose(H_ref, icov, rtol=1e-8, atol=1e-10)
+
+    # ours: analytic quadratic prob through inference.compute_hessian
+    from bayeslim_tpu.inference.hessian import compute_hessian
+    from bayeslim_tpu.utils import ParamDict
+    icov_j = jnp.asarray(icov)
+
+    class QuadProb:
+        Nbatch = 1
+
+        def __init__(self):
+            self.pd = ParamDict(
+                {"params": jnp.asarray(np.random.default_rng(0)
+                                       .normal(size=N) * 0.1)})
+
+        def collect_main_params(self):
+            return self.pd.copy()
+
+        def forward(self, pdict=None, idx=None, **k):
+            xv = (pdict if pdict is not None else self.pd)["params"]
+            return 0.5 * xv @ icov_j @ xv
+
+    H, index = compute_hessian(QuadProb())
+    np.testing.assert_allclose(np.asarray(H), icov, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(H), H_ref, rtol=1e-8, atol=1e-9)
