@@ -918,3 +918,40 @@ def test_trainer_over_sharded_logprob():
     assert losses[-1] < losses[0] * 0.5
     # chain tracked per epoch
     assert len(tr.chain["sky.params"]) == 15
+
+
+def test_vismapper_freq_sharded():
+    """Imaging shards over the frequency axis (each channel's dirty map
+    is independent): maps from mesh-sharded inputs match single-device
+    (config-#5 imaging stage on a mesh)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bayeslim_tpu.models.imaging import VisMapper
+    from bayeslim_tpu.models.sky import PointSky, PointSkyResponse
+    from tests.test_rime import setup_UniformBeam
+
+    T = setup_Telescope()
+    freqs = np.linspace(130e6, 150e6, 8)
+    arr = setup_Array(N=2, freqs=freqs)
+    ra0 = T.JD2RA(JD0)
+    angs = np.asarray([[ra0], [-30.72]])
+    sky = PointSky(jnp.ones((1, 1, 8, 1)) * 5.0, jnp.asarray(angs),
+                   R=PointSkyResponse(freqs, freq_mode="channel"))
+    beam = setup_UniformBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+    vd = rime.forward()
+    vd.setup_meta(T, arr.to_antpos())
+
+    dgrid = np.linspace(-5, 5, 9)
+    rr, dd = np.meshgrid(ra0 + dgrid, -30.72 + dgrid)
+    m0, P0 = VisMapper(vd, rr.ravel(), dd.ravel(),
+                       fov=180.0).make_map(return_P=True)
+
+    mesh = make_mesh({"data": 4})
+    vd2 = vd.copy()
+    vd2.data = jax.device_put(
+        vd.data, NamedSharding(mesh, P(None, None, None, None, "data")))
+    m1, P1 = VisMapper(vd2, rr.ravel(), dd.ravel(),
+                       fov=180.0).make_map(return_P=True)
+    assert np.allclose(np.asarray(m0), np.asarray(m1), rtol=1e-10)
+    assert np.allclose(np.asarray(P0), np.asarray(P1), rtol=1e-10)
