@@ -403,10 +403,16 @@ class HierMat(BaseMat):
                 if x is not None and not isinstance(x, BaseMat) else x
         A00, A11, A01, A10 = wrap(A00), wrap(A11), wrap(A01), wrap(A10)
         if sym:
+            # mirror SparseMat off-diagonals CONCRETELY ((U V^T)^T =
+            # V U^T) so SolveHierMat's low-rank factorization still sees
+            # a SparseMat; other operator types mirror lazily
+            def mirror(x):
+                return SparseMat(x.V, x.U) if isinstance(x, SparseMat) \
+                    and x.d is None else TransposedMat(x)
             if A01 is None and A10 is not None:
-                A01 = TransposedMat(A10)
+                A01 = mirror(A10)
             if A10 is None and A01 is not None:
-                A10 = TransposedMat(A01)
+                A10 = mirror(A01)
         self.A00 = A00
         self.A11 = A11
         self.A01 = A01
@@ -454,17 +460,23 @@ class HierMat(BaseMat):
             self.A10.to_dense() if self.A10 is not None
             else jnp.zeros((n2, self.A00.shape[1])),
             self.A11.to_dense()], axis=1)
-        return jnp.concatenate([top, bot], axis=0)
+        out = jnp.concatenate([top, bot], axis=0)
+        if self.scalar is not None:
+            out = out * self.scalar
+        return out
 
     def scalar_mul(self, a):
-        return HierMat(self.A00.scalar_mul(a), self.A11.scalar_mul(a),
-                       None if self.A01 is None else self.A01.scalar_mul(a),
-                       None if self.A10 is None else self.A10.scalar_mul(a))
+        # accumulate into the existing scalar (reference hmat.py
+        # scalar_mul semantics) and keep the sym flag
+        sc = a if self.scalar is None else self.scalar * a
+        return HierMat(self.A00, self.A11, self.A01, self.A10,
+                       sym=self.sym, scalar=sc)
 
     def to_SolveHierMat(self):
         """Hierarchically Cholesky-factor this (SPD) HODLR operator into
         its inverse action (reference hmat.py HierMat.to_SolveHierMat,
-        :2180-2210)."""
+        :2180-2210). A scalar s on this operator becomes a 1/s on the
+        solve and +n log(s) on the logdet (reference :2155-2165)."""
         return SolveHierMat(self)
 
 
@@ -587,6 +599,13 @@ class SolveHierMat(BaseMat):
 
     def __init__(self, hier):
         self.shape = hier.shape
+        # a positive scalar s on the HierMat factors as sqrt(s) on each
+        # Cholesky action: (sA)^{-1} = A^{-1}/s, logdet(sA) = n log s +
+        # logdet(A) (reference hmat.py:2155-2165)
+        self._scalar = getattr(hier, "scalar", None)
+        if self._scalar is not None:
+            assert float(self._scalar) > 0, \
+                "SolveHierMat needs a positive scalar (SPD operator)"
         self._root = self._factor(hier, None, None)
 
     # ---------------------------------------------------------- factor
@@ -660,14 +679,23 @@ class SolveHierMat(BaseMat):
         return jnp.concatenate([y1, y2], axis=0)
 
     def forward_sub(self, v):
-        return self._fsub(self._root, v)
+        out = self._fsub(self._root, v)
+        if self._scalar is not None:
+            out = out / jnp.sqrt(self._scalar)
+        return out
 
     def back_sub(self, v):
-        return self._bsub(self._root, v)
+        out = self._bsub(self._root, v)
+        if self._scalar is not None:
+            out = out / jnp.sqrt(self._scalar)
+        return out
 
     def chol_mul(self, v):
         """L v (draws p ~ N(0, A) from white noise)."""
-        return self._lmul(self._root, v)
+        out = self._lmul(self._root, v)
+        if self._scalar is not None:
+            out = out * jnp.sqrt(self._scalar)
+        return out
 
     def mat_vec_mul(self, v):
         """A^{-1} v (the SolveMat convention, reference :1391/:2211)."""
@@ -682,7 +710,10 @@ class SolveHierMat(BaseMat):
             if node["leaf"]:
                 return 2.0 * jnp.sum(jnp.log(jnp.diagonal(node["L"])))
             return rec(node["L1"]) + rec(node["L2"])
-        return rec(self._root)
+        out = rec(self._root)
+        if self._scalar is not None:
+            out = out + self.shape[0] * jnp.log(self._scalar)
+        return out
 
     def scalar_mul(self, a):
         raise NotImplementedError("rescale the HierMat, then refactor")

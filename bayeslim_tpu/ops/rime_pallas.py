@@ -259,12 +259,16 @@ def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
                     budget=int(14.5 * 2 ** 20)):
     """Cost-aware forward-kernel tile choice. A small freq tile
     re-streams the (big) tau blocks NFp/tf times, so maximize tf first;
-    then minimize the PADDED work round_up(NB,tb)*round_up(NC,tc) in 10%
-    buckets (630 baselines on tb=256 pad to 768 — 22% wasted triples —
-    where tb=128 pads to 640; but a <10% padding saving does not repay
-    halving the tile area: measured 630 bls tb=128 -> -17% fwd time,
-    1830 bls tb=128 -> +8%); tile area breaks ties (pipeline
-    efficiency). Returns (G, tb, tc, tf)."""
+    then minimize the PADDED work round_up(NB,tb)*round_up(NC,tc) in
+    waste buckets, with tile area breaking ties (pipeline efficiency).
+    The bucket granularity is precision-mode dependent (measured on
+    v5e): the single-pass mode uses 10% buckets — a <10% padding saving
+    does not repay halving the tile area there (630 bls tb=128 -> -17%
+    fwd time, but 1830 bls tb=128 -> +8%) — while the 3-pass compensated
+    DEFAULT mode is MXU/issue-bound and prefers minimal padded work at
+    5% granularity (1830 bls tb=128 measured 7% FASTER than tb=256;
+    pinned in tests/test_pallas.py::test_fwd_tile_selection).
+    Returns (G, tb, tc, tf)."""
     NB = _round_up(max(nbl, 128), 128)
     NC = _round_up(max(npx, 128), 128)
 

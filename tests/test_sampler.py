@@ -593,3 +593,55 @@ def test_recycled_hmc_on_device():
         r.step()
     assert r.Nsamples == 24      # Nstep states per step
     assert r.acceptance_rate > 0.3
+
+
+def test_hier_mat_scalar_and_sym():
+    """HierMat scalar/sym kwargs (reference hmat.py:1925): scalar applies
+    in matvec, to_dense, accumulates under scalar_mul, and factors
+    through SolveHierMat ((sA)^-1, logdet + n log s); sym with only A10
+    given still factorizes (concrete SparseMat mirror)."""
+    from bayeslim_tpu.inference.hmat import (HierMat, DenseMat, SparseMat,
+                                             SolveHierMat)
+    rng = np.random.default_rng(5)
+    n = 32
+    h = n // 2
+    # SPD with genuinely low-rank off-diagonal
+    x = np.linspace(0, 1, n)
+    A = np.exp(-(x[:, None] - x[None]) ** 2 / 0.4 ** 2) + np.eye(n) * 0.7
+    U, sv, Vt = np.linalg.svd(A[:h, h:])
+    r = 6
+    off = U[:, :r] * sv[:r]
+    A = A.copy()
+    A[:h, h:] = off @ Vt[:r]
+    A[h:, :h] = A[:h, h:].T
+
+    s = 2.5
+    H = HierMat(DenseMat(jnp.asarray(A[:h, :h])),
+                DenseMat(jnp.asarray(A[h:, h:])),
+                A10=SparseMat(jnp.asarray(Vt[:r].T), jnp.asarray(off)),
+                sym=True, scalar=s)
+    v = rng.normal(size=n)
+    np.testing.assert_allclose(np.asarray(H.mat_vec_mul(jnp.asarray(v))),
+                               s * (A @ v), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(H.to_dense()), s * A, rtol=1e-12)
+    # scalar accumulates
+    H2 = H.scalar_mul(2.0)
+    np.testing.assert_allclose(np.asarray(H2.mat_vec_mul(jnp.asarray(v))),
+                               2 * s * (A @ v), rtol=1e-10)
+    # factorization of the SCALED operator (sym built from A10 only)
+    S = H.to_SolveHierMat()
+    np.testing.assert_allclose(np.asarray(S.mat_vec_mul(jnp.asarray(v))),
+                               np.linalg.solve(s * A, v), rtol=1e-8)
+    sign, ld = np.linalg.slogdet(s * A)
+    assert sign > 0
+    np.testing.assert_allclose(float(S.logdet()), ld, rtol=1e-10)
+    # inverse round trip: (sA) ((sA)^-1 v) = v
+    np.testing.assert_allclose(
+        np.asarray(H.mat_vec_mul(S.mat_vec_mul(jnp.asarray(v)))), v,
+        rtol=1e-7, atol=1e-9)
+    # chol_mul samples the SCALED covariance: cov(L w) = s A
+    w = rng.normal(size=(n, 4000))
+    samp = np.asarray(jax.vmap(S.chol_mul, in_axes=1, out_axes=1)(
+        jnp.asarray(w)))
+    emp = samp @ samp.T / 4000
+    assert np.abs(emp - s * A).max() < 0.25 * np.abs(s * A).max()
