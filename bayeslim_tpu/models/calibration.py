@@ -200,6 +200,8 @@ class JonesModel(Module):
         self.polmode = polmode
         self.single_ant = single_ant
         self.vis_type = vis_type
+        self._g1_idx = None
+        self._g2_idx = None
         self.set_refant(refant)
 
     def set_refant(self, refant):
@@ -238,6 +240,22 @@ class JonesModel(Module):
         g2 = np.asarray([lut[bl[1]] for bl in bls], dtype=np.int32)
         return g1, g2
 
+    def set_bls(self, bls):
+        """Pin the baseline->antenna gain indices as DEVICE arrays
+        (traced pytree leaves) instead of per-forward host metadata.
+
+        This is what lets the Jones block ride BASELINE sharding through
+        shard_map (parallel.sharding): the index leaves partition over
+        the bl mesh axis exactly like RIME._blidx_groups, so each device
+        gathers gains for its local baselines only. When set, forward
+        uses these indices verbatim (the wrapped VisData's baseline
+        metadata is not re-consulted), so the model is pinned to this
+        baseline order."""
+        g1, g2 = self.ant_index([tuple(b) for b in bls])
+        self._g1_idx = jnp.asarray(g1)
+        self._g2_idx = jnp.asarray(g2)
+        return self
+
     def get_jones(self, params=None):
         """Response-evaluated complex gains (Npol,Npol,Nant,Nt,Nf)."""
         p = self.params if params is None else params
@@ -273,7 +291,10 @@ class JonesModel(Module):
         self.eval_prior(prior_cache, inp_params=self.params,
                         out_params=jones)
         jones = self.index_params(jones, times=getattr(vd, "times", None))
-        g1_idx, g2_idx = self.ant_index(vd.blnums)
+        if getattr(self, "_g1_idx", None) is not None:
+            g1_idx, g2_idx = self._g1_idx, self._g2_idx
+        else:
+            g1_idx, g2_idx = self.ant_index(vd.blnums)
         vout = vd.copy()
         vout.data, _ = _apply_cal(vd.data, jones, g1_idx, g2_idx,
                                   cal_2pol=self.polmode == "2pol",

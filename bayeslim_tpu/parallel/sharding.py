@@ -205,6 +205,17 @@ class ShardedLogProb:
             shard_visdata(t.copy(), mesh, time_axis=time_axis,
                           bl_axis=bl_axis) if hasattr(t, "blnums") else t
             for t in prob.target]
+        if bl_axis is not None and hasattr(prob.model, "models"):
+            # chain blocks that pinned their baseline->antenna gain
+            # indices as device leaves (JonesModel.set_bls) shard them
+            # over the bl axis like RIME._blidx_groups
+            bspec = NamedSharding(mesh, P(bl_axis))
+            for k2, m in list(prob.model.models.items()):
+                if getattr(m, "_g1_idx", None) is not None:
+                    m = m.copy()   # non-destructive to the wrapped model
+                    m._g1_idx = _gput(m._g1_idx, bspec)
+                    m._g2_idx = _gput(m._g2_idx, bspec)
+                    prob.model.models[k2] = m
         if self.param_shardings:
             # leaf copies keep the wrapped model untouched
             prob.model = prob.model.copy()
@@ -319,14 +330,30 @@ class ShardedLogProb:
             # traced program — those features ride the time axis or the
             # GSPMD path instead
             mp = rime._mp_groups[rime.bl_group_id]
-            assert model is rime, \
-                "bl_axis sharding needs a bare RIME (chains: time axis)"
+            if model is not rime:
+                # chains can ride baseline sharding IF every non-RIME
+                # block indexes baselines through device leaves that
+                # were sharded at construction (JonesModel.set_bls);
+                # blocks with host-metadata baseline indexing cannot
+                # differ across the shards of one traced program
+                for k2, m2 in model.models.items():
+                    if m2 is rime:
+                        continue
+                    assert getattr(m2, "_g1_idx", None) is not None, \
+                        (f"bl_axis sharding: chain block '{k2}' indexes "
+                         f"baselines via host metadata; call its "
+                         f".set_bls(data_bls) before ShardedLogProb (or "
+                         f"use time sharding)")
             assert mp[2] is None, \
                 "bl_axis sharding needs Nmp == 1 (multi-pol: time axis)"
             assert cov_axis in (None, "time"), \
                 "bl-coupled covariance cannot shard over baselines"
             s2d = rime._sim2data[rime.bl_group_id]
             if s2d is not None:
+                assert model is rime, \
+                    ("bl_axis sharding cannot combine redundancy "
+                     "expansion with a chain (the expansion would move "
+                     "after the chain blocks); use time sharding")
                 # sim->data redundancy expansion across baseline shards:
                 # each device computes its LOCAL sim baselines, the sim
                 # cube (small: Nred rows) is all-gathered over the bl

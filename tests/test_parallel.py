@@ -955,3 +955,62 @@ def test_vismapper_freq_sharded():
                        fov=180.0).make_map(return_P=True)
     assert np.allclose(np.asarray(m0), np.asarray(m1), rtol=1e-10)
     assert np.allclose(np.asarray(P0), np.asarray(P1), rtol=1e-10)
+
+
+def test_shard_map_jones_chain_bl_sharded():
+    """A Sequential RIME -> Jones chain under BASELINE sharding: the
+    Jones block's baseline->antenna gain indices are pinned as device
+    leaves (JonesModel.set_bls) and shard over the 'model' axis like the
+    RIME's own baseline indices; gradients match single-device."""
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:8]   # divisible by model axis
+    times = JD0 + np.arange(4) * 5e-4
+    ants = sorted(set(a for b in bls for a in b))
+    rng = np.random.default_rng(21)
+    g = jnp.asarray(rng.normal(1, 0.05, (1, 1, len(ants), 1, len(freqs)))
+                    + 1j * rng.normal(0, 0.05,
+                                      (1, 1, len(ants), 1, len(freqs))))
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        J = JonesModel(g, ants, R=JonesResponse()).set_bls(bls)
+        seq = Sequential({"rime": rime, "cal": J})
+        vd = seq.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.02)
+        return LogProb(seq, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+    assert "models.cal.params" in g1
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 2, "model": 2}),
+                           bl_axis="model")
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+    # without set_bls the same chain is rejected loudly
+    import pytest as _pt
+    def build_plain():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        J = JonesModel(g, ants, R=JonesResponse())
+        seq = Sequential({"rime": rime, "cal": J})
+        vd = seq.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data)
+        return LogProb(seq, tgt)
+    sprob2 = ShardedLogProb(build_plain(),
+                            make_mesh({"data": 2, "model": 2}),
+                            bl_axis="model")
+    with _pt.raises(AssertionError):
+        sprob2.smap_value_and_grad(sprob2.collect_main_params())
