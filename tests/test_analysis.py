@@ -275,3 +275,35 @@ def test_time_average_rephase_coherent():
                                         rephase=True).data).mean())
     assert rep > 0.99 * raw          # coherent
     assert rep > avg                  # better than naive averaging
+
+
+def test_cosmology_background_accuracy():
+    """Cosmology's comoving-distance table matches a direct
+    high-accuracy quadrature of its own documented background (Dc(z) =
+    c/H0 int dz/E), the 21 cm frequency<->redshift mapping is exact, and
+    LoS conversions are self-consistent (reference cosmology.py; the
+    reference delegates to astropy, absent here)."""
+    from bayeslim_tpu.models.cosmology import Cosmology
+    from scipy.integrate import quad
+    cosmo = Cosmology()
+    c_kms = 299792.458
+    for z in (0.5, 1.0, 8.0, 20.0):
+        dc_quad = c_kms / cosmo.H0 * quad(
+            lambda zz: 1.0 / cosmo.Efunc(zz), 0.0, z, limit=400)[0]
+        dc = float(np.asarray(cosmo.comoving_distance(z)))
+        assert abs(dc - dc_quad) < 1e-3 * dc_quad, (z, dc, dc_quad)
+    # flat universe: transverse == radial comoving
+    assert np.allclose(float(np.asarray(
+        cosmo.comoving_transverse_distance(2.0))),
+        float(np.asarray(cosmo.comoving_distance(2.0))))
+    # 21 cm line: z = f21/f - 1 exactly, and f2z/z2f invert
+    f = 150e6
+    z21 = cosmo.f2z(f)
+    assert abs(z21 - (1420.405751768e6 / f - 1)) < 1e-6
+    assert abs(cosmo.z2f(z21) - f) < 1e-3
+    # r2f(f2r(f)) round trip through the distance table
+    assert abs(float(np.asarray(cosmo.r2f(cosmo.f2r(f)))) - f) < 50.0
+    # sanity: the standard LCDM benchmark scale (Dc(z=1) ~ 3.4 Gpc for
+    # Planck-like parameters)
+    dc1 = float(np.asarray(cosmo.comoving_distance(1.0)))
+    assert 3.2e3 < dc1 < 3.5e3
