@@ -351,6 +351,7 @@ class RedVisModel(Module):
         self.params = jnp.asarray(params)
         self.p0 = None if p0 is None else jnp.asarray(p0)
         self.bl2red = dict(bl2red)
+        self._red_idx = None
         if parameter:
             self.set_param("params")
         self.R = R if R is not None else VisModelResponse()
@@ -360,13 +361,24 @@ class RedVisModel(Module):
         return np.asarray([self.bl2red[tuple(bl)] for bl in bls],
                           dtype=np.int32)
 
+    def set_bls(self, bls):
+        """Pin the baseline->group expansion index as a DEVICE array
+        (traced leaf) so the block can ride baseline sharding through
+        shard_map (same mechanism as JonesModel.set_bls)."""
+        self._red_idx = jnp.asarray(self.red_index(
+            [tuple(b) for b in bls]))
+        return self
+
     def forward(self, vd, undo=False, prior_cache=None, **kwargs):
         p = self.params if self.p0 is None else self.params + self.p0
         redvis = self.R(p)
         self.eval_prior(prior_cache, inp_params=self.params,
                         out_params=redvis)
-        idx = self.red_index(vd.blnums)
-        expanded = jnp.take(redvis, jnp.asarray(idx), axis=2)
+        if getattr(self, "_red_idx", None) is not None:
+            idx = self._red_idx
+        else:
+            idx = jnp.asarray(self.red_index(vd.blnums))
+        expanded = jnp.take(redvis, idx, axis=2)
         vout = vd.copy()
         vout.data = vd.data - expanded if undo else vd.data + expanded
         return vout

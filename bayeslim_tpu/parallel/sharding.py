@@ -216,6 +216,10 @@ class ShardedLogProb:
                     m._g1_idx = _gput(m._g1_idx, bspec)
                     m._g2_idx = _gput(m._g2_idx, bspec)
                     prob.model.models[k2] = m
+                elif getattr(m, "_red_idx", None) is not None:
+                    m = m.copy()
+                    m._red_idx = _gput(m._red_idx, bspec)
+                    prob.model.models[k2] = m
         if self.param_shardings:
             # leaf copies keep the wrapped model untouched
             prob.model = prob.model.copy()
@@ -339,7 +343,9 @@ class ShardedLogProb:
                 for k2, m2 in model.models.items():
                     if m2 is rime:
                         continue
-                    assert getattr(m2, "_g1_idx", None) is not None, \
+                    ok2 = getattr(m2, "_g1_idx", None) is not None or \
+                        getattr(m2, "_red_idx", None) is not None
+                    assert ok2, \
                         (f"bl_axis sharding: chain block '{k2}' indexes "
                          f"baselines via host metadata; call its "
                          f".set_bls(data_bls) before ShardedLogProb (or "

@@ -1014,3 +1014,45 @@ def test_shard_map_jones_chain_bl_sharded():
                             bl_axis="model")
     with _pt.raises(AssertionError):
         sprob2.smap_value_and_grad(sprob2.collect_main_params())
+
+
+def test_shard_map_redvismodel_chain_bl_sharded():
+    """A Sequential RIME -> RedVisModel chain under baseline sharding:
+    the per-group expansion index is pinned as a device leaf
+    (RedVisModel.set_bls) and shards over 'model'; gradients match."""
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.calibration import RedVisModel
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:8]
+    times = JD0 + np.arange(4) * 5e-4
+    bl2red = {bl: arr.bl2red[bl] for bl in bls}
+    ngrp = max(bl2red.values()) + 1
+    rng = np.random.default_rng(23)
+    rv = jnp.asarray(
+        (rng.normal(size=(1, 1, ngrp, 1, len(freqs)))
+         + 1j * rng.normal(size=(1, 1, ngrp, 1, len(freqs)))) * 0.1)
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        rvm = RedVisModel(rv, bl2red).set_bls(bls)
+        seq = Sequential({"rime": rime, "rv": rvm})
+        vd = seq.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.02)
+        return LogProb(seq, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+    assert "models.rv.params" in g1
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 2, "model": 2}),
+                           bl_axis="model")
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
