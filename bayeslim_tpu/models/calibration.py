@@ -250,8 +250,12 @@ class JonesModel(Module):
         gathers gains for its local baselines only. When set, forward
         uses these indices verbatim (the wrapped VisData's baseline
         metadata is not re-consulted), so the model is pinned to this
-        baseline order."""
-        g1, g2 = self.ant_index([tuple(b) for b in bls])
+        baseline order — ShardedLogProb cross-checks it against the
+        target's baselines. Accepts tuples, (N, 2) arrays, or blnum
+        codes (ant_index normalizes all three)."""
+        if np.ndim(bls) == 2:   # (N, 2) ant-pair array
+            bls = [tuple(int(a) for a in b) for b in bls]
+        g1, g2 = self.ant_index(bls)
         self._g1_idx = jnp.asarray(g1)
         self._g2_idx = jnp.asarray(g2)
         return self
@@ -364,9 +368,11 @@ class RedVisModel(Module):
     def set_bls(self, bls):
         """Pin the baseline->group expansion index as a DEVICE array
         (traced leaf) so the block can ride baseline sharding through
-        shard_map (same mechanism as JonesModel.set_bls)."""
-        self._red_idx = jnp.asarray(self.red_index(
-            [tuple(b) for b in bls]))
+        shard_map (same mechanism as JonesModel.set_bls). Accepts
+        tuples, (N, 2) arrays, or blnum codes."""
+        if np.ndim(bls) == 2:   # (N, 2) ant-pair array
+            bls = [tuple(int(a) for a in b) for b in bls]
+        self._red_idx = jnp.asarray(self.red_index(bls))
         return self
 
     def forward(self, vd, undo=False, prior_cache=None, **kwargs):

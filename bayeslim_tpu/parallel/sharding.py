@@ -31,6 +31,27 @@ def _dtype(x):
     return jnp.float32 if x.dtype in (jnp.complex64, jnp.float32) \
         else jnp.float64
 
+
+def _bl_index_leaves(m):
+    """Names of a chain block's pinned baseline-index leaves (the
+    set_bls protocol: JonesModel -> _g1_idx/_g2_idx, RedVisModel ->
+    _red_idx). Single source of truth for the bl-sharding walk and the
+    smap eligibility gate."""
+    return [n for n in ("_g1_idx", "_g2_idx", "_red_idx")
+            if getattr(m, n, None) is not None]
+
+
+def _walk_chain_blocks(model):
+    """Yield (container_dict, key, block) for every block in a (possibly
+    nested) Sequential."""
+    if not hasattr(model, "models"):
+        return
+    for k, m in list(model.models.items()):
+        if hasattr(m, "models"):
+            yield from _walk_chain_blocks(m)
+        else:
+            yield model.models, k, m
+
 __all__ = ["make_mesh", "shard_rime", "shard_visdata", "shard_pixels",
            "ShardedLogProb",
            "DistributedLogProb", "replicate"]
@@ -206,20 +227,36 @@ class ShardedLogProb:
                           bl_axis=bl_axis) if hasattr(t, "blnums") else t
             for t in prob.target]
         if bl_axis is not None and hasattr(prob.model, "models"):
-            # chain blocks that pinned their baseline->antenna gain
-            # indices as device leaves (JonesModel.set_bls) shard them
-            # over the bl axis like RIME._blidx_groups
+            # chain blocks that pinned their baseline indices as device
+            # leaves (the set_bls protocol) shard them over the bl axis
+            # like RIME._blidx_groups — after cross-checking them
+            # against the TARGET's baselines (a pinned model silently
+            # applies its indices verbatim, so an order mismatch here
+            # would corrupt results without error)
             bspec = NamedSharding(mesh, P(bl_axis))
-            for k2, m in list(prob.model.models.items()):
-                if getattr(m, "_g1_idx", None) is not None:
-                    m = m.copy()   # non-destructive to the wrapped model
-                    m._g1_idx = _gput(m._g1_idx, bspec)
-                    m._g2_idx = _gput(m._g2_idx, bspec)
-                    prob.model.models[k2] = m
-                elif getattr(m, "_red_idx", None) is not None:
-                    m = m.copy()
-                    m._red_idx = _gput(m._red_idx, bspec)
-                    prob.model.models[k2] = m
+            tgt0 = prob.target[0] if len(prob.target) else None
+            for container, k2, m in _walk_chain_blocks(prob.model):
+                names = _bl_index_leaves(m)
+                if not names:
+                    continue
+                if tgt0 is not None and hasattr(tgt0, "blnums"):
+                    if "_g1_idx" in names:
+                        g1e, g2e = m.ant_index(tgt0.blnums)
+                        ok = (np.array_equal(np.asarray(m._g1_idx), g1e)
+                              and np.array_equal(np.asarray(m._g2_idx),
+                                                 g2e))
+                    else:
+                        ok = np.array_equal(
+                            np.asarray(m._red_idx),
+                            m.red_index(tgt0.blnums))
+                    assert ok, \
+                        (f"chain block '{k2}': set_bls indices do not "
+                         f"match the target's baselines/order — re-call "
+                         f"set_bls with the target's bls")
+                m = m.copy()   # non-destructive to the wrapped model
+                for n in names:
+                    setattr(m, n, _gput(getattr(m, n), bspec))
+                container[k2] = m
         if self.param_shardings:
             # leaf copies keep the wrapped model untouched
             prob.model = prob.model.copy()
@@ -340,16 +377,19 @@ class ShardedLogProb:
                 # were sharded at construction (JonesModel.set_bls);
                 # blocks with host-metadata baseline indexing cannot
                 # differ across the shards of one traced program
-                for k2, m2 in model.models.items():
+                for _cont, k2, m2 in _walk_chain_blocks(model):
                     if m2 is rime:
                         continue
-                    ok2 = getattr(m2, "_g1_idx", None) is not None or \
-                        getattr(m2, "_red_idx", None) is not None
-                    assert ok2, \
-                        (f"bl_axis sharding: chain block '{k2}' indexes "
-                         f"baselines via host metadata; call its "
-                         f".set_bls(data_bls) before ShardedLogProb (or "
-                         f"use time sharding)")
+                    # only blocks that DECLARE baseline indexing (they
+                    # expose set_bls) must be pinned; blocks that never
+                    # index baselines (broadcast VisModels, filters on
+                    # other axes) pass through
+                    if hasattr(m2, "set_bls") and not _bl_index_leaves(m2):
+                        raise AssertionError(
+                            f"bl_axis sharding: chain block '{k2}' "
+                            f"indexes baselines via host metadata; call "
+                            f"its .set_bls(data_bls) before "
+                            f"ShardedLogProb (or use time sharding)")
             assert mp[2] is None, \
                 "bl_axis sharding needs Nmp == 1 (multi-pol: time axis)"
             assert cov_axis in (None, "time"), \

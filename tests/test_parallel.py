@@ -1056,3 +1056,43 @@ def test_shard_map_redvismodel_chain_bl_sharded():
     v2, g2 = sprob.smap_value_and_grad(pd)
     assert np.isclose(float(v1), float(v2), rtol=1e-10)
     _grad_allclose(g1, g2)
+
+
+def test_set_bls_validation_and_blnum_codes():
+    """ShardedLogProb cross-checks pinned set_bls indices against the
+    target's baselines (an order mismatch silently corrupts results
+    otherwise), and set_bls accepts blnum codes / (N,2) arrays."""
+    import pytest as _pt
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)[:8]
+    times = JD0 + np.arange(4) * 5e-4
+    ants = sorted(set(a for b in bls for a in b))
+    g = jnp.asarray(np.ones((1, 1, len(ants), 1, len(freqs))) + 0j)
+
+    rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                   time_mode="vmap")
+    vd = rime.forward()
+    tgt = vd.copy()
+    tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data)
+
+    # blnum codes round-trip through set_bls identically to tuples
+    J1 = JonesModel(g, ants, R=JonesResponse()).set_bls(bls)
+    J2 = JonesModel(g, ants, R=JonesResponse()).set_bls(tgt.blnums)
+    J3 = JonesModel(g, ants, R=JonesResponse()).set_bls(
+        np.asarray(bls))
+    assert np.array_equal(np.asarray(J1._g1_idx), np.asarray(J2._g1_idx))
+    assert np.array_equal(np.asarray(J1._g1_idx), np.asarray(J3._g1_idx))
+
+    # wrong-ORDER pinning is rejected at ShardedLogProb construction
+    Jbad = JonesModel(g, ants, R=JonesResponse()).set_bls(bls[::-1])
+    seq = Sequential({"rime": rime, "cal": Jbad})
+    prob = LogProb(seq, tgt)
+    with _pt.raises(AssertionError):
+        ShardedLogProb(prob, make_mesh({"data": 2, "model": 2}),
+                       bl_axis="model")
