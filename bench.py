@@ -642,6 +642,9 @@ def main():
         "vs_baseline": round(vs, 3),
     }
     print(json.dumps(out))
+    mode = "fast(bf16-1pass,2e-3)" if args.fast \
+        else "precise(3pass,1.6e-5 default; --fast for 1.55x)"
+    print(f"# kernel mode={mode}", file=sys.stderr)
     print(f"# size={args.size} nbls={res['nbls']} "
           f"nbls_sim={cfg.get('nbls_sim', res['nbls'])} nfreqs={cfg['nfreq']} "
           f"ntimes={cfg['ntime']} npix_cut={res['npix_cut']} "
