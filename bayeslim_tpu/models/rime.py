@@ -196,7 +196,8 @@ class RIME(Module):
         rdt = _float()
         for tg, times in self.sim_time_groups.items():
             for ci, comp in enumerate(comps):
-                angs = np.asarray(comp.angs, dtype=np.float64)
+                angs = comp.angs_np if hasattr(comp, "angs_np") \
+                    else np.asarray(comp.angs, dtype=np.float64)
                 ra, dec = angs[0], angs[1]
                 zen_list, az_list, cut_list, mask_list = [], [], [], []
                 ncut = 0

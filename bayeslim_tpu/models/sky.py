@@ -13,6 +13,7 @@ solid angle so the output is flux density [Jy].
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,9 +55,25 @@ class SkyBase(Module):
         self.params = jnp.asarray(params)
         self.p0 = None if p0 is None else jnp.asarray(p0)
         self.R = R if R is not None else DefaultResponse()
+        host = None if isinstance(angs, jax.Array) \
+            else np.asarray(angs, dtype=np.float64)
         self.angs = jnp.asarray(angs)
+        if host is not None:
+            # host copy: angs are precompute metadata; a device->host
+            # fetch of them pays the remote backend's first-fetch warmup
+            self._angs_host = (self.angs, host)
         if parameter:
             self.set_param("params")
+
+    @property
+    def angs_np(self):
+        """Host float64 numpy view of angs (cached; avoids device->host
+        fetches in precompute paths — see AntposDict.asnumpy)."""
+        h = getattr(self, "_angs_host", None)
+        if h is None or h[0] is not self.angs:
+            h = (self.angs, np.asarray(self.angs, dtype=np.float64))
+            self._angs_host = h
+        return h[1]
 
     def _response(self, params):
         if params is None:

@@ -66,10 +66,29 @@ INTERPRET = False
 # noise at that level is immaterial. Set via set_precise_dots().
 PRECISE_DOTS = [True]
 
+# set once the mode has been baked into a traced kernel; lets
+# set_precise_dots warn about a toggle that existing executables
+# (LogProb._jit_cache, user jits) will NOT see
+_MODE_TRACED = [False]
+
 
 def set_precise_dots(precise: bool):
-    """Toggle the fused kernels' MXU precision mode (see PRECISE_DOTS)."""
-    PRECISE_DOTS[0] = bool(precise)
+    """Toggle the fused kernels' MXU precision mode (see PRECISE_DOTS).
+
+    Call BEFORE building/tracing any model (as bench.py does): the mode
+    is read at trace time and baked into each compiled executable, and
+    jit caches do not key on it — toggling after a trace leaves every
+    already-compiled function on the old mode (a warning is emitted)."""
+    precise = bool(precise)
+    if _MODE_TRACED[0] and precise != PRECISE_DOTS[0]:
+        import warnings
+        warnings.warn(
+            "set_precise_dots(%s) called after a fused kernel was "
+            "already traced: existing compiled executables (including "
+            "LogProb's jit cache) keep the previous precision mode; "
+            "only newly traced functions pick up the change. Set the "
+            "mode before building models." % precise, stacklevel=2)
+    PRECISE_DOTS[0] = precise
 
 
 def pallas_available():
@@ -108,9 +127,14 @@ def _phase0(c0, c1, k0f):
     return mod1(mod1(k0f * c1_hi) + mod1(k0f * c1_lo) + c0)
 
 
-def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
-                *, f0_split, df_split, tf, nfp, nc, G, conj, ps_real,
-                out_imag, precise=True):
+# v3 forward kernel (concat-chain, merged wide dots). False restores the
+# v2 per-term block-diagonal dots for A/B. See _fwd_kernel docstring.
+FWD_V3 = [True]
+
+
+def _fwd_kernel_old(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
+                    *, f0_split, df_split, tf, nfp, nc, G, conj, ps_real,
+                    out_imag, precise=True):
     """V(tf, tb) += sum over this pixel tile. Layout: tau (tc, tb),
     ps rows (tf, tc), out (tf, tb); G-chain phasor scratch (G*tc, tb).
 
@@ -238,6 +262,164 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
     jax.lax.fori_loop(0, nj, body, 0)
 
 
+def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
+                csh_ref=None, csl_ref=None,
+                *, f0_split, df_split, tf, nfp, nc, G, conj, ps_real,
+                out_imag, precise=True):
+    """v3 forward kernel: V(tf, tb) += sum over this pixel tile.
+
+    Same G-chain phasor recurrence as v2 (see _fwd_kernel_old), three
+    efficiency changes (round-4, recovering the 3-pass compensated
+    precision tax of the round-3 verdict):
+
+    - The C and S chain states live CONCATENATED along lanes in one
+      scratch (G*tc, 2*tb): [C | S]. A single dot against it yields both
+      the cos and sin contractions at doubled N (better MXU pipelining,
+      half the dot issues).
+    - The compensated products are grouped by RHS instead of by output
+      term: hi-parts of ALL psky rows ride ONE dot against the hi chain
+      (lhs rows stacked [r_hi; r_lo; i_hi; i_lo], M = 2G or 4G), and the
+      lo chain gets a second dot (lhs [r_hi; i_hi]). An M <= 128 matmul
+      costs the same MXU time regardless of M, so stacking rows is free:
+      12 M=8 dots (v2 complex) collapse to 2 dots, 6 (real psky) to 2.
+    All arrays stay f32-typed (hi parts are truncated-to-bf16-VALUED f32
+    via one bitmask; measured: storing native-bf16 hi/lo scratches is
+    ~40% SLOWER despite halving VMEM traffic — f32<->bf16 repacking on
+    the VPU costs sublane shuffles, confirming the v2 design note).
+    """
+    if_ = pl.program_id(0)
+    ic = pl.program_id(2)
+    tc = tau_ref.shape[0]
+    tb = ore_ref.shape[1]
+
+    @pl.when(ic == 0)
+    def _():
+        ore_ref[:, :] = jnp.zeros_like(ore_ref)
+        if out_imag:
+            oim_ref[:, :] = jnp.zeros_like(oim_ref)
+
+    tau = tau_ref[:, :]                            # (tc, tb)
+    c0 = _seed_cycles(tau, f0_split)
+    c1 = _seed_cycles(tau, df_split)
+    sgn = -1.0 if conj else 1.0
+
+    k0f = ((if_ * tf) % nfp).astype(jnp.float32)
+    ang0 = (2 * np.pi) * _phase0(c0, c1, k0f)
+    angd = (2 * np.pi) * c1
+    cosd = jnp.cos(angd)
+    sind = sgn * jnp.sin(angd)
+
+    def store_state(g, half, x):
+        """Write chain state x (f32 values, in registers) for block g,
+        lane half 0 (=C) or 1 (=S)."""
+        cs_ref[pl.ds(g * tc, tc), pl.ds(half * tb, tb)] = x
+
+    # fill the G chain states, C in the left lane half, S in the right
+    cprev = jnp.cos(ang0)
+    sprev = sgn * jnp.sin(ang0)
+    store_state(0, 0, cprev)
+    store_state(0, 1, sprev)
+    for g in range(1, G):
+        cnew = cprev * cosd - sprev * sind
+        snew = sprev * cosd + cprev * sind
+        store_state(g, 0, cnew)
+        store_state(g, 1, snew)
+        cprev, sprev = cnew, snew
+
+    # advance step D^G: exact mod-1 doubling of c1
+    cg = c1
+    gg = G
+    while gg > 1:
+        cg = mod1(2.0 * cg)
+        gg //= 2
+    angG = (2 * np.pi) * cg
+    cosdG = jnp.cos(angG)
+    sindG = sgn * jnp.sin(angG)
+
+    def dot(a, b):
+        # operands are bf16 (precise: exact hi/lo pairs) or f32 rounded
+        # to bf16 by the MXU (fast); precision is managed by the
+        # compensated scheme; see _fwd_kernel_old
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+
+    def bd(rows):
+        """Stacked block-diagonal lhs: rows (S*G, tc) -> (S*G, G*tc)
+        with row m's entries in contraction block m % G."""
+        M = rows.shape[0]
+        im_ = jax.lax.broadcasted_iota(jnp.int32, (M, G, 1), 0)
+        ig_ = jax.lax.broadcasted_iota(jnp.int32, (M, G, 1), 1)
+        mask = ((im_ % G) == ig_).astype(rows.dtype)
+        return (rows[:, None, :] * mask).reshape(M, G * tc)
+
+    def hi_lo(x):
+        """x = hi + lo with hi exactly bf16-valued, both f32-typed
+        (mantissa truncation by bitmask — no lane repacking)."""
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32)
+        return hi, x - hi
+
+    # narrow mode: only the C half is contracted (real psky, no imag out)
+    wide = out_imag or not ps_real
+    nj = tf // G
+
+    def body(j, _):
+        rows_r = psr_ref[pl.ds(j * G, G), :]       # (G, tc)
+        im = None
+        if precise:
+            cs = cs_ref[:, :] if wide else cs_ref[:, pl.ds(0, tb)]
+            csh, csl = hi_lo(cs)
+            if ps_real:
+                rh, rl = hi_lo(rows_r)
+                A = dot(bd(jnp.concatenate([rh, rl], axis=0)), csh)
+                B = dot(bd(rh), csl)
+                re = A[0:G, :tb] + A[G:2 * G, :tb] + B[0:G, :tb]
+                if out_imag:
+                    im = A[0:G, tb:] + A[G:2 * G, tb:] + B[0:G, tb:]
+            else:
+                rows_i = psi_ref[pl.ds(j * G, G), :]
+                rh, rl = hi_lo(rows_r)
+                ih, il = hi_lo(rows_i)
+                A = dot(bd(jnp.concatenate([rh, rl, ih, il], axis=0)), csh)
+                B = dot(bd(jnp.concatenate([rh, ih], axis=0)), csl)
+                re = (A[0:G, :tb] + A[G:2 * G, :tb] + B[0:G, :tb]
+                      - A[2 * G:3 * G, tb:] - A[3 * G:4 * G, tb:]
+                      - B[G:2 * G, tb:])
+                if out_imag:
+                    im = (A[0:G, tb:] + A[G:2 * G, tb:] + B[0:G, tb:]
+                          + A[2 * G:3 * G, :tb] + A[3 * G:4 * G, :tb]
+                          + B[G:2 * G, :tb])
+        else:
+            cs = cs_ref[:, :] if wide else cs_ref[:, pl.ds(0, tb)]
+            if ps_real:
+                O = dot(bd(rows_r), cs)
+                re = O[:, :tb]
+                if out_imag:
+                    im = O[:, tb:]
+            else:
+                rows_i = psi_ref[pl.ds(j * G, G), :]
+                O = dot(bd(jnp.concatenate([rows_r, rows_i], axis=0)), cs)
+                re = O[0:G, :tb] - O[G:2 * G, tb:]
+                if out_imag:
+                    im = O[0:G, tb:] + O[G:2 * G, :tb]
+        ore_ref[pl.ds(j * G, G), :] += re
+        if out_imag:
+            oim_ref[pl.ds(j * G, G), :] += im
+
+        @pl.when(j < nj - 1)
+        def _():
+            for g in range(G):
+                cg_ = cs_ref[pl.ds(g * tc, tc), pl.ds(0, tb)]
+                sg_ = cs_ref[pl.ds(g * tc, tc), pl.ds(tb, tb)]
+                store_state(g, 0, cg_ * cosdG - sg_ * sindG)
+                store_state(g, 1, sg_ * cosdG + cg_ * sindG)
+        return 0
+
+    jax.lax.fori_loop(0, nj, body, 0)
+
+
 def _pad2(x, rows, cols):
     pr, pc = rows - x.shape[0], cols - x.shape[1]
     if pr or pc:
@@ -273,16 +455,20 @@ def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
     NC = _round_up(max(npx, 128), 128)
 
     def vmem(G, tc, tb, tf):
-        scratch_bytes = 4 * 2 * G * tc * tb             # f32 C, S chains
+        scratch_bytes = 4 * 2 * G * tc * tb             # f32 [C|S] chain
+        if PRECISE_DOTS[0] and FWD_V3[0]:
+            scratch_bytes += 2 * 2 * 2 * G * tc * tb    # bf16 hi/lo copies
         blocks = (tc * tb                               # tau
                   + tf * tc * (1 if ps_real else 2)     # ps rows
                   + 2 * tf * tb)                        # out re/im
         # Mosaic stack temporaries (seed/trig intermediates, plus the
-        # hi/lo split temps in precise mode; ~12 vs ~6 live (tc, tb)
+        # hi/lo split temps in v2 precise mode; ~12 vs ~6 live (tc, tb)
         # f32 arrays): calibrated against the compiler's scoped-vmem
         # accounting on v5e (16.02M measured vs 16.25M modeled at
-        # tb=256, tc=512, tf=64 precise)
-        temps = (48 if PRECISE_DOTS[0] else 24) * tc * tb
+        # tb=256, tc=512, tf=64 v2-precise). The v3 precise kernel
+        # splits into dedicated bf16 scratches (counted above), so its
+        # stack temps match fast mode's.
+        temps = (48 if PRECISE_DOTS[0] and not FWD_V3[0] else 24) * tc * tb
         return scratch_bytes + 4 * 2 * blocks + temps
 
     best = None
@@ -331,6 +517,7 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
     nstack = R // nfp
 
     ps_real = not jnp.iscomplexobj(ps)
+    _MODE_TRACED[0] = True
     G, tb, tc, tf = _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=tb, tc=tc)
     NB = _round_up(_round_up(max(nbl, 128), 128), tb)
     NC = _round_up(_round_up(max(npx, 128), 128), tc)
@@ -348,10 +535,19 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
                                 memory_space=pltpu.VMEM)
 
     grid = (R // tf, NB // tb, NC // tc)
+    kfn = _fwd_kernel if FWD_V3[0] else _fwd_kernel_old
     kernel = functools.partial(
-        _fwd_kernel, f0_split=_split_f32(f0), df_split=_split_f32(df),
+        kfn, f0_split=_split_f32(f0), df_split=_split_f32(df),
         tf=tf, nfp=nfp, nc=grid[2], G=G, conj=conj, ps_real=ps_real,
         out_imag=out_imag, precise=PRECISE_DOTS[0])
+    if FWD_V3[0]:
+        scratch = [pltpu.VMEM((G * tc, 2 * tb), jnp.float32)]
+        if PRECISE_DOTS[0]:
+            scratch += [pltpu.VMEM((G * tc, 2 * tb), jnp.bfloat16),
+                        pltpu.VMEM((G * tc, 2 * tb), jnp.bfloat16)]
+    else:
+        scratch = [pltpu.VMEM((G * tc, tb), jnp.float32),
+                   pltpu.VMEM((G * tc, tb), jnp.float32)]
 
     out_shape = [jax.ShapeDtypeStruct((R, NB), jnp.float32)] * 2
     out_re, out_im = pl.pallas_call(
@@ -370,10 +566,7 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
             pl.BlockSpec((tf, tb), lambda i, j, k: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((G * tc, tb), jnp.float32),
-            pltpu.VMEM((G * tc, tb), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         out_shape=out_shape,
         interpret=interpret or INTERPRET,
     )(tau_p, psr, psi)

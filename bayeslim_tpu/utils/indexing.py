@@ -29,7 +29,22 @@ class AntposDict:
     def __init__(self, ants, antvecs):
         self.ants = [int(a) for a in ants]
         self._ant_idx = {a: i for i, a in enumerate(self.ants)}
+        host = antvecs if isinstance(antvecs, np.ndarray) else None
         self.antvecs = jnp.asarray(antvecs)
+        if host is not None:
+            # remember the host copy: asnumpy() then never needs a
+            # device->host fetch (the first fetch on a remote TPU backend
+            # pays ~30 s of session warmup)
+            self._np_cache = (self.antvecs, np.asarray(host, dtype=np.float64))
+
+    def asnumpy(self):
+        """Host float64 numpy view of antvecs (cached; at most one
+        device->host fetch per distinct antvecs array)."""
+        c = getattr(self, "_np_cache", None)
+        if c is None or c[0] is not self.antvecs:
+            c = (self.antvecs, np.asarray(self.antvecs, dtype=np.float64))
+            self._np_cache = c
+        return c[1]
 
     def keys(self):
         return iter(self.ants)

@@ -34,9 +34,9 @@ import numpy as np
 
 def build_case(size):
     cfgs = {
-        "small": dict(hexN=3, nside=16, nfreq=32, ntime=1, reps=8),
-        "medium": dict(hexN=4, nside=32, nfreq=64, ntime=2, reps=8),
-        "large": dict(hexN=5, nside=32, nfreq=128, ntime=2, reps=8),
+        "small": dict(hexN=3, nside=16, nfreq=32, ntime=1, reps=32),
+        "medium": dict(hexN=4, nside=32, nfreq=64, ntime=2, reps=32),
+        "large": dict(hexN=5, nside=32, nfreq=128, ntime=2, reps=32),
         # 331 ants (hex N=11), 1024 freqs: the BASELINE.md array scale
         "hera": dict(hexN=11, nside=32, nfreq=1024, ntime=2, reps=2),
         # the full BASELINE.md north star: 331 ants, 1024 freqs,
@@ -45,7 +45,7 @@ def build_case(size):
         # minibatches of 5 times through RIME's indexed batching (one
         # compiled executable for all batches). Takes ~15 min on v5e-1.
         "hera100": dict(hexN=11, nside=64, nfreq=1024, ntime=100, reps=1,
-                        tbatch=5, skip_fwd_split=True),
+                        tbatch=5),
     }
     # "-red" variants: simulate only unique redundant baselines and
     # expand to the full set via RIME's sim->data index (the reference's
@@ -116,7 +116,7 @@ def build_model(cfg):
     params[0, 0, 1] = -2.5
     R = PixelSkyResponse(freqs, spatial_mode="pixel", freq_mode="powerlaw",
                          f0=float(freqs[0]))
-    sky = PixelSky(jnp.asarray(params, dtype=bl._float()), jnp.asarray(angs),
+    sky = PixelSky(jnp.asarray(params, dtype=bl._float()), angs,
                    hp.nside2pixarea(nside), R=R)
 
     beam = bl.PixelBeam(jnp.ones((1, 1, 1, 1, 2), dtype=bl._float()) * 14.0,
@@ -159,9 +159,16 @@ def build_prob(cfg, m):
     rime, T, arr = m["rime"], m["T"], m["arr"]
     bls, sim_bls, times, freqs = m["bls"], m["sim_bls"], m["times"], \
         m["freqs"]
-    # build target via a jitted forward (op-by-op dispatch is slow on the
-    # remote TPU backend)
-    tgt_data = jax.jit(lambda mm: mm.forward().data)(rime)
+    # synthetic random target built on-device (complex64 host->device
+    # transfers fail on axon; lax.complex inside a trivial jit). Target
+    # VALUES are irrelevant to step timing (adam does identical compute
+    # for any residual), and the model-forward target used in rounds 1-3
+    # cost a third full ~30 s compile (r3 verdict weak #1).
+    nbd = len(sim_bls) if cfg.get("stat") else len(bls)
+    shp = (1, 1, nbd, cfg["ntime"], cfg["nfreq"])
+    keys = jax.random.split(jax.random.PRNGKey(0))
+    tgt_data = jax.jit(lambda k: jax.lax.complex(
+        jax.random.normal(k[0], shp), jax.random.normal(k[1], shp)))(keys)
     tgt = bl.VisData()
     tgt.setup_meta(T, arr.to_antpos())
     if cfg.get("stat"):
@@ -190,14 +197,21 @@ def run_jax(cfg, platform=None, x64=False):
     import jax.numpy as jnp
     import optax
 
+    stage = {}
+    t0 = time.time()
     m = build_model(cfg)
+    stage["build_model"] = time.time() - t0
     npix_cut = m["npix_cut"]
     bls, freqs = m["bls"], m["freqs"]
     if m["tgroups"] is not None:
-        return _run_batched(cfg, m["rime"], m["T"], m["arr"], bls,
-                            m["tgroups"], freqs, npix_cut)
+        out = _run_batched(cfg, m["rime"], m["T"], m["arr"], bls,
+                           m["tgroups"], freqs, npix_cut)
+        out["stage"] = stage
+        return out
 
+    t0 = time.time()
     prob, tgt_data = build_prob(cfg, m)
+    stage["build_prob"] = time.time() - t0
     pd = dict(prob.collect_main_params())
     fn = prob._batch_fn(0)
     _, icov = prob._batch_args(0)
@@ -236,12 +250,17 @@ def run_jax(cfg, platform=None, x64=False):
     _ = float(v)
     compile_time = time.time() - t0
 
-    t0 = time.time()
-    v, _ = train(pd, prob.model, tgt_data)
-    _ = float(v)
-    dt = max(time.time() - t0 - fetch, 1e-9) / reps
+    # min-of-3 timed windows: remote-TPU RPC latency fluctuates ~±20%
+    # run-to-run; the floor-subtracted min is the stable estimator
+    windows = []
+    for _ in range(3):
+        t0 = time.time()
+        v, _ = train(pd, prob.model, tgt_data)
+        _ = float(v)
+        windows.append(time.time() - t0)
+    dt = max(min(windows) - fetch, 1e-9) / reps
 
-    if cfg.get("skip_fwd_split"):
+    if cfg.get("skip_fwd_split", True):
         dt_fwd = float("nan")
     else:
         float(fwd_loop(pd, prob.model, tgt_data))
@@ -250,8 +269,11 @@ def run_jax(cfg, platform=None, x64=False):
         dt_fwd = max(time.time() - t0 - fetch, 1e-9) / reps
 
     points = len(bls) * cfg["nfreq"] * cfg["ntime"]
+    stage["compile"] = compile_time
+    stage["steady"] = sum(windows)
     return dict(step_time=dt, fwd_time=dt_fwd, bwd_time=dt - dt_fwd,
                 compile_time=compile_time, fetch=fetch, points=points,
+                windows=windows, stage=stage,
                 nbls=len(bls), npix_cut=npix_cut, pps=points / dt)
 
 
@@ -425,7 +447,7 @@ def run_hmc_bench(platform=None, x64=False, hexN=3, nfreq=128, nside=32,
     alm[0, 0, 1] = -2.5
     R = PixelSkyResponse(freqs, spatial_mode="alm", freq_mode="powerlaw",
                          f0=float(freqs[0]), spat_LM=spat)
-    sky = PixelSky(jnp.asarray(alm, dtype=bl._float()), jnp.asarray(angs),
+    sky = PixelSky(jnp.asarray(alm, dtype=bl._float()), angs,
                    hp.nside2pixarea(nside), R=R)
     beam = bl.PixelBeam(jnp.ones((1, 1, 1, 1, 2), dtype=bl._float()) * 14.0,
                         freqs, R=bl.beam_model.AiryResponse(), pol="e",
@@ -565,6 +587,9 @@ def main():
                          "compensated ~1.6e-5; see ops/rime_pallas.py "
                          "PRECISE_DOTS)")
     ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--fwd-split", action="store_true",
+                    help="also time a forward-only loop (one extra ~30 s "
+                         "compile) to report the fwd/bwd split")
     args = ap.parse_args()
 
     if args.fast:
@@ -624,6 +649,7 @@ def main():
         assert not cfg.get("stat"), \
             "-stat sizes run the whole time axis in one executable"
         cfg["tbatch"] = args.tbatch
+    cfg["skip_fwd_split"] = not args.fwd_split
     res = run_jax(cfg, platform="cpu" if args.cpu else None, x64=args.x64)
 
     vs = 0.0
@@ -652,6 +678,11 @@ def main():
           f"(fwd={res['fwd_time']*1e3:.1f}ms bwd={res['bwd_time']*1e3:.1f}ms) "
           f"fetch_floor={res['fetch']*1e3:.1f}ms "
           f"compile={res['compile_time']:.1f}s", file=sys.stderr)
+    stg = res.get("stage", {})
+    wins = res.get("windows")
+    print("# stages: " + " ".join(f"{k}={v:.1f}s" for k, v in stg.items())
+          + (f" windows={['%.3f' % w for w in wins]}" if wins else ""),
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -83,7 +83,7 @@ def main():
     params[0, 0, 1] = -2.5
     R = PixelSkyResponse(freqs, spatial_mode="pixel", freq_mode="powerlaw",
                          f0=float(freqs[0]))
-    sky = PixelSky(jnp.asarray(params, dtype=bl._float()), jnp.asarray(angs),
+    sky = PixelSky(jnp.asarray(params, dtype=bl._float()), angs,
                    hp.nside2pixarea(nside), R=R)
     beam = bl.PixelBeam(jnp.ones((1, 1, 1, 1, 2), dtype=bl._float()) * 14.0,
                         freqs, R=bl.beam_model.AiryResponse(), pol="e",

@@ -66,7 +66,7 @@ def main():
     R = PixelSkyResponse(freqs, spatial_mode="pixel", freq_mode="powerlaw",
                          f0=float(freqs[0]))
     sky = PixelSky(jnp.asarray(params, dtype=bl._float()),
-                   jnp.asarray(angs), hp.nside2pixarea(args.nside), R=R)
+                   angs, hp.nside2pixarea(args.nside), R=R)
     beam = bl.PixelBeam(jnp.ones((1, 1, 1, 1, 2), dtype=bl._float()) * 14.0,
                         freqs, R=bl.beam_model.AiryResponse(), pol="e",
                         powerbeam=True, fov=180.0)
