@@ -32,6 +32,14 @@ import jax as _jax
 
 _prec = _os.environ.get("BAYESLIM_TPU_MATMUL_PRECISION", "highest")
 if _prec and _prec.lower() not in ("default", "none"):
+    if _jax.config.jax_default_matmul_precision != _prec:
+        # import-time global config change: log it so co-resident JAX
+        # code that sees different numerics/perf can trace the cause
+        import logging as _logging
+        _logging.getLogger(__name__).info(
+            "bayeslim_tpu: setting jax_default_matmul_precision=%s "
+            "process-wide (opt out with BAYESLIM_TPU_MATMUL_PRECISION="
+            "default)", _prec)
     _jax.config.update("jax_default_matmul_precision", _prec)
 
 from . import utils

@@ -52,6 +52,20 @@ def _walk_chain_blocks(model):
         else:
             yield model.models, k, m
 
+
+def _copy_nested_chains(seq):
+    """Shallow-copy every nested Sequential (and its models dict) in
+    place, so block replacement during the set_bls walk never mutates
+    the caller's original model (the top-level dict is copied by the
+    ShardedLogProb constructor; nested ones need the same treatment)."""
+    import copy as _copy
+    for k, m in list(seq.models.items()):
+        if hasattr(m, "models"):
+            m = _copy.copy(m)
+            m.models = dict(m.models)
+            seq.models[k] = m
+            _copy_nested_chains(m)
+
 __all__ = ["make_mesh", "shard_rime", "shard_visdata", "shard_pixels",
            "ShardedLogProb",
            "DistributedLogProb", "replicate"]
@@ -235,6 +249,7 @@ class ShardedLogProb:
             # would corrupt results without error)
             bspec = NamedSharding(mesh, P(bl_axis))
             tgt0 = prob.target[0] if len(prob.target) else None
+            _copy_nested_chains(prob.model)
             for container, k2, m in _walk_chain_blocks(prob.model):
                 names = _bl_index_leaves(m)
                 if not names:
@@ -336,13 +351,16 @@ class ShardedLogProb:
             # stale — and batches 0 and >0 ALTERNATE keys (the prior
             # enters at batch 0 only), so clearing on miss would rebuild
             # and re-jit every batch of every accumulate step. Bound the
-            # cache instead.
+            # cache instead. Strong refs to the id()-keyed objects are
+            # stored with the entry so a GC'd prior/LM/main_params can
+            # never recycle an id into a stale hit.
             if len(cache) > 16:
                 cache.pop(next(iter(cache)))
-            cache[key] = self._build_smap_vg(idx)
+            cache[key] = (self._build_smap_vg(idx),
+                          (prob.prior_dict, prob.LM, prob.main_params))
         data, icov = prob._batch_args(idx)
         icov = icov if icov is not None else jnp.ones((1,), _dtype(data))
-        return cache[key](dict(pdict), prob.model, data, icov)
+        return cache[key][0](dict(pdict), prob.model, data, icov)
 
     def _build_smap_vg(self, idx=0):
         try:
