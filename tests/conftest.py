@@ -18,3 +18,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+from _slow_tests import SLOW  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: test measured >=2 s (see tests/_slow_tests.py)")
+    config.addinivalue_line(
+        "markers", "fast: complement of slow — `-m fast` is the ~2 min "
+                   "smoke subset")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = "tests/" + item.nodeid.split("tests/")[-1] \
+            if "tests/" in item.nodeid else "tests/" + item.nodeid
+        if nodeid in SLOW:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
