@@ -131,6 +131,14 @@ def _phase0(c0, c1, k0f):
 # v2 per-term block-diagonal dots for A/B. See _fwd_kernel docstring.
 FWD_V3 = [True]
 
+# profiling hook (scripts/kernel_decompose.py): trace-time ablations of
+# the v3 forward kernel to attribute time to seed/rotate/dot stages.
+# Values: 'seed' (constant angles, no per-tile transcendentals),
+# 'rotate' (no chain fill/advance rotations), 'dot' (skip the MXU
+# contractions, accumulate a cheap placeholder). NEVER set in
+# production — results are numerically wrong by construction.
+_ABLATE = frozenset()
+
 
 def _fwd_kernel_old(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
                     *, f0_split, df_split, tf, nfp, nc, G, conj, ps_real,
@@ -263,7 +271,6 @@ def _fwd_kernel_old(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
 
 
 def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
-                csh_ref=None, csl_ref=None,
                 *, f0_split, df_split, tf, nfp, nc, G, conj, ps_real,
                 out_imag, precise=True):
     """v3 forward kernel: V(tf, tb) += sum over this pixel tile.
@@ -278,14 +285,19 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
       half the dot issues).
     - The compensated products are grouped by RHS instead of by output
       term: hi-parts of ALL psky rows ride ONE dot against the hi chain
-      (lhs rows stacked [r_hi; r_lo; i_hi; i_lo], M = 2G or 4G), and the
-      lo chain gets a second dot (lhs [r_hi; i_hi]). An M <= 128 matmul
+      (lhs rows stacked [r; r_lo; i; i_lo], M = 2G or 4G), and the
+      lo chain gets a second dot (lhs [r; i]). An M <= 128 matmul
       costs the same MXU time regardless of M, so stacking rows is free:
       12 M=8 dots (v2 complex) collapse to 2 dots, 6 (real psky) to 2.
     All arrays stay f32-typed (hi parts are truncated-to-bf16-VALUED f32
-    via one bitmask; measured: storing native-bf16 hi/lo scratches is
-    ~40% SLOWER despite halving VMEM traffic — f32<->bf16 repacking on
-    the VPU costs sublane shuffles, confirming the v2 design note).
+    via one bitmask; exactly-representable operands make the MXU's
+    internal rounding an identity, so the scheme is independent of the
+    hardware rounding mode). Alternatives measured on v5e and REJECTED
+    (scripts/ab_kernel.py, round 4): implicit-hi dots with an astype-
+    maintained lo scratch 11.13 ms, with an integer-RTNE lo scratch
+    14.56 ms, vs 10.54 ms for this per-j bitmask split — bf16 astype
+    costs sublane repacking and integer shift/add chains are slow on
+    the VPU, while the bitmask split is 4 lane-local ops.
     """
     if_ = pl.program_id(0)
     ic = pl.program_id(2)
@@ -299,15 +311,21 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
             oim_ref[:, :] = jnp.zeros_like(oim_ref)
 
     tau = tau_ref[:, :]                            # (tc, tb)
-    c0 = _seed_cycles(tau, f0_split)
-    c1 = _seed_cycles(tau, df_split)
     sgn = -1.0 if conj else 1.0
-
-    k0f = ((if_ * tf) % nfp).astype(jnp.float32)
-    ang0 = (2 * np.pi) * _phase0(c0, c1, k0f)
-    angd = (2 * np.pi) * c1
-    cosd = jnp.cos(angd)
-    sind = sgn * jnp.sin(angd)
+    if "seed" in _ABLATE:
+        ang0 = tau * 0.5
+        cosd = tau
+        sind = tau * sgn
+        cosdG = tau
+        sindG = tau * sgn
+    else:
+        c0 = _seed_cycles(tau, f0_split)
+        c1 = _seed_cycles(tau, df_split)
+        k0f = ((if_ * tf) % nfp).astype(jnp.float32)
+        ang0 = (2 * np.pi) * _phase0(c0, c1, k0f)
+        angd = (2 * np.pi) * c1
+        cosd = jnp.cos(angd)
+        sind = sgn * jnp.sin(angd)
 
     def store_state(g, half, x):
         """Write chain state x (f32 values, in registers) for block g,
@@ -315,34 +333,46 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
         cs_ref[pl.ds(g * tc, tc), pl.ds(half * tb, tb)] = x
 
     # fill the G chain states, C in the left lane half, S in the right
-    cprev = jnp.cos(ang0)
-    sprev = sgn * jnp.sin(ang0)
+    cprev = jnp.cos(ang0) if "seed" not in _ABLATE else ang0
+    sprev = sgn * jnp.sin(ang0) if "seed" not in _ABLATE else ang0
     store_state(0, 0, cprev)
     store_state(0, 1, sprev)
     for g in range(1, G):
-        cnew = cprev * cosd - sprev * sind
-        snew = sprev * cosd + cprev * sind
+        if "rotate" not in _ABLATE:
+            cnew = cprev * cosd - sprev * sind
+            snew = sprev * cosd + cprev * sind
+        else:
+            cnew, snew = cprev, sprev
         store_state(g, 0, cnew)
         store_state(g, 1, snew)
         cprev, sprev = cnew, snew
 
-    # advance step D^G: exact mod-1 doubling of c1
-    cg = c1
-    gg = G
-    while gg > 1:
-        cg = mod1(2.0 * cg)
-        gg //= 2
-    angG = (2 * np.pi) * cg
-    cosdG = jnp.cos(angG)
-    sindG = sgn * jnp.sin(angG)
+    if "seed" not in _ABLATE:
+        # advance step D^G: exact mod-1 doubling of c1
+        cg = c1
+        gg = G
+        while gg > 1:
+            cg = mod1(2.0 * cg)
+            gg //= 2
+        angG = (2 * np.pi) * cg
+        cosdG = jnp.cos(angG)
+        sindG = sgn * jnp.sin(angG)
 
     def dot(a, b):
-        # operands are bf16 (precise: exact hi/lo pairs) or f32 rounded
-        # to bf16 by the MXU (fast); precision is managed by the
-        # compensated scheme; see _fwd_kernel_old
+        # operands are bf16-valued f32 (precise: exact hi/lo pairs) or
+        # f32 rounded to bf16 by the MXU (fast); precision is managed by
+        # the compensated scheme; see _fwd_kernel_old
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.DEFAULT)
+
+    def hi_lo(x):
+        """x = hi + lo with hi exactly bf16-valued, both f32-typed
+        (mantissa truncation by bitmask — no lane repacking)."""
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32)
+        return hi, x - hi
 
     def bd(rows):
         """Stacked block-diagonal lhs: rows (S*G, tc) -> (S*G, G*tc)
@@ -353,14 +383,6 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
         mask = ((im_ % G) == ig_).astype(rows.dtype)
         return (rows[:, None, :] * mask).reshape(M, G * tc)
 
-    def hi_lo(x):
-        """x = hi + lo with hi exactly bf16-valued, both f32-typed
-        (mantissa truncation by bitmask — no lane repacking)."""
-        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-        hi = jax.lax.bitcast_convert_type(
-            u & jnp.uint32(0xFFFF0000), jnp.float32)
-        return hi, x - hi
-
     # narrow mode: only the C half is contracted (real psky, no imag out)
     wide = out_imag or not ps_real
     nj = tf // G
@@ -368,7 +390,11 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
     def body(j, _):
         rows_r = psr_ref[pl.ds(j * G, G), :]       # (G, tc)
         im = None
-        if precise:
+        if "dot" in _ABLATE:
+            re = cs_ref[pl.ds(0, G), pl.ds(0, tb)] + rows_r[:, 0:1]
+            if out_imag:
+                im = re
+        elif precise:
             cs = cs_ref[:, :] if wide else cs_ref[:, pl.ds(0, tb)]
             csh, csl = hi_lo(cs)
             if ps_real:
@@ -408,13 +434,14 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
         if out_imag:
             oim_ref[pl.ds(j * G, G), :] += im
 
-        @pl.when(j < nj - 1)
-        def _():
-            for g in range(G):
-                cg_ = cs_ref[pl.ds(g * tc, tc), pl.ds(0, tb)]
-                sg_ = cs_ref[pl.ds(g * tc, tc), pl.ds(tb, tb)]
-                store_state(g, 0, cg_ * cosdG - sg_ * sindG)
-                store_state(g, 1, sg_ * cosdG + cg_ * sindG)
+        if "rotate" not in _ABLATE:
+            @pl.when(j < nj - 1)
+            def _():
+                for g in range(G):
+                    cg_ = cs_ref[pl.ds(g * tc, tc), pl.ds(0, tb)]
+                    sg_ = cs_ref[pl.ds(g * tc, tc), pl.ds(tb, tb)]
+                    store_state(g, 0, cg_ * cosdG - sg_ * sindG)
+                    store_state(g, 1, sg_ * cosdG + cg_ * sindG)
         return 0
 
     jax.lax.fori_loop(0, nj, body, 0)
@@ -457,7 +484,7 @@ def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
     def vmem(G, tc, tb, tf):
         scratch_bytes = 4 * 2 * G * tc * tb             # f32 [C|S] chain
         if PRECISE_DOTS[0] and FWD_V3[0]:
-            scratch_bytes += 2 * 2 * 2 * G * tc * tb    # bf16 hi/lo copies
+            scratch_bytes += 2 * 4 * 2 * G * tc * tb    # hi/lo split temps
         blocks = (tc * tb                               # tau
                   + tf * tc * (1 if ps_real else 2)     # ps rows
                   + 2 * tf * tb)                        # out re/im
@@ -465,9 +492,9 @@ def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
         # hi/lo split temps in v2 precise mode; ~12 vs ~6 live (tc, tb)
         # f32 arrays): calibrated against the compiler's scoped-vmem
         # accounting on v5e (16.02M measured vs 16.25M modeled at
-        # tb=256, tc=512, tf=64 v2-precise). The v3 precise kernel
-        # splits into dedicated bf16 scratches (counted above), so its
-        # stack temps match fast mode's.
+        # tb=256, tc=512, tf=64 v2-precise). The v3 precise kernel's
+        # per-j csh/csl materializations are counted as scratch-sized
+        # temps above; its other stack temps match fast mode's.
         temps = (48 if PRECISE_DOTS[0] and not FWD_V3[0] else 24) * tc * tb
         return scratch_bytes + 4 * 2 * blocks + temps
 
@@ -542,9 +569,6 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
         out_imag=out_imag, precise=PRECISE_DOTS[0])
     if FWD_V3[0]:
         scratch = [pltpu.VMEM((G * tc, 2 * tb), jnp.float32)]
-        if PRECISE_DOTS[0]:
-            scratch += [pltpu.VMEM((G * tc, 2 * tb), jnp.bfloat16),
-                        pltpu.VMEM((G * tc, 2 * tb), jnp.bfloat16)]
     else:
         scratch = [pltpu.VMEM((G * tc, tb), jnp.float32),
                    pltpu.VMEM((G * tc, tb), jnp.float32)]

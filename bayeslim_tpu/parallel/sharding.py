@@ -414,10 +414,6 @@ class ShardedLogProb:
                 "bl-coupled covariance cannot shard over baselines"
             s2d = rime._sim2data[rime.bl_group_id]
             if s2d is not None:
-                assert model is rime, \
-                    ("bl_axis sharding cannot combine redundancy "
-                     "expansion with a chain (the expansion would move "
-                     "after the chain blocks); use time sharding")
                 # sim->data redundancy expansion across baseline shards:
                 # each device computes its LOCAL sim baselines, the sim
                 # cube (small: Nred rows) is all-gathered over the bl
@@ -425,7 +421,9 @@ class ShardedLogProb:
                 # rows (the expansion index arrives as a bl-sharded
                 # input). The model handed to shard_map has the internal
                 # expansion stripped (static metadata; the leaf list is
-                # identical).
+                # identical). In a chain, the expansion re-runs at the
+                # RIME's position (local_fn threads the blocks manually)
+                # so post-RIME blocks still see data-baseline rows.
                 nsh = dict(zip(self.mesh.axis_names,
                                self.mesh.devices.shape))[self.bl_axis]
                 nsim = len(rime.sim_bl_groups[rime.bl_group_id])
@@ -437,7 +435,14 @@ class ShardedLogProb:
                 stripped._sim2data = dict(rime._sim2data)
                 stripped._sim2data[rime.bl_group_id] = None
                 stripped.data_bl_groups = dict(rime.sim_bl_groups)
-                model = stripped   # treedef donor; leaves are identical
+                if model is rime:
+                    model = stripped  # treedef donor; leaves identical
+                else:
+                    import copy as _copy
+                    seq = _copy.copy(model)
+                    seq.models = {k: (stripped if v is rime else v)
+                                  for k, v in model.models.items()}
+                    model = seq
                 expand_s2d = _gput(
                     jnp.asarray(np.asarray(s2d), jnp.int32),
                     NamedSharding(self.mesh, P(self.bl_axis)))
@@ -503,6 +508,12 @@ class ShardedLogProb:
 
         bl_axis = self.bl_axis
 
+        def expand_local(vis, s2d):
+            # gather the (small) sim cube across baseline shards,
+            # expand onto this device's data-baseline shard
+            visg = jax.lax.all_gather(vis, bl_axis, axis=2, tiled=True)
+            return jnp.take(visg, s2d, axis=2)
+
         def local_fn(pd, model_leaves, data, icov, s2d):
             m = jax.tree_util.tree_unflatten(model_def, model_leaves)
             m = strip_vis_sharding(m)
@@ -512,14 +523,23 @@ class ShardedLogProb:
             # replicated over the mesh, so every device computes the
             # same prior; it is added once outside the psum)
             pc = {}
-            out = mm.forward(None, prior_cache=pc)
-            vis = out.data if hasattr(out, "data") else out
-            if expand_s2d is not None:
-                # gather the (small) sim cube across baseline shards,
-                # expand onto this device's data-baseline shard
-                visg = jax.lax.all_gather(vis, bl_axis, axis=2,
-                                          tiled=True)
-                vis = jnp.take(visg, s2d, axis=2)
+            if expand_s2d is not None and hasattr(mm, "models"):
+                # chain + redundancy expansion: thread the blocks
+                # manually so the expansion re-runs at the RIME's
+                # position — post-RIME blocks (set_bls-pinned) see
+                # data-baseline rows, exactly as in the unsharded chain
+                out = None
+                for k2 in mm._order:
+                    blk = mm.models[k2]
+                    out = blk(out, prior_cache=pc)
+                    if hasattr(blk, "_pre"):
+                        out.data = expand_local(out.data, s2d)
+                vis = out.data if hasattr(out, "data") else out
+            else:
+                out = mm.forward(None, prior_cache=pc)
+                vis = out.data if hasattr(out, "data") else out
+                if expand_s2d is not None:
+                    vis = expand_local(vis, s2d)
             res = vis - data
             chi = apply_icov(res, icov if has_icov else None, cov_axis)
             chi = jnp.sum(chi)
@@ -532,16 +552,21 @@ class ShardedLogProb:
 
         # whether the model's forward populates its prior cache is a
         # STATIC model property (priors are host metadata): probe with
-        # an abstract trace so the closure can branch at build time
+        # an abstract trace so the closure can branch at build time.
+        # Probe the ORIGINAL model (prob.model): the expansion-stripped
+        # chain donor cannot run a plain forward (post-RIME blocks with
+        # pinned data-baseline indices would see sim rows), and priors
+        # are identical either way.
         pc_probe = {}
+        _, probe_def = jax.tree_util.tree_flatten(prob.model)
 
         def _probe(leaves):
             m = strip_vis_sharding(
-                jax.tree_util.tree_unflatten(model_def, leaves))
+                jax.tree_util.tree_unflatten(probe_def, leaves))
             out = m.forward(None, prior_cache=pc_probe)
             return out.data if hasattr(out, "data") else out
 
-        jax.eval_shape(_probe, jax.tree_util.tree_leaves(model))
+        jax.eval_shape(_probe, jax.tree_util.tree_leaves(prob.model))
         fwd_has_priors = len(pc_probe) > 0
         if self.param_shardings and prob.prior_dict is None \
                 and fwd_has_priors:

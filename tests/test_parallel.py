@@ -1058,6 +1058,62 @@ def test_shard_map_redvismodel_chain_bl_sharded():
     _grad_allclose(g1, g2)
 
 
+def test_shard_map_expansion_chain_bl_sharded():
+    """Redundancy expansion COMBINED with a Jones chain under baseline
+    sharding (round-4 lift of the former exclusion): each device
+    simulates its local sim baselines, the sim cube all-gathers and
+    expands at the RIME's position in the chain, and the set_bls-pinned
+    Jones block applies data-baseline gains to its local shard.
+    Gradients match single-device."""
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_GaussBeam(freqs)
+    bls = arr.get_bls(keep_autos=False)
+    red_groups = [r for r in arr.reds if r[0][0] != r[0][1]]
+    chosen = None
+    for k in range(2, len(red_groups) + 1, 2):
+        gids_k = {arr.bl2red[r[0]] for r in red_groups[:k]}
+        data_k = [b for b in bls if arr.bl2red[b] in gids_k]
+        if len(data_k) % 2 == 0 and len(data_k) > k:
+            chosen = (red_groups[:k], data_k)
+            break
+    assert chosen is not None
+    sim_bls = [r[0] for r in chosen[0]]
+    data_bls = chosen[1]
+    times = JD0 + np.arange(4) * 5e-4
+    ants = sorted(set(a for b in data_bls for a in b))
+    rng = np.random.default_rng(29)
+    g = jnp.asarray(rng.normal(1, 0.05, (1, 1, len(ants), 1, len(freqs)))
+                    + 1j * rng.normal(0, 0.05,
+                                      (1, 1, len(ants), 1, len(freqs))))
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, sim_bls, times, freqs,
+                       data_bls=data_bls, time_mode="vmap")
+        J = JonesModel(g, ants, R=JonesResponse()).set_bls(data_bls)
+        seq = Sequential({"rime": rime, "cal": J})
+        vd = seq.forward()
+        tgt = vd.copy()
+        tgt.setup_data(data_bls, times, freqs, pol="ee",
+                       data=vd.data + 0.02)
+        return LogProb(seq, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+    assert "models.cal.params" in g1
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 2, "model": 2}),
+                           bl_axis="model")
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+
 def test_set_bls_validation_and_blnum_codes():
     """ShardedLogProb cross-checks pinned set_bls indices against the
     target's baselines (an order mismatch silently corrupts results
