@@ -14,7 +14,8 @@ import numpy as np
 from .containers import VisData
 from ..utils import AntposDict
 
-__all__ = ["HAS_PYUVDATA", "PyVisData", "read_uvh5", "read_calfits",
+__all__ = ["HAS_PYUVDATA", "PyVisData", "read_uvh5", "write_uvh5",
+           "write_uvh5_part", "read_calfits",
            "run_rime_sim", "setup_uvdata", "complete_uvdata",
            "parse_time_params", "parse_freq_params"]
 
@@ -130,6 +131,164 @@ def read_uvh5(fname, run_check=True):
     if run_check:
         obj.check()
     return obj
+
+
+def _pol_slots(vd):
+    """(AIPS polarization codes, (i, j) data-slot indices) for a
+    VisData's polarization layout under x_orientation='east' (so the
+    'e' feed is the file's 'x': ee->xx=-5, nn->yy=-6, en->xy=-7,
+    ne->yx=-8 — the inverse of read_uvh5's feed mapping)."""
+    if vd.data.shape[0] == 1:
+        pol = (vd.pol or "ee").lower()
+        code = {"ee": -5, "nn": -6, "en": -7, "ne": -8}[pol]
+        return [code], [(0, 0)]
+    return [-5, -6, -7, -8], [(0, 0), (1, 1), (0, 1), (1, 0)]
+
+
+def write_uvh5(vd, fname, overwrite=False):
+    """Write a VisData as a UVH5 file directly with h5py — no pyuvdata
+    required (the reference's run_rime_sim output path writes UVH5 via
+    pyuvdata, uvdata_interface.py:136-325; UVH5 is a documented plain-
+    HDF5 layout, so the write side needs pyuvdata no more than the read
+    side does).
+
+    Layout: time-major baseline-time rows, x_orientation='east',
+    phase_type='drift' (unprojected zenith, the RIME's frame), antenna
+    positions ENU->rotated-ECEF (the inverse of read_uvh5's
+    conversion). Round-trips exactly through read_uvh5
+    (tests/test_io.py) and follows the UVH5 spec v1 required header.
+    """
+    import os
+
+    import h5py
+
+    from ..models.telescope import JD2LST
+
+    if os.path.exists(fname) and not overwrite:
+        raise FileExistsError(f"{fname} exists; pass overwrite=True")
+
+    data = np.asarray(vd.data)
+    flags = None if vd.flags is None else np.asarray(vd.flags)
+    bls = list(vd.bls)
+    times = np.asarray(vd.times, dtype=np.float64)
+    freqs = np.asarray(vd.freqs, dtype=np.float64)
+    nbl, nt, nf = len(bls), len(times), len(freqs)
+    pol_codes, slots = _pol_slots(vd)
+
+    # (lon, lat, alt) degrees/m is this package's telescope convention
+    lon, lat, alt = (float(x) for x in vd.telescope.location[:3])
+    ants = [int(a) for a in vd.antpos.ants]
+    enu = np.asarray(vd.antpos.antvecs, dtype=np.float64)
+    ecef = enu @ _ecef_to_enu_matrix(lat, lon)   # inverse rotation
+
+    # time-major blt rows
+    ant1 = np.tile(np.asarray([b[0] for b in bls], np.int64), nt)
+    ant2 = np.tile(np.asarray([b[1] for b in bls], np.int64), nt)
+    time_array = np.repeat(times, nbl)
+    a2i = {a: i for i, a in enumerate(ants)}
+    uvw = np.tile(np.asarray(
+        [enu[a2i[b[1]]] - enu[a2i[b[0]]] for b in bls]), (nt, 1))
+    if nt > 1:
+        tint = float(np.median(np.diff(np.sort(times)))) * 86400.0
+    else:
+        tint = 1.0
+    df = float(freqs[1] - freqs[0]) if nf > 1 else 1.0
+
+    vis = np.zeros((nbl * nt, nf, len(pol_codes)), np.complex64)
+    flg = np.ones((nbl * nt, nf, len(pol_codes)), bool)
+    for k, (i, j) in enumerate(slots):
+        # (B, T, F) -> time-major rows (T*B, F)
+        vis[:, :, k] = np.moveaxis(data[i, j], 1, 0).reshape(nbl * nt, nf)
+        flg[:, :, k] = False if flags is None else \
+            np.moveaxis(flags[i, j], 1, 0).reshape(nbl * nt, nf)
+
+    with h5py.File(fname, "w") as f:
+        h = f.create_group("Header")
+        h["latitude"] = lat
+        h["longitude"] = lon
+        h["altitude"] = alt
+        h["telescope_name"] = np.bytes_(
+            getattr(vd.telescope, "name", None) or "bayeslim_tpu")
+        h["instrument"] = h["telescope_name"][()]
+        h["object_name"] = np.bytes_("zenith")
+        h["history"] = np.bytes_(vd.history or "written by "
+                                 "bayeslim_tpu.write_uvh5")
+        h["phase_type"] = np.bytes_("drift")
+        h["version"] = np.bytes_("1.0")
+        h["x_orientation"] = np.bytes_("east")
+        h["Nants_data"] = len(set(ant1) | set(ant2))
+        h["Nants_telescope"] = len(ants)
+        h["antenna_names"] = np.asarray([np.bytes_(str(a)) for a in ants])
+        h["antenna_numbers"] = np.asarray(ants, np.int64)
+        h["antenna_positions"] = ecef
+        h["Nbls"] = nbl
+        h["Nblts"] = nbl * nt
+        h["Nfreqs"] = nf
+        h["Npols"] = len(pol_codes)
+        h["Nspws"] = 1
+        h["Ntimes"] = nt
+        h["freq_array"] = freqs
+        h["channel_width"] = df
+        h["polarization_array"] = np.asarray(pol_codes, np.int64)
+        h["spw_array"] = np.asarray([0], np.int64)
+        h["ant_1_array"] = ant1
+        h["ant_2_array"] = ant2
+        h["time_array"] = time_array
+        h["lst_array"] = np.asarray(
+            JD2LST(time_array, lon), dtype=np.float64)
+        h["integration_time"] = np.full(nbl * nt, tint)
+        h["uvw_array"] = uvw
+        d = f.create_group("Data")
+        d.create_dataset("visdata", data=vis)
+        d.create_dataset("flags", data=flg)
+        d.create_dataset("nsamples", data=np.ones(vis.shape, np.float32))
+    return fname
+
+
+def write_uvh5_part(fname, vd, atol=1e-8):
+    """Write a VisData's (baseline, time, freq) block INTO an existing
+    UVH5 file (the reference's partial_write path,
+    uvdata_interface.py:136-325: simulate minibatches, write each into
+    a pre-laid-out file). Rows are matched by (ant1, ant2, time) and
+    frequency columns by value; every (bl, time, freq) of `vd` must
+    already exist in the file."""
+    import h5py
+
+    data = np.asarray(vd.data)
+    flags = None if vd.flags is None else np.asarray(vd.flags)
+    pol_codes, slots = _pol_slots(vd)
+    with h5py.File(fname, "r+") as f:
+        h = f["Header"]
+        fa1 = np.asarray(h["ant_1_array"]).astype(np.int64)
+        fa2 = np.asarray(h["ant_2_array"]).astype(np.int64)
+        ftime = np.asarray(h["time_array"], np.float64)
+        ffreq = np.asarray(h["freq_array"], np.float64).ravel()
+        fpols = list(np.asarray(h["polarization_array"]).astype(int))
+        # row lookup: quantized (ant1, ant2, time)
+        key = {(int(a1), int(a2), round(float(t) / atol)): r
+               for r, (a1, a2, t) in enumerate(zip(fa1, fa2, ftime))}
+        fidx = []
+        for fq in np.asarray(vd.freqs, np.float64):
+            j = int(np.argmin(np.abs(ffreq - fq)))
+            assert abs(ffreq[j] - fq) < max(atol, 1e-3), \
+                f"frequency {fq} not in file"
+            fidx.append(j)
+        contig = fidx == list(range(fidx[0], fidx[0] + len(fidx)))
+        fsel = slice(fidx[0], fidx[0] + len(fidx)) if contig else fidx
+        vis_ds = f["Data"]["visdata"]
+        flg_ds = f["Data"]["flags"]
+        for k, (i, j) in enumerate(slots):
+            kf = fpols.index(pol_codes[k])
+            for ti, t in enumerate(np.asarray(vd.times, np.float64)):
+                for bi, bl in enumerate(vd.bls):
+                    r = key.get((int(bl[0]), int(bl[1]),
+                                 round(float(t) / atol)))
+                    assert r is not None, f"(bl, time) {(bl, t)} not in file"
+                    vis_ds[r, fsel, kf] = data[i, j, bi, ti].astype(
+                        vis_ds.dtype)
+                    if flags is not None:
+                        flg_ds[r, fsel, kf] = flags[i, j, bi, ti]
+    return fname
 
 
 def _read_fits_hdus(fname):
@@ -475,17 +634,27 @@ def complete_uvdata(vd, run_check=True):
     return uvd
 
 
-def run_rime_sim(sky, beam, uvd_template, **kwargs):
-    """End-to-end simulation driven by a UVData template
-    (reference uvdata_interface.py:136-325)."""
-    _require_pyuvdata()
-    vd = PyVisData.read_uvdata(uvd_template)
+def run_rime_sim(sky, beam, uvd_template, partial_read={},
+                 array_kwargs={}, outfname=None, overwrite=False,
+                 partial_write=False, verbose=False, **kwargs):
+    """End-to-end simulation driven by a UVData/UVH5 template, with the
+    reference's UVH5 output path (uvdata_interface.py:136-325). A UVH5
+    filename template needs no pyuvdata in either direction (read_uvh5
+    / write_uvh5); partial_write writes the simulated block into an
+    EXISTING file (write_uvh5_part), e.g. one minibatch at a time."""
+    vd = PyVisData.read_uvdata(uvd_template, **partial_read)
     from ..models.rime import RIME
     from ..models.telescope import ArrayModel
-    arr = ArrayModel(vd.antpos, freqs=vd.freqs)
+    arr = ArrayModel(vd.antpos, freqs=vd.freqs, **array_kwargs)
     rime = RIME(sky, vd.telescope, beam, arr, vd.bls, vd.times, vd.freqs,
                 **kwargs)
-    return rime.run_batches()
+    out = rime.run_batches()
+    if outfname is not None:
+        if partial_write:
+            write_uvh5_part(outfname, out)
+        else:
+            write_uvh5(out, outfname, overwrite=overwrite)
+    return out
 
 
 def uvd_to_visdata(uvd, **kwargs):

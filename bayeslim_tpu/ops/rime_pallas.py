@@ -131,6 +131,12 @@ def _phase0(c0, c1, k0f):
 # v2 per-term block-diagonal dots for A/B. See _fwd_kernel docstring.
 FWD_V3 = [True]
 
+# ping-pong chain scratch (v3 only): alternate two chain scratches so
+# the MXU dot of step j and the VPU advance j->j+1 touch different
+# refs (no WAR hazard) and Mosaic may overlap them. Costs 2x chain
+# VMEM. Experimental A/B flag; see _fwd_kernel docstring.
+FWD_PP = [False]
+
 # profiling hook (scripts/kernel_decompose.py): trace-time ablations of
 # the v3 forward kernel to attribute time to seed/rotate/dot stages.
 # Values: 'seed' (constant angles, no per-tile transcendentals),
@@ -271,6 +277,7 @@ def _fwd_kernel_old(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
 
 
 def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
+                cs2_ref=None,
                 *, f0_split, df_split, tf, nfp, nc, G, conj, ps_real,
                 out_imag, precise=True):
     """v3 forward kernel: V(tf, tb) += sum over this pixel tile.
@@ -327,10 +334,11 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
         cosd = jnp.cos(angd)
         sind = sgn * jnp.sin(angd)
 
-    def store_state(g, half, x):
+    def store_state(g, half, x, ref=None):
         """Write chain state x (f32 values, in registers) for block g,
         lane half 0 (=C) or 1 (=S)."""
-        cs_ref[pl.ds(g * tc, tc), pl.ds(half * tb, tb)] = x
+        ref = cs_ref if ref is None else ref
+        ref[pl.ds(g * tc, tc), pl.ds(half * tb, tb)] = x
 
     # fill the G chain states, C in the left lane half, S in the right
     cprev = jnp.cos(ang0) if "seed" not in _ABLATE else ang0
@@ -387,15 +395,15 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
     wide = out_imag or not ps_real
     nj = tf // G
 
-    def body(j, _):
+    def step(j, src, dst):
         rows_r = psr_ref[pl.ds(j * G, G), :]       # (G, tc)
         im = None
         if "dot" in _ABLATE:
-            re = cs_ref[pl.ds(0, G), pl.ds(0, tb)] + rows_r[:, 0:1]
+            re = src[pl.ds(0, G), pl.ds(0, tb)] + rows_r[:, 0:1]
             if out_imag:
                 im = re
         elif precise:
-            cs = cs_ref[:, :] if wide else cs_ref[:, pl.ds(0, tb)]
+            cs = src[:, :] if wide else src[:, pl.ds(0, tb)]
             csh, csl = hi_lo(cs)
             if ps_real:
                 rh, rl = hi_lo(rows_r)
@@ -418,7 +426,7 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
                           + A[2 * G:3 * G, :tb] + A[3 * G:4 * G, :tb]
                           + B[G:2 * G, :tb])
         else:
-            cs = cs_ref[:, :] if wide else cs_ref[:, pl.ds(0, tb)]
+            cs = src[:, :] if wide else src[:, pl.ds(0, tb)]
             if ps_real:
                 O = dot(bd(rows_r), cs)
                 re = O[:, :tb]
@@ -438,13 +446,29 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
             @pl.when(j < nj - 1)
             def _():
                 for g in range(G):
-                    cg_ = cs_ref[pl.ds(g * tc, tc), pl.ds(0, tb)]
-                    sg_ = cs_ref[pl.ds(g * tc, tc), pl.ds(tb, tb)]
-                    store_state(g, 0, cg_ * cosdG - sg_ * sindG)
-                    store_state(g, 1, sg_ * cosdG + cg_ * sindG)
-        return 0
+                    cg_ = src[pl.ds(g * tc, tc), pl.ds(0, tb)]
+                    sg_ = src[pl.ds(g * tc, tc), pl.ds(tb, tb)]
+                    store_state(g, 0, cg_ * cosdG - sg_ * sindG, dst)
+                    store_state(g, 1, sg_ * cosdG + cg_ * sindG, dst)
 
-    jax.lax.fori_loop(0, nj, body, 0)
+    if cs2_ref is not None:
+        # ping-pong: the dot of step j (reads src) and the advance
+        # j -> j+1 (writes dst) touch DIFFERENT scratches, removing the
+        # WAR hazard that forces Mosaic to serialize MXU and VPU work
+        assert nj % 2 == 0, "ping-pong needs an even row-block count"
+
+        def body2(jp, _):
+            step(2 * jp, cs_ref, cs2_ref)
+            step(2 * jp + 1, cs2_ref, cs_ref)
+            return 0
+
+        jax.lax.fori_loop(0, nj // 2, body2, 0)
+    else:
+        def body(j, _):
+            step(j, cs_ref, cs_ref)
+            return 0
+
+        jax.lax.fori_loop(0, nj, body, 0)
 
 
 def _pad2(x, rows, cols):
@@ -483,6 +507,8 @@ def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
 
     def vmem(G, tc, tb, tf):
         scratch_bytes = 4 * 2 * G * tc * tb             # f32 [C|S] chain
+        if FWD_V3[0] and FWD_PP[0]:
+            scratch_bytes += 4 * 2 * G * tc * tb        # ping-pong copy
         if PRECISE_DOTS[0] and FWD_V3[0]:
             scratch_bytes += 2 * 4 * 2 * G * tc * tb    # hi/lo split temps
         blocks = (tc * tb                               # tau
@@ -569,6 +595,8 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
         out_imag=out_imag, precise=PRECISE_DOTS[0])
     if FWD_V3[0]:
         scratch = [pltpu.VMEM((G * tc, 2 * tb), jnp.float32)]
+        if FWD_PP[0] and (tf // G) % 2 == 0:
+            scratch += [pltpu.VMEM((G * tc, 2 * tb), jnp.float32)]
     else:
         scratch = [pltpu.VMEM((G * tc, tb), jnp.float32),
                    pltpu.VMEM((G * tc, tb), jnp.float32)]

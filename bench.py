@@ -509,6 +509,21 @@ def run_hmc_bench(platform=None, x64=False, hexN=3, nfreq=128, nside=32,
                 step_time=dt / nsample)
 
 
+def a100_roofline_step(cfg, res):
+    """Projected A100-80GB value_and_grad step time for this config from
+    the reference algorithm's memory-bound floor (docs/performance.md
+    "A100-equivalence roofline"): the torch inner loop
+    (rime_model.py:423-429) materializes the complex64 fringe tensor
+    through HBM (>=16 B/triple at 2.0 TB/s), and the backward
+    re-materializes it for both cotangents (>=3 sweeps per step). A
+    deterministic, defensible denominator — unlike the extrapolated
+    CPU-torch loop (run_torch_baseline), whose host-load swings made
+    vs_baseline fluctuate 4x between rounds."""
+    nsim = cfg.get("nbls_sim", res["nbls"])
+    triples = float(nsim) * cfg["nfreq"] * res["npix_cut"] * cfg["ntime"]
+    return 3.0 * triples * 16.0 / 2.0e12
+
+
 def run_torch_baseline(cfg, npix_cut, sub_pix=512, sub_bl=1024):
     """Reference-pattern inner loop in torch (CPU), pixel- and
     baseline-subsampled then linearly extrapolated (the fringe tensor is
@@ -587,14 +602,49 @@ def main():
                          "compensated ~1.6e-5; see ops/rime_pallas.py "
                          "PRECISE_DOTS)")
     ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--torch-baseline", action="store_true",
+                    help="use the extrapolated CPU-torch loop as the "
+                         "vs_baseline denominator (noisy, host-load "
+                         "dependent) instead of the default A100 "
+                         "roofline projection")
     ap.add_argument("--fwd-split", action="store_true",
                     help="also time a forward-only loop (one extra ~30 s "
                          "compile) to report the fwd/bwd split")
+    ap.add_argument("--extra", metavar="PATH",
+                    help="run the hera100-red and hera100-stat north "
+                         "stars and write a JSON artifact (size, mode, "
+                         "step, compile) to PATH for round-over-round "
+                         "tracking")
     args = ap.parse_args()
 
     if args.fast:
         from bayeslim_tpu.ops.rime_pallas import set_precise_dots
         set_precise_dots(False)
+
+    if args.extra:
+        from bayeslim_tpu.ops.rime_pallas import PRECISE_DOTS
+        out = {"kernel_mode": "precise" if PRECISE_DOTS[0] else "fast",
+               "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S")}
+        for size in ("hera100-red", "hera100-stat"):
+            cfg = build_case(size)
+            cfg["skip_fwd_split"] = True
+            t0 = time.time()
+            res = run_jax(cfg, platform="cpu" if args.cpu else None,
+                          x64=args.x64)
+            out[size] = {
+                "step_s": round(res["step_time"], 3),
+                "compile_s": round(res["compile_time"], 1),
+                "nbls": res["nbls"], "npix_cut": res["npix_cut"],
+                "points": res["points"],
+                "pps": round(res["pps"], 1),
+                "wall_s": round(time.time() - t0, 1),
+            }
+            print(f"# extra {size}: step={res['step_time']:.3f}s "
+                  f"compile={res['compile_time']:.1f}s", file=sys.stderr)
+        with open(args.extra, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
 
     if args.check:
         sys.path.insert(0, "scripts")
@@ -653,13 +703,22 @@ def main():
     res = run_jax(cfg, platform="cpu" if args.cpu else None, x64=args.x64)
 
     vs = 0.0
-    if not args.no_baseline:
+    base_note = ""
+    if args.torch_baseline:
         try:
             base = run_torch_baseline(cfg, res["npix_cut"],
                                       sub_pix=256 if cfg["nfreq"] >= 128 else 512)
             vs = res["pps"] / base["pps"]
+            base_note = "# vs_baseline = extrapolated CPU-torch loop " \
+                        "(noisy: host-load dependent)"
         except Exception as e:
             print(f"# torch baseline failed: {e}", file=sys.stderr)
+    elif not args.no_baseline:
+        a100 = a100_roofline_step(cfg, res)
+        vs = a100 / res["step_time"]
+        base_note = (f"# vs_baseline = projected A100 roofline step "
+                     f"({a100:.3f}s, docs/performance.md) / measured "
+                     f"step on this one chip")
 
     out = {
         "metric": "RIME vis points/sec/chip (bl*freq*time, fwd+grad step)",
@@ -668,8 +727,10 @@ def main():
         "vs_baseline": round(vs, 3),
     }
     print(json.dumps(out))
+    if base_note:
+        print(base_note, file=sys.stderr)
     mode = "fast(bf16-1pass,2e-3)" if args.fast \
-        else "precise(3pass,1.6e-5 default; --fast for 1.55x)"
+        else "precise(3pass,1.6e-5 default; --fast for 1.34x)"
     print(f"# kernel mode={mode}", file=sys.stderr)
     print(f"# size={args.size} nbls={res['nbls']} "
           f"nbls_sim={cfg.get('nbls_sim', res['nbls'])} nfreqs={cfg['nfreq']} "

@@ -303,3 +303,28 @@ def test_read_uvh5_partial_pols_flagged(tmp_path):
     assert not fl[0, 0].any() and not fl[1, 1].any()   # measured pols
     assert fl[0, 1].all() and fl[1, 0].all()           # absent pols
     assert np.abs(np.asarray(vd.data)[0, 1]).max() == 0
+
+
+def test_write_uvh5_bundled_roundtrip(tmp_path):
+    """Reference-written UVH5 -> VisData -> write_uvh5 -> read_uvh5:
+    data, flags and geometry survive a full write/read cycle of a real
+    observation file (4-pol, 55 bls, HERA site)."""
+    from bayeslim_tpu.data.uvdata_interface import write_uvh5
+
+    vd = read_uvh5(UVH5)
+    f = str(tmp_path / "rewrite.uvh5")
+    write_uvh5(vd, f)
+    vd2 = read_uvh5(f)
+
+    assert vd2.bls == vd.bls
+    np.testing.assert_allclose(np.asarray(vd2.times), np.asarray(vd.times),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(vd2.freqs), np.asarray(vd.freqs),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vd2.data), np.asarray(vd.data),
+                               rtol=1e-6)
+    assert np.array_equal(np.asarray(vd2.flags), np.asarray(vd.flags))
+    np.testing.assert_allclose(np.asarray(vd2.antpos.antvecs),
+                               np.asarray(vd.antpos.antvecs), atol=1e-4)
+    l1, l2 = vd.telescope.location, vd2.telescope.location
+    assert all(abs(a - b) < 1e-8 for a, b in zip(l1, l2))
