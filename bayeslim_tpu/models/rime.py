@@ -362,6 +362,11 @@ class RIME(Module):
         a1, a2 = self._blidx_groups[bg]
         blvecs = self.array.antvecs[a2] - self.array.antvecs[a1]
         mp1, mp2, mp_idx = self._mp_groups[bg]
+        mpdev = getattr(self, "_mp_idx_dev", None)
+        if mpdev is not None and bg in mpdev:
+            # bl-sharded device baseline->pair map (shard_rime pins it
+            # as a leaf so shard_map can partition the grouped dispatch)
+            mp_idx = mpdev[bg]
         sim2data = self._sim2data[bg]
 
         vis = None

@@ -115,6 +115,25 @@ def _rime_fused_dispatch(psky, tau, freqs, mp_idx, conj, blvecs=None,
         out = out.reshape(lead + (nf, nb))
         return jnp.moveaxis(out, -2, -1)                  # (..., nb, nf)
 
+    if isinstance(mp_idx, jax.Array):
+        # device mp_idx (bl-sharded shard_map: per-shard host grouping
+        # is impossible in one traced program — shard_rime pins the
+        # baseline->pair map as a bl-sharded device leaf instead): run
+        # EVERY model pair over all local baselines and mask-select per
+        # baseline. Costs Nmp x the kernel triples — the price of
+        # baseline sharding with heterogeneous beams; prefer time
+        # sharding when Nmp is large.
+        outs = []
+        for m in range(nmp):
+            ps2d = psky[..., m, :, :].reshape(L * nf, npx)
+            outs.append(run(ps2d))                        # (L*nf, nb)
+        stack = jnp.stack(outs)                           # (nmp, L*nf, nb)
+        sel = (mp_idx[None, None, :]
+               == jnp.arange(nmp, dtype=mp_idx.dtype)[:, None, None])
+        out = jnp.sum(stack * sel.astype(stack.real.dtype), axis=0)
+        out = out.reshape(lead + (nf, nb))
+        return jnp.moveaxis(out, -2, -1)
+
     mp = np.asarray(mp_idx)
     outs, order = [], []
     for m in range(nmp):

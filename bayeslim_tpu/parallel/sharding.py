@@ -142,6 +142,14 @@ def shard_rime(rime, mesh, time_axis="data", bl_axis=None, inplace=False):
         rime._blidx_groups = {
             k: tuple(_gput(ix, bspec) for ix in v)
             for k, v in rime._blidx_groups.items()}
+        # Nmp > 1: pin the baseline->model-pair map as a bl-sharded
+        # device leaf; the kernel dispatch then runs every pair on the
+        # local baselines and mask-selects (Nmp x triples — see
+        # ops/rime_kernel._rime_fused_dispatch)
+        mpdev = {k: _gput(jnp.asarray(np.asarray(v[2]), jnp.int32), bspec)
+                 for k, v in rime._mp_groups.items() if v[2] is not None}
+        if mpdev:
+            rime._mp_idx_dev = mpdev
 
     rime.time_mode = "vmap"
     rime.vis_sharding = NamedSharding(
@@ -408,8 +416,12 @@ class ShardedLogProb:
                             f"indexes baselines via host metadata; call "
                             f"its .set_bls(data_bls) before "
                             f"ShardedLogProb (or use time sharding)")
-            assert mp[2] is None, \
-                "bl_axis sharding needs Nmp == 1 (multi-pol: time axis)"
+            mpdev = getattr(rime, "_mp_idx_dev", None)
+            assert mp[2] is None or (
+                mpdev is not None and rime.bl_group_id in mpdev), \
+                ("bl_axis sharding with Nmp > 1 needs the device "
+                 "baseline->pair map (shard_rime pins it; rebuild the "
+                 "ShardedLogProb) or time sharding")
             assert cov_axis in (None, "time"), \
                 "bl-coupled covariance cannot shard over baselines"
             s2d = rime._sim2data[rime.bl_group_id]

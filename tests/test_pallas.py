@@ -140,6 +140,32 @@ def test_pallas_mp_idx_groups(interpret_mode):
     assert np.abs(g1 - g2).max() / (np.abs(g2).max() + 1e-30) < 2e-4
 
 
+def test_pallas_mp_idx_device(interpret_mode):
+    """A DEVICE (traced) mp_idx takes the masked-sum dispatch path
+    (bl-sharded shard_map cannot bake per-shard host groupings): values
+    and gradients match the host-metadata grouping exactly."""
+    rng = np.random.default_rng(11)
+    nb, nf, npx, nmp = 21, 8, 256, 3
+    tau = jnp.asarray(rng.uniform(-1e-5, 1e-5, (nb, npx)), dtype=jnp.float32)
+    freqs = np.linspace(100e6, 110e6, nf)
+    mp_np = rng.integers(0, nmp, nb).astype(np.int32)
+    mp_dev = jnp.asarray(mp_np)
+    ps = jnp.asarray(rng.normal(size=(1, 1, nmp, nf, npx)), jnp.float32)
+    out_host = np.asarray(rime_reduce(ps, tau, freqs, mp_idx=mp_np,
+                                      use_pallas=True))
+    out_dev = np.asarray(rime_reduce(ps, tau, freqs, mp_idx=mp_dev,
+                                     use_pallas=True))
+    assert np.abs(out_dev - out_host).max() / np.abs(out_host).max() < 1e-6
+
+    def loss(p, idx):
+        o = rime_reduce(p, tau, freqs, mp_idx=idx, use_pallas=True)
+        return jnp.sum(jnp.abs(o) ** 2)
+
+    g1 = np.asarray(jax.grad(loss)(ps, mp_dev))
+    g2 = np.asarray(jax.grad(loss)(ps, mp_np))
+    assert np.abs(g1 - g2).max() / (np.abs(g2).max() + 1e-30) < 1e-6
+
+
 def test_chunk_forward_vjp_matches_xla_grad():
     """The XLA-fallback backward (chunked auto-VJP) == direct jax.grad of
     the XLA reference path."""

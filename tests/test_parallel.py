@@ -1114,6 +1114,48 @@ def test_shard_map_expansion_chain_bl_sharded():
     _grad_allclose(g1, g2)
 
 
+def test_shard_map_nmp_bl_sharded():
+    """Nmp > 1 (heterogeneous per-antenna beams) under BASELINE
+    sharding (round-4 lift): shard_rime pins the baseline->model-pair
+    map as a bl-sharded device leaf, and the kernel dispatch runs every
+    pair on the local baselines with a mask-select (Nmp x triples).
+    Gradients match single-device."""
+    from bayeslim_tpu.models.beam import PixelBeam, GaussResponse
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    bls = arr.get_bls(keep_autos=False)[:8]   # divisible by model axis
+    times = JD0 + np.arange(4) * 5e-4
+    ants = sorted(set(a for b in bls for a in b))
+    # two beam models: half the antennas get a wider Gaussian
+    params = jnp.stack([jnp.ones((1, 1, len(freqs), 2)) * 0.5,
+                        jnp.ones((1, 1, len(freqs), 2)) * 0.8], axis=2)
+    ant2beam = {a: (0 if i < len(ants) // 2 else 1)
+                for i, a in enumerate(ants)}
+    beam = PixelBeam(params, freqs, R=GaussResponse(), pol="e",
+                     ant2beam=ant2beam, powerbeam=True, fov=180.0)
+    assert beam.modelpairs(bls)[2] is not None   # really Nmp > 1
+
+    def build():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        vd = rime.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.03)
+        return LogProb(rime, tgt)
+
+    prob1 = build()
+    pd = prob1.collect_main_params()
+    v1, g1 = prob1.value_and_grad(pd)
+
+    sprob = ShardedLogProb(build(), make_mesh({"data": 2, "model": 2}),
+                           bl_axis="model")
+    v2, g2 = sprob.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v2), rtol=1e-10)
+    _grad_allclose(g1, g2)
+
+
 def test_set_bls_validation_and_blnum_codes():
     """ShardedLogProb cross-checks pinned set_bls indices against the
     target's baselines (an order mismatch silently corrupts results
