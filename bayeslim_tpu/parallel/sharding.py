@@ -260,6 +260,20 @@ class ShardedLogProb:
             _copy_nested_chains(prob.model)
             for container, k2, m in _walk_chain_blocks(prob.model):
                 names = _bl_index_leaves(m)
+                if (not names and hasattr(m, "set_bls")
+                        and not hasattr(m, "_pre")
+                        and tgt0 is not None and hasattr(tgt0, "blnums")):
+                    # auto-pin: a block that declares baseline indexing
+                    # (exposes set_bls) but was never pinned gets its
+                    # indices pinned to the TARGET's baselines here —
+                    # exactly what a manual set_bls(data_bls) would do.
+                    # The smap bl-axis path needs device-leaf indices;
+                    # with this, Jones/RedVisModel chains ride baseline
+                    # sharding with no construction-time opt-in.
+                    m = m.copy()
+                    m.set_bls(np.asarray(tgt0.blnums))
+                    names = _bl_index_leaves(m)
+                    container[k2] = m
                 if not names:
                     continue
                 if tgt0 is not None and hasattr(tgt0, "blnums"):
@@ -315,9 +329,13 @@ class ShardedLogProb:
         structured covariances ('bl'/'freq'), LM preconditioners,
         main_params sub-slices, and Nbatch > 1 minibatch accumulation
         (prior counted once on batch 0) — all under time ('data')
-        sharding. bl_axis sharding additionally requires a bare RIME
-        with Nmp == 1 and no redundancy expansion (per-baseline host
-        metadata cannot differ across shards in one traced program).
+        sharding. bl_axis sharding carries Nmp > 1 (device
+        baseline->pair map), sim->data redundancy expansion (all_gather
+        + bl-sharded expansion index), and Jones/RedVisModel chains —
+        their baseline indices are auto-pinned to the target's
+        baselines at construction (the set_bls protocol). Custom
+        blocks that index baselines via host metadata without exposing
+        set_bls cannot ride bl sharding (use time sharding).
         """
         prob = self.prob
         if pdict is None:
@@ -411,6 +429,10 @@ class ShardedLogProb:
                     # index baselines (broadcast VisModels, filters on
                     # other axes) pass through
                     if hasattr(m2, "set_bls") and not _bl_index_leaves(m2):
+                        # unreachable for standard construction (the
+                        # __init__ walk auto-pins such blocks to the
+                        # target's baselines); kept as a safety net for
+                        # targets without baseline metadata
                         raise AssertionError(
                             f"bl_axis sharding: chain block '{k2}' "
                             f"indexes baselines via host metadata; call "

@@ -998,8 +998,8 @@ def test_shard_map_jones_chain_bl_sharded():
     assert np.isclose(float(v1), float(v2), rtol=1e-10)
     _grad_allclose(g1, g2)
 
-    # without set_bls the same chain is rejected loudly
-    import pytest as _pt
+    # without a manual set_bls the same chain AUTO-PINS to the target's
+    # baselines at construction and matches the single-device gradients
     def build_plain():
         rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
                        time_mode="vmap")
@@ -1007,13 +1007,17 @@ def test_shard_map_jones_chain_bl_sharded():
         seq = Sequential({"rime": rime, "cal": J})
         vd = seq.forward()
         tgt = vd.copy()
-        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data)
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.02)
         return LogProb(seq, tgt)
-    sprob2 = ShardedLogProb(build_plain(),
-                            make_mesh({"data": 2, "model": 2}),
+    plain = build_plain()
+    Jwrapped = plain.model.models["cal"]
+    sprob2 = ShardedLogProb(plain, make_mesh({"data": 2, "model": 2}),
                             bl_axis="model")
-    with _pt.raises(AssertionError):
-        sprob2.smap_value_and_grad(sprob2.collect_main_params())
+    v3, g3 = sprob2.smap_value_and_grad(pd)
+    assert np.isclose(float(v1), float(v3), rtol=1e-10)
+    _grad_allclose(g1, g3)
+    # non-destructive: the caller's model was not mutated by auto-pin
+    assert getattr(Jwrapped, "_g1_idx", None) is None
 
 
 def test_shard_map_redvismodel_chain_bl_sharded():
