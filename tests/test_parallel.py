@@ -1061,6 +1061,31 @@ def test_shard_map_redvismodel_chain_bl_sharded():
     assert np.isclose(float(v1), float(v2), rtol=1e-10)
     _grad_allclose(g1, g2)
 
+    # auto-pin: the same chain with NO set_bls call, nested one level
+    # deep in a Sequential — the construction walk pins _red_idx to the
+    # target's baselines inside a copied nested chain (the caller's
+    # model stays untouched)
+    def build_nested_plain():
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
+                       time_mode="vmap")
+        rvm = RedVisModel(rv, bl2red)
+        inner = Sequential({"rv": rvm})
+        seq = Sequential({"rime": rime, "post": inner})
+        vd = seq.forward()
+        tgt = vd.copy()
+        tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data + 0.02)
+        return LogProb(seq, tgt)
+    plainp = build_nested_plain()
+    rv_orig = plainp.model.models["post"].models["rv"]
+    pd3 = plainp.collect_main_params()
+    v1n, g1n = plainp.value_and_grad(pd3)
+    sprob3 = ShardedLogProb(plainp, make_mesh({"data": 2, "model": 2}),
+                            bl_axis="model")
+    v3, g3 = sprob3.smap_value_and_grad(pd3)
+    assert np.isclose(float(v1n), float(v3), rtol=1e-10)
+    _grad_allclose(g1n, g3)
+    assert getattr(rv_orig, "_red_idx", None) is None
+
 
 def test_shard_map_expansion_chain_bl_sharded():
     """Redundancy expansion COMBINED with a Jones chain under baseline
