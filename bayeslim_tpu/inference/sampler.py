@@ -495,10 +495,16 @@ class RelativeStepSize(StepSize):
         return StepSize(out)
 
     def update(self, accept_prob):
-        m = self.gamma if accept_prob < self.min_prob else self.alpha
-        self.eps_mul = {k: v * m for k, v in self.eps_mul.items()}
+        # the reference records the PRE-update multiplier
+        # (sampler.py:1840) and caps the grow branch at 1.0
         if self.track:
             self.chain.append(dict(self.eps_mul))
+        if accept_prob < self.min_prob:
+            self.eps_mul = {k: v * self.gamma
+                            for k, v in self.eps_mul.items()}
+        else:
+            self.eps_mul = {k: np.clip(v * self.alpha, None, 1.0)
+                            for k, v in self.eps_mul.items()}
         return self.effective()
 
 

@@ -173,10 +173,11 @@ class PeakDelay(FFT):
 def vis_wedge(vd, ravg_kwgs=None, **kwargs):
     """Redundantly-average + delay-FFT a VisData into a wedge
     (reference fft.py:205-240). Returns (VisData, FFT block)."""
-    ravg_kwgs = ravg_kwgs or {}
-    if "reds" in ravg_kwgs or ravg_kwgs.get("auto_reds"):
-        ravg_kwgs.pop("auto_reds", None)
-        vd = vd.bl_average(inplace=False, **ravg_kwgs)
+    ravg_kwgs = dict(ravg_kwgs or {})
+    ravg_kwgs.pop("auto_reds", None)   # legacy no-op kwarg
+    # the reference ALWAYS redundantly averages (auto-building the
+    # groups when reds is not given, dataset.py:1280-1287)
+    vd = vd.bl_average(inplace=False, **ravg_kwgs)
     dfreq = vd.freqs[1] - vd.freqs[0]
     FT = FFT(dim=4, ndim=5, dx=dfreq, N=vd.Nfreqs, **kwargs)
     return FT(vd), FT

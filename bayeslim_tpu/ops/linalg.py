@@ -69,16 +69,25 @@ def cholesky_inverse(L):
     return Linv.conj().T @ Linv
 
 
-def invert_matrix(A, method="pinv", rcond=1e-15, eps=0.0, hermitian=False):
+def invert_matrix(A, method="pinv", rcond=1e-15, eps=0.0, hermitian=False,
+                  inv=None, driver=None):
     """Matrix inversion dispatch (reference linalg.py:404).
 
     method : 'pinv' | 'chol' | 'lstsq' | 'diag' | 'inv'
+    (`inv=` is accepted as the reference's name for `method`; `driver`
+    is accepted for signature compatibility. As in the reference, eps
+    regularizes only the inv/pinv/chol/lstsq branches, 1-D input
+    returns 1/A, and 'diag' inverts the diagonal.)
     """
+    if inv is not None:
+        method = inv
+    if A.ndim == 1:
+        return 1.0 / A
     if method == "diag":
         d = jnp.diagonal(A, axis1=-2, axis2=-1)
         out = jnp.zeros_like(A)
         idx = jnp.arange(A.shape[-1])
-        return out.at[..., idx, idx].set(1.0 / (d + eps))
+        return out.at[..., idx, idx].set(1.0 / d)
     if eps:
         A = A + eps * jnp.eye(A.shape[-1], dtype=A.dtype)
     if method == "pinv":

@@ -175,7 +175,10 @@ def test_vis_wedge():
     vd = VisData()
     vd.setup_data(bls, np.arange(2.0), np.linspace(100e6, 115e6, 16),
                   pol="ee", data=data)
-    wvd, FT = vis_wedge(vd, window="bh", square=True)
+    # no antpos on this VisData: pass the (trivial) redundant groups
+    # explicitly (vis_wedge always bl_averages, like the reference)
+    wvd, FT = vis_wedge(vd, ravg_kwgs={"reds": [[(0, 1)], [(0, 2)]]},
+                        window="bh", square=True)
     assert wvd.data.shape == vd.data.shape
     assert (np.asarray(wvd.data) >= 0).all()  # squared power
     assert FT.freqs is not None  # delay bins

@@ -340,11 +340,28 @@ def test_shard_map_out_params_priors():
 
 def test_shard_map_rejects_unsupported():
     """Features that genuinely cross baseline shards must fail loudly on
-    the bl-sharded smap path, not silently disagree: a Sequential chain
-    (per-baseline Jones host indexing) cannot shard over baselines."""
+    the bl-sharded smap path, not silently disagree. Standard blocks
+    (Jones/RedVisModel) are AUTO-PINNED to the target's baselines at
+    construction, so the remaining rejection is a CUSTOM block that
+    declares baseline indexing (exposes set_bls) but keeps it as host
+    metadata (no device-leaf indices for the shards to partition)."""
     import pytest as _pt
-    from bayeslim_tpu.utils import Sequential
-    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+    from bayeslim_tpu.utils import Sequential, Module
+
+    class HostIdxBlock(Module):
+        """Indexes baselines via host metadata; set_bls stores a host
+        list, never device leaves."""
+
+        def __init__(self):
+            super().__init__()
+            self._host_bls = None
+
+        def set_bls(self, bls):
+            self._host_bls = list(np.asarray(bls).ravel())
+            return self
+
+        def forward(self, vd, prior_cache=None, **kwargs):
+            return vd
 
     T = setup_Telescope()
     sky, freqs = setup_PointSky(T, Nsource=3, Nfreqs=4)
@@ -352,19 +369,16 @@ def test_shard_map_rejects_unsupported():
     beam = setup_GaussBeam(freqs)
     bls = arr.get_bls(keep_autos=False)[:4]
     times = JD0 + np.arange(4) * 5e-4
-    ants = sorted(set(a for b in bls for a in b))
-    g = jnp.asarray(np.ones((1, 1, len(ants), 1, len(freqs))) + 0j)
     rime = bl.RIME(sky, T, beam, arr, bls, times, freqs,
                    time_mode="vmap")
-    seq = Sequential({"rime": rime,
-                      "cal": JonesModel(g, ants, R=JonesResponse())})
+    seq = Sequential({"rime": rime, "host": HostIdxBlock()})
     vd = seq.forward()
     tgt = vd.copy()
     tgt.setup_data(bls, times, freqs, pol="ee", data=vd.data)
     prob = LogProb(seq, tgt)
     mesh = make_mesh({"data": 2, "model": 2})
     sprob = ShardedLogProb(prob, mesh, bl_axis="model")
-    with _pt.raises(AssertionError):
+    with _pt.raises(AssertionError, match="host metadata"):
         sprob.smap_value_and_grad(sprob.collect_main_params())
 
 
