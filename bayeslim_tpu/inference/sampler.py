@@ -682,15 +682,52 @@ class HMC(SamplerBase):
             self.eps = self.stepsize.update(accept_prob)
         return accepted
 
-    def estimate_cov(self, burn=0, diag=True):
-        """Estimate parameter covariance from the chain for mass-matrix
-        tuning (reference :673-713)."""
+    def estimate_cov(self, Nback=None, diag_mass=True, robust=False,
+                     eps=None, set_mass=True, burn=0):
+        """Estimate parameter covariance from the Nback most-recent
+        chain samples and (by default) install it as the mass matrix —
+        the reference's estimate_cov -> set_chol flow (sampler.py:673-
+        713). robust uses the 1.42*MAD variance estimate the reference
+        intends (its robust branch references an undefined name — a
+        reference bug, pinned in tests). eps: per-key Tikhonov added to
+        the dense sample covariance before the Cholesky.
+
+        Returns the covariance: ParamDict of per-element variances when
+        diag_mass, else a dict of dense covariance matrices."""
+        from . import hmat as _hmat
         ch = self.get_chain(burn)
-        if diag:
-            return ParamDict({k: jnp.asarray(np.var(v.reshape(len(v), -1),
-                                                    axis=0).reshape(v.shape[1:]))
-                              for k, v in ch.items()})
-        return {k: np.cov(v.reshape(len(v), -1).T) for k, v in ch.items()}
+        eps = eps if eps is not None else {k: 0.0 for k in ch}
+        variances, chols, covs = {}, {}, {}
+        for k, v in ch.items():
+            c = v.reshape(len(v), -1)
+            if Nback is not None:
+                c = c[-Nback:]
+            if diag_mass:
+                if robust:
+                    med = np.median(c, axis=0)
+                    var = (1.42 * np.median(np.abs(c - med), axis=0)) ** 2
+                else:
+                    var = np.var(c, axis=0)
+                variances[k] = jnp.asarray(var.reshape(v.shape[1:]))
+            else:
+                cov = np.atleast_2d(np.cov(c.T))
+                covs[k] = cov
+                chols[k] = np.linalg.cholesky(
+                    cov + np.eye(len(cov)) * float(eps[k]))
+        if diag_mass:
+            out = ParamDict(variances)
+            if set_mass:
+                # mass = inverse covariance (diagonal)
+                self.mass = _Mass(mass=ParamDict(
+                    {k: 1.0 / jnp.clip(v, 1e-30)
+                     for k, v in variances.items()}))
+            return out
+        if set_mass:
+            # covariance Cholesky = the mass INVERSE factor (M^-1=L L^T)
+            self.mass = _Mass(invchol=_hmat.MatDict(
+                {k: _hmat.TriangMat(jnp.asarray(L)) for k, L in
+                 chols.items()}))
+        return covs
 
 
 class RecycledHMC(HMC):

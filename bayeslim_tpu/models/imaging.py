@@ -50,12 +50,22 @@ def compute_P(A, w, contract="diag"):
     return jnp.einsum("bfp,bf,bfq->fpq", A, w.astype(A.dtype), A.conj()).real
 
 
-def deconvolve_map(m, P, rcond=1e-15):
-    """dm = pinv(P) @ m per frequency (reference imaging.py:739-817)."""
+def deconvolve_map(m, P, pinv=True, rcond=1e-15, hermitian=True):
+    """dm = pinv(P) @ m per frequency (reference imaging.py:739-752).
+
+    pinv=False uses only the diagonal of P (the reference's fallback
+    branch); a P passed with m's dimensionality is treated as an
+    already-diagonal PSF."""
     if P.ndim == m.ndim:
         # diagonal P
         return m / jnp.clip(P, 1e-30)
-    Pinv = jnp.linalg.pinv(P, rcond=rcond)
+    if pinv:
+        Pinv = jnp.linalg.pinv(P, rcond=rcond, hermitian=hermitian)
+    else:
+        d = jnp.diagonal(P, axis1=1, axis2=2)
+        Pinv = jnp.zeros_like(P)
+        idx = jnp.arange(P.shape[1])
+        Pinv = Pinv.at[..., idx, idx].set(1.0 / d)
     return jnp.einsum("fpq,fq->fp", Pinv, m)
 
 

@@ -1999,3 +1999,22 @@ def test_kron_inv_hess_parity():
                                      shape, method="chol", inv="inv")
     np.testing.assert_allclose(np.asarray(mine), ref.numpy(),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_deconvolve_map_parity():
+    """deconvolve_map vs the reference (imaging.py:739-752): pinv and
+    diagonal-only branches on a per-frequency PSF stack."""
+    from bayeslim_tpu.models.imaging import deconvolve_map
+
+    rng = np.random.default_rng(29)
+    Nf, Np = 3, 6
+    B = rng.normal(size=(Nf, Np, Np))
+    P = B @ np.transpose(B, (0, 2, 1)) + 4 * np.eye(Np)
+    m = rng.normal(size=(Nf, Np))
+
+    for pinv in (True, False):
+        ref = ba.imaging.deconvolve_map(torch.tensor(m), torch.tensor(P),
+                                        pinv=pinv)
+        mine = deconvolve_map(jnp.asarray(m), jnp.asarray(P), pinv=pinv)
+        np.testing.assert_allclose(np.asarray(mine), ref.numpy(),
+                                   rtol=1e-9, atol=1e-12, err_msg=str(pinv))

@@ -645,3 +645,44 @@ def test_hier_mat_scalar_and_sym():
         jnp.asarray(w)))
     emp = samp @ samp.T / 4000
     assert np.abs(emp - s * A).max() < 0.25 * np.abs(s * A).max()
+
+
+def test_estimate_cov_sets_mass():
+    """estimate_cov mirrors the reference estimate_cov -> set_chol flow
+    (sampler.py:673-713): variance/MAD diagonal or dense-Cholesky mass
+    installed on the sampler; subsequent steps use it."""
+    rng = np.random.default_rng(3)
+    n = 3
+    icov = np.diag([1.0, 4.0, 0.25])
+    pot = GaussPotential(np.zeros(n), icov)
+    hmc = HMC(pot, ParamDict({"x": jnp.asarray(rng.normal(size=n))}),
+              eps=0.3, Nstep=8, seed=1)
+    for _ in range(60):
+        hmc.step()
+
+    # diagonal: per-element variance, installed as 1/var diagonal mass
+    var = hmc.estimate_cov(Nback=50, diag_mass=True)
+    assert set(var.keys()) == {"x"}
+    v = np.asarray(var["x"])
+    assert v.shape == (n,) and (v > 0).all()
+    assert hmc.mass.mass is not None
+    np.testing.assert_allclose(np.asarray(hmc.mass.mass["x"]), 1.0 / v,
+                               rtol=1e-6)
+
+    # robust MAD variant is finite and positive (the reference's robust
+    # branch crashes on an undefined name -- ours implements the intent)
+    var_r = hmc.estimate_cov(Nback=50, diag_mass=True, robust=True)
+    assert (np.asarray(var_r["x"]) > 0).all()
+
+    # dense: sample covariance + eps ridge, Cholesky installed as the
+    # inverse-mass factor; sampler still steps with it
+    covs = hmc.estimate_cov(diag_mass=False, eps={"x": 1e-8})
+    C = covs["x"]
+    assert C.shape == (n, n)
+    np.testing.assert_allclose(C, C.T, rtol=1e-12)
+    assert hmc.mass.invchol is not None and "x" in hmc.mass.invchol
+    L = np.asarray(hmc.mass.invchol["x"].to_dense())
+    np.testing.assert_allclose(L @ L.T, C + 1e-8 * np.eye(n), rtol=1e-9)
+    for _ in range(5):
+        hmc.step()
+    assert hmc.Nsamples == 65
