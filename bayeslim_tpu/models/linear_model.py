@@ -27,27 +27,34 @@ __all__ = [
 _LETTERS = "ijklmnop"
 
 
-def prep_xarr(x, d0=None, logx=False, whiten=True, x0=None, dx=None):
-    """Prepare an independent-variable array (reference utils.prep_xarr).
+def whiten_xarr(x, x0=None, dx=None):
+    """Whiten a monotonically increasing array to ~[-1, 1] (reference
+    utils.whiten_xarr, utils.py:244-279). Returns (xw, x0, dx)."""
+    x = np.asarray(x, dtype=np.float64)
+    x0 = float(x.mean()) if x0 is None else float(x0)
+    xc = x - x0
+    if dx is None:
+        # range [-1+step/2, 1-step/2] for uniform sampling
+        step = (x[-1] - x[0]) / max(len(x) - 1, 1)
+        dx = float(xc.max() + step / 2)
+    if dx == 0:
+        dx = 1.0
+    return xc / dx, x0, dx
+
+
+def prep_xarr(x, d0=None, logx=False, whiten=False, x0=None, dx=None):
+    """Prepare an independent-variable array (reference utils.prep_xarr,
+    utils.py:200-241 — whiten defaults OFF here; gen_poly_A turns it on).
 
     Returns (x_prepped, x0, dx) where whitening maps x -> (x - x0)/dx.
     """
     x = np.asarray(x, dtype=np.float64)
-    if d0 is not None:
+    if d0:
         x = x / d0
     if logx:
         x = np.log(x)
     if whiten:
-        x0 = float(x.mean()) if x0 is None else float(x0)
-        xc = x - x0
-        if dx is None:
-            # reference convention (utils.py whiten_xarr): range
-            # [-1+step/2, 1-step/2] for uniform sampling
-            step = (x[-1] - x[0]) / max(len(x) - 1, 1)
-            dx = float(xc.max() + step / 2)
-        if dx == 0:
-            dx = 1.0
-        x = xc / dx
+        x, x0, dx = whiten_xarr(x, x0, dx)
     return x, x0, dx
 
 

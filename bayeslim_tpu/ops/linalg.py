@@ -51,15 +51,29 @@ def cinv(a):
     return jnp.linalg.inv(a)
 
 
-def diag_matmul(d, m, dim=-2):
-    """Multiply diagonal (given as vector d) with matrix m along dim."""
-    shape = [1] * m.ndim
-    shape[dim] = -1
-    return d.reshape(shape) * m
+def diag_matmul(a, b):
+    """Multiply stacks of diagonal 1x1 or 2x2 (pol) matrices on the two
+    LEADING axes, dropping off-diagonal terms (reference
+    linalg.py:116-149 — it specifically ignores the off-diagonals)."""
+    if a.shape[0] == 1:
+        return a * b
+    if a.shape[0] == 2:
+        c = jnp.zeros_like(a * b)
+        c = c.at[0, 0].set(a[0, 0] * b[0, 0])
+        return c.at[1, 1].set(a[1, 1] * b[1, 1])
+    raise ValueError("only 1x1 or 2x2 tensors")
 
 
-def diag_inv(d, eps=0.0):
-    return 1.0 / (d + eps)
+def diag_inv(a):
+    """Invert stacks of diagonal 1x1 or 2x2 (pol) matrices on the two
+    LEADING axes, dropping off-diagonals (reference linalg.py:151-178)."""
+    if a.shape[0] == 1:
+        return 1.0 / a
+    if a.shape[0] == 2:
+        c = jnp.zeros_like(a)
+        c = c.at[0, 0].set(1.0 / a[0, 0])
+        return c.at[1, 1].set(1.0 / a[1, 1])
+    raise ValueError("only 1x1 or 2x2 tensors")
 
 
 def cholesky_inverse(L):

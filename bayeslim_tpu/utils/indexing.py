@@ -354,3 +354,20 @@ def voigt_beam(nside, sigma, gamma):
     theta, phi = hp.pix2ang(nside, np.arange(hp.nside2npix(nside)))
     beam = voigt_profile(theta, sigma, gamma)
     return beam / beam.max(), theta, phi
+
+
+def freq_interp(params, param_freqs, freqs, kind, axis,
+                fill_value="extrapolate"):
+    """Interpolate a params array onto a new frequency basis (reference
+    utils.freq_interp, utils.py:902-947; its matched-frequency fast
+    path contains a typo'd statement `index[axis] - indices` and is
+    unreachable without error — only the scipy interp1d path is
+    reproduced)."""
+    from scipy.interpolate import interp1d
+    p = np.asarray(params)
+    f = interp1d(np.asarray(param_freqs), p, kind=kind, axis=axis,
+                 fill_value=fill_value, bounds_error=False)
+    out = f(np.asarray(freqs))
+    if isinstance(params, jnp.ndarray):
+        return jnp.asarray(out, dtype=params.dtype)
+    return out

@@ -2018,3 +2018,155 @@ def test_deconvolve_map_parity():
         mine = deconvolve_map(jnp.asarray(m), jnp.asarray(P), pinv=pinv)
         np.testing.assert_allclose(np.asarray(mine), ref.numpy(),
                                    rtol=1e-9, atol=1e-12, err_msg=str(pinv))
+
+
+# --------------------------------------------------------------------------
+# parity batch 17: utils + linalg long tail (pure functions)
+# --------------------------------------------------------------------------
+
+def test_utils_tapers_parity():
+    """colat2lat / stripe_tukey_mask / half_gaussian_taper / prep_xarr /
+    whiten_xarr vs the reference (utils.py:110-279)."""
+    th = np.linspace(0.3, 1.2, 40)
+    ph = np.linspace(1.0, 2.5, 40)
+
+    np.testing.assert_allclose(bl.utils.colat2lat(th, deg=False),
+                               ba.utils.colat2lat(th, deg=False), rtol=1e-14)
+    np.testing.assert_allclose(bl.utils.colat2lat(th * 60, deg=True),
+                               ba.utils.colat2lat(th * 60, deg=True),
+                               rtol=1e-14)
+
+    ref = ba.utils.stripe_tukey_mask(th, 0.4, 1.1, ph, 1.2, 2.2,
+                                     theta_alpha=0.4, phi_alpha=0.6)
+    mine = bl.utils.stripe_tukey_mask(th, 0.4, 1.1, ph, 1.2, 2.2,
+                                      theta_alpha=0.4, phi_alpha=0.6)
+    np.testing.assert_allclose(np.asarray(mine), ref, rtol=1e-9, atol=1e-12)
+
+    x = np.linspace(-2, 2, 31)
+    for below in (True, False):
+        ref = ba.utils.half_gaussian_taper(torch.tensor(x), 0.3, 0.7,
+                                           below=below)
+        mine = bl.utils.half_gaussian_taper(jnp.asarray(x), 0.3, 0.7,
+                                            below=below)
+        np.testing.assert_allclose(np.asarray(mine), ref.numpy(),
+                                   rtol=1e-12)
+
+    f = np.linspace(100e6, 120e6, 16)
+    for kwgs in (dict(whiten=True), dict(whiten=True, logx=True, d0=1e8),
+                 dict(), dict(whiten=True, x0=1.1, dx=0.2)):
+        xr, x0r, dxr = ba.utils.prep_xarr(torch.tensor(f), **kwgs)
+        xm, x0m, dxm = bl.utils.prep_xarr(f, **kwgs)
+        np.testing.assert_allclose(np.asarray(xm), np.asarray(xr),
+                                   rtol=1e-12, err_msg=str(kwgs))
+        if kwgs.get("whiten"):
+            assert np.isclose(float(x0m), float(x0r))
+            assert np.isclose(float(dxm), float(dxr))
+    xr, x0r, dxr = ba.utils.whiten_xarr(torch.tensor(f))
+    xm, x0m, dxm = bl.utils.whiten_xarr(f)
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(xr), rtol=1e-12)
+
+
+def test_utils_zeros_conjbl_parity():
+    """fit_zero / get_zeros / conjbl / Jy_to_KStr / freq_interp vs the
+    reference (utils.py:902-947, 1610, 1906-1941, 2471)."""
+    # a function with three sign changes
+    x = np.linspace(0, 3 * np.pi, 200)
+    y = np.sin(x) * np.exp(-0.1 * x)
+    ref_roots = ba.utils.get_zeros(x, y)
+    my_roots = bl.utils.get_zeros(x, y)
+    assert len(ref_roots) == len(my_roots) >= 2
+    np.testing.assert_allclose(my_roots, ref_roots, rtol=1e-10)
+
+    np.testing.assert_allclose(
+        bl.utils.fit_zero(x[:5], y[:5] - 0.3),
+        ba.utils.fit_zero(x[:5], y[:5] - 0.3), rtol=1e-10)
+
+    # conjbl: tuples, lists, blnum codes
+    assert bl.utils.conjbl((3, 7)) == ba.utils.conjbl((3, 7))
+    assert bl.utils.conjbl([(1, 2), (4, 9)]) == ba.utils.conjbl([(1, 2), (4, 9)])
+    blnums = np.asarray([1002, 23045])
+    np.testing.assert_array_equal(np.asarray(bl.utils.conjbl(blnums)),
+                                  ba.utils.conjbl(blnums))
+
+    # Jy_to_KStr: the reference needs astropy.constants (mocked here) —
+    # pin its formula 1e-26 c^2 / (2 k_B nu^2) with CODATA values
+    freqs = np.linspace(100e6, 150e6, 8)
+    c, k_B = 299792458.0, 1.380649e-23
+    np.testing.assert_allclose(np.asarray(bl.utils.Jy_to_KStr(freqs)),
+                               1e-26 * (c / freqs) ** 2 / (2 * k_B),
+                               rtol=1e-10)
+
+    # freq_interp (the reference's matched-freq fast path is typo-broken;
+    # the interp1d path is what runs in practice)
+    rng = np.random.default_rng(31)
+    p = rng.normal(size=(2, 8, 3))
+    pf = np.linspace(100e6, 150e6, 8)
+    nf = np.linspace(102e6, 148e6, 5)
+    ref = ba.utils.freq_interp(torch.tensor(p), torch.tensor(pf),
+                               torch.tensor(nf), "quadratic", 1)
+    mine = bl.utils.freq_interp(p, pf, nf, "quadratic", 1)
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(), rtol=1e-10)
+
+
+def test_difference_block_parity():
+    """Difference block on plain tensors vs the reference
+    (utils.py:1560-1601)."""
+    rng = np.random.default_rng(37)
+    p = rng.normal(size=(4, 5))
+    idx1, idx2 = (slice(0, 2),), (slice(2, 4),)
+    ref = ba.utils.Difference(idx1, idx2)(torch.tensor(p))
+    mine = bl.dataset.Difference(idx1, idx2)(jnp.asarray(p))
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(), rtol=1e-14)
+
+
+def test_linalg_pol_diag_phasor_parity():
+    """diag_matmul / diag_inv / apply_phasor / project_out_phase /
+    cmatmul vs the reference 2-real implementations
+    (linalg.py:116-360)."""
+    from bayeslim_tpu.ops import linalg as tl
+
+    rng = np.random.default_rng(41)
+    shp = (2, 2, 3, 4)
+    a = rng.normal(size=shp) + 1j * rng.normal(size=shp)
+    b = rng.normal(size=shp) + 1j * rng.normal(size=shp)
+    at, bt = torch.tensor(a), torch.tensor(b)
+
+    np.testing.assert_allclose(
+        np.asarray(tl.diag_matmul(jnp.asarray(a), jnp.asarray(b))),
+        ba.linalg.diag_matmul(at, bt).numpy(), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(tl.diag_inv(jnp.asarray(a))),
+        ba.linalg.diag_inv(at).numpy(), rtol=1e-12)
+    # 1x1 branch
+    np.testing.assert_allclose(
+        np.asarray(tl.diag_matmul(jnp.asarray(a[:1, :1]),
+                                  jnp.asarray(b[:1, :1]))),
+        ba.linalg.diag_matmul(at[:1, :1], bt[:1, :1]).numpy(), rtol=1e-12)
+
+    z = rng.normal(size=(3, 4)) + 1j * rng.normal(size=(3, 4))
+    zr = torch.view_as_real(torch.tensor(z))
+    phi = rng.normal(size=(3, 4))
+    np.testing.assert_allclose(
+        np.asarray(tl.apply_phasor(jnp.asarray(z), jnp.asarray(phi))),
+        torch.view_as_complex(
+            ba.linalg.apply_phasor(zr, torch.tensor(phi))).numpy(),
+        rtol=1e-12)
+
+    # project_out_phase: avg_axis-only and select-only agree with the
+    # reference; when BOTH are given the reference's code applies select
+    # to the pre-average tensor, contradicting its own docstring
+    # ("index z AFTER any averaging") — we follow the docstring
+    ref = torch.view_as_complex(
+        ba.linalg.project_out_phase(zr, avg_axis=1))
+    mine = tl.project_out_phase(jnp.asarray(z), avg_axis=1)
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(), rtol=1e-12)
+    sel = [slice(None), slice(0, 1)]
+    ref = torch.view_as_complex(ba.linalg.project_out_phase(zr, select=sel))
+    mine = tl.project_out_phase(jnp.asarray(z), select=sel)
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(), rtol=1e-12)
+
+    # cmatmul: 2x2 complex matmul over the leading axes
+    ref = torch.view_as_complex(
+        ba.linalg.cmatmul(torch.view_as_real(at), torch.view_as_real(bt)))
+    mine = tl.cmatmul(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(), rtol=1e-12)
