@@ -2170,3 +2170,88 @@ def test_linalg_pol_diag_phasor_parity():
         ba.linalg.cmatmul(torch.view_as_real(at), torch.view_as_real(bt)))
     mine = tl.cmatmul(jnp.asarray(a), jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(mine), ref.numpy(), rtol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# parity batch 18: beam polarization rotations + sky grid helpers
+# --------------------------------------------------------------------------
+
+def test_beam_rotation_matrices_parity():
+    """R_eq_to_xyz / R_beta / R_XYZ_to_top / R_chi / cut_sky_fov vs the
+    reference (beam_model.py:1485-1698) — the polarized-beam basis
+    rotation chain."""
+    from bayeslim_tpu.models.beam import (R_eq_to_xyz, R_beta,
+                                          R_XYZ_to_top, R_chi, cut_sky_fov)
+
+    rng = np.random.default_rng(43)
+    alpha = rng.uniform(0, 2 * np.pi, 12)
+    delta = rng.uniform(-np.pi / 2, np.pi / 2, 12)
+    beta = 0.63
+
+    np.testing.assert_allclose(R_eq_to_xyz(alpha, delta),
+                               ba.beam_model.R_eq_to_xyz(alpha, delta),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(R_beta(beta), ba.beam_model.R_beta(beta),
+                               rtol=1e-12, atol=1e-14)
+    phi = rng.uniform(0, 2 * np.pi, 12)
+    theta = rng.uniform(0, np.pi, 12)
+    np.testing.assert_allclose(R_XYZ_to_top(phi, theta),
+                               ba.beam_model.R_XYZ_to_top(phi, theta),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(R_chi(alpha, delta, beta)),
+                               np.asarray(ba.beam_model.R_chi(
+                                   alpha, delta, beta)),
+                               rtol=1e-10, atol=1e-12)
+
+    sky = rng.normal(size=(1, 1, 2, 20))
+    cut = np.asarray([3, 5, 7, 11, 13])
+    np.testing.assert_allclose(
+        np.asarray(cut_sky_fov(jnp.asarray(sky), cut)),
+        ba.beam_model.cut_sky_fov(torch.tensor(sky),
+                                  torch.tensor(cut)).numpy(), rtol=1e-14)
+    # slice branch
+    np.testing.assert_allclose(
+        np.asarray(cut_sky_fov(jnp.asarray(sky), slice(2, 9))),
+        ba.beam_model.cut_sky_fov(torch.tensor(sky), slice(2, 9)).numpy(),
+        rtol=1e-14)
+
+
+def test_sky_grid_helpers_parity():
+    """Jy2K / eqarea_grid / ang_index / index_sky_pixels vs the
+    reference (sky_model.py:974-1443)."""
+    from bayeslim_tpu.models.sky import (Jy2K, eqarea_grid, ang_index,
+                                         index_sky_pixels)
+
+    # the reference hardcodes the pre-2019 cgs Boltzmann constant
+    # (1.38064852e-16); this package uses the exact SI value — 3.3e-7
+    # relative offset
+    freqs = np.linspace(100e6, 180e6, 9)
+    np.testing.assert_allclose(np.asarray(Jy2K(freqs, 2.5e-5)),
+                               np.asarray(ba.sky_model.Jy2K(freqs, 2.5e-5)),
+                               rtol=1e-6)
+
+    th_ref, ph_ref = ba.sky_model.eqarea_grid(4.0)
+    th, ph = eqarea_grid(4.0)
+    np.testing.assert_allclose(th, th_ref, rtol=1e-12)
+    np.testing.assert_allclose(ph, ph_ref, rtol=1e-12)
+
+    rng = np.random.default_rng(47)
+    theta = rng.uniform(0, np.pi, 50)
+    phi = rng.uniform(0, 2 * np.pi, 50)
+    ref = ba.sky_model.ang_index(torch.tensor(theta), torch.tensor(phi),
+                                 theta_min=0.5, theta_max=2.5,
+                                 phi_min=1.0, phi_max=5.0)
+    mine = ang_index(theta, phi, theta_min=0.5, theta_max=2.5,
+                     phi_min=1.0, phi_max=5.0)
+    np.testing.assert_array_equal(np.asarray(mine), ref.numpy())
+
+    # index_sky_pixels: subset angles (degrees) locate into the larger set
+    ph_l = rng.uniform(0, 360, 30)
+    th_l = rng.uniform(0, 180, 30)
+    sub = rng.choice(30, 8, replace=False)
+    angs_large = np.stack([ph_l, th_l])
+    angs_small = angs_large[:, sub]
+    ref = ba.sky_model.index_sky_pixels(torch.tensor(angs_large),
+                                        torch.tensor(angs_small))
+    mine = index_sky_pixels(angs_large, angs_small)
+    np.testing.assert_array_equal(np.asarray(mine), np.asarray(ref))
