@@ -136,55 +136,102 @@ def gauss1d(x, scale=1.0, loc=0.0):
 
 
 def cube2lcone(sims, sim_r, r, sim_res, angs=None, rinterp="nearest",
-               cosmo=None, roll=None):
-    """Project coeval simulation cubes onto a lightcone
-    (reference cosmology.py:237-323, nearest-redshift simplification).
+               interp="nearest", cosmo=None, roll=None):
+    """Project coeval simulation cubes onto a lightcone (reference
+    cosmology.py:237-323; after P. Kittisiwit's cosmotile).
 
-    sims : (Nsim, Nx, Ny, Nz) array of coeval cubes at comoving distances
-    sim_r : (Nsim,) comoving distance of each cube
+    sims : (Nsim, Npix, Npix, Npix) coeval cubes (or one cube), or a
+        .npy filepath
+    sim_r : (Nsim,) comoving distance of each cube [Mpc]
     r : (Nr,) output radial comoving distances [Mpc]
     sim_res : cube voxel resolution [Mpc]
-    angs : optional (2, Npix) angular sampling (ra, dec) [deg]; default
-        uses the full transverse cube face.
+    angs : optional (theta, phi) [rad] colat/az sampling (2, Npix);
+        default samples the cube's own X, Y grid
+    rinterp : radial interpolation between coeval cubes
+        ('nearest' | 'linear' | 'quadratic'); quadratic is an exact
+        3-point Lagrange fit (the reference's quadratic branch assigns
+        sims[s2] twice — a typo'd, non-quadratic result)
+    interp : spatial interpolation inside a cube ('nearest' | 'linear')
 
-    Returns (Nr, ...) lightcone samples (nearest-cell lookup).
+    Returns the (Nr, ...) lightcone.
     """
+    if isinstance(sims, str):
+        sims = np.load(sims)
     sims = np.asarray(sims)
-    sim_r = np.asarray(sim_r)
-    r = np.asarray(r)
-    nx = sims.shape[1]
-    out_shape = (len(r),) + ((angs.shape[1],) if angs is not None
-                             else sims.shape[1:3])
-    out = np.zeros(out_shape, dtype=sims.dtype)
-    for i, rr in enumerate(r):
-        si = np.argmin(np.abs(sim_r - rr))
-        iz = int(np.round(rr / sim_res)) % sims.shape[3]
-        if roll is not None:
-            iz = (iz + roll) % sims.shape[3]
-        if angs is None:
-            out[i] = sims[si, :, :, iz]
+    if sims.ndim == 3:
+        sims = sims[None]
+    sim_r = np.atleast_1d(np.asarray(sim_r, dtype=np.float64))
+    r = np.atleast_1d(np.asarray(r, dtype=np.float64))
+    lcone = []
+    for rr in r:
+        order = np.argsort(np.abs(rr - sim_r))
+        if rinterp == "nearest" or len(sim_r) == 1:
+            cube = sims[order[0]]
+        elif rinterp == "linear":
+            s1, s2 = sorted(order[:2])
+            b = (sims[s2] - sims[s1]) / (sim_r[s2] - sim_r[s1])
+            cube = b * rr + (sims[s1] - b * sim_r[s1])
+        elif rinterp == "quadratic":
+            s1, s2, s3 = sorted(order[:3])
+            r1, r2, r3 = sim_r[s1], sim_r[s2], sim_r[s3]
+            L1 = (rr - r2) * (rr - r3) / ((r1 - r2) * (r1 - r3))
+            L2 = (rr - r1) * (rr - r3) / ((r2 - r1) * (r2 - r3))
+            L3 = (rr - r1) * (rr - r2) / ((r3 - r1) * (r3 - r2))
+            cube = sims[s1] * L1 + sims[s2] * L2 + sims[s3] * L3
         else:
-            # angular coordinates -> transverse cube cells at distance rr
-            ra, dec = np.radians(angs[0]), np.radians(angs[1])
-            x = rr * np.cos(dec) * np.cos(ra)
-            y = rr * np.cos(dec) * np.sin(ra)
-            ix = np.round(x / sim_res).astype(int) % nx
-            iy = np.round(y / sim_res).astype(int) % sims.shape[2]
-            out[i] = sims[si, ix, iy, iz]
-    return out
+            raise ValueError(rinterp)
+        lcone.append(cube2map(cube, rr, sim_res, angs=angs, roll=roll,
+                              interp=interp))
+    return np.asarray(lcone)
 
 
-def cube2map(cube, res, r, nside, cosmo=None):
-    """Project one coeval cube shell onto a healpix map at distance r
-    (reference cosmology.py:324+, nearest-cell)."""
-    from ..utils import healpix as hp
+def cube2map(cube, dc, sim_res, angs=None, roll=None, interp="nearest"):
+    """Tile a simulation cube and sample a shell at comoving distance dc
+    (reference cosmology.py:324-427): nearest or trilinear lookup at the
+    (theta, phi) [rad] sample directions, or along the z axis only when
+    angs is None."""
     cube = np.asarray(cube)
-    npix = hp.nside2npix(nside)
-    theta, phi = hp.pix2ang(nside, np.arange(npix))
-    x = r * np.sin(theta) * np.cos(phi)
-    y = r * np.sin(theta) * np.sin(phi)
-    z = r * np.cos(theta)
-    ix = np.round(x / res).astype(int) % cube.shape[0]
-    iy = np.round(y / res).astype(int) % cube.shape[1]
-    iz = np.round(z / res).astype(int) % cube.shape[2]
-    return cube[ix, iy, iz]
+    nx, ny, nz = cube.shape
+    if roll is not None:
+        if isinstance(roll, (int, np.integer)):
+            roll = (roll, roll, roll)
+        cube = np.roll(cube, roll, axis=(0, 1, 2))
+
+    if angs is not None:
+        theta, phi = np.asarray(angs[0]), np.asarray(angs[1])
+        st = np.sin(theta)
+        xr = st * np.cos(phi) * dc / sim_res
+        yr = st * np.sin(phi) * dc / sim_res
+        zr = np.cos(theta) * dc / sim_res
+        if interp == "nearest":
+            xi = np.mod(np.around(xr).astype(int), nx)
+            yi = np.mod(np.around(yr).astype(int), ny)
+            zi = np.mod(np.around(zr).astype(int), nz)
+            return np.asarray(cube[xi, yi, zi])
+        if interp == "linear":
+            xd, yd, zd = xr % 1, yr % 1, zr % 1
+            x0, x1 = (np.mod(np.floor(xr).astype(int), nx),
+                      np.mod(np.ceil(xr).astype(int), nx))
+            y0, y1 = (np.mod(np.floor(yr).astype(int), ny),
+                      np.mod(np.ceil(yr).astype(int), ny))
+            z0, z1 = (np.mod(np.floor(zr).astype(int), nz),
+                      np.mod(np.ceil(zr).astype(int), nz))
+            c00 = cube[x0, y0, z0] * (1 - xd) + cube[x1, y0, z0] * xd
+            c01 = cube[x0, y0, z1] * (1 - xd) + cube[x1, y0, z1] * xd
+            c10 = cube[x0, y1, z0] * (1 - xd) + cube[x1, y1, z0] * xd
+            c11 = cube[x0, y1, z1] * (1 - xd) + cube[x1, y1, z1] * xd
+            c0 = c00 * (1 - yd) + c10 * yd
+            c1 = c01 * (1 - yd) + c11 * yd
+            return c0 * (1 - zd) + c1 * zd
+        raise ValueError(interp)
+
+    # no angs: sample the z axis only (a tiled slab, not a true map)
+    zr = dc / sim_res
+    if interp == "nearest":
+        return np.asarray(cube[..., np.mod(int(np.around(zr)), nz)])
+    if interp == "linear":
+        zd = zr % 1
+        z0 = np.mod(int(np.floor(zr)), nz)
+        z1 = np.mod(int(np.ceil(zr)), nz)
+        return cube[..., z0] * (1 - zd) + cube[..., z1] * zd
+    raise ValueError(interp)

@@ -2255,3 +2255,97 @@ def test_sky_grid_helpers_parity():
                                         torch.tensor(angs_small))
     mine = index_sky_pixels(angs_large, angs_small)
     np.testing.assert_array_equal(np.asarray(mine), np.asarray(ref))
+
+
+# --------------------------------------------------------------------------
+# parity batch 19: sph_harm helpers + cosmology cube projections
+# --------------------------------------------------------------------------
+
+def test_sph_harm_helpers_parity():
+    """inflate_Ylm / normalize_Ylm / legendre_func / sph_bessel_func vs
+    the reference (sph_harm.py:478-2173)."""
+    from bayeslim_tpu.ops.sph_harm import (inflate_Ylm, normalize_Ylm,
+                                           legendre_func, sph_bessel_func)
+
+    rng = np.random.default_rng(53)
+    T = rng.normal(size=(4, 5))
+    P = rng.normal(size=(4, 6))
+    ref = ba.sph_harm.inflate_Ylm((torch.tensor(T), torch.tensor(P)))
+    mine = inflate_Ylm((jnp.asarray(T), jnp.asarray(P)))
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(), rtol=1e-12)
+
+    # normalize_Ylm: healpix pxarea branch + non-healpix sin(theta) area
+    Y = rng.normal(size=(3, 12)) + 1j * rng.normal(size=(3, 12))
+    refY, refn = ba.sph_harm.normalize_Ylm(torch.tensor(Y), pxarea=0.02)
+    myY, myn = normalize_Ylm(jnp.asarray(Y), pxarea=0.02)
+    np.testing.assert_allclose(np.asarray(myY), refY.numpy(), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(myn), refn.numpy(), rtol=1e-10)
+    th = np.linspace(0.4, 1.4, 12)
+    refY, refn = ba.sph_harm.normalize_Ylm(torch.tensor(Y), hpix=False,
+                                           theta=th, dtheta=0.05, dphi=0.1)
+    myY, myn = normalize_Ylm(jnp.asarray(Y), hpix=False, theta=th,
+                             dtheta=0.05, dphi=0.1)
+    np.testing.assert_allclose(np.asarray(myn), refn.numpy(), rtol=1e-10)
+
+    # legendre_func: stripe boundary conditions, non-integer degree
+    x = np.linspace(np.cos(1.3), np.cos(0.6), 9)
+    l = np.asarray([3.6, 5.2])
+    m = np.asarray([1, 1])
+    for bc in (1, 2):
+        ref = ba.sph_harm.legendre_func(x, l, m, "stripe",
+                                        x_crit=np.cos(1.3), bc_type=bc)
+        mine = legendre_func(x, l, m, "stripe", x_crit=np.cos(1.3),
+                             bc_type=bc)
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(ref),
+                                   rtol=1e-7, err_msg=f"bc={bc}")
+
+    # sph_bessel_func: shell method with Neumann bc
+    r = np.linspace(80.0, 120.0, 24)
+    k = np.asarray([0.05, 0.11])
+    ref = ba.sph_harm.sph_bessel_func(2.0, k, r, method="shell",
+                                      bc_type=2, r_crit=80.0)
+    mine = sph_bessel_func(2.0, k, r, method="shell", r_crit=80.0)
+    np.testing.assert_allclose(np.asarray(mine).squeeze(),
+                               np.asarray(ref).squeeze(), rtol=1e-7)
+
+
+def test_cosmology_cube_projection_parity():
+    """gauss1d / cube2map / cube2lcone vs the reference
+    (cosmology.py:207-427)."""
+    from bayeslim_tpu.models.cosmology import gauss1d, cube2map, cube2lcone
+
+    x = np.linspace(-3, 3, 25)
+    np.testing.assert_allclose(gauss1d(x, scale=0.8, loc=0.4),
+                               ba.cosmology.gauss1d(x, scale=0.8, loc=0.4),
+                               rtol=1e-12)
+
+    rng = np.random.default_rng(59)
+    cube = rng.normal(size=(8, 8, 8))
+    theta = rng.uniform(0.1, np.pi - 0.1, 30)
+    phi = rng.uniform(0, 2 * np.pi, 30)
+    angs = np.stack([theta, phi])
+    for interp in ("nearest", "linear"):
+        for roll in (None, 3, (1, 2, 3)):
+            ref = ba.cosmology.cube2map(cube, 37.0, 2.0, angs=angs,
+                                        roll=roll, interp=interp)
+            mine = cube2map(cube, 37.0, 2.0, angs=angs, roll=roll,
+                            interp=interp)
+            np.testing.assert_allclose(np.asarray(mine), np.asarray(ref),
+                                       rtol=1e-10,
+                                       err_msg=f"{interp} roll={roll}")
+        # z-only branch (no angs)
+        ref = ba.cosmology.cube2map(cube, 37.0, 2.0, interp=interp)
+        mine = cube2map(cube, 37.0, 2.0, interp=interp)
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(ref),
+                                   rtol=1e-10)
+
+    sims = rng.normal(size=(3, 8, 8, 8))
+    sim_r = np.asarray([30.0, 40.0, 50.0])
+    r = np.asarray([33.0, 46.0])
+    for rinterp in ("nearest", "linear"):
+        ref = ba.cosmology.cube2lcone(sims, sim_r, r, 2.0, angs=angs,
+                                      rinterp=rinterp, interp="linear")
+        mine = cube2lcone(sims, sim_r, r, 2.0, angs=angs,
+                          rinterp=rinterp, interp="linear")
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(ref),
+                                   rtol=1e-10, err_msg=rinterp)
