@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.dtypes import C_MS, _float
+from ..utils.dtypes import C_MS, _float, _cfloat
 from ..data.containers import VisData, MapData
 from ..ops.phase import fringe_phasor
 from .telescope import ArrayModel
@@ -35,19 +35,26 @@ def make_map(v, w, A):
     return jnp.einsum("bf,bfp->fp", wv, A).real
 
 
-def compute_P(A, w, contract="diag"):
-    """PSF matrix P = A^T W A* (reference imaging.py:818-863).
+def compute_P(A, w, D=None, contract=None):
+    """PSF matrix P = D A^T W A* (reference imaging.py:833-863).
 
-    contract: 'diag' -> (Nfreqs, Npix) diagonal; 'rowsum' -> row sums;
-    None -> full (Nfreqs, Npix, Npix).
+    contract: 'diag' -> (Nfreqs, Npix) diagonal; 'rowsum' -> row sums
+    (also (Nfreqs, Npix), contracted without building the full matrix);
+    None -> full (Nfreqs, Npix, Npix). D (Nfreqs, Npix) multiplies the
+    result (broadcast over the trailing pixel axis for the full matrix).
     """
     if contract == "diag":
-        return jnp.einsum("bfp,bf,bfp->fp", A, w.astype(A.dtype),
-                          A.conj()).real
-    if contract == "rowsum":
-        P = jnp.einsum("bfp,bf,bfq->fpq", A, w.astype(A.dtype), A.conj())
-        return P.real.sum(-1)
-    return jnp.einsum("bfp,bf,bfq->fpq", A, w.astype(A.dtype), A.conj()).real
+        P = jnp.einsum("bfp,bf,bfp->fp", A, w.astype(A.dtype),
+                       A.conj()).real
+    elif contract == "rowsum":
+        P = jnp.einsum("bfp,bf,bfq->fp", A, w.astype(A.dtype),
+                       A.conj()).real
+    else:
+        P = jnp.einsum("bfp,bf,bfq->fpq", A, w.astype(A.dtype),
+                       A.conj()).real
+    if D is not None:
+        P = P * (D if contract is not None else D[:, :, None])
+    return P
 
 
 def deconvolve_map(m, P, pinv=True, rcond=1e-15, hermitian=True):
@@ -248,6 +255,207 @@ class VisMapper:
         if icov is not None:
             return icov[0, 0, :, time_ind, :].real
         return jnp.ones((self.Nbls, self.Nfreqs), dtype=_float())
+
+    def _a_builder(self):
+        """Traced per-time imaging-matrix build shared by the jitted
+        analysis loops (same math as build_A, indexed into the stacked
+        precompute)."""
+        freqs = self.freqs
+
+        def build(i, s_all, cut_all, mask_all, zen_all, az_all, ctx,
+                  blvecs, beam):
+            s, cut, mask = s_all[i], cut_all[i], mask_all[i]
+            tau = (blvecs @ s) / C_MS
+            A = jnp.moveaxis(fringe_phasor(tau, freqs, conj=True), -1, 1)
+            if beam is not None:
+                c = None if len(ctx) == 0 else (ctx[0][i], ctx[1][i])
+                b = beam.gen_beam(zen_all[i], az_all[i], ctx=c,
+                                  angles_offset=True)[0, 0, 0]
+                if not beam.powerbeam:
+                    b = b ** 2
+                A = A * b
+            return A * mask, cut, mask
+
+        return build
+
+    def _pre_args(self):
+        ctx = self._ctx if self._ctx is not None else ()
+        return (jnp.asarray(self._s, dtype=_float()),
+                jnp.asarray(self._cut),
+                jnp.asarray(self._mask, dtype=_float()),
+                jnp.asarray(self._zen, dtype=_float()),
+                jnp.asarray(self._az, dtype=_float()), ctx,
+                jnp.asarray(self.blvecs, dtype=_float()))
+
+    @staticmethod
+    def _maps2tensor(maps):
+        """MapData / list / tensor -> (..., Nfreqs, Npix) jnp array
+        (reference imaging.py:488-496 map2ten)."""
+        from ..data.containers import MapData
+        m2t = lambda m: m.get_data() if isinstance(m, MapData) else m
+        if isinstance(maps, list):
+            maps = jnp.stack([jnp.asarray(m2t(m)) for m in maps])
+        else:
+            maps = jnp.asarray(m2t(maps))
+        return maps
+
+    def compute_Am(self, maps):
+        """A @ maps per time integration: the RIME forward transform of
+        maps through the cached imaging matrices (reference
+        imaging.py:469-527). maps: MapData, list, or tensor of shape
+        (..., Nfreqs, Npix). Returns (Nmaps, Nbls, Ntimes, Nfreqs),
+        leading axis squeezed when maps carried none.
+
+        The reference's per-time Python loop runs here as one jitted
+        fori_loop (cached per maps-shape)."""
+        maps = self._maps2tensor(maps)
+        squeeze = maps.ndim == 2
+        m = maps[None] if squeeze else maps.reshape((-1,) + maps.shape[-2:])
+        nbls, nf, nt = self.Nbls, self.Nfreqs, len(self.times)
+        build = self._a_builder()
+
+        def fn(m, s_all, cut_all, mask_all, zen_all, az_all, ctx, blvecs,
+               beam):
+            v0 = jnp.zeros((m.shape[0], nbls, nt, nf), dtype=_cfloat())
+
+            def body(i, v):
+                A, cut, mask = build(i, s_all, cut_all, mask_all,
+                                     zen_all, az_all, ctx, blvecs, beam)
+                vt = compute_Am(A, m[..., cut].astype(A.dtype))
+                return v.at[..., i, :].set(vt)
+
+            return jax.lax.fori_loop(0, nt, body, v0)
+
+        if not hasattr(self, "_an_cache"):
+            self._an_cache = {}
+        key = ("Am", m.shape)
+        if key not in self._an_cache:
+            self._an_cache[key] = jax.jit(fn)
+        v = self._an_cache[key](m, *self._pre_args(), self.beam)
+        if squeeze:
+            v = v[0]
+        else:
+            v = v.reshape(maps.shape[:-2] + v.shape[1:])
+        return v
+
+    def compute_Pm(self, maps, D=None):
+        """PSF action on maps, P @ maps = D A^T w (A* maps), accumulated
+        over time integrations with the mapper's normalization
+        (reference imaging.py:528-611). Returns (..., Nfreqs, Npix)."""
+        maps = self._maps2tensor(maps)
+        squeeze = maps.ndim == 2
+        m = maps[None] if squeeze else maps.reshape((-1,) + maps.shape[-2:])
+        nf, npix, nbls, nt = (self.Nfreqs, self.Npix, self.Nbls,
+                              len(self.times))
+        method, clip = self.method, self.clip
+        icov = self.icov if self.icov is not None else self.vd.icov
+        has_icov = icov is not None
+        has_D = D is not None
+        build = self._a_builder()
+
+        def fn(m, D, icov, s_all, cut_all, mask_all, zen_all, az_all,
+               ctx, blvecs, beam):
+            Pm0 = jnp.zeros((m.shape[0], nf, npix), dtype=_float())
+            Aw0 = jnp.zeros((nf, 1 if method == "w" else npix),
+                            dtype=_float())
+
+            def body(i, carry):
+                Pm, Aw = carry
+                A, cut, mask = build(i, s_all, cut_all, mask_all,
+                                     zen_all, az_all, ctx, blvecs, beam)
+                w = icov[0, 0, :, i, :].real if has_icov else \
+                    jnp.ones((nbls, nf), dtype=_float())
+                _Pm = compute_Pm(A, w, m[..., cut])
+                Pm = Pm.at[..., cut].add(_Pm * mask)
+                if not has_D:
+                    if method == "w":
+                        Aw = Aw + w.sum(0)[:, None]
+                    elif method == "Aw":
+                        Aw = Aw.at[:, cut].add(
+                            jnp.einsum("bf,bfp->fp", w, jnp.abs(A)))
+                    else:
+                        Aw = Aw.at[:, cut].add(
+                            jnp.einsum("bf,bfp->fp", w, jnp.abs(A) ** 2))
+                return Pm, Aw
+
+            Pm, Aw = jax.lax.fori_loop(0, nt, body, (Pm0, Aw0))
+            if not has_D:
+                D = 1.0 / jnp.clip(Aw, clip)
+            return Pm * D
+
+        if not hasattr(self, "_an_cache"):
+            self._an_cache = {}
+        key = ("Pm", m.shape, method, clip, has_icov, has_D)
+        if key not in self._an_cache:
+            self._an_cache[key] = jax.jit(fn)
+        Dv = jnp.asarray(D, dtype=_float()) if has_D else \
+            jnp.zeros((1, 1), dtype=_float())
+        icv = icov if has_icov else jnp.zeros((1, 1, nbls, nt, nf),
+                                              dtype=_float())
+        Pm = self._an_cache[key](m, Dv, icv, *self._pre_args(), self.beam)
+        if squeeze:
+            Pm = Pm[0]
+        else:
+            Pm = Pm.reshape(maps.shape[:-2] + Pm.shape[1:])
+        return Pm
+
+    def compute_P(self, D=None, contract="diag"):
+        """Full PSF matrix across all sky pixels, summed over time
+        integrations and normalized (reference imaging.py:612-692).
+        contract: 'diag'/'rowsum' -> (Nfreqs, Npix); None -> the full
+        (Nfreqs, Npix, Npix) matrix."""
+        nf, npix, nbls, nt = (self.Nfreqs, self.Npix, self.Nbls,
+                              len(self.times))
+        method, clip = self.method, self.clip
+        icov = self.icov if self.icov is not None else self.vd.icov
+        has_icov = icov is not None
+        has_D = D is not None
+        build = self._a_builder()
+
+        def fn(D, icov, s_all, cut_all, mask_all, zen_all, az_all, ctx,
+               blvecs, beam):
+            P0 = jnp.zeros((nf, npix) if contract is not None
+                           else (nf, npix, npix), dtype=_float())
+            Aw0 = jnp.zeros((nf, 1 if method == "w" else npix),
+                            dtype=_float())
+
+            def body(i, carry):
+                P, Aw = carry
+                A, cut, mask = build(i, s_all, cut_all, mask_all,
+                                     zen_all, az_all, ctx, blvecs, beam)
+                w = icov[0, 0, :, i, :].real if has_icov else \
+                    jnp.ones((nbls, nf), dtype=_float())
+                _P = compute_P(A, w, contract=contract)
+                if contract is not None:
+                    P = P.at[:, cut].add(_P * mask)
+                else:
+                    P = P.at[:, cut[:, None], cut[None, :]].add(_P)
+                if not has_D:
+                    if method == "w":
+                        Aw = Aw + w.sum(0)[:, None]
+                    elif method == "Aw":
+                        Aw = Aw.at[:, cut].add(
+                            jnp.einsum("bf,bfp->fp", w, jnp.abs(A)))
+                    else:
+                        Aw = Aw.at[:, cut].add(
+                            jnp.einsum("bf,bfp->fp", w, jnp.abs(A) ** 2))
+                return P, Aw
+
+            P, Aw = jax.lax.fori_loop(0, nt, body, (P0, Aw0))
+            if not has_D:
+                D = 1.0 / jnp.clip(Aw, clip)
+            return P * (D if contract is not None else D[:, :, None])
+
+        if not hasattr(self, "_an_cache"):
+            self._an_cache = {}
+        key = ("P", contract, method, clip, has_icov, has_D)
+        if key not in self._an_cache:
+            self._an_cache[key] = jax.jit(fn)
+        Dv = jnp.asarray(D, dtype=_float()) if has_D else \
+            jnp.zeros((1, 1), dtype=_float())
+        icv = icov if has_icov else jnp.zeros((1, 1, nbls, nt, nf),
+                                              dtype=_float())
+        return self._an_cache[key](Dv, icv, *self._pre_args(), self.beam)
 
     def make_map(self, vd=None, return_P=True, contract="diag"):
         """Accumulate dirty maps over times and normalize

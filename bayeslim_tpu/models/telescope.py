@@ -719,19 +719,23 @@ class ArrayModel(Module):
         return [bl for bl, k in zip(source, keep) if k]
 
 
-def match_red_blvec(red_vecs, bl_vec, redtol=1.0):
-    """Index of the redundant group whose vector matches bl_vec (or its
-    conjugate), else -1 (reference telescope_model.py:945-1000).
+def match_red_blvec(red_vecs, bl_vec, redtol=1.0, return_conj=False):
+    """Index of the redundant group whose vector matches bl_vec, else
+    None (reference telescope_model.py:945-971).
 
-    Returns (index, conjugated flag)."""
+    return_conj=True extends the reference: also try the conjugated
+    (negated) baseline vector and return (index, conjugated flag),
+    with index -1 when neither matches."""
     red_vecs = np.asarray([np.asarray(v) for v in red_vecs])
     bl_vec = np.asarray(bl_vec)
     d = np.linalg.norm(red_vecs - bl_vec, axis=-1)
     i = int(np.argmin(d))
-    if d[i] < redtol:
+    if not return_conj:
+        return i if d[i] <= redtol else None
+    if d[i] <= redtol:
         return i, False
     d2 = np.linalg.norm(red_vecs + bl_vec, axis=-1)
     j = int(np.argmin(d2))
-    if d2[j] < redtol:
+    if d2[j] <= redtol:
         return j, True
     return -1, False

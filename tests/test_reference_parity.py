@@ -2349,3 +2349,156 @@ def test_cosmology_cube_projection_parity():
                           rinterp=rinterp, interp="linear")
         np.testing.assert_allclose(np.asarray(mine), np.asarray(ref),
                                    rtol=1e-10, err_msg=rinterp)
+
+
+# ---------------------------------------------------------------------------
+# parity batch 20: imaging matrix-vector products + redundant vector match
+# ---------------------------------------------------------------------------
+
+def test_imaging_matvec_parity():
+    """Module-level compute_Am / compute_Pm / compute_P vs the reference
+    (imaging.py:755-871): all contracts, with and without the D
+    normalization."""
+    from bayeslim_tpu.models.imaging import (compute_Am, compute_Pm,
+                                             compute_P)
+    rng = np.random.default_rng(60)
+    nb, nf, npx, nm = 5, 3, 12, 2
+    A = rng.normal(size=(nb, nf, npx)) \
+        + 1j * rng.normal(size=(nb, nf, npx))
+    m = rng.normal(size=(nm, nf, npx)) \
+        + 1j * rng.normal(size=(nm, nf, npx))
+    w = rng.uniform(0.5, 2.0, (nb, nf))
+    D = rng.uniform(0.5, 2.0, (nf, npx))
+    tA, tm, tw, tD = map(torch.tensor, (A, m, w, D))
+
+    np.testing.assert_allclose(
+        np.asarray(compute_Am(jnp.asarray(A), jnp.asarray(m))),
+        ba.imaging.compute_Am(tA, tm).numpy(), rtol=1e-12)
+
+    for Dv, tDv in ((None, None), (D, tD)):
+        jD = None if Dv is None else jnp.asarray(Dv)
+        np.testing.assert_allclose(
+            np.asarray(compute_Pm(jnp.asarray(A), jnp.asarray(w),
+                                  jnp.asarray(m), D=jD)),
+            ba.imaging.compute_Pm(tA, tw, tm, D=tDv).numpy(),
+            rtol=1e-10, err_msg=f"Pm D={Dv is not None}")
+        for contract in (None, "diag", "rowsum"):
+            np.testing.assert_allclose(
+                np.asarray(compute_P(jnp.asarray(A), jnp.asarray(w),
+                                     D=jD, contract=contract)),
+                ba.imaging.compute_P(tA, tw, D=tDv,
+                                     contract=contract).numpy(),
+                rtol=1e-10,
+                err_msg=f"P contract={contract} D={Dv is not None}")
+
+
+def test_match_red_blvec_parity():
+    """match_red_blvec vs the reference (telescope_model.py:945-971):
+    matched index and the no-match None."""
+    from bayeslim_tpu.models.telescope import match_red_blvec
+    rng = np.random.default_rng(61)
+    red_vecs = rng.uniform(-50, 50, (8, 3))
+    hit = red_vecs[5] + rng.uniform(-0.3, 0.3, 3)
+    miss = red_vecs.max(0) + 100.0
+
+    r_hit = ba.telescope_model.match_red_blvec(
+        torch.tensor(red_vecs), torch.tensor(hit))
+    r_miss = ba.telescope_model.match_red_blvec(
+        torch.tensor(red_vecs), torch.tensor(miss))
+    assert match_red_blvec(red_vecs, hit) == int(r_hit) == 5
+    assert match_red_blvec(red_vecs, miss) is None and r_miss is None
+    # conjugate extension (ours): negated vector matches with flag
+    assert match_red_blvec(red_vecs, -hit, return_conj=True) == (5, True)
+
+
+def test_vismapper_matvec_parity():
+    """VisMapper.compute_Am / compute_Pm / compute_P (the time-iterating
+    cached-A variants, reference imaging.py:469-692) vs the reference,
+    'Aw' normalization to exercise the weight accumulation."""
+    rng = np.random.default_rng(62)
+    loc = (21.42827, -30.72148, 1051.69)
+    ants, antvecs = bl.utils.make_hex(2)
+    freqs = np.linspace(120e6, 130e6, 3)
+    times = 2458148.15 + np.arange(2) * 1e-3
+    bls = [(a, b) for i, a in enumerate(ants) for b in ants[i + 1:]][:6]
+
+    T = bl.TelescopeModel(loc)
+    ra0 = T.JD2RA(float(times[0]))
+    grid = np.linspace(-4, 4, 4)
+    rr, dd = np.meshgrid(ra0 + grid, loc[1] + grid)
+    ra, dec = rr.ravel(), dd.ravel()
+    npix = len(ra)
+
+    data = (rng.normal(size=(1, 1, len(bls), len(times), len(freqs)))
+            + 1j * rng.normal(size=(1, 1, len(bls), len(times),
+                                    len(freqs))))
+    icov = rng.uniform(0.5, 2.0, data.shape)
+    maps = rng.normal(size=(2, len(freqs), npix))
+
+    from bayeslim_tpu.models.imaging import VisMapper
+    vd = bl.VisData()
+    vd.setup_meta(T, AntposDict(ants, antvecs))
+    vd.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(data),
+                  cov=jnp.asarray(1.0 / icov), cov_axis=None,
+                  icov=jnp.asarray(icov))
+    mapper = VisMapper(vd, ra, dec, fov=180.0)
+    mapper.set_normalization("Aw", icov=jnp.asarray(icov))
+
+    class StubTel:
+        location = loc
+        tloc = None
+        device = None
+
+        def __init__(self, location=loc, tloc=None, device=None):
+            pass
+
+        def eq2top(self, time, ra_, dec_, store=False, key=None):
+            zen, az = T.eq2top(float(time), np.asarray(ra_),
+                               np.asarray(dec_))
+            return torch.tensor(zen), torch.tensor(az)
+
+    vd_ref = ba.dataset.VisData()
+    vd_ref.setup_meta(
+        telescope=StubTel(),
+        antpos=ba.utils.AntposDict(list(ants),
+                                   torch.tensor(np.asarray(antvecs))))
+    vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data),
+                      cov=torch.tensor(1.0 / icov), cov_axis=None,
+                      icov=torch.tensor(icov))
+    mapper_ref = ba.imaging.VisMapper(vd_ref, torch.tensor(ra),
+                                      torch.tensor(dec), fov=180.0)
+    mapper_ref.set_normalization("Aw", icov=torch.tensor(icov))
+
+    with torch.no_grad():
+        v_ref = mapper_ref.compute_Am(torch.tensor(maps)).numpy()
+        Pm_ref = mapper_ref.compute_Pm(torch.tensor(maps)).numpy()
+        P_ref = mapper_ref.compute_P(contract="diag").numpy()
+        Pf_ref = mapper_ref.compute_P(contract=None).numpy()
+
+    v = np.asarray(mapper.compute_Am(jnp.asarray(maps)))
+    assert v.shape == v_ref.shape, (v.shape, v_ref.shape)
+    rel = np.abs(v - v_ref).max() / np.abs(v_ref).max()
+    assert rel < 1e-8, f"compute_Am parity {rel:.2e}"
+
+    Pm = np.asarray(mapper.compute_Pm(jnp.asarray(maps)))
+    rel = np.abs(Pm - Pm_ref).max() / np.abs(Pm_ref).max()
+    assert rel < 1e-8, f"compute_Pm parity {rel:.2e}"
+
+    P = np.asarray(mapper.compute_P(contract="diag"))
+    rel = np.abs(P - P_ref).max() / np.abs(P_ref).max()
+    assert rel < 1e-8, f"compute_P diag parity {rel:.2e}"
+
+    Pf = np.asarray(mapper.compute_P(contract=None))
+    rel = np.abs(Pf - Pf_ref).max() / np.abs(Pf_ref).max()
+    assert rel < 1e-8, f"compute_P full parity {rel:.2e}"
+
+    # D given: Aw accumulation skipped, normalization applied verbatim
+    D = rng.uniform(0.5, 2.0, (len(freqs), npix))
+    with torch.no_grad():
+        PmD_ref = mapper_ref.compute_Pm(torch.tensor(maps),
+                                        D=torch.tensor(D)).numpy()
+    PmD = np.asarray(mapper.compute_Pm(jnp.asarray(maps),
+                                       D=jnp.asarray(D)))
+    rel = np.abs(PmD - PmD_ref).max() / np.abs(PmD_ref).max()
+    assert rel < 1e-8, f"compute_Pm(D) parity {rel:.2e}"
