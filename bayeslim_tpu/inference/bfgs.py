@@ -230,6 +230,7 @@ class LBFGS(_QuasiNewtonBase):
         self.s_hist = []
         self.y_hist = []
         self.rho_hist = []
+        self.t_hist = []  # line-search steps matching (s, y) pairs
         self._f = None
         self._g = None
         self.H_diag = 1.0
@@ -272,10 +273,12 @@ class LBFGS(_QuasiNewtonBase):
             self.s_hist.append(s)
             self.y_hist.append(y)
             self.rho_hist.append(1.0 / ys)
+            self.t_hist.append(t)
             if len(self.s_hist) > self.history_size:
                 self.s_hist.pop(0)
                 self.y_hist.pop(0)
                 self.rho_hist.pop(0)
+                self.t_hist.pop(0)
             self.H_diag = ys / float(y @ y)
         self._commit(x_new)
         self._f, self._g = f_new, g_new

@@ -25,7 +25,7 @@ __all__ = [
     "compute_hessian", "invert_hessian", "mask_hessian", "unmask_hessian",
     "main_params_index", "main_params_kron_inv_hess", "compute_icov",
     "implicit_to_dense",
-    "FactoredInvHessian",
+    "FactoredInvHessian", "factor_pairs", "factored_hvp", "factored_lvp",
 ]
 
 
@@ -177,59 +177,154 @@ def implicit_to_dense(matvec, n, dtype=jnp.float64):
     return jnp.stack(cols, axis=1)
 
 
+def factor_pairs(s_k, y_k, g_k, alpha_k, Hy_k=None, pos=True, rank2=True):
+    """Convert one quasi-Newton (s, y) pair to the (u, v) pair of the
+    real-product factorization H_{k+1} = (I + u v^T) H_k (I + u v^T)^T
+    (Brodlie et al. 1973; reference bfgs.py:861-939).
+
+    rank2=True is the BFGS update, rank2=False the SR1 update (which
+    requires Hy_k = H_k y_k). Returns (u, v, spd)."""
+    s_k, y_k, g_k = jnp.asarray(s_k), jnp.asarray(y_k), jnp.asarray(g_k)
+    sy_k = float(s_k @ y_k)
+    # s_k = -alpha_k H_k g_k  =>  H_k^{-1} s_k = -alpha_k g_k
+    Hs_k = -alpha_k * g_k
+    sHs_k = float(s_k @ Hs_k)
+    yHy_k = float(y_k @ Hy_k) if Hy_k is not None else None
+    sign = 1.0 if pos else -1.0
+    if rank2:
+        spd = sy_k > 0
+        if yHy_k is not None:
+            spd = spd and ((sy_k - yHy_k) <= sy_k)
+        u_k = s_k / sy_k
+        v_k = sign * np.sqrt(sy_k / sHs_k) * Hs_k - y_k
+    else:
+        assert Hy_k is not None, "SR1 update needs Hy_k"
+        spd = ((sHs_k - sy_k) / (sy_k - yHy_k)) >= 0
+        numer = -1.0 + sign * np.sqrt((sHs_k - sy_k) / (sy_k - yHy_k))
+        denom = sHs_k - 2 * sy_k + yHy_k
+        u_k = numer / denom * (s_k - jnp.asarray(Hy_k))
+        v_k = Hs_k - y_k
+    return u_k, v_k, bool(spd)
+
+
+def _apply_op(M, vec, is_vec):
+    """None / 1-D diag / 2-D dense / hmat-BaseMat-callable operator."""
+    if M is None:
+        return vec
+    if callable(M) and not isinstance(M, jnp.ndarray):
+        return M(vec)
+    M = jnp.asarray(M)
+    if M.ndim < 2:
+        return M * vec if is_vec else M[:, None] * vec
+    return M @ vec
+
+
+def factored_hvp(vec, H0, u, v):
+    """Inverse-Hessian vector (or matrix) product of the implicitly
+    factored H = [prod_k (I + u_k v_k^T)] H0 [prod_k (I + v_k u_k^T)]
+    (reference bfgs.py:941-995)."""
+    vec = jnp.asarray(vec)
+    is_vec = vec.ndim == 1
+    for u_k, v_k in zip(reversed(u), reversed(v)):
+        vec = vec + (v_k * (u_k @ vec) if is_vec
+                     else v_k[:, None] * (u_k @ vec))
+    vec = _apply_op(H0, vec, is_vec)
+    for u_k, v_k in zip(u, v):
+        vec = vec + (u_k * (v_k @ vec) if is_vec
+                     else u_k[:, None] * (v_k @ vec))
+    return vec
+
+
+def factored_lvp(vec, L0, u, v):
+    """Cholesky-factor vector product L v with H = L L^T and
+    L = [prod_k (I + u_k v_k^T)] L0 — no dense Cholesky ever formed
+    (reference bfgs.py:998-1048)."""
+    vec = jnp.asarray(vec)
+    is_vec = vec.ndim == 1
+    vec = _apply_op(L0, vec, is_vec)
+    for u_k, v_k in zip(u, v):
+        vec = vec + (u_k * (v_k @ vec) if is_vec
+                     else u_k[:, None] * (v_k @ vec))
+    return vec
+
+
 class FactoredInvHessian:
-    """Factored inverse-Hessian from quasi-Newton (s, y) pairs
-    (reference bfgs.py:726-1049).
+    """Implicitly factored inverse Hessian from quasi-Newton pairs via
+    Brodlie et al. 1973 rank-1/rank-2 corrections (reference
+    bfgs.py:726-860).
 
-    H = (prod_k V_k)^T H0 (prod_k V_k) + sum_k rho_k-weighted terms via
-    the standard two-loop recursion; exposes matvec (H v), a dense
-    materialization, and a Cholesky action for HMC mass matrices
-    (cov_L with H = L L^T).
-    """
+    H = U H0 U^T with U = prod_k (I + u_k v_k^T); exposes hvp (H v) and
+    lvp (L v with H = L L^T, L = U L0) WITHOUT materializing anything
+    dense — the lvp is the on-device cov_L action for HMC momenta.
+    Callable: __call__ = lvp (cov_L protocol)."""
 
-    def __init__(self, s_hist, y_hist, H0_diag=1.0):
-        self.s = [jnp.asarray(s) for s in s_hist]
-        self.y = [jnp.asarray(y) for y in y_hist]
-        self.rho = [1.0 / float(y @ s) for s, y in zip(self.s, self.y)]
-        self.H0_diag = H0_diag
-        self.n = int(self.s[0].size) if self.s else None
-        self._L = None
+    def __init__(self, s, y, g_end, alpha, Hy=None, H0=None, L0=None,
+                 rank2=True):
+        if H0 is not None and L0 is None:
+            raise ValueError("If H0 is fed, L0 should be too")
+        self.H0, self.L0, self.rank2 = H0, L0, rank2
+        self.m = len(s)
+        self.N = int(np.size(s[0]))
+        assert len(s) == len(y) == len(alpha)
+        # reconstruct the per-step gradients from g_end and the y chain
+        g_end = jnp.asarray(g_end)
+        g = []
+        for i in range(self.m):
+            g.append(g_end - jnp.asarray(y[self.m - i - 1]))
+            g_end = g[-1]
+        g = g[::-1]
+        if Hy is None:
+            Hy = [None for _ in s]
+        self.u, self.v = [], []
+        for _s, _y, _g, _a, _Hy in zip(s, y, g, alpha, Hy):
+            _u, _v, spd = factor_pairs(_s, _y, _g, _a, _Hy, pos=True,
+                                       rank2=rank2)
+            if spd:
+                self.u.append(_u)
+                self.v.append(_v)
 
     @classmethod
-    def from_lbfgs(cls, lbfgs):
-        return cls(lbfgs.s_hist, lbfgs.y_hist, lbfgs.H_diag)
+    def from_lbfgs(cls, lbfgs, H0=None, L0=None, rank2=True):
+        """Build from a converged LBFGS optimizer (uses its retained
+        (s, y) pairs, the matching line-search steps, and the final
+        gradient)."""
+        return cls(lbfgs.s_hist, lbfgs.y_hist, lbfgs._g, lbfgs.t_hist,
+                   H0=H0, L0=L0, rank2=rank2)
 
-    def matvec(self, v):
-        """H v via two-loop recursion (factored_hvp, bfgs.py:880)."""
-        q = v
-        alphas = []
-        for s, y, rho in zip(reversed(self.s), reversed(self.y),
-                             reversed(self.rho)):
-            a = rho * float(s @ q)
-            alphas.append(a)
-            q = q - a * y
-        r = q * self.H0_diag
-        for (s, y, rho), a in zip(zip(self.s, self.y, self.rho),
-                                  reversed(alphas)):
-            b = rho * float(y @ r)
-            r = r + (a - b) * s
-        return r
+    def hvp(self, vec):
+        """Inverse-Hessian vector product H v."""
+        return factored_hvp(vec, self.H0, self.u, self.v)
 
-    def to_dense(self):
-        assert self.n is not None
-        return implicit_to_dense(self.matvec, self.n)
+    def lvp(self, vec):
+        """Cholesky vector product L v (H = L L^T)."""
+        return factored_lvp(vec, self.L0, self.u, self.v)
+
+    # hmat BaseMat-compatible aliases
+    matvec = hvp
+    mat_vec_mul = hvp
+
+    def to_dense(self, hess=True):
+        """Dense H (hess=True) or dense L (hess=False)."""
+        eye = jnp.eye(self.N)
+        M = eye if (self.H0 if hess else self.L0) is None else \
+            _to_dense_op(self.H0 if hess else self.L0, self.N)
+        for u, v in zip(self.u, self.v):
+            V = eye + jnp.outer(u, v)
+            M = V @ M @ V.T if hess else V @ M
+        return M
+
+    def __call__(self, vec):
+        """Cholesky vector product (cov_L protocol)."""
+        return self.lvp(vec)
 
     def chol(self):
-        """Lower Cholesky of the dense H (cov_L for HMC momenta)."""
-        if self._L is None:
-            self._L = jnp.linalg.cholesky(self.to_dense())
-        return self._L
+        """Dense L with H = L L^T (NOT triangular — the factored onion
+        product; use lvp for the matrix-free action)."""
+        return self.to_dense(hess=False)
 
-    def lvp(self, v):
-        """L v with H = L L^T (factored_lvp, bfgs.py:990)."""
-        return self.chol() @ v
 
-    def mat_vec_mul(self, v):
-        # hmat BaseMat-compatible interface (usable as invchol in HMC
-        # is NOT correct — this is H itself; use .chol() for cov_L)
-        return self.matvec(v)
+def _to_dense_op(M, n):
+    if hasattr(M, "to_dense"):
+        return jnp.asarray(M.to_dense())
+    M = jnp.asarray(M)
+    return jnp.diag(M) if M.ndim < 2 else M

@@ -27,7 +27,22 @@ from .hmat import MatDict
 
 __all__ = ["SamplerBase", "Potential", "leapfrog", "make_leapfrog_traj",
            "HMC", "NUTS", "RecycledHMC", "StepSize", "RelativeStepSize",
-           "DynamicStepSize"]
+           "DynamicStepSize", "multiply_eps"]
+
+
+def multiply_eps(x, eps):
+    """Multiply a tensor by an HMC leapfrog step size (reference
+    sampler.py:1864-1889): a complex eps scales the real and imaginary
+    planes independently. (This package stores complex trainables as
+    real pairs, so per-plane step sizes usually arrive as real
+    ParamDicts already — this is the reference-compatible tensor-level
+    form.)"""
+    x = jnp.asarray(x)
+    eps_c = jnp.iscomplexobj(eps)
+    if eps_c and jnp.iscomplexobj(x):
+        eps = jnp.asarray(eps)
+        return jax.lax.complex(x.real * eps.real, x.imag * eps.imag)
+    return x * (jnp.real(eps) if eps_c else eps)
 
 
 class Potential:

@@ -2502,3 +2502,174 @@ def test_vismapper_matvec_parity():
                                        D=jnp.asarray(D)))
     rel = np.abs(PmD - PmD_ref).max() / np.abs(PmD_ref).max()
     assert rel < 1e-8, f"compute_Pm(D) parity {rel:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# parity batch 21: Brodlie factored inverse Hessian + leapfrog step multiply
+# ---------------------------------------------------------------------------
+
+def _factored_inputs(seed=63, n=6, m=4):
+    """Self-consistent (s, y, g_end, alpha) chains: run reference BFGS
+    mechanics on a quadratic so factor_pairs sees realistic SPD pairs."""
+    rng = np.random.default_rng(seed)
+    Q = rng.normal(size=(n, n))
+    A = Q @ Q.T + n * np.eye(n)  # SPD Hessian
+    b = rng.normal(size=n)
+    x = rng.normal(size=n)
+    s_list, y_list, alpha_list = [], [], []
+    g = A @ x - b
+    H = np.eye(n)  # inverse-Hessian approx (BFGS)
+    for _ in range(m):
+        d = -H @ g
+        alpha = float((g @ g) / (g @ A @ g))  # exact line search-ish
+        s = alpha * (-H @ g) * 1.0
+        # s = -alpha H g by construction
+        x_new = x + s
+        g_new = A @ x_new - b
+        y = g_new - g
+        rho = 1.0 / float(y @ s)
+        V = np.eye(n) - rho * np.outer(s, y)
+        H = V @ H @ V.T + rho * np.outer(s, s)
+        s_list.append(s)
+        y_list.append(y)
+        alpha_list.append(alpha)
+        x, g = x_new, g_new
+    return s_list, y_list, g, alpha_list
+
+
+def test_factor_pairs_parity():
+    """factor_pairs (rank-2 and rank-1) vs the reference
+    (bfgs.py:861-939)."""
+    from bayeslim_tpu.inference import factor_pairs
+    s_list, y_list, g_end, alpha_list = _factored_inputs()
+    # reconstruct per-step gradients like the reference __init__ does
+    g = []
+    ge = g_end.copy()
+    for i in range(len(s_list)):
+        g.append(ge - y_list[len(s_list) - i - 1])
+        ge = g[-1]
+    g = g[::-1]
+
+    for k in range(len(s_list)):
+        for rank2 in (True, False):
+            Hy = 0.9 * y_list[k] + 0.05 * s_list[k]
+            ur, vr, spdr = ba.bfgs.factor_pairs(
+                torch.tensor(s_list[k]), torch.tensor(y_list[k]),
+                torch.tensor(g[k]), alpha_list[k], torch.tensor(Hy),
+                pos=True, rank2=rank2)
+            u, v, spd = factor_pairs(s_list[k], y_list[k], g[k],
+                                     alpha_list[k], Hy, pos=True,
+                                     rank2=rank2)
+            assert spd == bool(spdr), (k, rank2)
+            np.testing.assert_allclose(np.asarray(u), ur.numpy(),
+                                       rtol=1e-10, err_msg=f"u {k} {rank2}")
+            np.testing.assert_allclose(np.asarray(v), vr.numpy(),
+                                       rtol=1e-10, err_msg=f"v {k} {rank2}")
+
+
+def test_factored_hvp_lvp_parity():
+    """factored_hvp / factored_lvp traversal vs the reference
+    (bfgs.py:941-1048), H0 as None / diag / dense, vec and matrix."""
+    from bayeslim_tpu.inference import factored_hvp, factored_lvp
+    rng = np.random.default_rng(64)
+    n, m = 5, 3
+    u = [rng.normal(size=n) for _ in range(m)]
+    v = [rng.normal(size=n) for _ in range(m)]
+    vec = rng.normal(size=n)
+    mat = rng.normal(size=(n, 2))
+    diag = rng.uniform(0.5, 2.0, n)
+    dense = rng.normal(size=(n, n))
+
+    for H0, tH0 in ((None, None), (diag, torch.tensor(diag)),
+                    (dense, torch.tensor(dense))):
+        tu = [torch.tensor(x) for x in u]
+        tv = [torch.tensor(x) for x in v]
+        np.testing.assert_allclose(
+            np.asarray(factored_hvp(vec, H0, u, v)),
+            ba.bfgs.factored_hvp(torch.tensor(vec), tH0, tu, tv).numpy(),
+            rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(factored_hvp(mat, H0, u, v)),
+            ba.bfgs.factored_hvp(torch.tensor(mat), tH0, tu, tv).numpy(),
+            rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(factored_lvp(vec, H0, u, v)),
+            ba.bfgs.factored_lvp(torch.tensor(vec), tH0, tu, tv).numpy(),
+            rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(factored_lvp(mat, H0, u, v)),
+            ba.bfgs.factored_lvp(torch.tensor(mat), tH0, tu, tv).numpy(),
+            rtol=1e-12)
+
+
+def test_factored_inv_hessian_parity():
+    """FactoredInvHessian vs the reference class (bfgs.py:726-860):
+    retained pairs, hvp, lvp, to_dense(hess=True/False), __call__,
+    and H = L L^T consistency."""
+    from bayeslim_tpu.inference import FactoredInvHessian
+    s_list, y_list, g_end, alpha_list = _factored_inputs(seed=65, m=5)
+
+    fih_ref = ba.bfgs.FactoredInvHessian(
+        [torch.tensor(s) for s in s_list],
+        [torch.tensor(y) for y in y_list],
+        torch.tensor(g_end), list(alpha_list))
+    fih = FactoredInvHessian(s_list, y_list, g_end, alpha_list)
+
+    assert len(fih.u) == len(fih_ref.u)
+    H_ref = fih_ref.to_dense(hess=True).numpy()
+    L_ref = fih_ref.to_dense(hess=False).numpy()
+    np.testing.assert_allclose(np.asarray(fih.to_dense(hess=True)),
+                               H_ref, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(fih.to_dense(hess=False)),
+                               L_ref, rtol=1e-9)
+    # H = L L^T (the whole point of the factorization)
+    np.testing.assert_allclose(L_ref @ L_ref.T, H_ref, rtol=1e-9)
+
+    rng = np.random.default_rng(66)
+    vec = rng.normal(size=len(g_end))
+    np.testing.assert_allclose(
+        np.asarray(fih.hvp(vec)),
+        fih_ref.hvp(torch.tensor(vec)).numpy(), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(fih(vec)),
+        fih_ref(torch.tensor(vec)).numpy(), rtol=1e-9)
+
+
+def test_factored_from_lbfgs():
+    """from_lbfgs on a Gaussian LogProb: the implicit H approximates the
+    covariance and lvp satisfies H = L L^T without a dense Cholesky."""
+    from bayeslim_tpu.inference import FactoredInvHessian, LBFGS
+    from tests.test_inference import setup_NormalProb
+    prob, mean, cov = setup_NormalProb(N=8)
+    opt = LBFGS(prob, history_size=20)
+    opt.minimize(25)
+    assert len(opt.t_hist) == len(opt.s_hist)
+    fih = FactoredInvHessian.from_lbfgs(opt)
+    H = np.asarray(fih.to_dense(hess=True))
+    L = np.asarray(fih.to_dense(hess=False))
+    np.testing.assert_allclose(L @ L.T, H, atol=1e-8)
+    ratio = np.diag(H) / np.diag(cov)
+    assert (ratio > 0.3).all() and (ratio < 3.0).all()
+    # matrix-free lvp matches the dense product
+    rng = np.random.default_rng(67)
+    vec = rng.normal(size=8)
+    np.testing.assert_allclose(np.asarray(fih.lvp(jnp.asarray(vec))),
+                               L @ vec, atol=1e-10)
+
+
+def test_multiply_eps_parity():
+    """multiply_eps vs the reference (sampler.py:1864-1889): complex eps
+    scales real/imag planes independently."""
+    from bayeslim_tpu.inference.sampler import multiply_eps
+    rng = np.random.default_rng(68)
+    x = rng.normal(size=7) + 1j * rng.normal(size=7)
+    eps_c = rng.uniform(0.1, 1.0, 7) + 1j * rng.uniform(0.1, 1.0, 7)
+    np.testing.assert_allclose(
+        np.asarray(multiply_eps(jnp.asarray(x), jnp.asarray(eps_c))),
+        ba.sampler.multiply_eps(torch.tensor(x),
+                                torch.tensor(eps_c)).numpy(), rtol=1e-12)
+    xr = rng.normal(size=7)
+    np.testing.assert_allclose(
+        np.asarray(multiply_eps(jnp.asarray(xr), 0.3)),
+        ba.sampler.multiply_eps(torch.tensor(xr), 0.3).numpy(),
+        rtol=1e-12)
