@@ -180,19 +180,24 @@ def split_into_groups(items, Nelem=None, Ngroup=None):
     return [items[i:i + Nelem] for i in range(0, len(items), Nelem)]
 
 
-def flatten(nested, max_depth=None):
-    """Flatten nested lists/tuples/generators one level at a time.
+def flatten(nested, Nelem=None, max_depth=1):
+    """Flatten a nested sequence one level (reference utils.py:2038-2064).
 
-    Reference parity: bayeslim/utils.py:2038.
-    """
+    Nelem keeps only the first Nelem elements of each sub-sequence.
+    max_depth > 1 (or None = unbounded) recurses deeper — an extension;
+    the reference is always one level. Non-sequence items pass through
+    unchanged (the reference raises on them)."""
+    s = slice(None) if Nelem is None else slice(0, Nelem)
     out = []
     for x in nested:
-        if isinstance(x, (list, tuple)) or hasattr(x, "__next__"):
-            if max_depth is None or max_depth > 0:
+        if isinstance(x, (list, tuple, np.ndarray)) \
+                or hasattr(x, "__next__"):
+            items = list(x)[s] if hasattr(x, "__next__") else x[s]
+            if max_depth is None or max_depth > 1:
                 nd = None if max_depth is None else max_depth - 1
-                out.extend(flatten(x, nd))
+                out.extend(flatten(items, Nelem, nd))
             else:
-                out.append(x)
+                out.extend(items)
         else:
             out.append(x)
     return out
