@@ -259,6 +259,7 @@ def _ind_combine(*inds):
     return inds
 
 
+@_register_container
 class VisData(TensorData):
     """Visibility container (Npol, Npol, Nbls, Ntimes, Nfreqs)
     (reference dataset.py:289-1866)."""
@@ -759,6 +760,7 @@ class VisData(TensorData):
         return obj
 
 
+@_register_container
 class MapData(TensorData):
     """Sky-map container (Npol, 1, Nfreqs, Npix) (reference :1867-2461)."""
 
@@ -869,6 +871,7 @@ class MapData(TensorData):
         return obj
 
 
+@_register_container
 class CalData(TensorData):
     """Gain container (Npol, Npol, Nants, Ntimes, Nfreqs)
     (reference dataset.py:2462-3322)."""
@@ -1148,16 +1151,29 @@ def concat_CalData(cds, axis):
     return out
 
 
-def load_data(fname, **kwargs):
-    """Load VisData/MapData/CalData from an hdf5 file by its 'obj' attr."""
+def load_data(fname, concat_ax=None, copy=False, **kwargs):
+    """Load VisData/MapData/CalData from hdf5 file(s) by the 'obj' attr
+    (reference dataset.py:4055-4108). A list of files concatenates along
+    concat_ax (or stays a list); copy=True deep-copies before return."""
     if isinstance(fname, (VisData, MapData, CalData)):
-        return fname
-    if isinstance(fname, (list, tuple)):
-        return [load_data(f, **kwargs) for f in fname]
-    with h5py.File(fname, "r") as f:
-        obj = f.attrs.get("obj", "VisData")
-    cls = {"VisData": VisData, "MapData": MapData, "CalData": CalData}[obj]
-    return cls.read_hdf5(fname, **kwargs)
+        out = fname
+    elif isinstance(fname, (list, tuple)):
+        dlist = [load_data(f, **kwargs) for f in fname]
+        if concat_ax is not None:
+            concat = {VisData: concat_VisData, MapData: concat_MapData,
+                      CalData: concat_CalData}[type(dlist[0])]
+            out = concat(dlist, concat_ax)
+        else:
+            out = dlist
+    else:
+        with h5py.File(fname, "r") as f:
+            obj = f.attrs.get("obj", "VisData")
+        cls = {"VisData": VisData, "MapData": MapData,
+               "CalData": CalData}[obj]
+        out = cls.read_hdf5(fname, **kwargs)
+    if copy:
+        out = _copy.deepcopy(out)
+    return out
 
 
 def average_data(data, dim, index, N, wgts=None, cov=None, truncate=False):
@@ -1353,9 +1369,11 @@ def pass_data(fname, copy=False, **kwargs):
     return _copy.deepcopy(fname) if copy else fname
 
 
-def make_HDF5Tensor(fname, dset="data", sel=None, dtype=None):
+def make_HDF5Tensor(fname, dset="data", sel=None, idx=None, dtype=None):
     """Convenience constructor for (Selected)HDF5Tensor (reference
-    dataset.py make_HDF5Tensor)."""
+    dataset.py:3442-3460; its keyword is `idx`, kept as an alias of
+    sel)."""
+    sel = idx if sel is None else sel
     if sel is not None:
         return SelectedHDF5Tensor(fname, dset, sel=sel, dtype=dtype)
     return HDF5Tensor(fname, dset, dtype=dtype)

@@ -143,14 +143,70 @@ class CouplingInflate(Module):
 
 class PartialRedVisInflate(Module):
     """Expand per-redundant-group visibilities onto physical baselines
-    via a (sparse in the reference, calibration.py:2178-2347) gather."""
+    with LEARNABLE mixing coefficients (reference
+    calibration.py:2178-2347).
 
-    def __init__(self, red_idx, name=None):
+    bl2red maps each output baseline in new_bls to the input
+    redundant-group index (int) or indices (list — those groups SUM to
+    form the baseline). The mixing matrix A (Nbls, Nredbls) holds the
+    learnable params at those slots (default 1/Nred each); forward maps
+    a redundant VisData to a new VisData on new_bls with
+    data = A @ redvis. TPU-first: A is a dense scatter into a
+    static-shape matrix and the mix is one einsum (an MXU matmul) — the
+    reference's CSR split-real path is a torch-autodiff workaround with
+    no XLA analog needed.
+
+    Legacy gather form: PartialRedVisInflate(red_idx=[...]) keeps the
+    fixed one-index-per-baseline gather (tensor in, tensor out)."""
+
+    def __init__(self, bl2red=None, new_bls=None, params=None, p0=None,
+                 R=None, parameter=True, red_idx=None, name=None):
         super().__init__(name=name)
-        self.red_idx = np.asarray(red_idx, dtype=np.int32)
+        if red_idx is not None:
+            self.red_idx = np.asarray(red_idx, dtype=np.int32)
+            return
+        self.red_idx = None
+        rows, cols, nred = [], [], []
+        for i, bl in enumerate(new_bls):
+            red = bl2red[tuple(bl)]
+            red = [red] if isinstance(red, (int, np.integer)) else \
+                list(red)
+            rows.extend([i] * len(red))
+            cols.extend(int(r) for r in red)
+            nred.extend([len(red)] * len(red))
+        self._rows = np.asarray(rows, dtype=np.int32)
+        self._cols = np.asarray(cols, dtype=np.int32)
+        self.Nred = np.asarray(nred, dtype=np.float64)
+        self.Ashape = (len(new_bls), int(self._cols.max()) + 1)
+        self.new_bls = [tuple(b) for b in new_bls]
+        if params is None:
+            params = jnp.asarray(1.0 / self.Nred, dtype=_float())
+        self.params = jnp.asarray(params)
+        self.p0 = None if p0 is None else jnp.asarray(p0)
+        if parameter:
+            self.set_param("params")
+        self.R = R if R is not None else (lambda x: x)
 
-    def forward(self, redvis, **kwargs):
-        return jnp.take(redvis, jnp.asarray(self.red_idx), axis=2)
+    def _buildA(self, params, dtype):
+        A = jnp.zeros(self.Ashape, dtype=dtype)
+        return A.at[self._rows, self._cols].set(params.astype(dtype))
+
+    def forward(self, vd, prior_cache=None, **kwargs):
+        if self.red_idx is not None:
+            # legacy fixed gather on a bare tensor
+            return jnp.take(vd, jnp.asarray(self.red_idx), axis=2)
+        params = self.params if self.p0 is None else self.params + self.p0
+        params = self.R(params)
+        self.eval_prior(prior_cache, inp_params=self.params,
+                        out_params=params)
+        A = self._buildA(params, vd.data.dtype)
+        data = jnp.einsum("pb,...btf->...ptf", A, vd.data)
+        from ..data.containers import VisData
+        out = VisData()
+        out.setup_meta(telescope=vd.telescope, antpos=vd.antpos)
+        out.setup_data(self.new_bls, vd.times, vd.freqs, pol=vd.pol,
+                       data=data, history=vd.history)
+        return out
 
 
 class VisCoupling(Module):
@@ -295,7 +351,7 @@ class RedVisCoupling(Module):
         for bl in full_bls:
             key = tuple(bl) if tuple(bl) in bl2red else (bl[1], bl[0])
             red_idx.append(bl2red[key])
-        self.inflate = PartialRedVisInflate(red_idx)
+        self.inflate = PartialRedVisInflate(red_idx=red_idx)
         self.full_bls = full_bls
         self.out_bls = [tuple(b) for b in out_bls]
         self.coupling = VisCoupling(params, freqs, antpos, full_bls, R=R,

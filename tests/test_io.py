@@ -423,3 +423,43 @@ def test_run_rime_sim_uvh5_template_and_output(tmp_path):
     assert vd2.bls == out.bls
     np.testing.assert_allclose(np.asarray(vd2.data),
                                np.asarray(out.data), rtol=1e-6)
+
+
+def test_containers_are_pytrees():
+    """VisData/MapData/CalData cross jit boundaries as pytrees: data
+    arrays trace as leaves, metadata rides as identity-hashed aux."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bayeslim_tpu.data.containers import VisData, MapData, CalData
+
+    times = 2458168.3 + np.arange(2) * 1e-3
+    freqs = np.linspace(100e6, 110e6, 3)
+    rng = np.random.default_rng(5)
+    vd = VisData()
+    vd.setup_data([(0, 1), (1, 2)], times, freqs, pol="ee",
+                  data=jnp.asarray(rng.normal(size=(1, 1, 2, 2, 3)) + 0j))
+
+    leaves = jax.tree_util.tree_leaves(vd)
+    assert any(l is vd.data for l in leaves)
+
+    @jax.jit
+    def chi2(v):
+        return jnp.sum(jnp.abs(v.data) ** 2)
+
+    assert np.isclose(float(chi2(vd)),
+                      (np.abs(np.asarray(vd.data)) ** 2).sum())
+
+    # gradients flow through the container leaf
+    g = jax.grad(lambda v: jnp.sum(jnp.abs(v.data) ** 2))(vd)
+    assert isinstance(g, VisData)
+    np.testing.assert_allclose(np.asarray(g.data),
+                               2 * np.asarray(vd.data).conj(), atol=1e-12)
+
+    md, cd = MapData(), CalData()
+    md.setup_data(freqs, data=jnp.asarray(rng.normal(size=(1, 1, 3, 4))),
+                  angs=jnp.asarray(rng.normal(size=(2, 4))))
+    cd.setup_data([0, 1], times, freqs, pol="e",
+                  data=jnp.asarray(rng.normal(size=(1, 1, 2, 2, 3)) + 0j))
+    for obj in (md, cd):
+        assert len(jax.tree_util.tree_leaves(obj)) >= 1
