@@ -62,16 +62,18 @@ def pointing_offset(zen, az, theta_x=0.0, theta_y=0.0):
     xp = jnp if isinstance(zen, jax.Array) else np
     sz, cz = xp.sin(zen), xp.cos(zen)
     sa, ca = xp.sin(az), xp.cos(az)
-    # topocentric cartesian (x east, y north, z up)
-    x, y, z = sz * sa, sz * ca, cz
-    # rotate about x by theta_x, then about y by theta_y
+    # the reference's cartesian frame (beam_model.py:1651-1655):
+    # x = sin(zen) cos(az), y = sin(zen) sin(az), z = cos(zen)
+    x, y, z = sz * ca, sz * sa, cz
+    # rotate about x-hat then y-hat with the reference's matrices
+    # (:1532-1541). Divergence: the reference silently SKIPS negative
+    # offsets (`if theta_x > 0`, :1658); we apply any nonzero offset.
     y2 = y * np.cos(theta_x) - z * np.sin(theta_x)
     z2 = y * np.sin(theta_x) + z * np.cos(theta_x)
-    x2 = x
-    x3 = x2 * np.cos(theta_y) + z2 * np.sin(theta_y)
-    z3 = -x2 * np.sin(theta_y) + z2 * np.cos(theta_y)
+    x3 = x * np.cos(theta_y) + z2 * np.sin(theta_y)
+    z3 = -x * np.sin(theta_y) + z2 * np.cos(theta_y)
     new_zen = xp.arccos(xp.clip(z3, -1, 1))
-    new_az = xp.mod(xp.arctan2(x3, y2), 2 * np.pi)
+    new_az = xp.mod(xp.arctan2(y2, x3), 2 * np.pi)
     return new_zen, new_az
 
 

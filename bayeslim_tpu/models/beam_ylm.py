@@ -222,5 +222,11 @@ class AlmBeam(Module):
         super().__init__()
         self.R = YlmResponse(l, m, freqs, mode="generate", **kwargs)
 
-    def forward(self, params, zen, az, freqs, ctx=None, **kwargs):
+    def forward(self, params, zen, az, freqs, ctx=None, Ylm_kwargs=None,
+                **kwargs):
+        if ctx is None and self.R.alm.Ylm is None:
+            # host angles [deg]: generate the harmonic transform on the
+            # fly (precompute+pass ctx for traced/jitted callers)
+            ctx = self.R.gen_grid_Ylm(np.asarray(zen), np.asarray(az),
+                                      **(Ylm_kwargs or {}))
         return self.R(params, zen, az, freqs, ctx=ctx, **kwargs)

@@ -535,33 +535,28 @@ def ang_index(theta, phi, theta_min=None, theta_max=None, phi_min=None,
 
 def pixelsky_Ylm_cut(obj, lmin=None, lmax=None, mmin=None, mmax=None,
                      other=None):
-    """Cut the lm modes of a PixelSky with an alm spatial response,
-    in place (reference sky_model.py:1356-1382)."""
+    """Cut the lm modes of a PixelSky with an alm spatial response, in
+    place (reference sky_model.py:1356-1382 — which asserts an `R.Alm`
+    attribute its own PixelSkyResponse constructor never sets, so it
+    crashes on every response built through the public API; we use the
+    documented `spat_LM`). The mode trim itself is AlmModel.select."""
     alm = obj.R.spat_LM
-    l, m = np.asarray(alm.l), np.asarray(alm.m)
-    s = np.ones(len(l), dtype=bool)
-    if lmin is not None:
-        s &= l >= lmin
-    if lmax is not None:
-        s &= l <= lmax
-    if mmin is not None:
-        s &= m >= mmin
-    if mmax is not None:
-        s &= m <= mmax
-    if other is not None:
-        s &= np.asarray(other)
+    s = alm.select(lmin=lmin, lmax=lmax, mmin=mmin, mmax=mmax,
+                   other=other)
     idx = np.where(s)[0]
-    if obj.p0 is not None:
-        obj.p0 = obj.p0[..., idx]
-    obj.params = obj.params[..., idx]
-    alm.l, alm.m = l[idx], m[idx]
-    if alm.Ylm is not None:
-        if isinstance(alm.Ylm, (list, tuple)):
-            alm.Ylm = (alm.Ylm[0][idx], alm.Ylm[1][idx])
-        else:
-            alm.Ylm = alm.Ylm[idx]
-    if alm.alm_mult is not None:
-        alm.alm_mult = alm.alm_mult[idx]
+    # params stored as real pairs (viewreal, trailing axis 2, flagged by
+    # R.comp_params) keep the alm axis at -2 — the reference's
+    # `params[..., s, :]` convention
+    pair = bool(getattr(obj.R, "comp_params", False))
+
+    def _cut(p):
+        if p is None:
+            return None
+        if pair and not jnp.iscomplexobj(p):
+            return p[..., idx, :]
+        return p[..., idx]
+    obj.p0 = _cut(obj.p0)
+    obj.params = _cut(obj.params)
     return idx
 
 

@@ -338,6 +338,48 @@ class AlmModel(Module):
         self.separable = isinstance(Ylm, (list, tuple)) \
             if separable is None else separable
 
+    def select(self, lm=None, lmin=None, lmax=None, mmin=None, mmax=None,
+               other=None, atol=1e-10):
+        """Down-select l/m modes IN PLACE (reference
+        sph_harm.py:1747-1815): trims l, m, the attached Ylm (including
+        separable pairs and multi-grids) and alm_mult. Returns the
+        boolean keep mask over the original modes."""
+        s = np.ones(len(self.l), dtype=bool)
+        if other is not None:
+            s &= np.asarray(other)
+        if lm is not None:
+            keep = []
+            for _l, _m in zip(self.l, self.m):
+                keep.append(any(np.isclose(_l, l2, atol=atol)
+                                and np.isclose(_m, m2, atol=atol)
+                                for l2, m2 in zip(*lm)))
+            s &= np.asarray(keep)
+        if lmin is not None:
+            s &= self.l >= lmin
+        if lmax is not None:
+            s &= self.l <= lmax
+        if mmin is not None:
+            s &= self.m >= mmin
+        if mmax is not None:
+            s &= self.m <= mmax
+        idx = np.where(s)[0]
+
+        def index_Ylm(Y):
+            if isinstance(Y, (tuple, list)):
+                return (Y[0][idx], Y[1][idx])
+            return Y[idx]
+
+        self.l = self.l[s]
+        self.m = self.m[s]
+        if self.Ylm is not None:
+            self.Ylm = index_Ylm(self.Ylm)
+        if self.alm_mult is not None:
+            self.alm_mult = self.alm_mult[idx]
+        if self.grids is not None:
+            self.grids = [(index_Ylm(Y), None if am is None else am[idx],
+                           sep) for Y, am, sep in self.grids]
+        return s
+
     def generate_Ylm(self, theta, phi, separable=False, **kwargs):
         """Generate + attach Ylm for given angles [rad].
 

@@ -285,12 +285,13 @@ def test_pixelbeam_set_pointing_offset():
     beam.set_pointing_offset(0.0, 0.0)
     assert np.allclose(np.asarray(beam.gen_beam(jnp.asarray(zen),
                                                 jnp.asarray(az))), b0)
-    # rotate about x by delta: the point (zen=delta, az=0) maps to the
-    # pointing center, so the offset beam peaks (=1 for a Gaussian) there
+    # rotate about x by delta (reference convention: x-hat points to
+    # az=0, so the tilt is toward az=90): the point (zen=delta, az=90)
+    # maps to the pointing center and the offset beam peaks (=1) there
     delta = 5.0
     beam.set_pointing_offset(np.deg2rad(delta), 0.0)
     bpk = np.asarray(beam.gen_beam(jnp.asarray([delta]),
-                                   jnp.asarray([0.0])))
+                                   jnp.asarray([90.0])))
     assert np.allclose(bpk, 1.0, atol=1e-8), bpk
     # and the original zenith is now off-peak by the Gaussian at delta
     bz = np.asarray(beam.gen_beam(jnp.asarray([0.0]), jnp.asarray([0.0])))

@@ -3146,3 +3146,136 @@ def test_hadamard_triang_mat_parity():
             atol=1e-12, err_msg=f"lower={lower}")
         np.testing.assert_allclose(np.asarray(tm.to_dense()),
                                    tm_ref.to_dense().numpy(), atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# parity batch 25: beam/sky long tail + io helpers
+# ---------------------------------------------------------------------------
+
+def test_pointing_offset_parity():
+    """pointing_offset vs the reference (beam_model.py:1631-1680):
+    positive offsets match exactly; the reference silently SKIPS
+    negative offsets (`if theta_x > 0`) — pinned; ours applies them."""
+    from bayeslim_tpu.models.beam import pointing_offset
+    rng = np.random.default_rng(85)
+    th = rng.uniform(0.05, 1.2, 20)
+    ph = rng.uniform(0, 2 * np.pi, 20)
+    for tx, ty in ((0.01, 0.0), (0.0, 0.02), (0.013, 0.021)):
+        rt, rp = ba.beam_model.pointing_offset(th, ph, theta_x=tx,
+                                               theta_y=ty)
+        mt, mp = pointing_offset(th, ph, theta_x=tx, theta_y=ty)
+        np.testing.assert_allclose(np.asarray(mt), rt, atol=1e-12,
+                                   err_msg=f"zen {tx} {ty}")
+        dphi = (np.asarray(mp) - rp + np.pi) % (2 * np.pi) - np.pi
+        np.testing.assert_allclose(dphi, 0.0, atol=1e-12,
+                                   err_msg=f"az {tx} {ty}")
+    # reference quirk: a negative offset is a silent no-op there
+    rt, rp = ba.beam_model.pointing_offset(th, ph, theta_x=-0.01)
+    np.testing.assert_allclose(rt, th, atol=1e-12)
+    mt, _ = pointing_offset(th, ph, theta_x=-0.01)
+    assert np.abs(np.asarray(mt) - th).max() > 1e-4  # ours applies it
+
+
+def test_default_response_parity():
+    """DefaultResponse pass-through (sky_model.py:133-151)."""
+    from bayeslim_tpu.models.sky import DefaultResponse
+    x = np.arange(6.0)
+    r, rr = DefaultResponse(), ba.sky_model.DefaultResponse()
+    np.testing.assert_allclose(np.asarray(r(jnp.asarray(x))),
+                               rr(torch.tensor(x)).numpy())
+    assert r.freq_mode == rr.freq_mode == "channel"
+    r.set_freq_index()  # no-ops exist on both
+    rr.set_freq_index()
+
+
+def test_almbeam_reference_stub():
+    """Reference AlmBeam.__init__ raises NotImplementedError
+    (beam_model.py:1408-1415); ours evaluates a harmonic-domain beam."""
+    with pytest.raises(NotImplementedError):
+        ba.beam_model.AlmBeam(np.linspace(1e8, 1.1e8, 3))
+    from bayeslim_tpu.models.beam_ylm import AlmBeam
+    from bayeslim_tpu.ops.sph_harm import gen_lm
+    l, m = gen_lm(3)
+    freqs = np.linspace(1e8, 1.1e8, 3)
+    beam = AlmBeam(np.asarray(l, float), np.asarray(m, float), freqs,
+                   realbeam=True)
+    rng = np.random.default_rng(86)
+    params = jnp.asarray(rng.normal(size=(1, 1, 1, len(freqs), len(l))))
+    zen = jnp.asarray([5.0, 20.0, 40.0])
+    az = jnp.asarray([0.0, 90.0, 180.0])
+    out = beam.forward(params, zen, az, freqs)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_yaml_parity(tmp_path):
+    """load_yaml vs the reference (io.py:541-560)."""
+    from bayeslim_tpu.data.io import load_yaml
+    y = tmp_path / "c.yml"
+    y.write_text("a: 1\nb:\n  - x\n  - 2.5\nc:\n  d: true\n")
+    assert load_yaml(str(y)) == ba.io.load_yaml(str(y)) \
+        == {"a": 1, "b": ["x", 2.5], "c": {"d": True}}
+
+
+def test_pixelsky_ylm_cut_parity():
+    """pixelsky_Ylm_cut vs the reference (sky_model.py:1356-1382):
+    selected modes, trimmed Ylm, and the real-pair params axis."""
+    from bayeslim_tpu.ops.sph_harm import gen_lm, gen_sph2pix, AlmModel
+    from bayeslim_tpu.models.sky import (PixelSky, PixelSkyResponse,
+                                         pixelsky_Ylm_cut)
+    from bayeslim_tpu.utils import viewreal
+    rng = np.random.default_rng(87)
+    l, m = gen_lm(4)
+    l = np.asarray(l, float)
+    m = np.asarray(m, float)
+    theta = rng.uniform(0.1, np.pi / 2, 12)
+    phi = rng.uniform(0, 2 * np.pi, 12)
+    freqs = np.linspace(1e8, 1.1e8, 2)
+    Y, _, am = gen_sph2pix(theta, phi, l, m, real=False, high_prec=False)
+    alm = (rng.normal(size=(1, 1, len(freqs), len(l)))
+           + 1j * rng.normal(size=(1, 1, len(freqs), len(l))))
+    angs = np.stack([np.rad2deg(phi), 90 - np.rad2deg(theta)])
+
+    almmod = AlmModel(l, m, real_output=False)
+    almmod.setup_Ylm(jnp.asarray(Y), alm_mult=am)
+    R = PixelSkyResponse(freqs, comp_params=True, spatial_mode="alm",
+                         real_output=True, freq_mode="channel",
+                         spat_LM=almmod)
+    sky = PixelSky(viewreal(jnp.asarray(alm)), jnp.asarray(angs), 1.0,
+                   R=R)
+    pixelsky_Ylm_cut(sky, lmin=1, lmax=3, mmax=2)
+
+    keep = (l >= 1) & (l <= 3) & (m <= 2)
+    np.testing.assert_allclose(np.asarray(almmod.l), l[keep])
+    np.testing.assert_allclose(np.asarray(almmod.m), m[keep])
+    assert sky.params.shape == (1, 1, len(freqs), int(keep.sum()), 2)
+    np.testing.assert_allclose(
+        np.asarray(sky.params),
+        np.asarray(viewreal(jnp.asarray(alm[..., keep]))), atol=1e-12)
+
+    # reference side: pixelsky_Ylm_cut asserts an `R.Alm` attribute its
+    # own PixelSkyResponse constructor NEVER sets (sky_model.py:1372 vs
+    # :527-580 — the documented kwarg is spat_LM), so it crashes on any
+    # response built through the public API — pinned as a reference bug
+    alm_ref = ba.sph_harm.AlmModel(np.asarray(l, float),
+                                   np.asarray(m, float),
+                                   real_output=False)
+    alm_ref.setup_Ylm(np.rad2deg(theta), np.rad2deg(phi),
+                      Ylm=torch.tensor(np.asarray(Y)),
+                      alm_mult=None if am is None
+                      else torch.tensor(np.asarray(am)))
+    R_ref = ba.sky_model.PixelSkyResponse(
+        torch.tensor(freqs), comp_params=True, spatial_mode="alm",
+        real_output=True, freq_mode="channel", spat_LM=alm_ref,
+        cosmo=MagicMock())  # skip Cosmology(): astropy is mocked here
+    sky_ref = ba.sky_model.PixelSky(
+        ba.utils.viewreal(torch.tensor(alm)), torch.tensor(angs), 1.0,
+        R=R_ref, parameter=False)
+    with pytest.raises(AssertionError):
+        ba.sky_model.pixelsky_Ylm_cut(sky_ref, lmin=1, lmax=3, mmax=2)
+    # the underlying AlmModel.select IS runnable there — mode trim parity
+    s_ref = alm_ref.select(lmin=1, lmax=3, mmax=2)
+    np.testing.assert_allclose(np.asarray(s_ref, bool), keep)
+    np.testing.assert_allclose(np.asarray(alm_ref.l), l[keep])
+    np.testing.assert_allclose(np.asarray(alm_ref.m), m[keep])
+    np.testing.assert_allclose(np.asarray(almmod.Ylm),
+                               np.asarray(alm_ref.Ylm), atol=1e-12)
