@@ -293,9 +293,32 @@ class LBFGS(_QuasiNewtonBase):
         return losses
 
 
-def lbfgs_approx_cov(lbfgs, as_dense=True):
-    """Approximate covariance (inverse Hessian) from L-BFGS pairs
-    (reference bfgs.py:553-617). Returns dense matrix (small problems)."""
+def lbfgs_approx_cov(obj, Nsteps=5, as_dense=True, **kwargs):
+    """Approximate covariance (inverse Hessian) from L-BFGS curvature.
+
+    Two forms:
+    - obj is a LogProb-like (has collect_main_params): the reference's
+      contract (bfgs.py:553-617) — run a short LBFGS per trainable leaf
+      (Eqn 6.20 H_diag heuristic) and return a DiagMat over the raveled
+      parameters. NOTE (as in the reference): the probe steps UPDATE the
+      model's parameter values; checkpoint first to restore.
+    - obj is a finished LBFGS optimizer: materialize the dense Nocedal
+      6.20 inverse Hessian from its (s, y) pairs (extension; small
+      problems)."""
+    if hasattr(obj, "collect_main_params"):
+        from .hmat import DiagMat
+        prob = obj
+        pd = prob.collect_main_params()
+        diags = []
+        for key in pd:
+            sub = ParamDict({key: pd[key]})
+            opt = LBFGS(prob, sub, **kwargs)
+            opt.minimize(Nsteps)
+            n = int(np.prod(np.shape(pd[key])))
+            diags.append(jnp.full((n,), opt.H_diag))
+        return DiagMat(jnp.concatenate(diags))
+
+    lbfgs = obj
     n = lbfgs.x.size
     H = jnp.eye(n) * lbfgs.H_diag
     for s, y, rho in zip(lbfgs.s_hist, lbfgs.y_hist, lbfgs.rho_hist):

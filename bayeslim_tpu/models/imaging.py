@@ -561,16 +561,28 @@ class VisMapper:
         return deconvolve_map(m, P, **kwargs)
 
     def to_MapData(self, maps, name="dirty_map"):
-        return VisData2MapData(maps, self.freqs, self.ra, self.dec,
-                               name=name)
+        return VisData2MapData(
+            self.vd, data=jnp.asarray(maps)[None, None],
+            angs=jnp.asarray(np.stack([self.ra, self.dec])),
+            norm=self.D, name=name)
 
 
-def VisData2MapData(maps, freqs, ra, dec, name="map"):
-    """Wrap imaging output into a MapData (reference imaging.py:864)."""
+def VisData2MapData(vd, data=None, angs=None, cov=None, icov=None,
+                    cov_axis=None, norm=None, df=None, name=None):
+    """MapData carrying a VisData's metadata (reference
+    imaging.py:864-930): pols from vd.pol, per-freq flags reduced over
+    baselines+times and broadcast over pixels."""
     md = MapData()
     md.setup_meta(name=name)
-    md.setup_data(freqs, data=jnp.asarray(maps)[None, None],
-                  angs=jnp.asarray(np.stack([ra, dec])))
+    pols = ["ee", "nn"] if vd.pol is None else [vd.pol]
+    npix = np.shape(angs)[1] if angs is not None else 1
+    flags = None
+    if vd.flags is not None:
+        flags = np.asarray(vd.flags).all(axis=(2, 3))
+        flags = np.broadcast_to(flags[..., None], flags.shape + (npix,))
+    md.setup_data(vd.freqs, df=df, data=data, pols=pols, angs=angs,
+                  flags=flags, cov=cov, icov=icov, cov_axis=cov_axis,
+                  norm=norm)
     return md
 
 
