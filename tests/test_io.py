@@ -463,3 +463,42 @@ def test_containers_are_pytrees():
                   data=jnp.asarray(rng.normal(size=(1, 1, 2, 2, 3)) + 0j))
     for obj in (md, cd):
         assert len(jax.tree_util.tree_leaves(obj)) >= 1
+
+
+def test_build_calibration_and_sequential():
+    """io builders (reference io.py:430-489): kind dispatch for
+    calibration blocks and a Sequential assembled from build dicts."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bayeslim_tpu.data.io import build_calibration, build_sequential
+    from bayeslim_tpu.models.calibration import (JonesModel, VisModel,
+                                                 RedVisModel)
+    from bayeslim_tpu.utils import Sequential
+
+    rng = np.random.default_rng(6)
+    gains = jnp.asarray(rng.normal(size=(1, 1, 3, 2, 4, 2)))
+    J = build_calibration(kind="jones", params=gains, ants=[0, 1, 2],
+                          parameter=False)
+    assert isinstance(J, JonesModel)
+
+    vis = jnp.asarray(rng.normal(size=(1, 1, 2, 2, 4))
+                      + 1j * rng.normal(size=(1, 1, 2, 2, 4)))
+    V = build_calibration(kind="vis", params=vis, parameter=False)
+    assert isinstance(V, VisModel)
+    R = build_calibration(kind="redvis", params=vis,
+                          bl2red={(0, 1): 0, (1, 2): 1}, parameter=False)
+    assert isinstance(R, RedVisModel)
+
+    seq = build_sequential(
+        order=["cal"], kind=["calibration"],
+        mdict={"cal": dict(kind="vis", params=vis, parameter=False)})
+    assert isinstance(seq, Sequential)
+    assert isinstance(seq.models["cal"], VisModel)
+
+    # nested sequential
+    seq2 = build_sequential(
+        order=["inner"], kind=["sequential"],
+        mdict={"inner": dict(order=["cal"], kind=["calibration"],
+                             mdict={"cal": dict(kind="vis", params=vis,
+                                                parameter=False)})})
+    assert isinstance(seq2.models["inner"], Sequential)
