@@ -3389,3 +3389,104 @@ def test_interpsky_parity():
     out = wrapped.forward()
     assert out.data.shape[-2] == 7
     np.testing.assert_allclose(np.asarray(out.freqs), new_freqs)
+
+
+# ---------------------------------------------------------------------------
+# parity batch 27: long-tail accounting (stubs, internals, bases)
+# ---------------------------------------------------------------------------
+
+def test_pass_data_parity():
+    """pass_data identity/copy (reference dataset.py:4128)."""
+    from bayeslim_tpu.data.containers import pass_data
+    vd_ref, vd, *_ = _make_visdata_pair(seed=90)
+    assert pass_data(vd) is vd
+    assert ba.dataset.pass_data(vd_ref) is vd_ref
+    cp = pass_data(vd, copy=True)
+    assert cp is not vd
+    np.testing.assert_allclose(np.asarray(cp.data), np.asarray(vd.data))
+
+
+def test_cubic_interpolate_parity():
+    """The line-search cubic interpolation vs the reference
+    (bfgs.py:1050-1101, the PyTorch v2.0 algorithm)."""
+    from bayeslim_tpu.inference.bfgs import _cubic_interpolate
+    cases = [
+        (0.0, 1.0, -2.0, 1.0, 0.5, 0.5),
+        (0.0, 2.0, -1.0, 2.0, 1.5, 3.0),
+        (0.5, 1.2, -0.3, 1.5, 1.1, 0.2),
+    ]
+    for x1, f1, g1, x2, f2, g2 in cases:
+        targs = (x1, torch.tensor(f1), torch.tensor(g1), x2,
+                 torch.tensor(f2), torch.tensor(g2))
+        mine = _cubic_interpolate(x1, f1, g1, x2, f2, g2)
+        ref = ba.bfgs.cubic_interpolate(*targs)
+        assert np.isclose(float(mine), float(ref), rtol=1e-12), \
+            (x1, f1, g1, x2, f2, g2)
+        # bounded form
+        mine = _cubic_interpolate(x1, f1, g1, x2, f2, g2,
+                                  bounds=(0.2, 0.8))
+        ref = ba.bfgs.cubic_interpolate(*targs, bounds=(0.2, 0.8))
+        assert np.isclose(float(mine), float(ref), rtol=1e-12)
+
+
+def test_two_loop_recursion_parity():
+    """two_loop_recursion H@v vs the reference (bfgs.py:619-680), with
+    and without an H0 diagonal."""
+    from bayeslim_tpu.inference import LBFGS
+    from tests.test_inference import setup_NormalProb
+    prob, mean, cov = setup_NormalProb(N=6)
+    opt = LBFGS(prob, history_size=10)
+    opt.minimize(12)
+    s = [torch.tensor(np.asarray(x)) for x in opt.s_hist]
+    y = [torch.tensor(np.asarray(x)) for x in opt.y_hist]
+    rho = [torch.tensor(r) for r in opt.rho_hist]
+    rng = np.random.default_rng(91)
+    v = rng.normal(size=6)
+    # ours: the LBFGS two-loop with H_diag folded in
+    mine = np.asarray(opt._two_loop(jnp.asarray(v)))
+    ref = ba.bfgs.two_loop_recursion(
+        torch.tensor(v), s, y, rho,
+        H0=torch.ones(6, dtype=torch.float64) * opt.H_diag).numpy()
+    np.testing.assert_allclose(mine, ref, rtol=1e-10)
+
+
+def test_sphharmsky():
+    """Reference SphHarmSky.__init__ raises NotImplementedError
+    (sky_model.py:735-776); ours forwards alm -> MapData."""
+    with pytest.raises(NotImplementedError):
+        ba.sky_model.SphHarmSky([torch.zeros(1, 1, 2, 3)], None,
+                                torch.tensor(np.linspace(1e8, 1.1e8, 2)))
+    from bayeslim_tpu.models.sky import SphHarmSky
+    from bayeslim_tpu.ops.sph_harm import gen_lm, gen_sph2pix, AlmModel
+    rng = np.random.default_rng(92)
+    l, m = gen_lm(3)
+    l, m = np.asarray(l, float), np.asarray(m, float)
+    theta = rng.uniform(0.1, np.pi / 2, 8)
+    phi = rng.uniform(0, 2 * np.pi, 8)
+    freqs = np.linspace(1e8, 1.1e8, 2)
+    Y, _, am = gen_sph2pix(theta, phi, l, m, real=True, high_prec=False)
+    alm_model = AlmModel(l, m, real_output=True)
+    alm_model.setup_Ylm(jnp.asarray(Y), alm_mult=am)
+    params = jnp.asarray(rng.normal(size=(1, 1, len(freqs), len(l))))
+    angs = np.stack([np.rad2deg(phi), 90 - np.rad2deg(theta)])
+    sky = SphHarmSky(params, jnp.asarray(angs), 1.0, alm_model, freqs)
+    md = sky.forward()
+    assert md.data.shape == (1, 1, len(freqs), 8)
+    expected = np.asarray(params) @ np.asarray(Y)
+    if am is not None:
+        expected = (np.asarray(params) * np.asarray(am)) @ np.asarray(Y)
+    np.testing.assert_allclose(np.asarray(md.data), expected.real,
+                               atol=1e-10)
+
+
+def test_abstract_bases_exist():
+    """The reference's abstract bases have working repo counterparts
+    (SkyBase sky_model.py:~49, BaseFilter filt.py, BaseLogPrior
+    optim.py, BaseResponse calibration.py)."""
+    from bayeslim_tpu.models.sky import SkyBase
+    from bayeslim_tpu.models.filt import BaseFilter
+    from bayeslim_tpu.inference.prob import BaseLogPrior
+    from bayeslim_tpu.models.calibration import BaseResponse
+    from bayeslim_tpu.utils import Module
+    for cls in (SkyBase, BaseFilter, BaseLogPrior, BaseResponse):
+        assert issubclass(cls, Module), cls
