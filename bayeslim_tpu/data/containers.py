@@ -715,9 +715,13 @@ class VisData(TensorData):
 
     @_hybridmethod
     def read_hdf5(obj, fname, read_data=True, bl=None, times=None,
-                  freqs=None, pol=None, lazy=False, lazy_load=False):
+                  freqs=None, pol=None, lazy=False, lazy_load=False,
+                  bl_inds=None, time_inds=None, freq_inds=None,
+                  suppress_nonessential=False):
         """Read from HDF5, optionally lazily / partially (reference :1683;
-        lazy_load is the reference's kwarg name, an alias for lazy).
+        lazy_load is the reference's kwarg name, an alias for lazy; the
+        *_inds kwargs are its index-based selections; a
+        suppress_nonessential read skips flags/cov/icov).
         Callable as VisData.read_hdf5(f) (returns a new object) or
         vd.read_hdf5(f) (populates vd in place, reference-style)."""
         lazy = lazy or lazy_load
@@ -741,9 +745,10 @@ class VisData(TensorData):
                 data = jnp.asarray(f["data"][:])
             elif lazy:
                 data = HDF5Tensor(fname, "data")
-            flags = jnp.asarray(f["flags"][:]) if "flags" in f and read_data and not lazy else None
-            cov = jnp.asarray(f["cov"][:]) if "cov" in f and read_data and not lazy else None
-            icov = jnp.asarray(f["icov"][:]) if "icov" in f and read_data and not lazy else None
+            aux_ok = read_data and not lazy and not suppress_nonessential
+            flags = jnp.asarray(f["flags"][:]) if "flags" in f and aux_ok else None
+            cov = jnp.asarray(f["cov"][:]) if "cov" in f and aux_ok else None
+            icov = jnp.asarray(f["icov"][:]) if "icov" in f and aux_ok else None
             cov_axis = f.attrs.get("cov_axis", None)
             if cov_axis == "none":
                 cov_axis = None
@@ -754,6 +759,15 @@ class VisData(TensorData):
         finally:
             if not lazy:
                 f.close()
+        if bl_inds is not None:
+            assert bl is None
+            bl = [obj.bls[int(i)] for i in np.atleast_1d(bl_inds)]
+        if time_inds is not None:
+            assert times is None
+            times = np.asarray(obj.times)[np.atleast_1d(time_inds)]
+        if freq_inds is not None:
+            assert freqs is None
+            freqs = np.asarray(obj.freqs)[np.atleast_1d(freq_inds)]
         if (bl, times, freqs, pol) != (None, None, None, None):
             obj.select(bl=bl, times=times, freqs=freqs, pol=pol,
                        inplace=True)
@@ -1106,48 +1120,96 @@ class HDF5Tensor:
         return f"HDF5Tensor({self.fname}:{self.dset}, shape={self._shape})"
 
 
-def _concat(objs, axis_name, data_axis, meta_attr):
+def _interleave_concat(arrs, axis):
+    """Concatenate with round-robin interleaving along axis (the
+    reference's _tensor_concat(interleave=True), utils.py:2175):
+    out[i::Nobjs] = arrs[i]."""
+    xp = jnp if isinstance(arrs[0], jnp.ndarray) else np
+    n = len(arrs)
+    moved = [xp.moveaxis(xp.asarray(a), axis, 0) for a in arrs]
+    N = sum(a.shape[0] for a in moved)
+    out = xp.zeros((N,) + moved[0].shape[1:], dtype=moved[0].dtype)
+    for i, a in enumerate(moved):
+        if xp is jnp:
+            out = out.at[i::n].set(a)
+        else:
+            out[i::n] = a
+    return xp.moveaxis(out, 0, axis)
+
+
+def _cat(arrs, axis, interleave=False, lazy=False):
+    if lazy:
+        return CatTensor(list(arrs), axis=axis)
+    if interleave:
+        return _interleave_concat(list(arrs), axis)
+    if isinstance(arrs[0], jnp.ndarray):
+        return jnp.concatenate(list(arrs), axis=axis)
+    return np.concatenate([np.asarray(a) for a in arrs], axis=axis)
+
+
+def _concat(objs, axis_name, data_axis, meta_attr, interleave=False,
+            lazy=False):
     out = objs[0].copy()
-    out.data = jnp.concatenate([o.data for o in objs], axis=data_axis)
+    out.data = _cat([o.data for o in objs], data_axis,
+                    interleave=interleave, lazy=lazy)
     if all(o.flags is not None for o in objs):
-        out.flags = np.concatenate([np.asarray(o.flags) for o in objs], axis=data_axis)
+        out.flags = _cat([np.asarray(o.flags) for o in objs], data_axis,
+                         interleave=interleave, lazy=lazy)
     if all(o.icov is not None and o.cov_axis is None for o in objs):
-        out.icov = jnp.concatenate([o.icov for o in objs], axis=data_axis)
+        out.icov = _cat([o.icov for o in objs], data_axis,
+                        interleave=interleave, lazy=lazy)
     return out
 
 
-def concat_VisData(vds, axis):
-    """Concatenate VisData along 'bl' | 'time' | 'freq' (reference :3739)."""
+def concat_VisData(vds, axis, run_check=True, interleave=False,
+                   lazy=False):
+    """Concatenate VisData along 'bl' | 'time' | 'freq' (reference
+    dataset.py:3739-3852). interleave round-robins entries along the
+    axis; lazy wraps the data in a CatTensor (no interleave)."""
+    if lazy:
+        assert not interleave, "lazy concat doesn't support interleave"
+    if isinstance(vds, VisData):
+        return vds
+    if len(vds) == 1:
+        return vds[0]
     ax = {"bl": 2, "time": 3, "freq": 4}[axis]
-    out = _concat(vds, axis, ax, None)
+    out = _concat(vds, axis, ax, None, interleave=interleave, lazy=lazy)
     if axis == "bl":
-        out.blnums = np.concatenate([v.blnums for v in vds])
+        out.blnums = _cat([v.blnums for v in vds], 0,
+                          interleave=interleave)
     elif axis == "time":
-        out.times = np.concatenate([v.times for v in vds])
+        out.times = _cat([np.asarray(v.times) for v in vds], 0,
+                         interleave=interleave)
     elif axis == "freq":
-        out.freqs = np.concatenate([v.freqs for v in vds])
+        out.freqs = _cat([np.asarray(v.freqs) for v in vds], 0,
+                         interleave=interleave)
     return out
 
 
-def concat_MapData(mds, axis="freq"):
+def concat_MapData(mds, axis="freq", run_check=True, interleave=False):
     ax = {"freq": 2, "pix": 3}[axis]
-    out = _concat(mds, axis, ax, None)
+    out = _concat(mds, axis, ax, None, interleave=interleave)
     if axis == "freq":
-        out.freqs = np.concatenate([m.freqs for m in mds])
+        out.freqs = _cat([np.asarray(m.freqs) for m in mds], 0,
+                         interleave=interleave)
     else:
-        out.angs = jnp.concatenate([m.angs for m in mds], axis=1)
+        out.angs = _cat([m.angs for m in mds], 1, interleave=interleave)
     return out
 
 
-def concat_CalData(cds, axis):
+def concat_CalData(cds, axis, run_check=True, interleave=False):
     ax = {"ant": 2, "time": 3, "freq": 4}[axis]
-    out = _concat(cds, axis, ax, None)
+    out = _concat(cds, axis, ax, None, interleave=interleave)
     if axis == "ant":
-        out.ants = sum([c.ants for c in cds], [])
+        out.ants = [a for c in cds for a in c.ants] if not interleave \
+            else list(_cat([np.asarray(c.ants) for c in cds], 0,
+                           interleave=True))
     elif axis == "time":
-        out.times = np.concatenate([c.times for c in cds])
+        out.times = _cat([np.asarray(c.times) for c in cds], 0,
+                         interleave=interleave)
     else:
-        out.freqs = np.concatenate([c.freqs for c in cds])
+        out.freqs = _cat([np.asarray(c.freqs) for c in cds], 0,
+                         interleave=interleave)
     return out
 
 

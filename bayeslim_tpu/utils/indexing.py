@@ -168,12 +168,16 @@ def make_hex(N, D=15.0):
     return ants, antvecs
 
 
-def split_into_groups(items, Nelem=None, Ngroup=None):
-    """Split a list into groups of Nelem (or into Ngroup groups).
-
-    Reference parity: bayeslim/utils.py:1976.
-    """
+def split_into_groups(items, Nelem=None, Ngroup=None, interleave=False):
+    """Split a list into groups of Nelem (or into Ngroup groups);
+    interleave=True deals round-robin (items[i::Ngroup]) instead of
+    contiguous chunks (reference utils.py:1976-2035)."""
     items = list(items)
+    if interleave:
+        if Ngroup is None:
+            assert Nelem is not None
+            Ngroup = int(np.ceil(len(items) / Nelem))
+        return [items[i::Ngroup] for i in range(Ngroup)]
     if Nelem is None:
         assert Ngroup is not None
         Nelem = int(np.ceil(len(items) / Ngroup))

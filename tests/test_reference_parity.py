@@ -3490,3 +3490,70 @@ def test_abstract_bases_exist():
     from bayeslim_tpu.utils import Module
     for cls in (SkyBase, BaseFilter, BaseLogPrior, BaseResponse):
         assert issubclass(cls, Module), cls
+
+
+# ---------------------------------------------------------------------------
+# parity batch 28: interleaved concat, grouping, indexed partial reads
+# ---------------------------------------------------------------------------
+
+def test_concat_visdata_interleave_lazy_parity():
+    """concat_VisData interleave + lazy vs the reference
+    (dataset.py:3739-3852, utils._tensor_concat :2175)."""
+    from bayeslim_tpu.data.containers import concat_VisData
+    vd_ref1, vd1, bls, times, freqs = _make_visdata_pair(seed=93)
+    vd_ref2, vd2, *_ = _make_visdata_pair(seed=94)
+    vd2.times = np.asarray(times) + 5e-3
+    vd_ref2.times = torch.tensor(np.asarray(times) + 5e-3)
+
+    for interleave in (False, True):
+        cat_ref = ba.dataset.concat_VisData([vd_ref1, vd_ref2], "time",
+                                            interleave=interleave,
+                                            run_check=False)
+        cat = concat_VisData([vd1, vd2], "time", interleave=interleave)
+        np.testing.assert_allclose(np.asarray(cat.data),
+                                   cat_ref.data.numpy(), atol=1e-12,
+                                   err_msg=f"interleave={interleave}")
+        np.testing.assert_allclose(np.asarray(cat.times),
+                                   np.asarray(cat_ref.times), atol=1e-12)
+
+    # lazy: CatTensor materializes to the eager concat
+    lz = concat_VisData([vd1, vd2], "time", lazy=True)
+    eager = concat_VisData([vd1, vd2], "time")
+    np.testing.assert_allclose(np.asarray(lz.data[()]),
+                               np.asarray(eager.data), atol=1e-12)
+
+
+def test_split_into_groups_interleave_parity():
+    """split_into_groups incl. interleave vs the reference
+    (utils.py:1976-2035)."""
+    from bayeslim_tpu.utils.indexing import split_into_groups
+    arr = list(range(11))
+    for kw in (dict(Nelem=3), dict(Ngroup=4),
+               dict(Ngroup=3, interleave=True),
+               dict(Nelem=4, interleave=True)):
+        mine = split_into_groups(arr, **kw)
+        ref = ba.utils.split_into_groups(arr, **kw)
+        assert [list(g) for g in mine] == [list(g) for g in ref], kw
+
+
+def test_read_hdf5_indexed_partial(tmp_path):
+    """read_hdf5 index-based selections + suppress_nonessential
+    (reference dataset.py:1683+)."""
+    from bayeslim_tpu.data.containers import VisData
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=95)
+    fn = str(tmp_path / "p.h5")
+    vd.write_hdf5(fn)
+
+    sub = VisData.read_hdf5(fn, bl_inds=[0, 2], time_inds=[1],
+                            freq_inds=[0, 3, 4])
+    assert [tuple(b) for b in sub.bls] == [bls[0], bls[2]]
+    assert len(sub.times) == 1 and len(sub.freqs) == 3
+    np.testing.assert_allclose(
+        np.asarray(sub.data),
+        np.asarray(vd.data)[:, :, [0, 2]][:, :, :, [1]][..., [0, 3, 4]],
+        atol=1e-12)
+
+    lean = VisData.read_hdf5(fn, suppress_nonessential=True)
+    assert lean.icov is None and lean.cov is None
+    np.testing.assert_allclose(np.asarray(lean.data),
+                               np.asarray(vd.data), atol=1e-12)
