@@ -271,14 +271,91 @@ def write_Ylm(fname, Ylm, angs, l, m, norm=None, alm_mult=None,
             f.create_dataset("alm_mult", data=np.asarray(alm_mult))
 
 
-def load_Ylm(fname):
-    """Load a stored Ylm (reference :714-954). Returns a dict."""
+def load_Ylm(fname, lmin=None, lmax=None, discard=None, colat_min=None,
+             colat_max=None, az_min=None, az_max=None,
+             discard_sectoral=False, discard_mono=False, decimate_m=None,
+             read_data=True, to_real=False):
+    """Load a stored Ylm with the reference's mode and sky truncations
+    (reference :714-954; it returns a 5-tuple, we return one dict with
+    the same contents — Ylm/angs/l/m plus alm_mult/norm/D/Dinv/pxarea
+    when stored).
+
+    Mode cuts: lmin/lmax, discard (2, Nlm) explicit mode list,
+    discard_sectoral (l == m > 0), discard_mono (l == m == 0),
+    decimate_m (keep m % decimate_m == 0). Sky cuts: colat/az ranges
+    [deg] on angs = (colat, az). to_real keeps the real plane of a
+    complex Ylm and resets alm_mult to 1."""
     out = {}
     with h5py.File(fname, "r") as f:
         for k in f:
-            out[k] = jnp.asarray(f[k][:])
+            out[k] = np.asarray(f[k][:])
+        out["info"] = {p: f.attrs[p] for p in f.attrs}
+
+    l, m = np.asarray(out["l"], float), np.asarray(out["m"], float)
+    keep = np.ones(len(l), dtype=bool)
+    if lmin is not None:
+        keep &= l >= lmin
+    if lmax is not None:
+        keep &= l <= lmax + 1e-5
+    if discard is not None:
+        cut_l, cut_m = discard
+        for cl, cm in zip(np.atleast_1d(cut_l), np.atleast_1d(cut_m)):
+            keep &= ~(np.isclose(l, cl, atol=1e-6)
+                      & np.isclose(m, cm, atol=1e-6))
+    if discard_sectoral:
+        keep &= ~((l == m) & (l > 0))
+    if discard_mono:
+        keep &= ~((l == 0) & (m == 0))
+    if decimate_m is not None:
+        keep &= (m.astype(int) % decimate_m) == 0
+    idx = np.where(keep)[0]
+    out["l"], out["m"] = l[idx], m[idx]
+    for k in ("alm_mult", "norm"):
+        if k in out:
+            out[k] = out[k][idx]
+    for k in ("Ylm", "Theta", "Phi"):
+        if k in out:
+            out[k] = out[k][idx]
+    for k in ("D", "Dinv"):
+        if k in out:
+            out[k] = out[k][np.ix_(idx, idx)]
+
+    # sky (pixel-axis) cuts — dense Ylm only (for separable grids cut
+    # theta_grid/phi_grid before generate_Ylm instead)
+    if "angs" in out and "Theta" not in out:
+        colat, az = np.asarray(out["angs"][0]), np.asarray(out["angs"][1])
+        pkeep = np.ones(len(colat), dtype=bool)
+        if colat_min is not None:
+            pkeep &= colat >= colat_min
+        if colat_max is not None:
+            pkeep &= colat <= colat_max
+        if az_min is not None:
+            pkeep &= az >= az_min
+        if az_max is not None:
+            pkeep &= az <= az_max
+        if not pkeep.all():
+            out["angs"] = np.stack([colat[pkeep], az[pkeep]])
+            if "Ylm" in out:
+                out["Ylm"] = out["Ylm"][:, pkeep]
+            if "pxarea" in out and np.ndim(out["pxarea"]) > 0:
+                out["pxarea"] = out["pxarea"][pkeep]
+
+    if to_real:
+        for k in ("Ylm", "Theta", "Phi"):
+            if k in out and np.iscomplexobj(out[k]):
+                out[k] = out[k].real.copy()
+        if "alm_mult" in out:
+            out["alm_mult"] = np.ones_like(np.real(out["alm_mult"]))
+
+    if not read_data:
+        for k in ("Ylm", "Theta", "Phi", "D", "Dinv"):
+            out.pop(k, None)
+    out = {k: (jnp.asarray(v) if isinstance(v, np.ndarray)
+               and k not in ("l", "m") else v)
+           for k, v in out.items()}
     if "Theta" in out:
         out["Ylm"] = (out.pop("Theta"), out.pop("Phi"))
+    out["idx"] = idx
     return out
 
 

@@ -3557,3 +3557,48 @@ def test_read_hdf5_indexed_partial(tmp_path):
     assert lean.icov is None and lean.cov is None
     np.testing.assert_allclose(np.asarray(lean.data),
                                np.asarray(vd.data), atol=1e-12)
+
+
+def test_load_ylm_selections_parity(tmp_path):
+    """load_Ylm mode/sky truncations vs the reference
+    (sph_harm.py:714-954): lmin/lmax, discard list, sectoral/mono
+    discards, m decimation, colat/az cuts, read_data=False, to_real."""
+    from bayeslim_tpu.ops.sph_harm import (gen_lm, gen_sph2pix, write_Ylm,
+                                           load_Ylm)
+    rng = np.random.default_rng(96)
+    l, m = gen_lm(4)
+    l, m = np.asarray(l, float), np.asarray(m, float)
+    theta = rng.uniform(5, 85, 20)   # colat deg
+    phi = rng.uniform(0, 350, 20)    # az deg
+    Y, _, am = gen_sph2pix(np.deg2rad(theta), np.deg2rad(phi), l, m,
+                           real=True, high_prec=False)
+    angs = np.stack([theta, phi])
+    fn = str(tmp_path / "y.h5")
+    write_Ylm(fn, np.asarray(Y), angs, l, m,
+              alm_mult=None if am is None else np.asarray(am))
+
+    for kw in (dict(lmin=1, lmax=3),
+               dict(discard=(np.asarray([2.0]), np.asarray([1.0]))),
+               dict(discard_sectoral=True),
+               dict(discard_mono=True),
+               dict(decimate_m=2),
+               dict(colat_min=20.0, colat_max=70.0),
+               dict(az_min=30.0, az_max=300.0),
+               dict(read_data=False),
+               dict(to_real=True)):
+        mine = load_Ylm(fn, **kw)
+        Yr, angs_r, l_r, m_r, info_r = ba.sph_harm.load_Ylm(fn, **kw)
+        np.testing.assert_allclose(np.asarray(mine["l"]),
+                                   np.asarray(l_r), err_msg=str(kw))
+        np.testing.assert_allclose(np.asarray(mine["m"]),
+                                   np.asarray(m_r), err_msg=str(kw))
+        if kw.get("read_data", True):
+            np.testing.assert_allclose(np.asarray(mine["Ylm"]),
+                                       np.asarray(Yr), atol=1e-12,
+                                       err_msg=str(kw))
+        else:
+            assert "Ylm" not in mine and Yr is None
+        if isinstance(angs_r, np.ndarray) or isinstance(angs_r, tuple):
+            a_r = np.stack([np.asarray(angs_r[0]), np.asarray(angs_r[1])])
+            np.testing.assert_allclose(np.asarray(mine["angs"]), a_r,
+                                       atol=1e-12, err_msg=str(kw))
