@@ -868,19 +868,41 @@ class MapData(TensorData):
                 f.attrs["name"] = self.name
             f.create_dataset("data", data=np.asarray(self.data))
             f.create_dataset("freqs", data=self.freqs)
+            if self.df is not None:
+                f.create_dataset("df", data=np.asarray(self.df))
+            if self.pols is not None:
+                f.attrs["pols"] = [str(p) for p in self.pols]
             if self.angs is not None:
                 f.create_dataset("angs", data=np.asarray(self.angs))
             if self.flags is not None:
                 f.create_dataset("flags", data=np.asarray(self.flags))
+            if self.norm is not None:
+                f.create_dataset("norm", data=np.asarray(self.norm))
+            if self.cov is not None:
+                f.create_dataset("cov", data=np.asarray(self.cov))
+                f.attrs["cov_axis"] = self.cov_axis or "none"
+            if self.icov is not None:
+                f.create_dataset("icov", data=np.asarray(self.icov))
 
     @_hybridmethod
-    def read_hdf5(obj, fname, **kwargs):
+    def read_hdf5(obj, fname, read_data=True, **kwargs):
+        def _ds(f, k):
+            if k not in f or not read_data:
+                return None
+            return jnp.asarray(f[k][:])
         with h5py.File(fname, "r") as f:
             obj.setup_meta(name=f.attrs.get("name", None))
+            cov_axis = f.attrs.get("cov_axis", None)
             obj.setup_data(f["freqs"][:],
-                           data=jnp.asarray(f["data"][:]),
+                           df=f["df"][:] if "df" in f else None,
+                           pols=list(f.attrs["pols"]) if "pols" in f.attrs else None,
+                           data=_ds(f, "data"),
                            angs=jnp.asarray(f["angs"][:]) if "angs" in f else None,
-                           flags=jnp.asarray(f["flags"][:]) if "flags" in f else None,
+                           flags=_ds(f, "flags"),
+                           cov=_ds(f, "cov"),
+                           cov_axis=None if cov_axis in (None, "none") else str(cov_axis),
+                           icov=_ds(f, "icov"),
+                           norm=_ds(f, "norm"),
                            history=str(f.attrs.get("history", "")))
         return obj
 
@@ -1041,6 +1063,15 @@ class CalData(TensorData):
             f.create_dataset("freqs", data=self.freqs)
             if self.flags is not None:
                 f.create_dataset("flags", data=np.asarray(self.flags))
+            if self.cov is not None:
+                f.create_dataset("cov", data=np.asarray(self.cov))
+                f.attrs["cov_axis"] = self.cov_axis or "none"
+            if self.icov is not None:
+                f.create_dataset("icov", data=np.asarray(self.icov))
+            if self.antpos is not None:
+                f.create_dataset("antvecs", data=np.asarray(self.antpos.antvecs))
+            if self.telescope is not None:
+                f.attrs["tloc"] = np.asarray(self.telescope.location)
 
     @classmethod
     def read_uvcal(cls, fname, **kwargs):
@@ -1063,13 +1094,34 @@ class CalData(TensorData):
         return obj
 
     @_hybridmethod
-    def read_hdf5(obj, fname, **kwargs):
+    def read_hdf5(obj, fname, read_data=True, ants=None, times=None,
+                  freqs=None, pol=None, **kwargs):
+        def _ds(f, k):
+            if k not in f or not read_data:
+                return None
+            return jnp.asarray(f[k][:])
         with h5py.File(fname, "r") as f:
-            obj.setup_data([int(a) for a in f["ants"][:]], f["times"][:],
+            ant_list = [int(a) for a in f["ants"][:]]
+            antpos = None
+            if "antvecs" in f:
+                antpos = AntposDict(ant_list, np.asarray(f["antvecs"][:]))
+            telescope = None
+            if "tloc" in f.attrs:
+                from ..models.telescope import TelescopeModel
+                telescope = TelescopeModel(tuple(f.attrs["tloc"]))
+            obj.setup_meta(telescope=telescope, antpos=antpos)
+            cov_axis = f.attrs.get("cov_axis", None)
+            obj.setup_data(ant_list, f["times"][:],
                            f["freqs"][:], pol=f.attrs.get("pol", None),
-                           data=jnp.asarray(f["data"][:]),
-                           flags=jnp.asarray(f["flags"][:]) if "flags" in f else None,
+                           data=_ds(f, "data"),
+                           flags=_ds(f, "flags"),
+                           cov=_ds(f, "cov"),
+                           cov_axis=None if cov_axis in (None, "none") else str(cov_axis),
+                           icov=_ds(f, "icov"),
                            history=str(f.attrs.get("history", "")))
+        if (ants, times, freqs, pol) != (None, None, None, None):
+            obj.select(ants=ants, times=times, freqs=freqs, pol=pol,
+                       inplace=True)
         return obj
 
 

@@ -306,12 +306,14 @@ class JonesModel(Module):
         return vout
 
     def to_CalData(self, freqs, times, pol=None, telescope=None,
-                   antpos=None, history="", **kwargs):
+                   antpos=None, flags=None, cov=None, cov_axis=None,
+                   icov=None, history="", **kwargs):
         """Export gains as a CalData (reference :688-743)."""
         cd = CalData()
         cd.setup_meta(telescope=telescope, antpos=antpos)
         cd.setup_data(ants=self.ants, times=times, freqs=freqs, pol=pol,
                       data=jax.lax.stop_gradient(self.get_jones()),
+                      flags=flags, cov=cov, cov_axis=cov_axis, icov=icov,
                       history=history)
         return cd
 

@@ -269,6 +269,15 @@ def write_Ylm(fname, Ylm, angs, l, m, norm=None, alm_mult=None,
             f.create_dataset("norm", data=np.asarray(norm))
         if alm_mult is not None:
             f.create_dataset("alm_mult", data=np.asarray(alm_mult))
+        # reference extras (D/Dinv/pxarea/idx datasets; history,
+        # theta_min/theta_max/phi_max attrs — :620-713)
+        for k, v in extra.items():
+            if v is None:
+                continue
+            if np.ndim(v) == 0 and not isinstance(v, np.ndarray):
+                f.attrs[k] = v
+            else:
+                f.create_dataset(k, data=np.asarray(v))
 
 
 def load_Ylm(fname, lmin=None, lmax=None, discard=None, colat_min=None,
@@ -597,10 +606,12 @@ def sph_bessel_func(l, k, r, method="ball", kbin=None, r_crit=None,
 
 
 def sph_bessel_kln(l, r_min, r_max, kmax, method="ball", bc_type=2,
-                   dk_factor=5e-3):
+                   dk_factor=5e-3, decimate=False, add_kzero=False):
     """Wavevectors k_ln satisfying the radial boundary conditions
     (reference :1171-1243): roots of d j_l(k r_max)/dr (ball, Neumann) or
-    of the shell determinant, found by scan+bisection in k."""
+    of the shell determinant, found by scan+bisection in k. decimate
+    keeps every other root (Fourier convention); add_kzero prepends
+    k = 0 for l == 0."""
     kmin = 1e-4 / r_max
     dk = dk_factor / r_max
     kgrid = np.arange(kmin, kmax, dk)
@@ -635,32 +646,48 @@ def sph_bessel_kln(l, r_min, r_max, kmax, method="ball", bc_type=2,
             else:
                 hi = mid
         roots.append(0.5 * (lo + hi))
-    return np.asarray(roots)
+    k = np.asarray(roots)
+    if decimate:
+        k = k[::2]
+    if add_kzero and np.isclose(float(np.atleast_1d(l)[0]), 0, atol=1e-5):
+        k = np.concatenate([[0.0], k])
+    return k
 
 
-def gen_bessel2freq(l, freqs, cosmo=None, kmax=0.5, method="ball",
-                    bc_type=2, renorm=True, r_crit=None):
+def gen_bessel2freq(l, freqs=None, cosmo=None, kmax=0.5, method="ball",
+                    bc_type=2, renorm=True, r_crit=None, r=None,
+                    kbins=None, decimate=False, add_kzero=False):
     """Radial SFB design matrices g_ln (reference :955-1086).
 
     Maps frequency -> comoving distance r(f) via the 21 cm relation and
     builds, per unique l, a (Nfreqs, Nk) matrix g_l(k_ln r). Returns
     (gln dict {l: (Nfreqs, Nk)}, kbins dict {l: (Nk,)}).
-    """
-    if cosmo is None:
-        from ..models.cosmology import Cosmology
-        cosmo = Cosmology()
-    freqs = np.asarray(freqs, dtype=np.float64)
-    z = cosmo.f2z(freqs)
-    r = cosmo.comoving_distance(z)
+
+    Reference-compat: pass r= (comoving distances, the reference's 2nd
+    positional) to skip the cosmology mapping, and kbins= (dict
+    {l: k array}) to skip the boundary-condition root solve."""
+    if r is None:
+        if cosmo is None:
+            from ..models.cosmology import Cosmology
+            cosmo = Cosmology()
+        freqs = np.asarray(freqs, dtype=np.float64)
+        z = cosmo.f2z(freqs)
+        r = cosmo.comoving_distance(z)
+    else:
+        r = np.asarray(r, dtype=np.float64)
     r_min, r_max = r.min(), r.max()
 
-    gln, kbins = {}, {}
+    gln, kout = {}, {}
     for ll in np.unique(np.asarray(l)):
-        kln = sph_bessel_kln(float(ll), r_min, r_max, kmax, method=method,
-                             bc_type=bc_type)
+        if kbins is not None:
+            kln = np.asarray(kbins[float(ll)])
+        else:
+            kln = sph_bessel_kln(float(ll), r_min, r_max, kmax,
+                                 method=method, bc_type=bc_type,
+                                 decimate=decimate, add_kzero=add_kzero)
         if len(kln) == 0:
             continue
-        g = np.zeros((len(freqs), len(kln)))
+        g = np.zeros((len(r), len(kln)))
         for i, k in enumerate(kln):
             gi = sph_bessel_func(float(ll), np.asarray([k]), r,
                                  method=method,
@@ -674,8 +701,8 @@ def gen_bessel2freq(l, freqs, cosmo=None, kmax=0.5, method="ball",
             w[w == 0] = 1.0
             g = g / w
         gln[float(ll)] = jnp.asarray(g, dtype=_float())
-        kbins[float(ll)] = np.asarray(kln)
-    return gln, kbins
+        kout[float(ll)] = np.asarray(kln)
+    return gln, kout
 
 
 class SFBModel(Module):

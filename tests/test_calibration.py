@@ -334,3 +334,22 @@ def test_rime_4pol_redundant_expansion():
                                                      len(freqs))
     assert np.allclose(np.asarray(v_red.data), np.asarray(v_full.data),
                        atol=1e-10)
+
+
+def test_to_caldata_flags_cov():
+    """to_CalData forwards flags/cov/icov into the CalData
+    (reference calibration.py:688-743)."""
+    vd, bls = _mock_vis()
+    ants = sorted(set([a for bl in bls for a in bl]))
+    rng = np.random.default_rng(2)
+    gains = jnp.asarray(rng.normal(1, 0.1, (1, 1, len(ants), 2, 4)) +
+                        1j * 0.0)
+    J = JonesModel(gains, ants, R=JonesResponse())
+    flags = np.zeros(gains.shape, bool)
+    icov = jnp.ones(gains.shape[:2] + gains.shape[2:], dtype=gains.real.dtype)
+    cd = J.to_CalData(freqs=vd.freqs, times=vd.times, pol="Jee",
+                      flags=flags, icov=icov, history="h")
+    assert cd.flags is flags
+    assert cd.icov is icov
+    assert cd.data.shape == gains.shape
+    assert cd.history == "h"

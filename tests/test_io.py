@@ -502,3 +502,60 @@ def test_build_calibration_and_sequential():
                              mdict={"cal": dict(kind="vis", params=vis,
                                                 parameter=False)})})
     assert isinstance(seq2.models["inner"], Sequential)
+
+
+def test_caldata_hdf5_full_roundtrip(tmp_path):
+    """CalData write_hdf5 carries cov/icov/antpos/tloc like the
+    reference (dataset.py:3157-3195) and read_hdf5 accepts the
+    reference's select kwargs (ants/times/freqs/read_data)."""
+    from bayeslim_tpu.data.containers import CalData
+    from bayeslim_tpu.utils import AntposDict
+    from bayeslim_tpu.models.telescope import TelescopeModel
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(1, .1, (1, 1, 3, 2, 4)) + 0j)
+    cd = CalData()
+    cd.setup_meta(telescope=TelescopeModel((21.4, -30.7)),
+                  antpos=AntposDict([0, 1, 2], rng.normal(size=(3, 3))))
+    freqs = np.linspace(1e8, 1.1e8, 4)
+    cd.setup_data([0, 1, 2], np.array([2458168.1, 2458168.2]), freqs,
+                  pol="jee", data=g, flags=np.zeros(g.shape, bool),
+                  cov=jnp.ones(g.shape, g.real.dtype),
+                  icov=jnp.ones(g.shape, g.real.dtype), history="h")
+    fn = str(tmp_path / "cal.h5")
+    cd.write_hdf5(fn)
+    cd2 = CalData.read_hdf5(fn)
+    assert np.allclose(np.asarray(cd2.data), np.asarray(g))
+    assert cd2.cov is not None and cd2.icov is not None
+    assert cd2.flags is not None
+    assert np.allclose(np.asarray(cd2.antpos.antvecs),
+                       np.asarray(cd.antpos.antvecs))
+    assert np.allclose(cd2.telescope.location[:2], (21.4, -30.7))
+    # selection at read time
+    cd3 = CalData.read_hdf5(fn, ants=[0, 1], freqs=freqs[:2])
+    assert cd3.data.shape == (1, 1, 2, 2, 2)
+    assert cd3.ants == [0, 1]
+    # metadata-only read
+    cd4 = CalData.read_hdf5(fn, read_data=False)
+    assert cd4.data is None and cd4.ants == [0, 1, 2]
+
+
+def test_mapdata_hdf5_full_roundtrip(tmp_path):
+    """MapData write_hdf5 carries norm/cov/icov/df/pols like the
+    reference (dataset.py:2336-2375)."""
+    from bayeslim_tpu.data.containers import MapData
+    md = MapData()
+    md.setup_meta(name="pmap")
+    freqs = np.linspace(1e8, 1.1e8, 4)
+    md.setup_data(freqs, df=np.full(4, 2.5e6), pols=["ee"],
+                  data=jnp.ones((1, 1, 4, 12)), angs=jnp.zeros((2, 12)),
+                  norm=2 * jnp.ones((1, 1, 4, 12)),
+                  icov=3 * jnp.ones((1, 1, 4, 12)), history="m")
+    fn = str(tmp_path / "map.h5")
+    md.write_hdf5(fn)
+    md2 = MapData.read_hdf5(fn)
+    assert md2.name == "pmap"
+    assert np.allclose(np.asarray(md2.norm), 2)
+    assert np.allclose(np.asarray(md2.icov), 3)
+    assert list(md2.pols) == ["ee"]
+    assert np.allclose(md2.df, 2.5e6)
+    assert np.allclose(md2.freqs, freqs)

@@ -217,3 +217,52 @@ def test_pixelsky_alm_mode():
     md = sky.forward()
     assert md.data.shape == (1, 1, 3, npix)
     assert np.isrealobj(np.asarray(md.data))
+
+
+def test_write_ylm_extras_roundtrip(tmp_path):
+    """write_Ylm stores reference extras (D/pxarea datasets, scalar
+    attrs like history/theta_min — reference sph_harm.py:620-713)."""
+    import h5py
+    theta = np.linspace(0.1, 1.0, 12)
+    phi = np.linspace(0.0, 2.0, 12)
+    l, m = sh.gen_lm(3)
+    Y, norm, am = sh.gen_sph2pix(theta, phi, l, m, method="sphere")
+    fn = str(tmp_path / "ylm.h5")
+    D = np.eye(len(l))
+    sh.write_Ylm(fn, np.asarray(Y), np.stack([theta, phi]), l, m,
+                 D=D, pxarea=0.01, history="test", theta_min=0.1)
+    with h5py.File(fn, "r") as f:
+        assert np.allclose(f["D"][()], D)
+        assert f.attrs["pxarea"] == 0.01
+        assert f.attrs["history"] == "test"
+        assert f.attrs["theta_min"] == 0.1
+
+
+def test_sph_bessel_kln_decimate_kzero():
+    """decimate keeps alternate roots; add_kzero prepends k=0 for l=0
+    (reference sph_harm.py:1171-1243)."""
+    k_full = sh.sph_bessel_kln(0.0, 100.0, 200.0, 0.08)
+    k_dec = sh.sph_bessel_kln(0.0, 100.0, 200.0, 0.08, decimate=True)
+    assert np.allclose(k_dec, k_full[::2])
+    k_z = sh.sph_bessel_kln(0.0, 100.0, 200.0, 0.08, add_kzero=True)
+    assert k_z[0] == 0.0 and np.allclose(k_z[1:], k_full)
+    k_z1 = sh.sph_bessel_kln(1.0, 100.0, 200.0, 0.08, add_kzero=True)
+    assert k_z1[0] != 0.0  # only l == 0 gets the k=0 mode
+
+
+def test_gen_bessel2freq_r_and_kbins():
+    """Reference-compat r= (skip cosmology) and kbins= (skip root
+    solve) paths of gen_bessel2freq (reference sph_harm.py:955-1086)."""
+    cosmo = Cosmology()
+    freqs = np.linspace(150e6, 160e6, 16)
+    gln0, kb0 = sh.gen_bessel2freq([0.0], freqs, cosmo=cosmo, kmax=0.06)
+    # r= path reproduces the cosmology mapping exactly
+    r = cosmo.f2r(freqs)
+    gln1, kb1 = sh.gen_bessel2freq([0.0], freqs, r=r, kmax=0.06)
+    assert np.allclose(kb0[0.0], kb1[0.0])
+    assert np.allclose(np.asarray(gln0[0.0]), np.asarray(gln1[0.0]))
+    # kbins= path skips the solve and uses the provided wavevectors
+    gln2, kb2 = sh.gen_bessel2freq([0.0], freqs, cosmo=cosmo,
+                                   kbins={0.0: kb0[0.0]})
+    assert np.allclose(kb2[0.0], kb0[0.0])
+    assert np.allclose(np.asarray(gln2[0.0]), np.asarray(gln0[0.0]))
