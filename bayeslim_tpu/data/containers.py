@@ -440,8 +440,21 @@ class VisData(TensorData):
         return self.get_data(bl)
 
     def select(self, bl=None, times=None, freqs=None, pol=None,
-               inplace=False, **kwargs):
-        """Down-select; returns a new VisData (reference :1087)."""
+               bl_inds=None, time_inds=None, freq_inds=None,
+               inplace=True, try_view=False, **kwargs):
+        """Down-select, in place by default like the reference
+        (dataset.py:1087). *_inds select by integer index; try_view is
+        accepted for API compat (jax arrays are immutable — a "view"
+        and a copy are indistinguishable)."""
+        if bl_inds is not None:
+            assert bl is None
+            bl = [self.bls[int(i)] for i in np.atleast_1d(bl_inds)]
+        if time_inds is not None:
+            assert times is None
+            times = np.asarray(self.times)[np.atleast_1d(time_inds)]
+        if freq_inds is not None:
+            assert freqs is None
+            freqs = np.asarray(self.freqs)[np.atleast_1d(freq_inds)]
         inds = self.get_inds(bl=bl, times=times, freqs=freqs, pol=pol)
         obj = self if inplace else self.copy()
         p1, p2, b, t, f = inds
@@ -640,26 +653,37 @@ class VisData(TensorData):
             obj.cov = 1.0 / obj.icov
         return obj
 
-    def time_nn_interp(self, times, rephase=False, inplace=False):
-        """Nearest-neighbor time interpolation onto new times, optionally
-        rephasing each selected integration (reference :1401-1451)."""
-        times = np.atleast_1d(np.asarray(times, dtype=np.float64))
-        idx = np.asarray([np.argmin(np.abs(self.times - t)) for t in times])
+    def time_nn_interp(self, lsts=None, rephase=True, inplace=True,
+                       times=None):
+        """Nearest-neighbor interpolation onto LST bins [rad]: amplitude
+        by NN selection, phase by lst_rephase of each selected
+        integration to its target bin (reference :1401-1451). times=
+        takes JD targets instead (repo extension)."""
+        if times is not None:
+            times = np.atleast_1d(np.asarray(times, dtype=np.float64))
+            idx = np.asarray([np.argmin(np.abs(self.times - t))
+                              for t in times])
+            # JD offset -> sidereal radians
+            dLST = (times - self.times[idx]) * 2 * np.pi * 1.00273793
+        else:
+            from ..models.telescope import JD2LST
+            lsts = np.array(np.atleast_1d(lsts), dtype=np.float64)
+            if lsts[-1] < lsts[0]:  # unwrap target bins
+                lsts[lsts < lsts[0]] += 2 * np.pi
+            self_lsts = np.asarray(JD2LST(self.times,
+                                          self.telescope.location[0]))
+            if self_lsts[-1] < self_lsts[0]:
+                self_lsts[self_lsts < self_lsts[0]] += 2 * np.pi
+            if lsts[0] < self_lsts[0]:
+                lsts = lsts + 2 * np.pi
+            idx = np.argmin(np.abs(self_lsts - lsts[:, None]), axis=1)
+            dLST = lsts - self_lsts[idx]
         obj = self if inplace else self.copy()
-        d = jnp.take(self.data, jnp.asarray(idx), axis=3)
+        obj.select(time_inds=idx, inplace=True)
         if rephase:
-            from ..models.telescope import vis_rephase
-            # move each selected integration FROM its own time TO the target
-            dlst = (self.times[idx] - times) * 2 * np.pi * 1.00273793
-            phs = vis_rephase(jnp.asarray(dlst), self.telescope.location[1],
-                              self.get_bl_vecs(), jnp.asarray(self.freqs))
-            d = d * phs[None, None]
-        obj.data = d
-        obj.times = times
-        if self.flags is not None:
-            obj.flags = np.take(np.asarray(self.flags), idx, axis=3)
-        if self.icov is not None and self.cov_axis is None:
-            obj.icov = jnp.take(self.icov, jnp.asarray(idx), axis=3)
+            obj.lst_rephase(dLST=dLST, inplace=True)
+        if times is not None:
+            obj.times = times  # JD targets become the new time grid
         return obj
 
     def inflate_by_redundancy(self, bls, bl2red=None, red_bls=None):
@@ -845,7 +869,20 @@ class MapData(TensorData):
         out = _take(out, a, 3)
         return out
 
-    def select(self, angs=None, freqs=None, pols=None, inplace=False):
+    def select(self, angs=None, freqs=None, pols=None, ang_inds=None,
+               freq_inds=None, pol_inds=None, inplace=True,
+               try_view=False):
+        """Down-select, in place by default (reference dataset.py:2249);
+        *_inds select by integer index."""
+        if freq_inds is not None:
+            assert freqs is None
+            freqs = np.asarray(self.freqs)[np.atleast_1d(freq_inds)]
+        if ang_inds is not None:
+            assert angs is None
+            angs = np.asarray(self.angs)[:, np.atleast_1d(ang_inds)]
+        if pol_inds is not None:
+            assert pols is None
+            pols = [self.pols[int(i)] for i in np.atleast_1d(pol_inds)]
         obj = self if inplace else self.copy()
         p, f, a = self.get_inds(angs=angs, freqs=freqs, pols=pols)
         obj.data = self.get_data(angs=angs, freqs=freqs, pols=pols, squeeze=False)
@@ -991,7 +1028,8 @@ class CalData(TensorData):
         return g1 * g2.conj()
 
     def select(self, ants=None, times=None, freqs=None, pol=None,
-               inplace=False, **kwargs):
+               inplace=True, try_view=False, **kwargs):
+        """Down-select, in place by default (reference dataset.py:3000)."""
         obj = self if inplace else self.copy()
         a, t, f = self.get_inds(ant=ants, times=times, freqs=freqs, pol=pol)
         d = _take(self.data, a, 2)

@@ -554,7 +554,9 @@ def setup_uvdata(antnums=None, antpos=None, bls=None, redundancy=None,
                  no_autos=False, anchor_ant=None, antenna_nums=None,
                  telescope_location=None, telescope_name="mock",
                  freq_array=None, time_array=None, pol="ee",
-                 make_data=True, as_uvdata=False, **time_freq_params):
+                 antnames=None, pol_array=None, x_orientation="north",
+                 run_check=True, make_data=True, as_uvdata=False,
+                 **time_freq_params):
     """Create a mock observation from observatory metadata (reference
     setup_uvdata, uvdata_interface.py:326-470 -- which itself raises
     NotImplementedError with vestigial healvis code; this is a working
@@ -568,8 +570,17 @@ def setup_uvdata(antnums=None, antpos=None, bls=None, redundancy=None,
     telescope_location : (lon_deg, lat_deg, alt_m)
     freq_array/time_array : explicit grids, or pass Ntimes/start_time/
         time_cadence/Nfreqs/start_freq/channel_width/bandwidth kwargs
+    antnames/x_orientation/run_check : accepted for reference API compat
+        (names are carried on the returned VisData as .antnames; feed
+        orientation only matters for the pyuvdata conversion)
+    pol_array : reference alias for pol (a single-element list maps to
+        its pol string; pyuvdata ints -5..-8 map to ee/nn/en/ne)
     """
     assert antnums is not None and antpos is not None
+    if pol_array is not None:
+        p0 = np.atleast_1d(pol_array)[0]
+        pol = {-5: "ee", -6: "nn", -7: "en", -8: "ne"}.get(int(p0), pol) \
+            if not isinstance(p0, str) else str(p0)
     antnums = [int(a) for a in antnums]
     antpos = np.asarray(antpos, dtype=np.float64)
     tf = dict(time_freq_params)
@@ -599,8 +610,10 @@ def setup_uvdata(antnums=None, antpos=None, bls=None, redundancy=None,
                           freqs["Nfreqs"]), dtype=complex)
     vd.setup_data(sel, times["time_array"], freqs["freq_array"], pol=pol,
                   data=data, history="setup_uvdata mock observation")
+    if antnames is not None:
+        vd.antnames = {int(a): str(n) for a, n in zip(antnums, antnames)}
     if as_uvdata:
-        return complete_uvdata(vd)
+        return complete_uvdata(vd, run_check=run_check)
     return vd
 
 

@@ -201,7 +201,8 @@ def test_time_average_and_nn_interp():
     assert np.allclose(np.asarray(avg.data), np.tile(base, (1, 1, 1, 2, 1)))
     assert np.allclose(np.asarray(avg.icov), 3.0)  # noise averaged down
 
-    nn = vd.time_nn_interp(times[:2] + 2e-5)
+    nn = vd.time_nn_interp(times=times[:2] + 2e-5, rephase=False,
+                           inplace=False)
     assert nn.Ntimes == 2
     assert np.allclose(np.asarray(nn.data), np.asarray(data[:, :, :, :2]))
 

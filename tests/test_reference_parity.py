@@ -3602,3 +3602,68 @@ def test_load_ylm_selections_parity(tmp_path):
             a_r = np.stack([np.asarray(angs_r[0]), np.asarray(angs_r[1])])
             np.testing.assert_allclose(np.asarray(mine["angs"]), a_r,
                                        atol=1e-12, err_msg=str(kw))
+
+
+def test_time_nn_interp_parity():
+    """time_nn_interp NN-selects by LST like the reference
+    (dataset.py:1401-1451), including target-bin unwrapping."""
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=33, Nt=5)
+
+    class _Tel:
+        location = (21.43, -30.72, 1051.0)
+        tloc = None
+        device = None
+    antvecs = np.arange(12.0).reshape(4, 3)
+    vd_ref.setup_meta(telescope=_Tel(),
+                      antpos=ba.utils.AntposDict([0, 1, 2, 3],
+                                                 torch.tensor(antvecs)))
+    from bayeslim_tpu.models.telescope import TelescopeModel
+    from bayeslim_tpu.utils import AntposDict
+    vd.setup_meta(telescope=TelescopeModel((21.43, -30.72, 1051.0)),
+                  antpos=AntposDict([0, 1, 2, 3], antvecs))
+
+    # astropy is mocked -> inject OUR (worked-example-pinned) JD2LST
+    # into the reference so both sides see identical LSTs
+    from bayeslim_tpu.models.telescope import JD2LST as _jd2lst
+    _orig = ba.telescope_model.JD2LST
+    ba.telescope_model.JD2LST = lambda jd, lon: np.asarray(_jd2lst(jd, lon))
+    try:
+        self_lsts = np.asarray(_jd2lst(times, 21.43))
+        lsts = self_lsts[[1, 3]] + 2e-6
+
+        out_ref = vd_ref.time_nn_interp(np.array(lsts), rephase=False,
+                                        inplace=False)
+    finally:
+        ba.telescope_model.JD2LST = _orig
+    out = vd.time_nn_interp(lsts, rephase=False, inplace=False)
+    assert np.allclose(np.asarray(out.data),
+                       out_ref.data.detach().numpy(), atol=1e-12)
+    assert np.allclose(np.asarray(out.times),
+                       np.asarray(out_ref.times), atol=1e-12)
+    # original untouched (inplace=False)
+    assert vd.Ntimes == 5
+
+    # rephase path == manual select + (parity-pinned) lst_rephase
+    out2 = vd.time_nn_interp(lsts, rephase=True, inplace=False)
+    man = vd.select(time_inds=[1, 3], inplace=False)
+    from bayeslim_tpu.models.telescope import JD2LST
+    dLST = lsts - np.asarray(JD2LST(times, 21.43))[[1, 3]]
+    man = man.lst_rephase(dLST=dLST, inplace=False)
+    assert np.allclose(np.asarray(out2.data), np.asarray(man.data),
+                       atol=1e-10)
+
+
+def test_visdata_select_inds_and_inplace_default():
+    """select *_inds kwargs and the reference's inplace=True default
+    (dataset.py:1087-1092)."""
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=34)
+    sub_ref = vd_ref.select(bl_inds=[0, 2], time_inds=[1],
+                            freq_inds=[0, 3, 4], inplace=False)
+    sub = vd.select(bl_inds=[0, 2], time_inds=[1], freq_inds=[0, 3, 4],
+                    inplace=False)
+    assert np.allclose(np.asarray(sub.data),
+                       sub_ref.data.detach().numpy(), atol=1e-12)
+    assert [tuple(b) for b in sub.bls] == [bls[0], bls[2]]
+    # default is in place, like the reference
+    vd.select(time_inds=[0, 1])
+    assert vd.Ntimes == 2
