@@ -182,10 +182,23 @@ class TensorData:
     def get_icov(self, **kwargs):
         return self.icov
 
-    def copy(self, copydata=False, **kwargs):
+    def copy(self, copydata=False, copymeta=False, detach=True, **kwargs):
+        """Shallow copy (reference dataset.py:142): copydata clones the
+        data array; copymeta re-instantiates metadata arrays (times,
+        freqs, flags, ...); detach is accepted for API compat (jax
+        arrays carry no autograd graph to detach)."""
         new = _copy.copy(self)
         if copydata and self.data is not None:
             new.data = jnp.array(self.data)
+        if copymeta:
+            for k in ("times", "freqs", "flags", "blnums", "angs",
+                      "cov", "icov", "norm"):
+                v = getattr(self, k, None)
+                if v is None:
+                    continue
+                setattr(new, k, np.array(v) if isinstance(v, np.ndarray)
+                        else jnp.array(v) if isinstance(v, jax.Array)
+                        else _copy.deepcopy(v))
         return new
 
     @property
@@ -390,14 +403,37 @@ class VisData(TensorData):
         p = {"e": 0, "n": 1}
         return (slice(p[pol[0]], p[pol[0]] + 1), slice(p[pol[1]], p[pol[1]] + 1))
 
-    def get_inds(self, bl=None, times=None, freqs=None, pol=None):
+    def _resolve_inds(self, bl, times, freqs, bl_inds, time_inds,
+                      freq_inds):
+        """Map reference-style *_inds integer selections onto the
+        value-based (bl, times, freqs) arguments."""
+        if bl_inds is not None:
+            assert bl is None
+            bl = [self.bls[int(i)] for i in np.atleast_1d(bl_inds)]
+        if time_inds is not None:
+            assert times is None
+            times = np.asarray(self.times)[np.atleast_1d(time_inds)]
+        if freq_inds is not None:
+            assert freqs is None
+            freqs = np.asarray(self.freqs)[np.atleast_1d(freq_inds)]
+        return bl, times, freqs
+
+    def get_inds(self, bl=None, times=None, freqs=None, pol=None,
+                 bl_inds=None, time_inds=None, freq_inds=None,
+                 data=None, atol=None):
         """Per-axis indices (pol1, pol2, bl, time, freq) (reference :776)."""
+        bl, times, freqs = self._resolve_inds(bl, times, freqs, bl_inds,
+                                              time_inds, freq_inds)
         p1 = p2 = slice(None)
         if pol is not None:
             p1, p2 = self._pol2ind(pol)
         b = self._bl2ind(bl) if bl is not None else slice(None)
-        t = self._time2ind(times) if times is not None else slice(None)
-        f = self._freq2ind(freqs) if freqs is not None else slice(None)
+        t = self._time2ind(times, **({"atol": atol} if atol is not None
+                                     else {})) \
+            if times is not None else slice(None)
+        f = self._freq2ind(freqs, **({"atol": atol} if atol is not None
+                                     else {})) \
+            if freqs is not None else slice(None)
         return p1, p2, b, t, f
 
     def _index_arr(self, arr, inds, squeeze=False):
@@ -413,9 +449,12 @@ class VisData(TensorData):
         return out
 
     def get_data(self, bl=None, times=None, freqs=None, pol=None,
-                 squeeze=True, data=None, **kwargs):
+                 bl_inds=None, time_inds=None, freq_inds=None,
+                 squeeze=True, data=None, try_view=False, **kwargs):
         arr = self.data if data is None else data
-        inds = self.get_inds(bl=bl, times=times, freqs=freqs, pol=pol)
+        inds = self.get_inds(bl=bl, times=times, freqs=freqs, pol=pol,
+                             bl_inds=bl_inds, time_inds=time_inds,
+                             freq_inds=freq_inds)
         out = self._index_arr(arr, inds, squeeze=squeeze)
         if squeeze and bl is not None and isinstance(bl, tuple):
             out = out[..., 0, :, :] if out.ndim >= 3 and out.shape[-3] == 1 else out
@@ -425,13 +464,25 @@ class VisData(TensorData):
         kwargs.setdefault("data", self.flags)
         return self.get_data(**kwargs) if self.flags is not None else None
 
+    def get_cov(self, **kwargs):
+        if self.cov is not None and self.cov_axis is not None:
+            if any(v is not None for v in kwargs.values()):
+                raise NotImplementedError(
+                    "selection on a structured (cov_axis) cov is not "
+                    "supported; select the container first")
+            return self.cov
+        kwargs.setdefault("data", self.cov)
+        return self.get_data(**kwargs) if self.cov is not None else None
+
     def get_icov(self, **kwargs):
         if self.icov is not None and self.cov_axis is not None:
             # structured covariance (6-dim, e.g. (P,P,B,T,F,F) for
             # cov_axis='freq'): the visibility-grid indexing below would
             # misalign its axes — hand it to apply_icov unchanged
-            assert not kwargs, \
-                "selection on a structured (cov_axis) icov is not supported"
+            if any(v is not None for v in kwargs.values()):
+                raise NotImplementedError(
+                    "selection on a structured (cov_axis) icov is not "
+                    "supported; select the container first")
             return self.icov
         kwargs.setdefault("data", self.icov)
         return self.get_data(**kwargs) if self.icov is not None else None
@@ -446,15 +497,8 @@ class VisData(TensorData):
         (dataset.py:1087). *_inds select by integer index; try_view is
         accepted for API compat (jax arrays are immutable — a "view"
         and a copy are indistinguishable)."""
-        if bl_inds is not None:
-            assert bl is None
-            bl = [self.bls[int(i)] for i in np.atleast_1d(bl_inds)]
-        if time_inds is not None:
-            assert times is None
-            times = np.asarray(self.times)[np.atleast_1d(time_inds)]
-        if freq_inds is not None:
-            assert freqs is None
-            freqs = np.asarray(self.freqs)[np.atleast_1d(freq_inds)]
+        bl, times, freqs = self._resolve_inds(bl, times, freqs, bl_inds,
+                                              time_inds, freq_inds)
         inds = self.get_inds(bl=bl, times=times, freqs=freqs, pol=pol)
         obj = self if inplace else self.copy()
         p1, p2, b, t, f = inds
@@ -477,14 +521,19 @@ class VisData(TensorData):
         self._set_at(self.get_inds(bl=bl), val, arr=arr)
 
     @classmethod
-    def from_hdf5(cls, fname, axis=None, **kwargs):
+    def from_hdf5(cls, fname, axis=None, lazy_cat=False, interleave=False,
+                  **kwargs):
         """Create a VisData from one or several HDF5 files (reference
         dataset.py VisData.from_hdf5 :1821): a single path reads
-        directly; a list concatenates along `axis` ('bl'/'time'/'freq'),
-        or returns the list if axis is None."""
+        directly; a list concatenates along `axis` ('bl'/'time'/'freq')
+        — lazily (CatTensor) with lazy_cat, round-robin with interleave
+        — or returns the list if axis is None."""
         if isinstance(fname, (list, tuple)):
-            vds = [cls.read_hdf5(f, **kwargs) for f in fname]
-            return concat_VisData(vds, axis) if axis is not None else vds
+            vds = [cls.read_hdf5(f, lazy=lazy_cat, **kwargs)
+                   for f in fname]
+            return concat_VisData(vds, axis, interleave=interleave,
+                                  lazy=lazy_cat) \
+                if axis is not None else vds
         return cls.read_hdf5(fname, **kwargs)
 
     # --- physics ops -------------------------------------------------------------
@@ -496,17 +545,55 @@ class VisData(TensorData):
         obj.data = _apply(self.data, g, undo=undo, cal_2pol=cal_2pol)
         return obj
 
-    def chisq(self, other_vis=None, dof=None, icov=None, axis=None):
-        """Chi-square of residual (reference :1221)."""
-        res = self.data if other_vis is None else self.data - other_vis.data
-        ic = icov if icov is not None else self.icov
-        if ic is None:
-            ic = 1.0
-        x = (res.conj() * ic * res).real
-        x = jnp.sum(x, axis=axis) if axis is not None else jnp.sum(x)
-        if dof is not None:
-            x = x / dof
-        return x
+    def chisq(self, other_vis=None, dof=None, icov=None, cov_axis=None,
+              axis=None):
+        """Chi-square of the residual vs other_vis, weighted by icov
+        (reference :1221-1255): elementwise unless axis is given;
+        structured covariances route through apply_icov."""
+        from ..models.calibration import chisq as _chisq
+        if icov is None:
+            icov, cov_axis = self.icov, self.cov_axis
+        other = other_vis.data if other_vis is not None \
+            else jnp.zeros_like(self.data)
+        return _chisq(self.data, other, icov, axis=axis, dof=dof,
+                      cov_axis=cov_axis)
+
+    def get_bls(self, uniq_bls=False, keep_autos=True, min_len=None,
+                max_len=None, min_EW=None, max_EW=None, min_NS=None,
+                max_NS=None, min_deg=None, max_deg=None, redtol=1.0):
+        """Baselines of this data passing geometric cuts (reference
+        dataset.py:453-537; the reference's EW/NS cuts index the first
+        baseline row — fixed here to the EW/NS components)."""
+        if uniq_bls:
+            from ..models.telescope import ArrayModel
+            arr = ArrayModel(self.antpos, freqs=self.freqs, bls=self.bls,
+                             redtol=redtol)
+            return arr.get_bls(uniq_bls=True, keep_autos=keep_autos,
+                               min_len=min_len, max_len=max_len,
+                               min_EW=min_EW, max_EW=max_EW,
+                               min_NS=min_NS, max_NS=max_NS,
+                               min_deg=min_deg, max_deg=max_deg)
+        bls = self.bls
+        bl_vecs = np.asarray(self.antpos.asnumpy())
+        a2i = {a: i for i, a in enumerate(self.antpos.ants)}
+        v = np.stack([bl_vecs[a2i[b[1]]] - bl_vecs[a2i[b[0]]]
+                      for b in bls])
+        lens = np.linalg.norm(v, axis=1)
+        angs = np.degrees(np.arctan2(v[:, 1], v[:, 0]))
+        angs[v[:, 1] < 0] += 180.0
+        angs[np.abs(v[:, 1]) < redtol] = 0.0
+        keep = np.ones(len(bls), dtype=bool)
+        if not keep_autos:
+            keep &= lens > redtol
+        for lo, hi, val in ((min_len, max_len, lens),
+                            (min_EW, max_EW, np.abs(v[:, 0])),
+                            (min_NS, max_NS, np.abs(v[:, 1])),
+                            (min_deg, max_deg, angs)):
+            if lo is not None:
+                keep &= val >= lo
+            if hi is not None:
+                keep &= val <= hi
+        return [tuple(b) for b, k in zip(bls, keep) if k]
 
     def bl_average(self, reds=None, wgts=None, redtol=1.0, inplace=False):
         """Average over redundant baseline groups (reference :1257).
@@ -844,7 +931,24 @@ class MapData(TensorData):
             out.extend(np.where(np.isclose(self.freqs, fq, atol=atol, rtol=0))[0].tolist())
         return np.asarray(out, dtype=np.int64)
 
-    def get_inds(self, angs=None, freqs=None, pols=None):
+    def _resolve_inds(self, angs, freqs, pols, ang_inds, freq_inds,
+                      pol_inds):
+        if freq_inds is not None:
+            assert freqs is None
+            freqs = np.asarray(self.freqs)[np.atleast_1d(freq_inds)]
+        if ang_inds is not None:
+            assert angs is None
+            angs = np.asarray(self.angs)[:, np.atleast_1d(ang_inds)]
+        if pol_inds is not None:
+            assert pols is None
+            pols = [self.pols[int(i)] for i in np.atleast_1d(pol_inds)]
+        return angs, freqs, pols
+
+    def get_inds(self, angs=None, freqs=None, pols=None, ang_inds=None,
+                 freq_inds=None, pol_inds=None):
+        angs, freqs, pols = self._resolve_inds(angs, freqs, pols,
+                                               ang_inds, freq_inds,
+                                               pol_inds)
         p = slice(None)
         if pols is not None and self.pols is not None:
             p = np.asarray([list(self.pols).index(x) for x in np.atleast_1d(pols)])
@@ -860,10 +964,13 @@ class MapData(TensorData):
             a = np.asarray(a)
         return p, f, a
 
-    def get_data(self, angs=None, freqs=None, pols=None, squeeze=True,
-                 data=None, **kwargs):
+    def get_data(self, angs=None, freqs=None, pols=None, ang_inds=None,
+                 freq_inds=None, pol_inds=None, squeeze=True,
+                 data=None, try_view=False, **kwargs):
         arr = self.data if data is None else data
-        p, f, a = self.get_inds(angs=angs, freqs=freqs, pols=pols)
+        p, f, a = self.get_inds(angs=angs, freqs=freqs, pols=pols,
+                                ang_inds=ang_inds, freq_inds=freq_inds,
+                                pol_inds=pol_inds)
         out = _take(arr, p, 0)
         out = _take(out, f, 2)
         out = _take(out, a, 3)
@@ -874,15 +981,9 @@ class MapData(TensorData):
                try_view=False):
         """Down-select, in place by default (reference dataset.py:2249);
         *_inds select by integer index."""
-        if freq_inds is not None:
-            assert freqs is None
-            freqs = np.asarray(self.freqs)[np.atleast_1d(freq_inds)]
-        if ang_inds is not None:
-            assert angs is None
-            angs = np.asarray(self.angs)[:, np.atleast_1d(ang_inds)]
-        if pol_inds is not None:
-            assert pols is None
-            pols = [self.pols[int(i)] for i in np.atleast_1d(pol_inds)]
+        angs, freqs, pols = self._resolve_inds(angs, freqs, pols,
+                                               ang_inds, freq_inds,
+                                               pol_inds)
         obj = self if inplace else self.copy()
         p, f, a = self.get_inds(angs=angs, freqs=freqs, pols=pols)
         obj.data = self.get_data(angs=angs, freqs=freqs, pols=pols, squeeze=False)

@@ -666,3 +666,20 @@ def vis2RedVisModel(vis, param_type="com", freq_mode="channel",
     else:
         params = jnp.zeros(shape, dtype=_float())
     return RedVisModel(params, bl2red, R=R)
+
+
+def chisq(raw_data, forward_model, wgts, axis=None, dof=None,
+          cov_axis=None, mode="vis"):
+    """Chi-square between two tensors weighted by wgts (the icov)
+    (reference calibration.py:2986-3044): |res|^2-weighted via
+    apply_icov for any supported covariance structure; elementwise
+    unless axis is given; divided by dof if provided."""
+    from ..inference.prob import apply_icov
+    res = raw_data - forward_model
+    out = apply_icov(res, wgts, cov_axis, mode=mode)
+    out = out.real
+    if dof is not None:
+        out = out / dof
+    if axis is not None:
+        out = jnp.sum(out, axis=axis)
+    return out

@@ -97,11 +97,17 @@ def _antpos_unflatten(ants, children):
 jax.tree_util.register_pytree_node(AntposDict, _antpos_flatten, _antpos_unflatten)
 
 
-def ants2blnum(antnums, separate=False):
+def ants2blnum(antnums, separate=False, tensor=False):
     """Antenna-pair tuple(s) -> baseline integer(s): (1, 2) -> 101102.
 
-    Reference parity: bayeslim/utils.py:2416.
+    Reference parity: bayeslim/utils.py:2416. tensor returns a jnp
+    array instead of numpy.
     """
+    if tensor:
+        import jax.numpy as jnp
+        out = ants2blnum(antnums, separate=separate, tensor=False)
+        return tuple(jnp.asarray(o) for o in out) \
+            if isinstance(out, tuple) else jnp.asarray(out)
     if isinstance(antnums, tuple):
         a1, a2 = antnums[0] + 100, antnums[1] + 100
         return (a1, a2) if separate else int(a1 * 1000 + a2)
@@ -254,9 +260,14 @@ def Jy_to_KStr(freqs):
     return 1e-26 * (c / np.asarray(freqs, dtype=np.float64)) ** 2 / (2 * k_B)
 
 
-def tensor2numpy(x):
-    """Array -> numpy (reference utils.py:1738 tensor2numpy)."""
-    return np.asarray(x)
+def tensor2numpy(x, clone=True):
+    """Array -> numpy (reference utils.py:1738 tensor2numpy). clone
+    forces an owning copy (np.asarray of a jax array already copies;
+    clone=True additionally copies numpy inputs)."""
+    out = np.asarray(x)
+    if clone and out is x:
+        out = out.copy()
+    return out
 
 
 def device_memory_stats():

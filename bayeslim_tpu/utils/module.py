@@ -232,10 +232,16 @@ class Module:
         """
         return tree_replace(self, dict(pdict.items()) if isinstance(pdict, ParamDict) else dict(pdict))
 
-    def update(self, pdict):
-        """In-place update (host-side convenience; do not use inside jit)."""
+    def update(self, pdict, clobber_param=False):
+        """In-place update (host-side convenience; do not use inside
+        jit). clobber_param unmarks assigned leaves as trainable params
+        (reference utils.py:1169 set_model_attr clobber_param)."""
         for k, v in (pdict.items() if hasattr(pdict, "items") else pdict):
             self[k] = v
+            if clobber_param:
+                obj, last = self._resolve(k)
+                if isinstance(obj, Module):
+                    obj.unset_param(last)
 
     # --- priors (reference utils.py:1215-1292) ------------------------------
     def set_priors(self, priors_inp_params=None, priors_out_params=None):
@@ -345,12 +351,39 @@ def tree_replace(module, updates):
     return new
 
 
-def model2pdict(model, prefix=""):
+def model2pdict(model, parameters=True, clone=False, prefix=""):
     """Extract a ParamDict of all trainable params in a model tree.
 
     Reference parity: bayeslim/paramdict.py:308 model2pdict.
-    """
-    return ParamDict({p: model[p] for p in model.named_params(prefix)})
+    parameters=False gathers every jax.Array leaf instead of just the
+    marked params; clone copies the arrays (values otherwise alias the
+    model's leaves — harmless under jax immutability)."""
+    if parameters:
+        names = list(model.named_params(prefix))
+    else:
+        names = [n for n, _ in _named_arrays(model, prefix)]
+    d = {p: model[p] for p in names}
+    if clone:
+        d = {k: jnp.array(v) for k, v in d.items()}
+    return ParamDict(d)
+
+
+def _named_arrays(model, prefix=""):
+    """Yield (dotted path, leaf) for every jax.Array attribute in a
+    Module tree (the pytree-children analog of named_params)."""
+    for k in sorted(model.__dict__.keys()):
+        v = model.__dict__[k]
+        path = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, Module):
+            yield from _named_arrays(v, path)
+        elif isinstance(v, jax.Array):
+            yield path, v
+        elif isinstance(v, (list, tuple)):
+            for i, x in enumerate(v):
+                if isinstance(x, Module):
+                    yield from _named_arrays(x, f"{path}.{i}")
+                elif isinstance(x, jax.Array):
+                    yield f"{path}.{i}", x
 
 
 class Sequential(Module):

@@ -111,9 +111,20 @@ class ParamDict:
     def __hash__(self):
         return id(self)
 
-    def operator(self, func):
-        """Apply func to every value, returning a new ParamDict."""
-        return ParamDict({k: func(v) for k, v in self.items()})
+    def operator(self, func, args=(), inplace=False):
+        """Apply func to every value, returning a new ParamDict
+        (reference paramdict.py:151). Extra args are passed through;
+        dict/ParamDict args are iterated by the same keys. inplace
+        assigns back into self and returns None."""
+        def _call(k):
+            extra = (a[k] if isinstance(a, (dict, ParamDict)) else a
+                     for a in args)
+            return func(self[k], *extra)
+        if inplace:
+            for k in list(self.keys()):
+                self[k] = _call(k)
+            return None
+        return ParamDict({k: _call(k) for k in self.keys()})
 
     # --- convenience ---------------------------------------------------------
     def clone(self):
@@ -156,6 +167,16 @@ class ParamDict:
 
     def write_pkl(self, fname, overwrite=False):
         write_pdict(fname, self, overwrite=overwrite)
+
+    @staticmethod
+    def read_pkl(fname, force_cpu=False):
+        """Load a pickled ParamDict (reference paramdict.py:126);
+        force_cpu keeps the arrays on the host CPU device."""
+        pd = read_pdict(fname)
+        if force_cpu:
+            cpu = jax.devices("cpu")[0]
+            return pd.operator(lambda v: jax.device_put(v, cpu))
+        return pd
 
     def __repr__(self):
         body = ", ".join(f"{k}: {tuple(np.shape(v))}" for k, v in self.items())

@@ -559,3 +559,31 @@ def test_mapdata_hdf5_full_roundtrip(tmp_path):
     assert list(md2.pols) == ["ee"]
     assert np.allclose(md2.df, 2.5e6)
     assert np.allclose(md2.freqs, freqs)
+
+
+def test_from_hdf5_interleave_lazy(tmp_path):
+    """from_hdf5 concat options: interleave round-robins the axis,
+    lazy_cat defers via CatTensor (reference dataset.py:1821)."""
+    from bayeslim_tpu.data.containers import VisData
+    rng = np.random.default_rng(8)
+    times = 2458168.3 + np.arange(4) * 1e-3
+    freqs = np.linspace(1e8, 1.1e8, 3)
+    fnames = []
+    parts = []
+    for i in range(2):
+        vd = VisData()
+        d = rng.normal(size=(1, 1, 1, 2, 3)) + 0j
+        vd.setup_data([(0, 1)], times[2 * i:2 * i + 2], freqs, pol="ee",
+                      data=jnp.asarray(d))
+        f = str(tmp_path / f"p{i}.h5")
+        vd.write_hdf5(f)
+        fnames.append(f)
+        parts.append(d)
+    cat = VisData.from_hdf5(fnames, axis="time", interleave=True)
+    # round-robin: t0 of part0, t0 of part1, t1 of part0, t1 of part1
+    exp = np.stack([parts[0][0, 0, 0, 0], parts[1][0, 0, 0, 0],
+                    parts[0][0, 0, 0, 1], parts[1][0, 0, 0, 1]], axis=0)
+    assert np.allclose(np.asarray(cat.data)[0, 0, 0], exp)
+    lazy = VisData.from_hdf5(fnames, axis="time", lazy_cat=True)
+    assert np.allclose(np.asarray(lazy.data[:]),
+                       np.concatenate(parts, axis=3))

@@ -3667,3 +3667,59 @@ def test_visdata_select_inds_and_inplace_default():
     # default is in place, like the reference
     vd.select(time_inds=[0, 1])
     assert vd.Ntimes == 2
+
+
+def test_visdata_chisq_parity():
+    """VisData.chisq matches the reference elementwise / axis-summed /
+    dof-reduced forms (dataset.py:1221, calibration.py:2986)."""
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair(seed=35)
+    rng = np.random.default_rng(36)
+    other = rng.normal(size=vd.data.shape) \
+        + 1j * rng.normal(size=vd.data.shape)
+    ov_ref = ba.dataset.VisData()
+    ov_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(other))
+    ov = bl.VisData()
+    ov.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(other))
+
+    x_ref = vd_ref.chisq(ov_ref)
+    x = vd.chisq(ov)
+    assert x.shape == tuple(x_ref.shape)  # elementwise by default
+    assert np.allclose(np.asarray(x), x_ref.detach().numpy(), atol=1e-10)
+
+    x_ref = vd_ref.chisq(ov_ref, axis=(3, 4), dof=7.0)
+    x = vd.chisq(ov, axis=(3, 4), dof=7.0)
+    assert np.allclose(np.asarray(x), x_ref.detach().numpy(), atol=1e-10)
+
+
+def test_visdata_get_bls_cuts():
+    """VisData.get_bls geometric cuts (dataset.py:453-537; the
+    reference's EW/NS branch indexes bl_vecs[0] -- its first baseline
+    -- instead of the EW component; ours cuts the actual components,
+    so only the length/auto cuts are compared against the reference)."""
+    from bayeslim_tpu.utils import AntposDict
+    ants = [0, 1, 2]
+    antvecs = np.array([[0., 0, 0], [14.6, 0, 0], [0., 20.0, 0]])
+    bls = [(0, 0), (0, 1), (0, 2), (1, 2)]
+    times = 2458168.3 + np.arange(2) * 1e-3
+    freqs = np.linspace(100e6, 110e6, 3)
+    data = np.zeros((1, 1, 4, 2, 3), complex)
+
+    vd = bl.VisData()
+    vd.setup_meta(antpos=AntposDict(ants, antvecs))
+    vd.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(data))
+
+    vd_ref = ba.dataset.VisData()
+    vd_ref.setup_meta(antpos=ba.utils.AntposDict(ants,
+                                                 torch.tensor(antvecs)))
+    vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data))
+
+    assert vd.get_bls() == vd_ref.get_bls() == bls
+    assert vd.get_bls(keep_autos=False) == vd_ref.get_bls(keep_autos=False)
+    assert vd.get_bls(min_len=15.0) == vd_ref.get_bls(min_len=15.0)
+    assert vd.get_bls(max_len=15.0, keep_autos=False) \
+        == vd_ref.get_bls(max_len=15.0, keep_autos=False) == [(0, 1)]
+    # component cuts (ours): (0,2) is pure NS, (0,1) pure EW
+    assert vd.get_bls(max_EW=1.0, keep_autos=False) == [(0, 2)]
+    assert vd.get_bls(max_NS=1.0, keep_autos=False) == [(0, 1)]

@@ -254,3 +254,92 @@ def test_orbax_checkpointing(tmp_path):
     assert np.allclose(np.asarray(out["params"]["beam.params"]),
                        np.asarray(pd["beam.params"]) * 5.0)
     mgr.close()
+
+
+def test_paramdict_operator_args_inplace():
+    """operator passes extra args (dicts iterated by key) and supports
+    inplace (reference paramdict.py:151-188)."""
+    a = ParamDict({"x": jnp.arange(3.0), "y": jnp.ones(2)})
+    b = ParamDict({"x": 2 * jnp.ones(3), "y": 3 * jnp.ones(2)})
+    out = a.operator(lambda v, w: v * w, args=(b,))
+    assert np.allclose(out["x"], np.arange(3.0) * 2)
+    assert np.allclose(out["y"], 3)
+    # scalar extra arg broadcast to every key
+    out2 = a.operator(lambda v, s: v + s, args=(10.0,))
+    assert np.allclose(out2["y"], 11)
+    # inplace mutates and returns None
+    r = a.operator(lambda v: v * 0, inplace=True)
+    assert r is None and np.allclose(a["x"], 0)
+
+
+def test_paramdict_read_pkl_force_cpu(tmp_path):
+    """ParamDict.read_pkl static loader (reference paramdict.py:126)."""
+    a = ParamDict({"m.params": jnp.arange(4.0)})
+    f = str(tmp_path / "pd.pkl")
+    a.write_pkl(f)
+    b = ParamDict.read_pkl(f, force_cpu=True)
+    assert np.allclose(b["m.params"], np.arange(4.0))
+    assert list(b["m.params"].devices())[0].platform == "cpu"
+
+
+def test_model2pdict_parameters_clone():
+    """parameters=False gathers all array leaves; clone copies
+    (reference paramdict.py:308)."""
+    class M(Module):
+        def __init__(self):
+            super().__init__()
+            self.params = jnp.ones(3)
+            self.aux = jnp.zeros(2)   # array leaf, not a param
+            self.set_param("params")
+
+    m = M()
+    pd = model2pdict(m)
+    assert set(pd.keys()) == {"params"}
+    pd_all = model2pdict(m, parameters=False)
+    assert set(pd_all.keys()) == {"aux", "params"}
+    pd_c = model2pdict(m, clone=True)
+    assert pd_c["params"] is not m.params
+
+
+def test_module_update_clobber_param():
+    """update(clobber_param=True) unmarks assigned params
+    (reference utils.py:1169)."""
+    class M(Module):
+        def __init__(self):
+            super().__init__()
+            self.params = jnp.ones(3)
+            self.set_param("params")
+
+    m = M()
+    m.update({"params": jnp.zeros(3)}, clobber_param=True)
+    assert np.allclose(m.params, 0)
+    assert list(m.named_params()) == []
+
+
+def test_tensor2numpy_ants2blnum_kwargs():
+    from bayeslim_tpu.utils.indexing import tensor2numpy
+    x = np.arange(3.0)
+    y = tensor2numpy(x, clone=True)
+    assert y is not x and np.allclose(y, x)
+    z = tensor2numpy(jnp.arange(3.0), clone=False)
+    assert np.allclose(z, x)
+    t = ants2blnum((1, 2), tensor=True)
+    assert isinstance(t, jax.Array) and int(t) == 101102
+    t2 = ants2blnum([(1, 2), (3, 4)], tensor=True)
+    assert np.allclose(np.asarray(t2), [101102, 103104])
+
+
+def test_container_copy_copymeta():
+    """copy(copymeta=True) re-instantiates metadata arrays
+    (reference dataset.py:142)."""
+    from bayeslim_tpu.data.containers import VisData
+    vd = VisData()
+    times = 2458168.3 + np.arange(2) * 1e-3
+    freqs = np.linspace(1e8, 1.1e8, 3)
+    vd.setup_data([(0, 1)], times, freqs, pol="ee",
+                  data=jnp.zeros((1, 1, 1, 2, 3), complex))
+    cp = vd.copy(copymeta=True)
+    assert cp.times is not vd.times and np.allclose(cp.times, vd.times)
+    assert cp.freqs is not vd.freqs
+    cp2 = vd.copy()
+    assert cp2.times is vd.times  # shallow by default
