@@ -41,8 +41,11 @@ def main_params_index(pdict):
     return out
 
 
-def _hessian_one(prob, batch_idx, pdict, rows_chunk, keys):
-    """Hessian of one batch of one LogProb (forward-over-reverse)."""
+def _hessian_one(prob, batch_idx, pdict, rows_chunk, keys, row0=0,
+                 nrows=None):
+    """Hessian of one batch of one LogProb (forward-over-reverse).
+    row0/nrows restrict to a contiguous row block (reference
+    Nstart/Nrows multi-process row blocking)."""
     if pdict is None:
         pdict = prob.collect_main_params()
     if keys is not None:
@@ -50,6 +53,7 @@ def _hessian_one(prob, batch_idx, pdict, rows_chunk, keys):
     template = pdict.copy()
     x0 = pdict.ravel()
     n = x0.size
+    row1 = n if nrows is None else min(row0 + nrows, n)
 
     def f(x):
         return prob.forward(template.unravel(x), idx=batch_idx)
@@ -60,23 +64,25 @@ def _hessian_one(prob, batch_idx, pdict, rows_chunk, keys):
     # trace the Hessian through the fully-differentiable XLA path
     from ..ops.rime_kernel import force_xla
     with force_xla():
-        if rows_chunk is None or rows_chunk >= n:
+        if rows_chunk is None and row0 == 0 and row1 == n:
             H = jax.jacfwd(grad_f)(x0)
         else:
             rows = []
             eye = np.eye(n)
-
+            step = rows_chunk if rows_chunk else (row1 - row0)
             jvp_grad = jax.jit(lambda x, v: jax.jvp(grad_f, (x,), (v,))[1])
-            for i0 in range(0, n, rows_chunk):
+            for i0 in range(row0, row1, step):
                 block = [jvp_grad(x0, jnp.asarray(eye[i]))
-                         for i in range(i0, min(i0 + rows_chunk, n))]
+                         for i in range(i0, min(i0 + step, row1))]
                 rows.append(jnp.stack(block))
             H = jnp.concatenate(rows, axis=0)
     return H, main_params_index(pdict)
 
 
 def compute_hessian(prob, pdict=None, rows_chunk=None, keys=None,
-                    batches="all"):
+                    batches="all", Nstart=None, Nrows=None,
+                    rm_offdiag=False, out_ftype=None, grad_real=True,
+                    cast2real=False, vectorize=True):
     """Dense Hessian of the (negative log) posterior w.r.t. the raveled
     ParamDict (reference optim.py:2008-2181).
 
@@ -88,10 +94,20 @@ def compute_hessian(prob, pdict=None, rows_chunk=None, keys=None,
 
     rows_chunk bounds memory: forward-over-reverse is evaluated for
     `rows_chunk` tangent directions per pass. keys restricts to a subset
-    of parameters (block of the full Hessian).
+    of parameters (block of the full Hessian). Nstart/Nrows compute only
+    a contiguous row block (the reference's multi-process row split);
+    rm_offdiag keeps only the diagonal; out_ftype casts the result.
+    grad_real/cast2real/vectorize are reference-API compat: complex
+    trainables here are stored as real pairs (viewreal), so the Hessian
+    is always the real-plane one and jacfwd is already vectorized
+    (grad_real=False raises — there is no imaginary-gradient plane).
 
-    Returns (H (n, n), index dict key->slice).
+    Returns (H (n, n) or (Nrows, n), index dict key->slice).
     """
+    if not grad_real:
+        raise NotImplementedError(
+            "complex trainables are stored as real pairs (viewreal); "
+            "the imaginary-gradient Hessian plane does not exist here")
     probs = list(prob) if isinstance(prob, (list, tuple)) else [prob]
     # a ShardedLogProb wraps the real LogProb (which holds the sharded
     # model); unwrap so prob.forward exists
@@ -101,8 +117,13 @@ def compute_hessian(prob, pdict=None, rows_chunk=None, keys=None,
     for p in probs:
         nb = getattr(p, "Nbatch", 1) if batches == "all" else 1
         for i in range(nb):
-            Hb, index = _hessian_one(p, i, pdict, rows_chunk, keys)
+            Hb, index = _hessian_one(p, i, pdict, rows_chunk, keys,
+                                     row0=Nstart or 0, nrows=Nrows)
             H = Hb if H is None else H + Hb
+    if rm_offdiag and H.shape[0] == H.shape[1]:
+        H = jnp.diag(jnp.diagonal(H))
+    if out_ftype is not None:
+        H = H.astype(out_ftype)
     return H, index
 
 
@@ -136,29 +157,67 @@ def main_params_kron_inv_hess(hess, index, key, shape, method="chol",
     return jnp.kron(jnp.eye(shape[0], dtype=L.dtype), L).T
 
 
-def invert_hessian(H, inv="pinv", rcond=1e-15, eps=None, hermitian=True,
-                   rm_offdiag=False):
-    """Invert a Hessian into a covariance (reference optim.py:2182-2281)."""
+def invert_hessian(H, inv="pinv", diag=False, idx=None, rm_thresh=None,
+                   rm_fill=1e-15, rm_offdiag=False, rcond=1e-15, eps=None,
+                   hermitian=True):
+    """Invert a Hessian into a covariance (reference optim.py:2182-2281).
+
+    diag treats H as the diagonal (any shape); idx inverts only the
+    selected rows/cols; rm_thresh truncates rows whose diagonal falls
+    below it; truncated/unselected diagonals are filled with rm_fill.
+    ParamDicts invert per-key."""
+    from ..utils import ParamDict
+    if isinstance(H, (dict, ParamDict)):
+        return ParamDict({k: invert_hessian(
+            H[k], inv=inv, diag=diag, idx=idx, rm_thresh=rm_thresh,
+            rm_fill=rm_fill, rm_offdiag=rm_offdiag, rcond=rcond, eps=eps,
+            hermitian=hermitian) for k in H})
+    thresh = rm_thresh if rm_thresh is not None else -jnp.inf
+    if diag:
+        s = H > thresh
+        return jnp.where(s, 1.0 / jnp.where(s, H, 1.0), rm_fill)
     if rm_offdiag:
         H = jnp.diag(jnp.diagonal(H))
+    n = H.shape[0]
+    if idx is None:
+        sel = np.arange(n)
+    elif isinstance(idx, slice):
+        sel = np.arange(n)[idx]
+    else:
+        sel = np.atleast_1d(np.asarray(idx)).astype(int)
+    if rm_thresh is not None:
+        good = np.where(np.asarray(jnp.diagonal(H)) > rm_thresh)[0]
+        sel = np.asarray([i for i in sel if i in set(good.tolist())],
+                         dtype=int)
+    sub = H[np.ix_(sel, sel)]
     if eps:
-        H = H + jnp.eye(H.shape[0], dtype=H.dtype) * eps
-    return invert_matrix(H, method=inv, rcond=rcond, hermitian=hermitian)
+        sub = sub + jnp.eye(sub.shape[0], dtype=sub.dtype) * eps
+    C = invert_matrix(sub, method=inv, rcond=rcond, hermitian=hermitian)
+    if len(sel) == n:
+        return C
+    out = jnp.eye(n, dtype=H.dtype) * rm_fill
+    return out.at[np.ix_(sel, sel)].set(C)
 
 
-def mask_hessian(H, mask):
-    """Select the sub-Hessian of unmasked parameters
-    (reference optim.py:2282)."""
-    idx = np.where(np.asarray(mask).ravel())[0]
-    return H[np.ix_(idx, idx)], idx
+def mask_hessian(H, thresh=1e0):
+    """Truncate rows/cols whose diagonal is below thresh (reference
+    optim.py:2282): returns (masked H, boolean mask)."""
+    mask = np.asarray(jnp.diagonal(H)) >= thresh
+    idx = np.where(mask)[0]
+    return H[np.ix_(idx, idx)], mask
 
 
-def unmask_hessian(Hsub, mask, fill=0.0):
-    """Scatter a sub-Hessian back to full size (reference optim.py:2308)."""
+def unmask_hessian(Hsub, mask, val=1e0, maskleft=False):
+    """Scatter a masked Hessian back to full size with `val` on the
+    masked diagonal (reference optim.py:2308). maskleft unmasks only
+    the row axis (val unused)."""
     mask = np.asarray(mask).ravel()
     n = mask.size
     idx = np.where(mask)[0]
-    H = jnp.full((n, n), fill, dtype=Hsub.dtype)
+    if maskleft:
+        H = jnp.zeros((n,) + tuple(Hsub.shape[1:]), dtype=Hsub.dtype)
+        return H.at[idx].set(Hsub)
+    H = jnp.eye(n, dtype=Hsub.dtype) * val
     return H.at[np.ix_(idx, idx)].set(Hsub)
 
 

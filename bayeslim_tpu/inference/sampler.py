@@ -254,6 +254,7 @@ class SamplerBase:
         self._acceptances = []
         self._divergences = []
         self.Usteps = []
+        self.Uchain = []  # per-sample potential energies (reference :30)
 
     @property
     def Nsamples(self):
@@ -266,22 +267,33 @@ class SamplerBase:
             return 0.0
         return float(np.mean(self._acceptances))
 
-    def append_chain(self, x):
+    def append_chain(self, x, U=None):
+        """Append a position (and optional potential energy U) to the
+        chain (reference :44-57)."""
         for k in self.chain:
             self.chain[k].append(np.asarray(x[k]))
+        self.Uchain.append(U)
 
-    def clear_chain(self):
-        """Drop all chain history (reference sampler.py
-        SamplerBase.clear_chain); the current state x is kept."""
-        self.chain = {k: [] for k in self.chain}
-        self._acceptances = []
-        self._divergences = []
-        self.Usteps = []
+    def clear_chain(self, N=None):
+        """Drop the oldest N chain entries — all of them by default
+        (reference :163-178); the current state x is kept."""
+        if N is None:
+            self.chain = {k: [] for k in self.chain}
+            self._acceptances = []
+            self._divergences = []
+            self.Usteps = []
+            self.Uchain = []
+            return
+        for k in self.chain:
+            self.chain[k] = self.chain[k][N:]
+        self.Uchain = self.Uchain[N:]
+        self._divergences = [(d[0] - N, d[1]) for d in self._divergences]
 
     def step(self):
         raise NotImplementedError
 
-    def sample(self, Nsample, Ncheck=None, outfile=None, verbose=False):
+    def sample(self, Nsample, Ncheck=None, outfile=None, verbose=False,
+               description=""):
         """Run the sampler, checkpointing every Ncheck samples
         (reference :59-142)."""
         for i in range(Nsample):
@@ -290,14 +302,23 @@ class SamplerBase:
                 print(f"sample {i+1}/{Nsample} "
                       f"accept={self.acceptance_rate:.2f}")
             if Ncheck and outfile and (i + 1) % Ncheck == 0:
-                self.write_chain(outfile, overwrite=True)
+                self.write_chain(outfile, overwrite=True,
+                                 description=description)
         if outfile:
-            self.write_chain(outfile, overwrite=True)
+            self.write_chain(outfile, overwrite=True,
+                             description=description)
 
-    def get_chain(self, burn=0):
-        return {k: np.stack(v[burn:]) for k, v in self.chain.items()}
+    def get_chain(self, keys=None, burn=0):
+        """Stacked chain history (reference :88-94): all params, one
+        (str) or several (list) by name; burn drops early samples."""
+        if keys is None:
+            keys = list(self.chain.keys())
+        elif isinstance(keys, str):
+            keys = [keys]
+        return {k: np.stack(self.chain[k][burn:]) for k in keys}
 
-    def write_chain(self, fname, overwrite=False, attrs=None):
+    def write_chain(self, fname, overwrite=False, attrs=None,
+                    description=""):
         """Checkpoint the chain to .npz (reference :82-142)."""
         if os.path.exists(fname) and not overwrite:
             raise FileExistsError(fname)
@@ -305,6 +326,11 @@ class SamplerBase:
                    for k, v in self.chain.items()}
         payload["acceptances"] = np.asarray(self._acceptances)
         payload["divergences"] = np.asarray(self._divergences, dtype=float)
+        if any(u is not None for u in self.Uchain):
+            payload["Uchain"] = np.asarray(
+                [np.nan if u is None else float(u) for u in self.Uchain])
+        if description:
+            payload["description"] = description
         for k, v in (attrs or {}).items():
             payload[f"attr__{k}"] = v
         np.savez(fname, **payload)
@@ -690,7 +716,7 @@ class HMC(SamplerBase):
         if accepted:
             self.x = q_new
             self._U, self._grad = U_new, grad_new
-        self.append_chain(self.x)
+        self.append_chain(self.x, U=float(self._U))
         self._acceptances.append(accept_prob)
         self.Usteps.append(float(self._U))
         if self.stepsize is not None:
@@ -710,7 +736,7 @@ class HMC(SamplerBase):
         Returns the covariance: ParamDict of per-element variances when
         diag_mass, else a dict of dense covariance matrices."""
         from . import hmat as _hmat
-        ch = self.get_chain(burn)
+        ch = self.get_chain(burn=burn)
         eps = eps if eps is not None else {k: 0.0 for k in ch}
         variances, chols, covs = {}, {}, {}
         for k, v in ch.items():

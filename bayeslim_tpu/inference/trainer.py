@@ -64,15 +64,32 @@ class Trainer:
             self.opt_state = self.opt.init(self.pdict)
         self._step = self._build_step()
 
-    def init_chain(self):
-        """(Re)initialize chain tracking (reference optim.py
-        Trainer.init_chain): clears any tracked history."""
+    def init_chain(self, track_params=None):
+        """(Re)initialize chain tracking (reference optim.py:1663):
+        clears any tracked history; track_params restricts tracking to
+        a subset of the main-param keys."""
         self.track = True
-        self.chain = {k: [] for k in self.pdict}
+        keys = list(self.pdict) if track_params is None \
+            else [k for k in track_params]
+        self.chain = {k: [] for k in keys}
 
-    def train(self, Nepochs=1):
-        """Run Nepochs of optimization (reference optim.py:1714-1790)."""
+    def get_chain(self, name=None, idx=None):
+        """Tracked chain history (reference optim.py:1761-1794): one
+        param by name or all as a dict; idx picks a single epoch."""
+        assert self.track
+        if name is not None:
+            c = self.chain[name]
+            return np.stack(c) if idx is None else c[idx]
+        if idx is None:
+            return {k: np.stack(c) for k, c in self.chain.items()}
+        return {k: c[idx] for k, c in self.chain.items()}
+
+    def train(self, Nepochs=1, Nreport=None):
+        """Run Nepochs of optimization (reference optim.py:1714-1790).
+        Nreport overrides the constructor's reporting cadence."""
         from ..utils.logging import trace_profile, log_event
+        if Nreport is None:
+            Nreport = self.Nreport
         start = time.time()
         with trace_profile(self.profile_dir,
                            enabled=self.profile_dir is not None):
@@ -88,12 +105,12 @@ class Trainer:
                     self.metrics.log("epoch_time",
                                      self.time_history[-1], step=epoch)
                 if self.track:
-                    for k in self.pdict:
+                    for k in self.chain:
                         v = np.asarray(self.pdict[k])
                         self.chain[k].append(
                             np.linalg.norm(v) if self.track_norm
                             else v.copy())
-                if self.Nreport and (epoch % self.Nreport == 0):
+                if Nreport and (epoch % Nreport == 0):
                     if self.logger is not None:
                         log_event("train_epoch", logger=self.logger,
                                   epoch=epoch, loss=float(loss),
@@ -105,14 +122,14 @@ class Trainer:
         self.prob.update(self.pdict)
         return self.loss_history
 
-    def revert_chain(self, N):
-        """Roll parameters back N epochs from the tracked chain
+    def revert_chain(self, Nepochs):
+        """Roll parameters back Nepochs from the tracked chain
         (reference optim.py:1796-1825)."""
         assert self.track and not self.track_norm, "need full chain tracking"
-        assert N >= 1
+        assert Nepochs >= 1
         import jax.numpy as jnp
-        idx = -N
-        for k in self.pdict:
+        idx = -Nepochs
+        for k in self.chain:
             self.pdict[k] = jnp.asarray(self.chain[k][idx])
             self.chain[k] = self.chain[k][:idx]
         self.loss_history = self.loss_history[:idx]

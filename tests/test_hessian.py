@@ -26,15 +26,50 @@ def test_hessian_matches_icov():
 
 
 def test_mask_unmask():
+    """Reference contract (optim.py:2282,2308): mask by diagonal
+    threshold, unmask with val on the masked diagonal."""
     rng = np.random.default_rng(0)
-    H = jnp.asarray(rng.normal(size=(6, 6)))
-    mask = np.asarray([1, 0, 1, 1, 0, 1], bool)
-    Hs, idx = mask_hessian(H, mask)
+    H = jnp.asarray(rng.normal(size=(6, 6)) + np.diag([5., 0, 5, 5, 0, 5]))
+    Hs, mask = mask_hessian(H, thresh=1.0)
     assert Hs.shape == (4, 4)
-    Hf = unmask_hessian(Hs, mask)
+    assert list(mask) == [True, False, True, True, False, True]
+    idx = np.where(mask)[0]
+    Hf = unmask_hessian(Hs, mask, val=2.0)
     assert Hf.shape == (6, 6)
     assert np.allclose(np.asarray(Hf)[np.ix_(idx, idx)], np.asarray(Hs))
-    assert np.asarray(Hf)[1, 1] == 0
+    assert np.asarray(Hf)[1, 1] == 2.0
+    # maskleft: only rows are unmasked
+    Hl = unmask_hessian(Hs, mask, maskleft=True)
+    assert Hl.shape == (6, 4)
+    assert np.allclose(np.asarray(Hl)[idx], np.asarray(Hs))
+
+
+def test_invert_hessian_options():
+    """invert_hessian diag/idx/rm_thresh/rm_fill surface
+    (reference optim.py:2182-2281)."""
+    from bayeslim_tpu.utils import ParamDict
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(5, 5))
+    H = jnp.asarray(A @ A.T + 5 * np.eye(5))
+    # diag mode: elementwise reciprocal with threshold fill
+    d = jnp.asarray([2.0, 0.5, 4.0])
+    C = invert_hessian(d, diag=True, rm_thresh=1.0, rm_fill=9.0)
+    assert np.allclose(np.asarray(C), [0.5, 9.0, 0.25])
+    # idx selection: inverted block + rm_fill elsewhere
+    C = invert_hessian(H, idx=[0, 2, 4], rm_fill=7.0)
+    sub = np.linalg.inv(np.asarray(H)[np.ix_([0, 2, 4], [0, 2, 4])])
+    assert np.allclose(np.asarray(C)[np.ix_([0, 2, 4], [0, 2, 4])], sub,
+                       atol=1e-6)
+    assert np.asarray(C)[1, 1] == 7.0 and np.asarray(C)[1, 0] == 0.0
+    # rm_thresh drops weak rows
+    H2 = jnp.asarray(np.diag([3.0, 1e-8, 2.0]))
+    C2 = invert_hessian(H2, rm_thresh=1e-3, rm_fill=0.0)
+    assert np.allclose(np.diag(np.asarray(C2)), [1 / 3, 0.0, 0.5])
+    # ParamDict recursion
+    pd = ParamDict({"a": H})
+    Cpd = invert_hessian(pd)
+    assert np.allclose(np.asarray(Cpd["a"]),
+                       np.linalg.inv(np.asarray(H)), atol=1e-6)
 
 
 def test_factored_inv_hessian():
@@ -151,3 +186,19 @@ def test_main_params_kron_inv_hess():
     assert np.allclose(np.asarray(K), want, rtol=1e-8)
     K2 = main_params_kron_inv_hess(H, index, "p", shape, method="svd")
     assert K2.shape == want.shape
+
+
+def test_compute_hessian_row_block():
+    """Nstart/Nrows compute a contiguous row block; rm_offdiag and
+    out_ftype post-process (reference optim.py:2008-2060)."""
+    prob, mean, cov = setup_NormalProb(N=8)
+    H, _ = compute_hessian(prob)
+    Hb, _ = compute_hessian(prob, Nstart=2, Nrows=3)
+    assert Hb.shape == (3, 8)
+    assert np.allclose(np.asarray(Hb), np.asarray(H)[2:5], atol=1e-10)
+    Hd, _ = compute_hessian(prob, rm_offdiag=True, out_ftype=np.float32)
+    assert Hd.dtype == np.float32
+    assert np.allclose(np.asarray(Hd), np.diag(np.diag(np.asarray(H))),
+                       atol=1e-4)
+    with pytest.raises(NotImplementedError):
+        compute_hessian(prob, grad_real=False)

@@ -686,3 +686,48 @@ def test_estimate_cov_sets_mass():
     for _ in range(5):
         hmc.step()
     assert hmc.Nsamples == 65
+
+
+@pytest.mark.fast
+def test_chain_management_surface(tmp_path):
+    """SamplerBase chain surface (reference sampler.py:44-178):
+    append_chain(U), get_chain(keys), clear_chain(N),
+    write_chain(description); Trainer init_chain(track_params)/
+    get_chain(name, idx)/train(Nreport)."""
+    from bayeslim_tpu.inference.sampler import SamplerBase
+    from bayeslim_tpu.utils import ParamDict
+    s = SamplerBase(ParamDict({"a": jnp.zeros(2), "b": jnp.ones(3)}))
+    for i in range(5):
+        s.append_chain(ParamDict({"a": jnp.full(2, float(i)),
+                                  "b": jnp.ones(3)}), U=float(i))
+    assert s.Uchain == [0.0, 1.0, 2.0, 3.0, 4.0]
+    ch = s.get_chain("a")
+    assert set(ch) == {"a"} and ch["a"].shape == (5, 2)
+    ch2 = s.get_chain(["a", "b"], burn=2)
+    assert ch2["a"].shape == (3, 2)
+    f = str(tmp_path / "chain.npz")
+    s.write_chain(f, description="run notes")
+    with np.load(f, allow_pickle=True) as d:
+        assert str(d["description"]) == "run notes"
+        assert np.allclose(d["Uchain"], np.arange(5.0))
+    s.clear_chain(N=2)  # oldest two dropped
+    assert s.Nsamples == 3 and np.allclose(s.chain["a"][0], 2.0)
+    s.clear_chain()
+    assert s.Nsamples == 0 and s.Uchain == []
+
+
+@pytest.mark.fast
+def test_trainer_chain_kwargs():
+    from bayeslim_tpu.inference import Trainer
+    from tests.test_inference import setup_NormalProb
+    prob, mean, cov = setup_NormalProb(N=4)
+    tr = Trainer(prob, track=True, verbose=False)
+    tr.init_chain(track_params=list(tr.pdict)[:1])
+    tr.train(Nepochs=3, Nreport=None)
+    name = list(tr.chain)[0]
+    full = tr.get_chain()
+    assert set(full) == {name} and full[name].shape[0] == 3
+    one = tr.get_chain(name=name, idx=1)
+    assert np.allclose(one, full[name][1])
+    tr.revert_chain(2)
+    assert len(tr.chain[name]) == 1
