@@ -76,11 +76,25 @@ def diag_inv(a):
     raise ValueError("only 1x1 or 2x2 tensors")
 
 
-def cholesky_inverse(L):
-    """Inverse of A given its lower Cholesky factor L (linalg.py:365)."""
+def cholesky_inverse(A, check_errors=True):
+    """Inverse of a positive-definite A via its Cholesky factorization
+    (reference linalg.py:365-402): returns (Ainv, L). 1-D input inverts
+    elementwise with L = sqrt(A). check_errors validates positive
+    definiteness (the factor is finite; jax.linalg.cholesky returns NaN
+    rather than raising). NOTE: the reference combines Linv with a
+    plain transpose (Linv.T @ Linv), wrong for complex inputs — here
+    the conjugate transpose recovers the true inverse (pinned in
+    tests/test_reference_parity.py)."""
+    A = jnp.asarray(A)
+    if A.ndim == 1:
+        return 1.0 / A, jnp.sqrt(A)
+    L = jnp.linalg.cholesky(A)
+    if check_errors and not isinstance(L, jax.core.Tracer) \
+            and not bool(jnp.all(jnp.isfinite(L))):
+        raise np.linalg.LinAlgError("matrix is not positive definite")
     eye = jnp.eye(L.shape[-1], dtype=L.dtype)
     Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    return Linv.conj().T @ Linv
+    return Linv.conj().T @ Linv, L
 
 
 def invert_matrix(A, method="pinv", rcond=1e-15, eps=0.0, hermitian=False,
@@ -107,8 +121,7 @@ def invert_matrix(A, method="pinv", rcond=1e-15, eps=0.0, hermitian=False,
     if method == "pinv":
         return jnp.linalg.pinv(A, rcond=rcond, hermitian=hermitian)
     if method == "chol":
-        L = jnp.linalg.cholesky(A)
-        return cholesky_inverse(L)
+        return cholesky_inverse(A, check_errors=False)[0]
     if method == "lstsq":
         eye = jnp.eye(A.shape[-1], dtype=A.dtype)
         return jnp.linalg.lstsq(A, eye, rcond=rcond)[0]
@@ -124,7 +137,9 @@ def _moveaxis_for_dim(y, dim):
 
 
 def least_squares(A, y, dim=-1, Ninv=None, D=None, pinv=True, rcond=1e-15,
-                  eps=0.0, hermitian=True, return_D=True):
+                  eps=0.0, hermitian=True, return_D=True, mode="matrix",
+                  norm="inv", preconj=False, pretran=False, Ndiag=None,
+                  driver=None):
     """Generalized weighted least squares: x = D A^H Ninv y.
 
     Reference parity: bayeslim/linalg.py:481-820. Solves y = A x along
@@ -140,47 +155,100 @@ def least_squares(A, y, dim=-1, Ninv=None, D=None, pinv=True, rcond=1e-15,
     D : optional precomputed normalization (A^H Ninv A)^(-1)
     pinv : use pseudo-inverse for D (else direct inverse)
     hermitian : passed to pinv
+    mode : 'matrix' (normal equations, good for small Nfeatures) or
+        'lstsq' (QR-based jnp.linalg.lstsq, good for large Nfeatures)
+    norm : None (D = identity, unnormalized A^H Ninv y), 'inv'/'pinv'/
+        'chol' (invert A^H Ninv A), or 'diag' (invert its diagonal only)
+    preconj/pretran : A arrives already conjugated / transposed
+        (reference's large-GPU-transfer conveniences)
+    Ndiag : force the diagonal (True) or matrix (False) interpretation
+        of Ninv; default infers from its shape
+    driver : accepted for API compat (jnp.linalg.lstsq has one driver)
 
     Returns
     -------
     x : solution with x.shape[dim] == Nfeatures
-    D : the normalization matrix (if return_D)
+    D : the normalization matrix (if return_D; None for norm=None/lstsq)
     """
     A = jnp.asarray(A)
     y = jnp.asarray(y)
+    if pretran:
+        A = A.T
+    if preconj:
+        A = A.conj()
     if jnp.iscomplexobj(A) and not jnp.iscomplexobj(y):
         y = y.astype(A.dtype)
 
     y2, undo = _moveaxis_for_dim(y, dim)  # (..., Nsamples)
+    if Ndiag is None:
+        Ndiag = Ninv is None or Ninv.ndim == 1 or Ninv.shape == y.shape
 
+    if mode == "lstsq":
+        Aw, yw = A, y2
+        if Ninv is not None:
+            if Ndiag:
+                w = jnp.sqrt(Ninv if Ninv.ndim == 1
+                             else _moveaxis_for_dim(Ninv, dim)[0])
+                Aw = A * (w[:, None] if w.ndim == 1 else 1.0)
+                yw = y2 * w
+            else:
+                L = jnp.linalg.cholesky(Ninv)
+                Aw = L.conj().T @ A
+                yw = jnp.einsum("sk,...k->...s", L.conj().T, y2)
+        x = jnp.linalg.lstsq(Aw, yw.reshape(-1, yw.shape[-1]).T,
+                             rcond=rcond)[0].T
+        x = x.reshape(y2.shape[:-1] + (A.shape[-1],))
+        x = undo(x)
+        return (x, None) if return_D else x
+
+    assert mode == "matrix"
     if Ninv is None:
         AhN = A.conj().T                        # (Nfeat, Nsamp)
         AhNA = A.conj().T @ A                   # (Nfeat, Nfeat)
-    elif Ninv.ndim == 1 or (Ninv.shape == y.shape):
-        if Ninv.shape == y.shape:
-            w, _ = _moveaxis_for_dim(Ninv, dim)
+    elif Ndiag:
+        if Ninv.ndim == 1:
+            AhN = A.conj().T * Ninv                 # (Nfeat, Nsamp)
         else:
-            w = Ninv
-        AhN = A.conj().T[..., None, :, :] * w[..., None, :]  # broadcast diag
+            w, _ = _moveaxis_for_dim(Ninv, dim)
+            AhN = A.conj().T[..., None, :, :] * w[..., None, :]
         AhNA = jnp.einsum("...fs,sg->...fg", AhN, A)
         x = jnp.einsum("...fs,...s->...f", AhN, y2)
+        if norm is None:
+            return (undo(x), None) if return_D else undo(x)
         if D is None:
-            D = invert_matrix(AhNA, "pinv" if pinv else "inv",
-                              rcond=rcond, eps=eps, hermitian=hermitian)
-        x = jnp.einsum("...fg,...g->...f", D, x)
+            D = _lsq_norm(AhNA, norm, pinv, rcond, eps, hermitian)
+        x = _apply_D(D, x, norm)
         x = undo(x)
         return (x, D) if return_D else x
     else:
         AhN = A.conj().T @ Ninv
         AhNA = AhN @ A
 
+    x = jnp.einsum("fs,...s->...f", AhN, y2)
+    if norm is None:
+        return (undo(x), None) if return_D else undo(x)
     if D is None:
-        D = invert_matrix(AhNA, "pinv" if pinv else "inv",
-                          rcond=rcond, eps=eps, hermitian=hermitian)
-
-    x = jnp.einsum("fg,gs,...s->...f", D, AhN, y2)
+        D = _lsq_norm(AhNA, norm, pinv, rcond, eps, hermitian)
+    x = _apply_D(D, x, norm)
     x = undo(x)
     return (x, D) if return_D else x
+
+
+def _lsq_norm(AhNA, norm, pinv, rcond, eps, hermitian):
+    """Normalization matrix for least_squares given `norm`."""
+    if norm == "diag":
+        d = jnp.diagonal(AhNA, axis1=-2, axis2=-1)
+        return 1.0 / (d + eps if eps else d)
+    method = norm if norm in ("pinv", "chol") else \
+        ("pinv" if pinv else "inv")
+    return invert_matrix(AhNA, method, rcond=rcond, eps=eps,
+                         hermitian=hermitian)
+
+
+def _apply_D(D, x, norm):
+    if norm == "diag":
+        return D * x
+    return jnp.einsum("...fg,...g->...f", D, x)
 
 
 def apply_phasor(z, phi):

@@ -3723,3 +3723,71 @@ def test_visdata_get_bls_cuts():
     # component cuts (ours): (0,2) is pure NS, (0,1) pure EW
     assert vd.get_bls(max_EW=1.0, keep_autos=False) == [(0, 2)]
     assert vd.get_bls(max_NS=1.0, keep_autos=False) == [(0, 1)]
+
+
+def test_least_squares_modes_parity():
+    """least_squares mode='lstsq', norm=None/'diag', preconj/pretran,
+    matrix-Ninv (Ndiag=False) vs the reference (linalg.py:481-820)."""
+    from bayeslim_tpu.ops.linalg import least_squares as lsq
+    rng = np.random.default_rng(40)
+    A = rng.normal(size=(16, 4))
+    y = rng.normal(size=(3, 16))
+
+    # lstsq mode
+    x_ref, _ = ba.linalg.least_squares(torch.tensor(A), torch.tensor(y),
+                                       dim=-1, mode="lstsq")
+    x, D = lsq(jnp.asarray(A), jnp.asarray(y), dim=-1, mode="lstsq")
+    assert D is None
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
+
+    # norm=None: unnormalized A^H y
+    x_ref, _ = ba.linalg.least_squares(torch.tensor(A), torch.tensor(y),
+                                       dim=-1, norm=None)
+    x, _ = lsq(jnp.asarray(A), jnp.asarray(y), dim=-1, norm=None)
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+
+    # norm='diag'
+    Ninv = rng.uniform(0.5, 2.0, 16)
+    x_ref, D_ref = ba.linalg.least_squares(
+        torch.tensor(A), torch.tensor(y), dim=-1, norm="diag",
+        Ninv=torch.tensor(Ninv))
+    x, D = lsq(jnp.asarray(A), jnp.asarray(y), dim=-1, norm="diag",
+               Ninv=jnp.asarray(Ninv))
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+
+    # pretran/preconj round trip equals the plain call
+    x0, _ = lsq(jnp.asarray(A), jnp.asarray(y), dim=-1)
+    x1, _ = lsq(jnp.asarray(A.T), jnp.asarray(y), dim=-1, pretran=True)
+    x2, _ = lsq(jnp.asarray(A.conj()), jnp.asarray(y), dim=-1,
+                preconj=True)
+    assert np.allclose(np.asarray(x1), np.asarray(x0), atol=1e-12)
+    assert np.allclose(np.asarray(x2), np.asarray(x0), atol=1e-12)
+
+    # full matrix Ninv (Ndiag=False)
+    W = rng.normal(size=(16, 16))
+    Nmat = W @ W.T + 16 * np.eye(16)
+    x_ref, _ = ba.linalg.least_squares(torch.tensor(A), torch.tensor(y),
+                                       dim=-1, Ninv=torch.tensor(Nmat),
+                                       Ndiag=False)
+    x, _ = lsq(jnp.asarray(A), jnp.asarray(y), dim=-1,
+               Ninv=jnp.asarray(Nmat), Ndiag=False)
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
+
+
+def test_cholesky_inverse_parity():
+    """cholesky_inverse(A) -> (Ainv, L) reference contract
+    (linalg.py:365-402), incl. the 1-D branch."""
+    from bayeslim_tpu.ops.linalg import cholesky_inverse
+    rng = np.random.default_rng(41)
+    W = rng.normal(size=(5, 5))
+    A = W @ W.T + 5 * np.eye(5)
+    Ainv_ref, L_ref = ba.linalg.cholesky_inverse(torch.tensor(A))
+    Ainv, L = cholesky_inverse(jnp.asarray(A))
+    assert np.allclose(np.asarray(Ainv), np.asarray(Ainv_ref), atol=1e-9)
+    assert np.allclose(np.asarray(L), np.asarray(L_ref), atol=1e-10)
+    d = jnp.asarray([4.0, 9.0])
+    Ainv1, L1 = cholesky_inverse(d)
+    assert np.allclose(np.asarray(Ainv1), [0.25, 1 / 9])
+    assert np.allclose(np.asarray(L1), [2.0, 3.0])
+    with pytest.raises(np.linalg.LinAlgError):
+        cholesky_inverse(jnp.asarray(-np.eye(3)))
