@@ -25,10 +25,65 @@ __all__ = [
 ]
 
 
+def _wrap_ref_kwargs(name, f):
+    """Give an operator method the reference's (transpose=, out=)
+    surface (reference hmat.py passes them through every class).
+
+    transpose applies the CONJUGATE transpose (the reference's
+    `self.H.T.conj()`); out, a torch preallocated-accumulator
+    (`out[:] += result`), is functional here: the result is ADDED to
+    out and returned (jax arrays are immutable, no aliasing). Methods
+    that already take a transpose parameter keep their own handling."""
+    import functools
+    import inspect
+
+    if "transpose" in inspect.signature(f).parameters:
+        @functools.wraps(f)
+        def method(self, *args, out=None, **kwargs):
+            res = f(self, *args, **kwargs)
+            if out is not None:
+                res = out + res
+            return res
+
+        method._ref_kwargs = True
+        return method
+
+    @functools.wraps(f)
+    def method(self, *args, transpose=False, out=None, **kwargs):
+        if transpose:
+            if name == "to_dense":
+                res = f(self, *args, **kwargs).conj().T
+            elif name == "mat_vec_mul":
+                res = self.h_mat_vec_mul(args[0])
+            else:  # mat_mat_mul
+                res = jax.vmap(self.h_mat_vec_mul, in_axes=1,
+                               out_axes=1)(args[0])
+        else:
+            res = f(self, *args, **kwargs)
+        if out is not None:
+            res = out + res
+        return res
+
+    method._ref_kwargs = True
+    return method
+
+
 class BaseMat:
     """Operator interface (reference hmat.py:13-68)."""
 
     shape = None
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        for name in ("mat_vec_mul", "mat_mat_mul", "to_dense"):
+            f = cls.__dict__.get(name)
+            if f is not None and not getattr(f, "_ref_kwargs", False):
+                setattr(cls, name, _wrap_ref_kwargs(name, f))
+
+    def h_mat_vec_mul(self, v):
+        """A^H v (conjugate transpose; the reference's transpose=True)."""
+        t = self.t_mat_vec_mul(jnp.conj(v))
+        return jnp.conj(t)
 
     def mat_vec_mul(self, v):
         raise NotImplementedError
@@ -93,6 +148,13 @@ class BaseMat:
         return self(v)
 
 
+# BaseMat's own defaults get the reference kwargs too (subclasses are
+# wrapped by __init_subclass__; inherited methods resolve to these)
+for _n in ("mat_vec_mul", "mat_mat_mul", "to_dense"):
+    setattr(BaseMat, _n, _wrap_ref_kwargs(_n, BaseMat.__dict__[_n]))
+del _n
+
+
 class DenseMat(BaseMat):
     """Dense matrix operator (reference :71)."""
 
@@ -153,14 +215,19 @@ class HadamardMat(BaseMat):
         self.H = jnp.asarray(H)
         self.shape = self.H.shape
 
-    def mat_vec_mul(self, v):
-        return self.H * v  # elementwise on matching shape
+    def mat_vec_mul(self, v, transpose=False):
+        return self.mat_mat_mul(v, transpose=transpose)
 
-    def mat_mat_mul(self, M):
-        return self.H * M
+    def mat_mat_mul(self, M, transpose=False, square=False):
+        """Hadamard product; transpose applies H^H, square multiplies
+        by H**2 (reference hmat.py:378)."""
+        H = self.H.conj().T if transpose else self.H
+        if square:
+            H = H ** 2
+        return H * M
 
-    def to_dense(self):
-        return self.H
+    def to_dense(self, transpose=False):
+        return self.H.conj().T if transpose else self.H
 
     def scalar_mul(self, a):
         return HadamardMat(self.H * a)
@@ -465,6 +532,20 @@ class HierMat(BaseMat):
             out = out * self.scalar
         return out
 
+    def diagonal(self, return_tensor=True):
+        """Diagonal of the block hierarchy (reference hmat.py:2002):
+        concatenated vector, or the per-block list with
+        return_tensor=False."""
+        diag = []
+        for blk in (self.A00, self.A11):
+            if isinstance(blk, HierMat):
+                diag.extend(blk.diagonal(return_tensor=False))
+            else:
+                diag.append(blk.diagonal())
+        if self.scalar is not None:
+            diag = [d * self.scalar for d in diag]
+        return jnp.concatenate(diag) if return_tensor else diag
+
     def scalar_mul(self, a):
         # accumulate into the existing scalar (reference hmat.py
         # scalar_mul semantics) and keep the sym flag
@@ -472,12 +553,21 @@ class HierMat(BaseMat):
         return HierMat(self.A00, self.A11, self.A01, self.A10,
                        sym=self.sym, scalar=sc)
 
-    def to_SolveHierMat(self):
+    def to_SolveHierMat(self, lower=True, trans_solve=True):
         """Hierarchically Cholesky-factor this (SPD) HODLR operator into
         its inverse action (reference hmat.py HierMat.to_SolveHierMat,
         :2180-2210). A scalar s on this operator becomes a 1/s on the
-        solve and +n log(s) on the logdet (reference :2155-2165)."""
-        return SolveHierMat(self)
+        solve and +n log(s) on the logdet (reference :2155-2165).
+
+        Contract note (documented divergence): the reference's input is
+        an already-Cholesky HierMat L and its default trans_solve=False
+        returns the L^{-1} action; here the input is the SPD operator A
+        itself (the factorization is internal), so trans_solve=True
+        (the default) returns A^{-1} v and trans_solve=False the
+        forward substitution chol(A)^{-1} v. Only lower=True is
+        supported."""
+        assert lower, "only lower-triangular factors are supported"
+        return SolveHierMat(self, trans_solve=trans_solve)
 
 
 class MatColumn(BaseMat):
@@ -597,7 +687,7 @@ class SolveHierMat(BaseMat):
     mirrors it; A10 is ignored.
     """
 
-    def __init__(self, hier):
+    def __init__(self, hier, trans_solve=True):
         self.shape = hier.shape
         # a positive scalar s on the HierMat factors as sqrt(s) on each
         # Cholesky action: (sA)^{-1} = A^{-1}/s, logdet(sA) = n log s +
@@ -606,6 +696,7 @@ class SolveHierMat(BaseMat):
         if self._scalar is not None:
             assert float(self._scalar) > 0, \
                 "SolveHierMat needs a positive scalar (SPD operator)"
+        self.trans_solve = trans_solve
         self._root = self._factor(hier, None, None)
 
     # ---------------------------------------------------------- factor
@@ -698,7 +789,11 @@ class SolveHierMat(BaseMat):
         return out
 
     def mat_vec_mul(self, v):
-        """A^{-1} v (the SolveMat convention, reference :1391/:2211)."""
+        """A^{-1} v (the SolveMat convention, reference :1391/:2211);
+        with trans_solve=False, only the forward substitution L^{-1} v
+        (see HierMat.to_SolveHierMat)."""
+        if not self.trans_solve:
+            return self.forward_sub(v)
         return self.back_sub(self.forward_sub(v))
 
     def t_mat_vec_mul(self, v):
@@ -719,22 +814,69 @@ class SolveHierMat(BaseMat):
         raise NotImplementedError("rescale the HierMat, then refactor")
 
 
-def make_hodlr(A, min_size=64, rank=8, depth=None):
+def make_hodlr(A, indices=None, min_size=64, rank=8, depth=None,
+               trisolve=False, lower=True, Nrank=None, rcond=None,
+               sparse_tol=None):
     """Compress a dense matrix into a HODLR HierMat via truncated SVD of
-    the off-diagonal blocks (reference make_hodlr :2355-2377)."""
+    the off-diagonal blocks. The reference's make_hodlr (hmat.py:2355-
+    2377) raises NotImplementedError; this is the working version with
+    its documented signature: indices lists leaf slices (block
+    boundaries; default halves recursively), Nrank caps the off-diagonal
+    rank (alias of rank), rcond drops singular values below
+    rcond * s_max, sparse_tol drops absolute singular values, and
+    trisolve returns the SolveHierMat of the (SPD) result."""
     A = jnp.asarray(A)
     n = A.shape[0]
-    if n <= min_size or (depth is not None and depth <= 0):
-        return DenseMat(A)
-    h = n // 2
-    A00 = make_hodlr(A[:h, :h], min_size, rank,
-                     None if depth is None else depth - 1)
-    A11 = make_hodlr(A[h:, h:], min_size, rank,
-                     None if depth is None else depth - 1)
+    if Nrank is not None:
+        rank = Nrank
 
-    def lowrank(B):
-        U, s, Vt = jnp.linalg.svd(B, full_matrices=False)
-        r = min(rank, len(s))
-        return SparseMat(U[:, :r] * s[:r], Vt[:r].T)
+    def starts(idx):
+        out = []
+        for s in idx:
+            out.append(s.start if isinstance(s, slice)
+                       else int(np.atleast_1d(np.asarray(s))[0]))
+        return out
 
-    return HierMat(A00, A11, lowrank(A[:h, h:]), lowrank(A[h:, :h]))
+    def build(A, idx, depth):
+        n = A.shape[0]
+        if (idx is not None and len(idx) <= 1) or \
+                (idx is None and n <= min_size) or \
+                (depth is not None and depth <= 0):
+            return DenseMat(A)
+        if idx is not None:
+            half = len(idx) // 2
+            base = starts(idx[:1])[0]
+            off = starts(idx[half:])[0]
+            h = off - base
+
+            def shift(blocks, o):
+                return [slice((s.start or 0) - o, s.stop - o)
+                        if isinstance(s, slice)
+                        else np.asarray(s) - o for s in blocks]
+
+            i1 = shift(idx[:half], base)
+            i2 = shift(idx[half:], off)
+        else:
+            h = n // 2
+            i1 = i2 = None
+        d1 = None if depth is None else depth - 1
+        A00 = build(A[:h, :h], i1, d1)
+        A11 = build(A[h:, h:], i2, d1)
+
+        def lowrank(B):
+            U, s, Vt = jnp.linalg.svd(B, full_matrices=False)
+            r = min(rank, len(s))
+            keep = np.asarray(s[:r])
+            if rcond is not None:
+                r = max(1, int(np.sum(keep > rcond * float(s[0]))))
+            if sparse_tol is not None:
+                r = max(1, int(np.sum(keep[:r] > sparse_tol)))
+            return SparseMat(U[:, :r] * s[:r], Vt[:r].T)
+
+        return HierMat(A00, A11, lowrank(A[:h, h:]), lowrank(A[h:, :h]))
+
+    H = build(A, list(indices) if indices is not None else None, depth)
+    if trisolve:
+        return H.to_SolveHierMat(lower=lower) \
+            if isinstance(H, HierMat) else SolveMat(H.to_dense())
+    return H

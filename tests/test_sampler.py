@@ -731,3 +731,60 @@ def test_trainer_chain_kwargs():
     assert np.allclose(one, full[name][1])
     tr.revert_chain(2)
     assert len(tr.chain[name]) == 1
+
+
+@pytest.mark.fast
+def test_hmat_reference_kwargs():
+    """Operator methods carry the reference's transpose=/out= kwargs
+    (reference hmat.py:94-135): transpose is the conjugate transpose;
+    out is accumulated functionally. HadamardMat adds square=;
+    HierMat.diagonal(return_tensor); make_hodlr reference signature."""
+    from bayeslim_tpu.inference.hmat import (DenseMat, HadamardMat,
+                                             HierMat, SparseMat,
+                                             make_hodlr)
+    rng = np.random.default_rng(50)
+    A = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    dm = DenseMat(jnp.asarray(A))
+    v = jnp.asarray(rng.normal(size=4) + 1j * rng.normal(size=4))
+    out0 = jnp.ones(4, complex)
+    assert np.allclose(np.asarray(dm.mat_vec_mul(v, transpose=True)),
+                       A.conj().T @ np.asarray(v), atol=1e-12)
+    assert np.allclose(np.asarray(dm.mat_vec_mul(v, out=out0)),
+                       1.0 + A @ np.asarray(v), atol=1e-12)
+    assert np.allclose(np.asarray(dm.to_dense(transpose=True)),
+                       A.conj().T)
+    M = jnp.asarray(rng.normal(size=(4, 3)))
+    assert np.allclose(np.asarray(dm.mat_mat_mul(M, transpose=True)),
+                       A.conj().T @ np.asarray(M), atol=1e-12)
+
+    hm = HadamardMat(jnp.asarray(A))
+    assert np.allclose(np.asarray(hm.mat_mat_mul(jnp.ones((4, 4)),
+                                                 square=True)),
+                       A ** 2, atol=1e-12)
+    assert np.allclose(np.asarray(hm.to_dense(transpose=True)),
+                       A.conj().T)
+
+    # HierMat diagonal as tensor and list
+    W = rng.normal(size=(8, 8))
+    S = jnp.asarray(W @ W.T + 8 * np.eye(8))
+    H = make_hodlr(S, min_size=4, rank=4)
+    d = H.diagonal()
+    assert np.allclose(np.asarray(d), np.diag(np.asarray(S)), atol=1e-8)
+    dl = H.diagonal(return_tensor=False)
+    assert isinstance(dl, list) and sum(len(x) for x in dl) == 8
+
+    # make_hodlr reference kwargs: indices + Nrank + trisolve
+    H2 = make_hodlr(S, indices=[slice(0, 2), slice(2, 4), slice(4, 6),
+                                slice(6, 8)], Nrank=4)
+    assert np.allclose(np.asarray(H2.to_dense()), np.asarray(S),
+                       atol=1e-6)
+    Sinv = make_hodlr(S, min_size=4, Nrank=4, trisolve=True)
+    x = Sinv.mat_vec_mul(jnp.ones(8))
+    assert np.allclose(np.asarray(x),
+                       np.linalg.solve(np.asarray(S), np.ones(8)),
+                       atol=1e-6)
+    # trans_solve=False applies only the forward substitution
+    L = np.linalg.cholesky(np.asarray(S))
+    fs = H.to_SolveHierMat(trans_solve=False).mat_vec_mul(jnp.ones(8))
+    assert np.allclose(np.asarray(fs),
+                       np.linalg.solve(L, np.ones(8)), atol=1e-6)
