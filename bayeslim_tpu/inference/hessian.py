@@ -29,15 +29,48 @@ __all__ = [
 ]
 
 
-def main_params_index(pdict):
+def main_params_index(pdict, param=None, sub_index=None, params=None):
     """Slice into the raveled vector for each ParamDict key
-    (reference optim.py:2358)."""
+    (reference optim.py:2358).
+
+    Reference form: pass a LogProb (with set_main_params active) as the
+    first argument plus `param` to get that parameter's flat indices in
+    the master vector; sub_index selects a further subset of the
+    parameter's (selected) entries; params restricts/reorders the keys
+    the layout iterates over."""
+    if hasattr(pdict, "collect_main_params"):  # a LogProb
+        prob = pdict
+        mp = prob.main_params
+        if mp is not None:
+            keys = params if params is not None else mp.keys
+            out, i = {}, 0
+            for k in keys:
+                out[k] = np.arange(i, i + mp.sizes[k])
+                i += mp.sizes[k]
+            if param is None:
+                return out
+            idx = out[param]
+            if sub_index is not None:
+                idx = idx.reshape(-1)[np.asarray(
+                    np.arange(mp.sizes[param]).reshape(
+                        mp.shapes[param] if mp.idx[param] is None
+                        else (-1,))[sub_index]).ravel()]
+            return idx
+        pdict = prob.collect_main_params()
     out = {}
     i = 0
-    for k in pdict.keys():
+    keys = params if params is not None else list(pdict.keys())
+    for k in keys:
         n = int(np.prod(np.shape(pdict[k]))) or 1
         out[k] = slice(i, i + n)
         i += n
+    if param is not None:
+        s = out[param]
+        idx = np.arange(s.start, s.stop)
+        if sub_index is not None:
+            shape = np.shape(pdict[param])
+            idx = idx.reshape(shape)[sub_index].ravel()
+        return idx
     return out
 
 

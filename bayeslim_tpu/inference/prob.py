@@ -79,20 +79,37 @@ class MainParams:
                          else jnp.take(flat, jnp.asarray(self.idx[k])))
         return jnp.concatenate(parts)
 
-    def scatter(self, vec, model):
+    def scatter(self, vec, model, fill=None):
         """New model with the selected entries replaced from `vec`;
-        unselected entries keep the wrapped model's (frozen) values."""
+        unselected entries keep the wrapped model's (frozen) values, or
+        are set to `fill` if given (reference send_main_params fill)."""
         updates = {}
         for k in self.keys:
             sub = jax.lax.dynamic_slice_in_dim(
                 vec, self.offsets[k], self.sizes[k]).astype(self.dtypes[k])
             base = jnp.ravel(model[k])
+            if fill is not None:
+                base = jnp.full_like(base, fill)
             if self.idx[k] is None:
                 new = sub
             else:
                 new = base.at[jnp.asarray(self.idx[k])].set(sub)
             updates[k] = new.reshape(self.shapes[k])
         return model.updated(updates)
+
+
+def _coerce_main(pdict, main_params):
+    """Reference-API shim: forward_* take main_params= (a flat master
+    vector or a ParamDict); our name is pdict. A bare array wraps as
+    the 'main' entry."""
+    if main_params is None:
+        return pdict
+    assert pdict is None, "pass either pdict or main_params, not both"
+    if isinstance(main_params, (dict, ParamDict)):
+        return ParamDict(dict(main_params.items()
+                              if hasattr(main_params, "items")
+                              else main_params))
+    return ParamDict({"main": jnp.asarray(main_params)})
 
 
 # ---------------------------------------------------------------------------
@@ -340,29 +357,40 @@ class LogProb(Module):
         self._jit_cache.clear()
         return self.main_params
 
-    def collect_main_params(self):
+    def collect_main_params(self, inplace=True):
         """ParamDict of the model's trainable leaves (the 'main params').
 
         Keys are dotted paths relative to the model, e.g. 'sky.params',
         matching the reference's main_params naming (optim.py:485-911).
         With set_main_params sub-slicing active, a single 'main' entry
-        holds the flat master vector.
+        holds the flat master vector. inplace is accepted for reference
+        API compat: the gather is pure and the model itself already
+        holds the values, so there is no separate stored copy to
+        refresh.
         """
         if self.main_params is not None:
             return ParamDict({"main": self.main_params.gather(self.model)})
         return model2pdict(self.model)
 
-    def send_main_params(self, main_params=None, inplace=True):
+    def send_main_params(self, main_params=None, inplace=True,
+                         fill=None, main_p0=None, send_probs=False):
         """Scatter main params back into the model (reference
         send_main_params, optim.py:803-910). With sub-slice main_params
         active, `main_params` is the flat master vector (or a ParamDict
         holding it under 'main'); otherwise a ParamDict of leaves.
+        fill overwrites un-indexed entries; main_p0 is an offset added
+        to the master vector before scattering (the reference's
+        frozen-baseline form); send_probs is accepted for the
+        distributed API (a single LogProb has no child probs).
         Returns the updated model (and rebinds self.model if inplace)."""
         pd = main_params if main_params is not None \
             else self.collect_main_params()
         if self.main_params is not None:
             vec = pd["main"] if isinstance(pd, (dict, ParamDict)) else pd
-            model = self.main_params.scatter(jnp.asarray(vec), self.model)
+            vec = jnp.asarray(vec)
+            if main_p0 is not None:
+                vec = vec + jnp.asarray(main_p0)
+            model = self.main_params.scatter(vec, self.model, fill=fill)
         else:
             model = self.model.updated(dict(pd))
         if inplace:
@@ -387,8 +415,12 @@ class LogProb(Module):
         return ParamDict({k: self.LM(k, v) for k, v in pdict.items()})
 
     # --- core functional evaluation ---------------------------------------------
-    def forward_chisq(self, pdict=None, idx=None, sum_chisq=True):
-        """Chi-square of model prediction vs target batch (optim.py:959)."""
+    def forward_chisq(self, pdict=None, idx=None, sum_chisq=True,
+                      main_params=None, **kwargs):
+        """Chi-square of model prediction vs target batch (optim.py:959).
+        main_params is the reference's name for pdict (a flat master
+        vector is wrapped as the 'main' entry)."""
+        pdict = _coerce_main(pdict, main_params)
         tgt, inp = self.get_batch_data(idx)
         data = tgt.get_data()
         icov = tgt.get_icov() if hasattr(tgt, "icov") else None
@@ -413,8 +445,10 @@ class LogProb(Module):
             chisq = chisq.real
         return chisq, res, prior_cache
 
-    def forward_like(self, pdict=None, idx=None):
+    def forward_like(self, pdict=None, idx=None, main_params=None,
+                     **kwargs):
         """(negative) Gaussian log-likelihood of a batch (optim.py:1032)."""
+        pdict = _coerce_main(pdict, main_params)
         chisq, res, prior_cache = self.forward_chisq(pdict, idx)
         tgt, _ = self.get_batch_data()
         if getattr(tgt, "icov", None) is not None and tgt.cov_logdet is not None:
@@ -427,8 +461,17 @@ class LogProb(Module):
         loglike = (-chisq - norm) if self.complex_circular else (-0.5 * chisq - norm)
         return loglike, prior_cache
 
-    def forward_prior(self, pdict=None, prior_cache=None):
-        """Log prior (counted once across batches) (optim.py:1076-1131)."""
+    def forward_prior(self, pdict=None, prior_cache=None, idx=None,
+                      main_params=None, **kwargs):
+        """Log prior (counted once across batches) (optim.py:1076-1131).
+        With an explicit idx, the prior is only evaluated for batch 0
+        (the reference's double-count guard); main_params aliases
+        pdict."""
+        pdict = _coerce_main(pdict, main_params)
+        if idx is not None:
+            if idx != 0:
+                return jnp.asarray(0.0)
+            self.batch_idx = idx
         model = self.model
         if pdict is not None:
             pdict = self._apply_LM(pdict)

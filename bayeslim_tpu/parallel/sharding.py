@@ -302,7 +302,7 @@ class ShardedLogProb:
                     prob.model[k], NamedSharding(mesh, spec))
         self.prob = prob
 
-    def collect_main_params(self):
+    def collect_main_params(self, inplace=True):
         pd = self.prob.collect_main_params()
         rep = NamedSharding(self.mesh, P())
         from ..utils import ParamDict
@@ -311,6 +311,25 @@ class ShardedLogProb:
             k: _gput(v, NamedSharding(self.mesh, ps[k]))
             if k in ps else _gput(v, rep)
             for k, v in pd.items()})
+
+    def send_main_params(self, main_params=None, send_probs=False,
+                         **kwargs):
+        """Scatter main params into the wrapped prob's model (reference
+        DistributedLogProb.send_main_params, optim.py:1494); send_probs
+        is implicit here — the mesh shares one model, so a single send
+        reaches every shard."""
+        return self.prob.send_main_params(main_params=main_params,
+                                          **kwargs)
+
+    def set_main_params(self, *args, **kwargs):
+        """Forward to the wrapped prob (reference optim.py:1450) and
+        drop stale smap closures."""
+        out = self.prob.set_main_params(*args, **kwargs)
+        self._smap_cache.clear() if hasattr(self, "_smap_cache") else None
+        return out
+
+    def sort_main_params(self, *args, **kwargs):
+        return self.prob.sort_main_params(*args, **kwargs)
 
     def value_and_grad(self, pdict=None):
         with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else self.mesh:

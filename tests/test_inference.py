@@ -287,3 +287,45 @@ def test_apply_icov_time_axis_convention():
     out2 = np.asarray(apply_icov(d, icov_d, "time")).real
     np.testing.assert_allclose(out2.sum(),
                                (2 * np.abs(dn) ** 2).sum(), rtol=1e-10)
+
+
+def test_main_params_reference_kwargs():
+    """Reference-name surfaces: forward_*(main_params=), forward_prior
+    batch-0 guard, send_main_params(fill/main_p0), main_params_index
+    prob form (reference optim.py:959-1131, 803-910, 2358)."""
+    from bayeslim_tpu.inference.hessian import main_params_index
+    prob, mean, cov = setup_NormalProb(N=6)
+    pd = prob.collect_main_params()
+
+    # main_params= alias on all three forward surfaces
+    c0, _, _ = prob.forward_chisq(pd)
+    c1, _, _ = prob.forward_chisq(main_params=pd)
+    assert np.allclose(float(c0), float(c1))
+    l0, _ = prob.forward_like(pdict=pd)
+    l1, _ = prob.forward_like(main_params=pd)
+    assert np.allclose(float(l0), float(l1))
+    # prior only counts on batch 0 when idx is explicit
+    p0 = prob.forward_prior(pd, idx=0)
+    p1 = prob.forward_prior(main_params=pd, idx=1)
+    assert float(p1) == 0.0
+    assert np.isfinite(float(p0))
+
+    # master-vector surfaces with a sub-slice spec
+    sel = np.zeros(6, dtype=bool)
+    sel[1] = sel[4] = True
+    key = list(pd.keys())[0]
+    mp = prob.set_main_params({key: sel.reshape(np.shape(pd[key]))})
+    vec = prob.collect_main_params(inplace=True)["main"]
+    assert vec.shape == (2,)
+    # a bare flat vector is accepted as main_params
+    c2, _, _ = prob.forward_chisq(main_params=vec)
+    assert np.isfinite(float(c2))
+    # fill overwrites the frozen entries; main_p0 offsets the vector
+    m = prob.send_main_params(main_params=vec + 1.0, inplace=False,
+                              main_p0=-jnp.ones(2), fill=0.0)
+    out = np.asarray(m[key]).ravel()
+    assert np.allclose(out[sel], np.asarray(vec))
+    assert np.allclose(out[~sel], 0.0)
+    # main_params_index on the prob returns the param's flat indices
+    idx = main_params_index(prob, key)
+    assert np.allclose(idx, [0, 1])
