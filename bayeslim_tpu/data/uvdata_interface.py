@@ -647,17 +647,28 @@ def complete_uvdata(vd, run_check=True):
     return uvd
 
 
-def run_rime_sim(sky, beam, uvd_template, partial_read={},
-                 array_kwargs={}, outfname=None, overwrite=False,
-                 partial_write=False, verbose=False, **kwargs):
+def run_rime_sim(sky, beam, uvd_template, ant2beam=None, partial_read={},
+                 freq_interp="linear", array_kwargs={}, outfname=None,
+                 overwrite=False, partial_write=False, verbose=False,
+                 **kwargs):
     """End-to-end simulation driven by a UVData/UVH5 template, with the
     reference's UVH5 output path (uvdata_interface.py:136-325). A UVH5
     filename template needs no pyuvdata in either direction (read_uvh5
     / write_uvh5); partial_write writes the simulated block into an
-    EXISTING file (write_uvh5_part), e.g. one minibatch at a time."""
+    EXISTING file (write_uvh5_part), e.g. one minibatch at a time.
+    freq_interp interpolates the sky onto the template's frequency grid
+    when the sky supports it; ant2beam (per-antenna beam assignment) is
+    only defined for multi-beam models — a single beam maps to all
+    antennas like the reference's UVBeam branch."""
     vd = PyVisData.read_uvdata(uvd_template, **partial_read)
+    if ant2beam is not None:
+        nbeam = len(set(ant2beam.values()))
+        assert nbeam == 1, \
+            "only one shared beam model is supported (reference :222)"
     from ..models.rime import RIME
     from ..models.telescope import ArrayModel
+    if hasattr(sky, "freq_interp"):
+        sky.freq_interp(vd.freqs, kind=freq_interp)
     arr = ArrayModel(vd.antpos, freqs=vd.freqs, **array_kwargs)
     rime = RIME(sky, vd.telescope, beam, arr, vd.bls, vd.times, vd.freqs,
                 **kwargs)

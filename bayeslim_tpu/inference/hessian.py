@@ -261,9 +261,21 @@ def compute_icov(cov, cov_axis=None, inv="pinv", **kwargs):
     return invert_matrix(cov, method=inv, **kwargs)
 
 
-def implicit_to_dense(matvec, n, dtype=jnp.float64):
-    """Materialize an implicit operator by applying it to identity columns
-    (reference bfgs.py:681-724)."""
+def implicit_to_dense(matvec, n=None, dtype=jnp.float64, s=None, y=None):
+    """Materialize an implicit operator by applying it to identity
+    columns, or — the reference form implicit_to_dense(H0, s, y)
+    (bfgs.py:681-724) — run dense BFGS inverse-Hessian updates over a
+    FULL (s, y) curvature history starting from H0."""
+    if s is not None:
+        H = jnp.asarray(matvec, dtype=dtype)  # first arg is H0
+        for sk, yk in zip(s, y):
+            sk = jnp.asarray(sk, dtype).ravel()
+            yk = jnp.asarray(yk, dtype).ravel()
+            rho = 1.0 / (yk @ sk)
+            I = jnp.eye(H.shape[0], dtype=dtype)
+            V = I - rho * jnp.outer(sk, yk)
+            H = V @ H @ V.T + rho * jnp.outer(sk, sk)
+        return H
     eye = jnp.eye(n, dtype=dtype)
     cols = [matvec(eye[:, i]) for i in range(n)]
     return jnp.stack(cols, axis=1)

@@ -62,26 +62,55 @@ class Potential:
         return self.prob(x)
 
 
-def leapfrog(q, p, dUdq, eps, N, Minv=None):
+def leapfrog(q, p, dUdq, eps, N, Minv=None, cov_L=None, diag_mass=True,
+             dUdq0=None, states=None):
     """Leapfrog integrator (reference sampler.py:1433-1585).
 
     q, p : ParamDicts; dUdq(q) -> (U, grad ParamDict); eps : step size
     (float or ParamDict); Minv : callable(ParamDict)->ParamDict applying
     the inverse mass matrix (None = identity).
 
+    Reference-form mass: cov_L is the (lower) Cholesky of the
+    COVARIANCE (inverse mass) — a scalar/ParamDict of diagonals
+    (diag_mass=True), a dict of dense per-key factors
+    (diag_mass=False), or an hmat operator applying the solve
+    implicitly. (The reference's cov_L=1.0 default crashes on ParamDict
+    q — a reference bug; here identity is Minv=None/cov_L=None.)
+    dUdq0 is a precomputed gradient at the input q (saves one
+    evaluation); states, if a list, collects (q, p) after every step.
+
     Returns (q_new, p_new, U_new, gradU_new, n_grad_evals).
     """
+    if Minv is None and cov_L is not None:
+        from .hmat import BaseMat
+
+        def Minv(x, _L=cov_L):
+            if isinstance(_L, BaseMat):
+                return _L(x)
+            if diag_mass:
+                return x * (_L * _L)
+            if isinstance(x, ParamDict):
+                return ParamDict({k: _L[k] @ (_L[k].conj().T @ x[k])
+                                  for k in x.keys()})
+            return _L @ (_L.conj().T @ x)
     Minv = Minv if Minv is not None else (lambda x: x)
-    U, grad = dUdq(q)
+    if dUdq0 is not None:
+        U, grad, nev = None, dUdq0, 0
+    else:
+        U, grad = dUdq(q)
+        nev = 1
     # half step momentum
     p = p - grad * (eps / 2)
     for i in range(N):
         q = q + Minv(p) * eps
         U, grad = dUdq(q)
+        nev += 1
         if i < N - 1:
             p = p - grad * eps
+        if states is not None:
+            states.append((q, p))
     p = p - grad * (eps / 2)
-    return q, p, U, grad, N + 1
+    return q, p, U, grad, nev
 
 
 def make_nuts_subtree(vg_fn, Minv=None, max_depth=10):
@@ -662,18 +691,28 @@ class HMC(SamplerBase):
                 static_argnums=(6,))
         return self._traj_cache[key]
 
-    def dUdx(self, x):
+    def dUdx(self, x, Ucache=None, **kwargs):
+        """Potential and gradient at x; Ucache, if a list, collects the
+        potential value (reference sampler.py:471-485)."""
         self.fn_evals += 1
-        return self.potential(x)
+        out = self.potential(x)
+        if Ucache is not None:
+            Ucache.append(out[0])
+        return out
 
     def _energy(self, U, p):
         return float(U) + self.mass.kinetic(p)
 
-    def step(self):
+    def step(self, sample_p=True):
         """One HMC step with Metropolis accept and divergence recovery
-        (reference :548-626)."""
+        (reference :548-626). sample_p=False reuses the existing
+        momentum self.p (trajectory tracking, not standard HMC)."""
         self.key, kp, ka = jax.random.split(self.key, 3)
-        p = self.mass.sample_momentum(kp, self.x)
+        if sample_p or getattr(self, "p", None) is None:
+            p = self.mass.sample_momentum(kp, self.x)
+        else:
+            p = self.p
+        self.p = p
         if self._U is None:
             self._U, self._grad = self.dUdx(self.x)
         H0 = self._energy(self._U, p)

@@ -274,10 +274,13 @@ class JonesModel(Module):
             jones = jones * jnp.exp(-1j * phs)
         return jones
 
-    def index_params(self, jones, times=None):
+    def index_params(self, jones, times=None, bls=None):
         """Down-select the gain time axis onto the data times (replaces
         the reference's IndexCache, calibration.py:291-414: nearest-time
-        indices are computed on host from static metadata)."""
+        indices are computed on host from static metadata). bls is
+        accepted for the reference IndexCache surface: gains are
+        antenna-indexed, so baseline selection happens in apply_cal via
+        the per-baseline antenna gathers instead."""
         if times is None or self.R.times is None or \
                 jones.shape[-2] == len(times):
             return jones

@@ -235,6 +235,12 @@ class VisCoupling(Module):
         self.add_I = add_I
         self.prod = prod
         self.double = double
+        # optional (Nant, Nant) cell masks: term_mask selects the
+        # first-order coupling terms, term_mask2 the factors of the
+        # second-order (double) product — the reference's
+        # setup_coupling max_*/second_max_* geometric cuts
+        self.term_mask = None
+        self.term_mask2 = None
         self.R = R if R is not None else VisModelResponse()
         self.setup_coupling()
 
@@ -293,8 +299,11 @@ class VisCoupling(Module):
         if not jnp.iscomplexobj(X):
             X = viewcomp(X) if X.shape[-1] == 2 else X.astype(_cfloat())
         X = X * self.dly
+        X1 = X if self.term_mask is None else X * self.term_mask
         if self.double:
-            X = X + jnp.einsum("...patf,...aqtf->...pqtf", X, X)
+            Xs = X if self.term_mask2 is None else X * self.term_mask2
+            X1 = X1 + jnp.einsum("...patf,...aqtf->...pqtf", Xs, Xs)
+        X = X1
         if self.add_I:
             eye = jnp.eye(self.Nants, dtype=X.dtype)[None, None, :, :,
                                                      None, None]
@@ -384,6 +393,51 @@ class RedVisCoupling(Module):
     @property
     def params(self):
         return self.coupling.params
+
+    def setup_coupling(self, use_reds=True, copydata=False, redtol=1.0,
+                       include_second_order=None, min_len=None,
+                       max_len=None, max_EW=None, max_NS=None,
+                       second_max_len=None, second_max_EW=None,
+                       second_max_NS=None, min_dly=None, **kwargs):
+        """Re-configure the coupling term selection (reference
+        calibration.py RedVisCoupling.setup_coupling :1701-1900).
+
+        Geometric cuts select which ant->ant coupling-matrix cells
+        participate: max_len/max_EW/max_NS (+ min_len) for first-order
+        terms and second_max_* for the factors of the second-order
+        single-path product (include_second_order toggles it).
+        copydata is accepted for API compat (forward is functional —
+        the input VisData is never mutated). use_reds=False (physical
+        baseline input) is plain VisCoupling — use that class."""
+        if not use_reds:
+            raise NotImplementedError(
+                "use_reds=False input is physical baselines — use "
+                "VisCoupling directly")
+        self.copydata = copydata
+        self.redtol = redtol
+        vc = self.coupling
+        if include_second_order is not None:
+            vc.double = bool(include_second_order)
+        if min_dly is not None:
+            vc.setup_coupling(min_dly=min_dly)
+
+        def build_mask(mn, mx, ew, ns):
+            if mn is None and mx is None and ew is None and ns is None:
+                return None
+            ants = vc.antpos.ants
+            n = len(ants)
+            m = np.ones((n, n), dtype=bool)
+            for i, a1 in enumerate(ants):
+                for j, a2 in enumerate(ants):
+                    m[i, j] = not cut_bl((a1, a2), vc.antpos,
+                                         min_len=mn, max_len=mx,
+                                         max_EW=ew, max_NS=ns)
+            return m[None, None, :, :, None, None]
+
+        vc.term_mask = build_mask(min_len, max_len, max_EW, max_NS)
+        vc.term_mask2 = build_mask(min_len, second_max_len,
+                                   second_max_EW, second_max_NS)
+        return self
 
     def get_coupling_hits(self):
         """How many (i, j) coupling-matrix cells each unique coupling

@@ -90,9 +90,14 @@ class SkyBase(Module):
         return md
 
     def freq_interp(self, freqs, kind="linear"):
-        """Interpolate channel-mode params onto new freqs (reference :99)."""
+        """Interpolate channel-mode params onto new freqs (reference :99).
+        No-op when the frequencies already match to 1 Hz (reference
+        sky_model.py:115)."""
         from scipy.interpolate import interp1d
         freqs = np.asarray(freqs)
+        cur = np.asarray(self.R.freqs)
+        if len(freqs) == len(cur) and np.allclose(cur, freqs, atol=1.0):
+            return
         if self.R.freq_mode == "channel":
             f = interp1d(np.asarray(self.R.freqs), np.asarray(self.params),
                          axis=2, kind=kind, fill_value="extrapolate")
@@ -426,12 +431,27 @@ def read_catalogue(catfile, freqs=None, device=None, parameter=False,
     return jnp.asarray(params, dtype=_float()), jnp.asarray(angs), meta
 
 
-def write_catalogue(catfile, params, angs, names=None, freq_mode="powerlaw",
-                    f0=150e6, freqs=None, overwrite=False):
+def write_catalogue(catfile, params, angs=None, names=None,
+                    freq_mode="powerlaw", f0=150e6, freqs=None,
+                    overwrite=False, sky=None):
     """Write a YAML point-source catalogue in the reference's columnar
     schema (reference sky_model.py:1088-1138), readable by the reference's
-    own read_catalogue."""
+    own read_catalogue. The reference form write_catalogue(catfile, sky,
+    names) passes a PointSky as the 2nd positional (or sky=): its
+    params/angs/response mode are extracted."""
     import os
+    if sky is None and hasattr(params, "angs") and hasattr(params, "params"):
+        sky = params
+    if sky is not None:
+        if names is None and angs is not None and not hasattr(angs, "ndim"):
+            names = angs  # reference positional: (catfile, sky, names)
+        params, angs = sky.params, sky.angs
+        R = getattr(sky, "R", None)
+        if R is not None:
+            freq_mode = getattr(R, "freq_mode", freq_mode)
+            f0 = getattr(R, "f0", f0)
+        if freq_mode == "channel":
+            freqs = getattr(sky, "freqs", freqs)
     if os.path.exists(catfile) and not overwrite:
         raise FileExistsError(catfile)
     params = np.asarray(params)
@@ -462,11 +482,14 @@ def write_catalogue(catfile, params, angs, names=None, freq_mode="powerlaw",
         yaml.safe_dump(d, f)
 
 
-def Jy2K(freqs, px_area):
+def Jy2K(freqs, steradians=None, px_area=None):
     """Jy -> Kelvin conversion factor per frequency (reference :1140-1158).
+    steradians is the reference's name for the pixel solid angle
+    (px_area kept as an alias).
 
     K = Jy * 1e-26 * c^2 / (2 kB nu^2 Omega_px)
     """
+    px_area = steradians if steradians is not None else px_area
     kb = 1.380649e-23
     c = 2.99792458e8
     freqs = np.asarray(freqs, dtype=np.float64)

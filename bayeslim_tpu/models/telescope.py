@@ -386,12 +386,46 @@ class TelescopeModel(Module):
         super().__init__(name=name)
         self.location = tuple(float(x) for x in location)
         self.apparent = apparent
+        from ..utils.module import HostState
+        # identity-hashed aux: cache writes never change the treedef
+        self.conv_cache = HostState(cache={})
 
-    def eq2top(self, time, ra, dec, **kwargs):
-        return eq2top(self.location, time, ra, dec, apparent=self.apparent)
+    @staticmethod
+    def hash(time, arr):
+        """Cache key for a conversion (reference telescope_model.py:82):
+        time + first/last values of the angle array."""
+        a = np.atleast_1d(np.asarray(arr))
+        return hash((float(time), float(a[0]), float(a[-1]), a.size))
 
-    def top2eq(self, time, zen, az, **kwargs):
-        return top2eq(self.location, time, zen, az, apparent=self.apparent)
+    def clear_cache(self, key=None):
+        """Drop one (or all) cached conversions (reference :131-140)."""
+        if key is None:
+            self.conv_cache.cache.clear()
+        else:
+            self.conv_cache.cache.pop(key, None)
+
+    def eq2top(self, time, ra, dec, store=False, key=None, **kwargs):
+        """RA/Dec -> zen/az [deg]; store=True caches the conversion
+        under `key` (default: hash of time + ra) and later calls with
+        the same key pull from the cache (reference :89-129)."""
+        key = key if key is not None else self.hash(np.atleast_1d(
+            np.asarray(time))[0], ra)
+        if key in self.conv_cache.cache:
+            return self.conv_cache.cache[key]
+        out = eq2top(self.location, time, ra, dec, apparent=self.apparent)
+        if store:
+            self.conv_cache.cache[key] = out
+        return out
+
+    def top2eq(self, time, zen, az, store=False, key=None, **kwargs):
+        key = key if key is not None else self.hash(np.atleast_1d(
+            np.asarray(time))[0], zen)
+        if key in self.conv_cache.cache:
+            return self.conv_cache.cache[key]
+        out = top2eq(self.location, time, zen, az, apparent=self.apparent)
+        if store:
+            self.conv_cache.cache[key] = out
+        return out
 
     def JD2RA(self, jd):
         return JD2RA(self.location, jd)
@@ -407,12 +441,14 @@ class TelescopeModel(Module):
 def build_reds(antpos, bls=None, red_bls=None, redtol=1.0, min_len=None,
                max_len=None, min_EW_len=None, exclude_reds=None,
                skip_reds=False, norm_vec=False, use_blnums=False,
-               use_2d=False, red_info=None):
+               use_2d=False, fcluster=False, red_info=None):
     """Build redundant baseline groups (reference :693-944).
 
     O(Nbl log Nbl): quantize baseline vectors onto a redtol lattice and
     group by cell (merging adjacent cells), instead of the reference's
-    O(Nbl^2) pairwise scan.
+    O(Nbl^2) pairwise scan. fcluster (the reference's scipy
+    hierarchical-clustering alternative) is accepted for API compat:
+    the lattice grouping already produces the same redtol partition.
 
     Returns (reds, redvecs, bl2red, bls, redlens, redangs, redtags).
     """
@@ -567,8 +603,21 @@ class ArrayModel(Module):
     """
 
     def __init__(self, antpos, freqs=None, parameter=False, redtol=1.0,
-                 name=None, device=None, **red_kwargs):
+                 name=None, device=None, cache_s=True, cache_depth=None,
+                 cache_f=False, cache_f_angs=None, interp_mode="bilinear",
+                 **red_kwargs):
+        """cache_s/cache_depth/cache_f/cache_f_angs/interp_mode are the
+        reference's runtime fringe/pointing caches (telescope_model.py
+        :152-196, io.py build_array :259-304) — accepted and stored for
+        API compat, but unused: angle-dependent work here is
+        host-precomputed once at trace time (RIME.precompute), so there
+        is nothing to cache or FIFO-trim at runtime."""
         super().__init__(name=name)
+        self.cache_s = cache_s
+        self.cache_depth = cache_depth
+        self.cache_f = cache_f
+        self.cache_f_angs = cache_f_angs
+        self.interp_mode = interp_mode
         if isinstance(antpos, dict):
             antpos = AntposDict(list(antpos.keys()),
                                 np.stack([np.asarray(v) for v in antpos.values()]))

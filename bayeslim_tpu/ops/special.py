@@ -20,7 +20,7 @@ import numpy as np
 from scipy.special import gamma, gammaln, jv, jvp, yv, yvp
 
 __all__ = ["Plm", "Qlm", "hypF", "pochln", "jl", "yl", "log_legendre_norm",
-           "softplus"]
+           "softplus", "j1", "j1_integral"]
 
 HYPF_KWGS = {"zeroprec": 1000}
 
@@ -277,6 +277,18 @@ def j1_integral(x, Ntau=100):
     wgts = jnp.ones(Ntau).at[1:-1].set(2.0).reshape((-1,) + (1,) * x.ndim)
     dt = np.pi / (Ntau - 1)
     return jnp.sum(wgts * integrand, axis=0) * dt / 2.0 / np.pi
+
+
+def j1(x, Ntau=100, brute_force=False):
+    """Bessel J1 (reference special.py:498-535): brute_force integrates
+    the Bessel integral with Ntau trapezoid points (the reference's
+    differentiable path); otherwise the A&S 9.4.4/9.4.6 polynomial
+    approximation (also differentiable — the reference falls back to
+    non-differentiable scipy here)."""
+    if brute_force:
+        return j1_integral(x, Ntau=Ntau)
+    from ..models.bessel import j1 as _j1_poly
+    return _j1_poly(x)
 
 
 def softplus(x, beta=1.0, threshold=20.0):

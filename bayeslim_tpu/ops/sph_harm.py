@@ -280,8 +280,8 @@ def write_Ylm(fname, Ylm, angs, l, m, norm=None, alm_mult=None,
                 f.create_dataset(k, data=np.asarray(v))
 
 
-def load_Ylm(fname, lmin=None, lmax=None, discard=None, colat_min=None,
-             colat_max=None, az_min=None, az_max=None,
+def load_Ylm(fname, lmin=None, lmax=None, discard=None, cast=None,
+             colat_min=None, colat_max=None, az_min=None, az_max=None,
              discard_sectoral=False, discard_mono=False, decimate_m=None,
              read_data=True, to_real=False):
     """Load a stored Ylm with the reference's mode and sky truncations
@@ -359,6 +359,11 @@ def load_Ylm(fname, lmin=None, lmax=None, discard=None, colat_min=None,
     if not read_data:
         for k in ("Ylm", "Theta", "Phi", "D", "Dinv"):
             out.pop(k, None)
+    if cast is not None:
+        # reference :933-940: cast the transform matrices to a dtype
+        for k in ("Ylm", "Theta", "Phi", "D", "Dinv", "pxarea"):
+            if k in out:
+                out[k] = np.asarray(out[k]).astype(cast)
     out = {k: (jnp.asarray(v) if isinstance(v, np.ndarray)
                and k not in ("l", "m") else v)
            for k, v in out.items()}
@@ -404,6 +409,7 @@ class AlmModel(Module):
         self.separable = False
         self.grids = None          # list of (Ylm, alm_mult, separable)
         self.grid_idx = None       # optional reindex after concat
+        self._ylm_cache = None     # HostState angle-hashed Ylm cache
 
     @property
     def Ncoeff(self):
@@ -417,12 +423,64 @@ class AlmModel(Module):
             return theta_arr.ravel(), phi_arr.ravel()
         return theta, phi
 
-    def setup_Ylm(self, Ylm, alm_mult=None, separable=None):
-        """Attach a (possibly separable) transform matrix."""
+    def setup_Ylm(self, Ylm_or_theta, phi=None, Ylm=None, alm_mult=None,
+                  separable=None, generate=False, cache=True, h=None,
+                  **kwargs):
+        """Attach a (possibly separable) transform matrix
+        (legacy form: setup_Ylm(Ylm, alm_mult=...)), or the reference
+        form setup_Ylm(theta, phi, Ylm=None, generate=True, cache=True,
+        h=None, **gen_kwargs) with angles in DEGREES (reference
+        sph_harm.py:1408-1494): generates the Ylm when not provided and
+        stores it in the angle-hashed cache."""
+        if phi is None:
+            self.Ylm = Ylm_or_theta
+            self.alm_mult = alm_mult
+            self.separable = isinstance(Ylm_or_theta, (list, tuple)) \
+                if separable is None else separable
+            return
+        theta = np.asarray(Ylm_or_theta, dtype=np.float64)
+        phi = np.asarray(phi, dtype=np.float64)
+        sep = bool(separable)
+        if sep:
+            self.theta_grid, self.phi_grid = theta, phi
+            self.theta, self.phi = self.setup_angs(theta, phi, True)
+        else:
+            self.theta, self.phi = theta, phi
+        if Ylm is None and generate:
+            Ylm, alm_mult = self.get_Ylm(theta, phi, separable=sep, h=h,
+                                         **kwargs)
         self.Ylm = Ylm
         self.alm_mult = alm_mult
-        self.separable = isinstance(Ylm, (list, tuple)) \
-            if separable is None else separable
+        self.separable = sep
+        if cache and Ylm is not None:
+            self.set_Ylm(Ylm, (theta, phi), alm_mult=alm_mult, h=h)
+
+    # --- angle-hashed Ylm cache (reference :1496-1560) -----------------
+    def _ang_hash(self, theta, h=None):
+        return h if h is not None else hash(np.asarray(theta).tobytes())
+
+    def _cache(self):
+        from ..utils.module import HostState
+        if getattr(self, "_ylm_cache", None) is None:
+            # HostState: identity-hashed static aux — cache mutations
+            # never change the pytree treedef (no retraces)
+            self._ylm_cache = HostState(cache={})
+        return self._ylm_cache.cache
+
+    def set_Ylm(self, Ylm, angs, alm_mult=None, h=None):
+        """Store a Ylm in the angle-hashed cache (reference :1516)."""
+        self._cache()[self._ang_hash(angs[0], h)] = (Ylm, alm_mult)
+
+    def get_Ylm(self, theta, phi, separable=False, h=None, **kwargs):
+        """Cached (Ylm, alm_mult) for these angles [deg]; generates and
+        caches on a miss (reference :1496-1515)."""
+        key = self._ang_hash(theta, h)
+        cache = self._cache()
+        if key not in cache:
+            self.generate_Ylm(np.radians(theta), np.radians(phi),
+                              separable=separable, **kwargs)
+            cache[key] = (self.Ylm, self.alm_mult)
+        return cache[key]
 
     def select(self, lm=None, lmin=None, lmax=None, mmin=None, mmax=None,
                other=None, atol=1e-10):
@@ -579,29 +637,39 @@ class AlmModel(Module):
 # ---------------------------------------------------------------------------
 
 def sph_bessel_func(l, k, r, method="ball", kbin=None, r_crit=None,
-                    deriv=False):
+                    deriv=False, bc_type=2, renorm=False):
     """Radial basis g_l(k r) (reference :1087-1170).
 
     method 'ball': g = j_l(kr); 'shell': g = j_l(kr) + A y_l(kr) with A
-    set by the boundary condition dg/dr = 0 at r_crit.
+    set by the boundary condition at r_crit — bc_type 1 (Dirichlet,
+    g = 0), 2 (Neumann, dg/dr = 0, default) or 3 (potential, l+1 modes,
+    Gebhardt+21). renorm scales each row so the inner product of
+    r g_l(k r) with itself equals pi/2 k^-2.
     """
     l = np.atleast_1d(np.asarray(l, dtype=float))
     k = np.atleast_1d(np.asarray(k, dtype=float))
     r = np.atleast_1d(np.asarray(r, dtype=float))
     g = np.zeros((len(k), len(r)))
     for i, kk in enumerate(k):
-        j = special.jl(l[min(i, len(l) - 1)], kk * r, deriv=deriv,
-                       keepdims=True)[0]
-        if method == "shell":
+        li = l[min(i, len(l) - 1)]
+        j = special.jl(li, kk * r, deriv=deriv, keepdims=True)[0]
+        if method == "shell" and kk > 0:
             assert r_crit is not None
-            A = -special.jl(l[min(i, len(l) - 1)], kk * np.atleast_1d(r_crit),
-                            deriv=True, keepdims=True)[0][0] \
-                / special.yl(l[min(i, len(l) - 1)], kk * np.atleast_1d(r_crit),
-                             deriv=True, keepdims=True)[0][0]
-            y = special.yl(l[min(i, len(l) - 1)], kk * r, deriv=deriv,
-                           keepdims=True)[0]
+            bderiv = bc_type == 2
+            ell = li if bc_type < 3 else li + 1
+            yc = np.clip(special.yl(ell, kk * np.atleast_1d(r_crit),
+                                    deriv=bderiv, keepdims=True)[0][0],
+                         -1e50, np.inf)
+            A = -special.jl(ell, kk * np.atleast_1d(r_crit),
+                            deriv=bderiv, keepdims=True)[0][0] / yc
+            y = np.clip(special.yl(li, kk * r, deriv=deriv,
+                                   keepdims=True)[0], -1e50, np.inf)
             j = j + A * y
         g[i] = j
+    if renorm:
+        w = np.sqrt(np.pi / 2 * np.clip(k, 1e-4, None) ** -2
+                    / np.sum(r ** 2 * np.abs(g) ** 2, axis=1))
+        g = g * w[:, None]
     return g
 
 
@@ -723,14 +791,22 @@ class SFBModel(Module):
         self.LM = LM
         self.l_unique = np.unique(self.l)
 
-    def setup_gln(self, l, gln=None, kln=None, **gln_kwargs):
+    def setup_gln(self, l, gln=None, kln=None, out_dtype=None, r=None,
+                  m=None, **gln_kwargs):
         """(Re)attach the radial transform matrices; generate them with
         gen_bessel2freq if gln is None (reference sph_harm.py
-        SFBModel.setup_gln :1873-1948)."""
+        SFBModel.setup_gln :1873-1948). r passes comoving distances to
+        the generator; m stores the matching m modes (debug aid);
+        out_dtype casts the transform matrices."""
         self.l = np.asarray(l)
         self.l_unique = np.unique(self.l)
+        if m is not None:
+            self.m = np.asarray(m)
         if gln is None:
-            gln, kln = gen_bessel2freq(self.l_unique, **gln_kwargs)
+            gln, kln = gen_bessel2freq(self.l_unique, r=r, **gln_kwargs)
+        if out_dtype is not None:
+            gln = {k: jnp.asarray(v, dtype=out_dtype)
+                   for k, v in gln.items()}
         self.gln = dict(gln)
         if kln is not None:
             self.kbins = dict(kln)

@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-__all__ = ["get_logger", "log_event", "Metrics", "trace_profile",
+__all__ = ["log", "get_logger", "log_event", "Metrics", "trace_profile",
            "device_memory_stats"]
 
 _LOGGER = None
@@ -130,3 +130,16 @@ def device_memory_stats():
                        ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
                        if k in st}
     return out
+
+
+def log(message, verbose=False, style=1):
+    """Print a message when verbose (reference rime_model.py:485-505):
+    style 1 plain, 2 underlined, 3 boxed."""
+    if not verbose:
+        return
+    if style == 2:
+        print(f"{message}\n{'-' * 30}")
+    elif style == 3:
+        print(f"\n{'-' * 30}\n{message}\n{'-' * 30}")
+    else:
+        print(f"{message}")

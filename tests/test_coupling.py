@@ -168,3 +168,46 @@ def test_gen_coupling_terms_red_compression():
     # cut_bl
     assert cut_bl((ants[0], ants[1]), antpos, max_len=1.0)
     assert not cut_bl((ants[0], ants[1]), antpos, max_len=100.0)
+
+
+def test_redviscoupling_setup_coupling_cuts():
+    """setup_coupling geometric cuts zero the cut coupling-matrix cells
+    and second_max_* independently gate the second-order factors
+    (reference calibration.py:1701-1900)."""
+    ants, antpos, freqs, bls, _, _, rng = _setup(seed=4)
+    nant = len(ants)
+    reds, redvecs, bl2red, all_bls, _, _, _ = build_reds(antpos)
+    red_bls = [r[0] for r in reds]
+    rv = rng.normal(size=(1, 1, len(reds), 1, len(freqs))) + \
+        1j * rng.normal(size=(1, 1, len(reds), 1, len(freqs)))
+    vd_red = VisData()
+    vd_red.setup_data(red_bls, np.asarray([0.0]), freqs, pol="ee",
+                      data=jnp.asarray(rv))
+    X = (rng.normal(size=(1, 1, nant, nant, 1, len(freqs))) +
+         1j * rng.normal(size=(1, 1, nant, nant, 1, len(freqs)))) * 0.01
+
+    rvc = RedVisCoupling(jnp.asarray(X), freqs, antpos, red_bls, bl2red,
+                         list(all_bls))
+    out_full = np.asarray(rvc(vd_red).data)
+
+    # a max_len cut below the array size must change the output and
+    # match manually zeroing the cut cells
+    rvc.setup_coupling(max_len=15.0)
+    out_cut = np.asarray(rvc(vd_red).data)
+    assert not np.allclose(out_cut, out_full)
+    av = np.asarray(rvc.coupling.antpos.antvecs)
+    dist = np.linalg.norm(av[None] - av[:, None], axis=-1)
+    Xm = np.asarray(X).copy()
+    Xm[0, 0, dist > 15.0] = 0.0
+    rvc2 = RedVisCoupling(jnp.asarray(Xm), freqs, antpos, red_bls,
+                          bl2red, list(all_bls))
+    assert np.allclose(out_cut, np.asarray(rvc2(vd_red).data),
+                       atol=1e-12)
+
+    # second-order toggle + tighter second_max_len
+    rvc.setup_coupling(include_second_order=True, second_max_len=15.0)
+    out2 = np.asarray(rvc(vd_red).data)
+    assert rvc.coupling.double and not np.allclose(out2, out_cut)
+    # use_reds=False routes users to VisCoupling
+    with pytest.raises(NotImplementedError):
+        rvc.setup_coupling(use_reds=False)

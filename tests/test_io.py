@@ -587,3 +587,25 @@ def test_from_hdf5_interleave_lazy(tmp_path):
     lazy = VisData.from_hdf5(fnames, axis="time", lazy_cat=True)
     assert np.allclose(np.asarray(lazy.data[:]),
                        np.concatenate(parts, axis=3))
+
+
+def test_write_catalogue_sky_form(tmp_path):
+    """write_catalogue(catfile, sky, names) reference positional form
+    (sky_model.py:1088-1138) round-trips through read_catalogue."""
+    from bayeslim_tpu.models.sky import (PointSky, PointSkyResponse,
+                                         write_catalogue, read_catalogue)
+    rng = np.random.default_rng(9)
+    n = 3
+    params = np.zeros((1, 1, 2, n))
+    params[0, 0, 0] = rng.uniform(1, 5, n)
+    params[0, 0, 1] = -2.2
+    angs = np.stack([rng.uniform(0, 360, n), rng.uniform(-40, -20, n)])
+    R = PointSkyResponse(np.linspace(1e8, 1.1e8, 4),
+                         freq_mode="powerlaw", f0=1.2e8)
+    sky = PointSky(jnp.asarray(params), jnp.asarray(angs), R=R)
+    f = str(tmp_path / "cat_sky.yaml")
+    write_catalogue(f, sky, ["a", "b", "c"])
+    out = read_catalogue(f, freqs=np.linspace(1e8, 1.1e8, 4))
+    assert np.allclose(np.asarray(out[0])[0, 0, 0], params[0, 0, 0],
+                       atol=1e-8)
+    assert np.allclose(np.asarray(out[1]), angs, atol=1e-8)
