@@ -634,7 +634,7 @@ class HMC(SamplerBase):
     def __init__(self, potential, x0, eps=0.1, Nstep=10, mass=None,
                  chol=None, invchol=None, dHmax=1000.0, seed=0,
                  adapt_eps=False, adapt_kwargs=None, jitter_Nstep=False,
-                 on_device="auto"):
+                 pmask=None, on_device="auto"):
         """on_device: run whole leapfrog trajectories as one fused
         device computation (lax.scan) when the wrapped LogProb is
         single-batch; 'auto' enables it when possible, False forces the
@@ -648,6 +648,9 @@ class HMC(SamplerBase):
         self.key = jax.random.PRNGKey(seed)
         self.fn_evals = 0
         self.jitter_Nstep = jitter_Nstep
+        # pmask: optional [0,1] ParamDict multiplying drawn momenta —
+        # zeros freeze parameters for the trajectory (reference :732)
+        self.pmask = pmask
         # adapt_eps: True/'dual' = dual-averaging of the (scalar or
         # per-param-base) step size; 'relative' = reference-style
         # acceptance-driven multiplicative per-param schedule
@@ -703,13 +706,70 @@ class HMC(SamplerBase):
     def _energy(self, U, p):
         return float(U) + self.mass.kinetic(p)
 
+    def K(self, p):
+        """Kinetic energy 0.5 p^T M^-1 p under the current mass matrix
+        (reference sampler.py:391-450)."""
+        return self.mass.kinetic(p)
+
+    def is_divergent(self, H_start, H_end):
+        """Trajectory divergence test against self.dHmax
+        (reference :452-469)."""
+        return (H_end - H_start) > self.dHmax
+
+    def apply_pmask(self, momentum, pmask=None):
+        """Multiply a momentum ParamDict by a [0,1] mask — zeros freeze
+        those parameters for the trajectory (reference :732-757)."""
+        pmask = pmask if pmask is not None else self.pmask
+        if pmask is None:
+            return momentum
+        return ParamDict({k: momentum[k] * pmask[k] if k in pmask
+                          else momentum[k] for k in momentum.keys()})
+
+    def draw_momentum(self):
+        """p ~ N(0, M), pmask applied (reference :489-530). Advances
+        self.key."""
+        self.key, kp = jax.random.split(self.key)
+        return self.apply_pmask(self.mass.sample_momentum(kp, self.x))
+
+    def set_chol(self, cov_L=None, hess_L=None, diag_mass=True):
+        """Reset the mass matrix from Cholesky factors (reference
+        :260-333): mass M = Hessian, covariance C = M^-1. diag_mass:
+        the factors are DIAGONAL (scalar or ParamDict), M = hess_L^2 =
+        cov_L^-2; otherwise per-key operator/matrix factors with
+        M = Lm Lm^T (hess_L) or M^-1 = Lc Lc^T (cov_L)."""
+        if diag_mass:
+            mass = None
+            L = hess_L if hess_L is not None else cov_L
+            if L is not None:
+                if not hasattr(L, "keys"):
+                    L = ParamDict({k: jnp.asarray(
+                        L, jnp.asarray(self.x[k]).real.dtype)
+                        for k in self.x.keys()})
+                mass = L * L
+                if hess_L is None:
+                    mass = mass.operator(lambda x: 1.0 / x)
+            self.mass = _Mass(mass=mass)
+        else:
+            self.mass = _Mass(chol=hess_L, invchol=cov_L)
+
+    def dual_averaging(self, Nadapt, target=0.8, gamma=0.05, t0=10.0,
+                       kappa=0.75):
+        """Adapt the step size by Hoffman+14 dual averaging over the
+        next Nadapt steps, starting from the current self.eps
+        (reference :630-731). Subsequent step() calls feed acceptance
+        probabilities into the schedule; after Nadapt steps the
+        averaged eps freezes."""
+        self.stepsize = DynamicStepSize(self.eps, target=target,
+                                        gamma=gamma, t0=t0, kappa=kappa,
+                                        Nadapt=Nadapt)
+
     def step(self, sample_p=True):
         """One HMC step with Metropolis accept and divergence recovery
         (reference :548-626). sample_p=False reuses the existing
         momentum self.p (trajectory tracking, not standard HMC)."""
         self.key, kp, ka = jax.random.split(self.key, 3)
         if sample_p or getattr(self, "p", None) is None:
-            p = self.mass.sample_momentum(kp, self.x)
+            p = self.apply_pmask(self.mass.sample_momentum(kp, self.x))
         else:
             p = self.p
         self.p = p

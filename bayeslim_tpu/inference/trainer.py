@@ -45,6 +45,16 @@ class Trainer:
         self.verbose = verbose
         self._step = self._build_step()
 
+    @property
+    def loss(self):
+        """Per-epoch losses as an array (reference optim.py:1827-1829)."""
+        return np.asarray(self.loss_history)
+
+    @property
+    def times(self):
+        """Per-epoch wall times [s] (reference optim.py:1831-1833)."""
+        return np.asarray(self.time_history)
+
     def _build_step(self):
         opt = self.opt
 

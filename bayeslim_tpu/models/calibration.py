@@ -217,15 +217,23 @@ class JonesModel(Module):
             else:
                 self.rephase_mode = "zero"
             # fix the initial params in place (host-side, like reference)
-            was_real_pair = (self.R.param_type == "com"
-                             and not jnp.iscomplexobj(self.params))
-            new = rephase_to_refant(self.params, self.R.param_type,
-                                    self.refant_idx, p0=self.p0,
-                                    mode=self.rephase_mode)
-            if was_real_pair and jnp.iscomplexobj(new):
-                from ..utils.dtypes import viewreal
-                new = viewreal(new)
-            self.params = new
+            self.fix_refant_phs()
+
+    def fix_refant_phs(self):
+        """Zero the reference antenna's phase on the CURRENT params
+        (reference calibration.py:587-597) — e.g. after an optimizer
+        step drifted it. No-op without a refant."""
+        if self.refant_idx is None:
+            return
+        was_real_pair = (self.R.param_type == "com"
+                         and not jnp.iscomplexobj(self.params))
+        new = rephase_to_refant(self.params, self.R.param_type,
+                                self.refant_idx, p0=self.p0,
+                                mode=self.rephase_mode)
+        if was_real_pair and jnp.iscomplexobj(new):
+            from ..utils.dtypes import viewreal
+            new = viewreal(new)
+        self.params = new
 
     def ant_index(self, bls):
         """Host: (g1_idx, g2_idx) into the Nants axis for baselines."""

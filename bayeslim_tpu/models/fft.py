@@ -141,6 +141,10 @@ class PeakDelay(FFT):
             - np.sqrt(6) / 24 * jnp.log((x + 1 - np.sqrt(2.0 / 3.0))
                                         / (x + 1 + np.sqrt(2.0 / 3.0)))
 
+    def k(self, x):
+        """Quinn estimator kappa term (reference fft.py:154-157)."""
+        return self._k(x)
+
     def forward(self, inp, **kwargs):
         if isinstance(inp, (VisData, MapData, CalData, TensorData)):
             out = inp.copy()

@@ -548,6 +548,29 @@ class AlmModel(Module):
     def set_grid_index(self, idx):
         self.grid_idx = None if idx is None else np.asarray(idx)
 
+    def setup_multigrid_forward(self, thetas, phis, Ylms, alm_mults,
+                                idx=None):
+        """Attach multiple Ylm matrices at distinct (theta, phi) [deg]
+        grids: forward_alm evaluates each and concatenates along Npix,
+        with an optional final reindex (reference sph_harm.py
+        :1712-1738). Each grid is also stored in the angle-hashed
+        cache."""
+        self.grids = []
+        for th, ph, Y, a in zip(thetas, phis, Ylms, alm_mults):
+            self.add_grid(Y, alm_mult=a)
+            self.set_Ylm(Y, (np.asarray(th), np.asarray(ph)), alm_mult=a)
+        self.set_grid_index(idx)
+
+    def clear_multigrid(self):
+        """Drop the multi-grid list (reference :1740-1745)."""
+        self.grids = None
+        self.grid_idx = None
+
+    def clear_Ylm_cache(self):
+        """Drop the angle-hashed Ylm cache (reference :1583-1587)."""
+        if getattr(self, "_ylm_cache", None) is not None:
+            self._ylm_cache.cache.clear()
+
     def forward_alm(self, params, Ylm=None, alm_mult=None, ignoreLM=False):
         """a_lm -> map (reference :1289-1372)."""
         if self.LM is not None and not ignoreLM:

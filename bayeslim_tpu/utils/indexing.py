@@ -14,8 +14,23 @@ import numpy as np
 
 __all__ = [
     "AntposDict", "blnum2ants", "ants2blnum", "make_hex", "split_into_groups",
-    "flatten", "white_noise", "gauss_taper", "tukey_taper",
+    "flatten", "white_noise", "gauss_taper", "tukey_taper", "arr_hash",
 ]
+
+
+def arr_hash(arr, pntr=False):
+    """Cheap array identifier: hash of (first value, last value, length)
+    (reference utils.py:1643-1680); pntr=True hashes by object id
+    instead. Device arrays are converted once via np.asarray — never
+    index a device array element-wise here (one RPC per element on
+    remote backends)."""
+    if pntr:
+        return id(arr)
+    h = getattr(arr, "_arr_hash", None)
+    if h is not None:
+        return h
+    a = np.atleast_1d(np.asarray(arr))
+    return hash((a.flat[0].item(), a.flat[-1].item(), a.shape[0]))
 
 
 class AntposDict:

@@ -124,6 +124,22 @@ class PixInterp:
         self.interp_mode = interp_mode
         self.theta_grid = None if theta_grid is None else np.asarray(theta_grid)
         self.phi_grid = None if phi_grid is None else np.asarray(phi_grid)
+        self.interp_cache = {}
+
+    def get_interp(self, zen, az):
+        """Angle-hash-cached (inds, wgts) for target angles [deg]
+        (reference utils.py PixInterp.get_interp :742-800). Use when the
+        same pointing recurs across calls; precompute() is the uncached
+        primitive."""
+        from .indexing import arr_hash
+        h = arr_hash(np.asarray(zen))
+        if h not in self.interp_cache:
+            self.interp_cache[h] = self.precompute(zen, az)
+        return self.interp_cache[h]
+
+    def clear_cache(self):
+        """Drop the angle-hashed interpolation cache (reference :802)."""
+        self.interp_cache = {}
 
     @property
     def nnearest(self):

@@ -311,3 +311,21 @@ def test_cosmology_background_accuracy():
     # Planck-like parameters)
     dc1 = float(np.asarray(cosmo.comoving_distance(1.0)))
     assert 3.2e3 < dc1 < 3.5e3
+
+
+def test_peakdelay_k_and_trainer_props():
+    """PeakDelay.k public Quinn kappa (reference fft.py:154) and
+    Trainer.loss/.times array properties (reference optim.py:1827)."""
+    pd = PeakDelay(dim=1, N=16, dx=1e6, ndim=2)
+    x = jnp.asarray([0.3, 0.7])
+    expected = 0.25 * np.log(3 * np.asarray(x) ** 2 + 6 * np.asarray(x) + 1) \
+        - np.sqrt(6) / 24 * np.log((np.asarray(x) + 1 - np.sqrt(2 / 3))
+                                   / (np.asarray(x) + 1 + np.sqrt(2 / 3)))
+    assert np.allclose(np.asarray(pd.k(x)), expected, atol=1e-12)
+
+    from bayeslim_tpu.inference.trainer import Trainer
+    tr = Trainer.__new__(Trainer)
+    tr.loss_history = [3.0, 2.0, 1.5]
+    tr.time_history = [0.1, 0.2, 0.3]
+    assert np.allclose(tr.loss, [3.0, 2.0, 1.5])
+    assert np.allclose(tr.times, [0.1, 0.2, 0.3])

@@ -353,3 +353,21 @@ def test_to_caldata_flags_cov():
     assert cd.icov is icov
     assert cd.data.shape == gains.shape
     assert cd.history == "h"
+
+
+def test_fix_refant_phs():
+    """fix_refant_phs re-zeros the refant phase on current params
+    (reference calibration.py:587-597)."""
+    ants = [0, 1, 2, 3]
+    rng = np.random.default_rng(11)
+    gains = jnp.asarray(rng.normal(1, 0.2, (1, 1, 4, 1, 3)) +
+                        1j * rng.normal(0, 0.2, (1, 1, 4, 1, 3)))
+    J = JonesModel(gains, ants, refant=1)
+    # drift the params (the forward path projects the refant phase out
+    # regardless; fix_refant_phs re-zeros the stored PARAMS)
+    J.params = J.params * jnp.exp(1j * 0.3)
+    assert np.abs(np.angle(np.asarray(J.params)[0, 0, 1])).max() > 0.1
+    J.fix_refant_phs()
+    assert np.abs(np.angle(np.asarray(J.params)[0, 0, 1])).max() < 1e-10
+    # forward output is unchanged by the re-fix (phase was projected)
+    assert np.abs(np.angle(np.asarray(J.get_jones())[0, 0, 1])).max() < 1e-10

@@ -788,3 +788,41 @@ def test_hmat_reference_kwargs():
     fs = H.to_SolveHierMat(trans_solve=False).mat_vec_mul(jnp.ones(8))
     assert np.allclose(np.asarray(fs),
                        np.linalg.solve(L, np.ones(8)), atol=1e-6)
+
+
+def test_hmc_reference_helpers():
+    """HMC reference surfaces: K, is_divergent, draw_momentum + pmask,
+    set_chol, dual_averaging (reference sampler.py:260-757)."""
+    mu = np.zeros(2)
+    cov = np.diag([4.0, 0.25])
+    pot = GaussPotential(mu, cov)
+    x0 = ParamDict({"x": jnp.asarray([1.0, -1.0])})
+    hmc = HMC(pot, x0, eps=0.3, Nstep=8, seed=7)
+
+    # K = 0.5 p^T M^-1 p (identity mass)
+    p = ParamDict({"x": jnp.asarray([0.6, -0.8])})
+    assert np.isclose(hmc.K(p), 0.5 * (0.36 + 0.64))
+    # divergence threshold
+    assert hmc.is_divergent(0.0, hmc.dHmax + 1.0)
+    assert not hmc.is_divergent(0.0, hmc.dHmax - 1.0)
+
+    # set_chol diag forms: cov_L = sqrt(C) <-> mass = 1/C
+    hmc.set_chol(cov_L=ParamDict({"x": jnp.sqrt(jnp.asarray(np.diag(cov)))}))
+    assert np.allclose(np.asarray(hmc.mass.mass["x"]), 1.0 / np.diag(cov))
+    hmc.set_chol(hess_L=2.0)   # scalar: M = 4 everywhere
+    assert np.allclose(np.asarray(hmc.mass.mass["x"]), 4.0)
+    Kp = hmc.K(p)
+    assert np.isclose(Kp, 0.5 * (0.36 + 0.64) / 4.0)
+    hmc.set_chol()             # back to identity
+
+    # pmask freezes a component's drawn momentum
+    hmc.pmask = ParamDict({"x": jnp.asarray([1.0, 0.0])})
+    pd = hmc.draw_momentum()
+    assert float(pd["x"][1]) == 0.0 and float(pd["x"][0]) != 0.0
+    hmc.pmask = None
+
+    # dual_averaging adapts then freezes after Nadapt steps
+    hmc.dual_averaging(20, target=0.8)
+    hmc.sample(30)
+    assert hmc.stepsize.frozen
+    assert hmc.acceptance_rate > 0.5

@@ -266,3 +266,43 @@ def test_gen_bessel2freq_r_and_kbins():
                                    kbins={0.0: kb0[0.0]})
     assert np.allclose(kb2[0.0], kb0[0.0])
     assert np.allclose(np.asarray(gln2[0.0]), np.asarray(gln0[0.0]))
+
+
+def test_setup_multigrid_forward():
+    """setup_multigrid_forward concatenates per-grid outputs along Npix
+    with optional reindex; clear_multigrid restores the single-grid
+    path; the angle-hashed cache serves get_Ylm (reference sph_harm.py
+    :1496-1745)."""
+    rng = np.random.default_rng(5)
+    lmax = 3
+    l, m = sh.gen_lm(lmax, real_field=False)
+    am = sh.AlmModel(l, m)
+
+    # two small angle sets
+    th1, ph1 = np.array([40.0, 60.0]), np.array([10.0, 100.0])
+    th2, ph2 = np.array([80.0, 100.0, 120.0]), np.array([200.0, 300.0, 40.0])
+    am.generate_Ylm(np.radians(th1), np.radians(ph1), method="sphere",
+                    high_prec=False)
+    Y1, am1 = am.Ylm, am.alm_mult
+    am.generate_Ylm(np.radians(th2), np.radians(ph2), method="sphere",
+                    high_prec=False)
+    Y2, am2 = am.Ylm, am.alm_mult
+
+    alm = jnp.asarray(rng.normal(size=len(l)) + 1j * rng.normal(size=len(l)))
+    out1 = np.asarray(am.forward_alm(alm, Ylm=Y1, alm_mult=am1))
+    out2 = np.asarray(am.forward_alm(alm, Ylm=Y2, alm_mult=am2))
+
+    idx = np.array([4, 3, 2, 1, 0])
+    am.setup_multigrid_forward([th1, th2], [ph1, ph2], [Y1, Y2],
+                               [am1, am2], idx=idx)
+    out = np.asarray(am.forward_alm(alm))
+    assert np.allclose(out, np.concatenate([out1, out2], axis=-1)[..., idx])
+
+    # grids landed in the angle-hashed cache
+    Yc, amc = am.get_Ylm(th1, ph1)
+    assert Yc is Y1
+    am.clear_Ylm_cache()
+    am.clear_multigrid()
+    assert am.grids is None and am.grid_idx is None
+    out_single = np.asarray(am.forward_alm(alm))
+    assert np.allclose(out_single, out2)   # last generated Ylm remains

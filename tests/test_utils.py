@@ -343,3 +343,27 @@ def test_container_copy_copymeta():
     assert cp.freqs is not vd.freqs
     cp2 = vd.copy()
     assert cp2.times is vd.times  # shallow by default
+
+
+def test_arr_hash_and_pixinterp_cache():
+    """arr_hash value/pointer forms (reference utils.py:1643) and
+    PixInterp.get_interp's angle-hashed cache (reference :742-800)."""
+    from bayeslim_tpu.utils.indexing import arr_hash
+    from bayeslim_tpu.utils.interp import PixInterp
+
+    a = np.linspace(0.0, 1.0, 11)
+    assert arr_hash(a) == arr_hash(a.copy())
+    assert arr_hash(a) != arr_hash(a + 0.5)
+    assert arr_hash(a, pntr=True) == id(a)
+
+    pi = PixInterp("healpix", nside=8)
+    zen = np.asarray([10.0, 20.0, 30.0])
+    az = np.asarray([0.0, 90.0, 180.0])
+    inds, wgts = pi.get_interp(zen, az)
+    assert len(pi.interp_cache) == 1
+    inds2, wgts2 = pi.get_interp(zen, az)
+    assert inds2 is inds and wgts2 is wgts   # cache hit
+    i3, w3 = pi.precompute(zen, az)
+    assert np.allclose(wgts, w3) and np.array_equal(inds, i3)
+    pi.clear_cache()
+    assert len(pi.interp_cache) == 0
