@@ -31,6 +31,33 @@ import time
 
 import numpy as np
 
+_T0 = time.time()
+
+
+def _note(msg):
+    """Incremental stage line on stderr (flushed) so a timed-out run is
+    diagnosable from its captured stderr alone (r3 verdict weak #1)."""
+    print(f"# [{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _watchdog(label, interval=30):
+    """Daemon that notes every `interval`s until .set() — makes a hung
+    remote-backend init (the axon tunnel can drop) visible in stderr
+    instead of a silent timeout. Returns the stop Event."""
+    import threading
+    done = threading.Event()
+
+    def loop():
+        n = 0
+        while not done.wait(interval):
+            n += 1
+            _note(f"still in {label} after {n * interval}s — if this is "
+                  f"backend init, the remote TPU tunnel may be down")
+
+    threading.Thread(target=loop, daemon=True).start()
+    return done
+
 
 def build_case(size):
     cfgs = {
@@ -198,9 +225,13 @@ def run_jax(cfg, platform=None, x64=False):
     import optax
 
     stage = {}
+    w = _watchdog("backend init (jax.devices)")
+    _note(f"devices={[d.platform for d in jax.devices()]}")
+    w.set()
     t0 = time.time()
     m = build_model(cfg)
     stage["build_model"] = time.time() - t0
+    _note(f"build_model done ({stage['build_model']:.1f}s)")
     npix_cut = m["npix_cut"]
     bls, freqs = m["bls"], m["freqs"]
     if m["tgroups"] is not None:
@@ -212,6 +243,7 @@ def run_jax(cfg, platform=None, x64=False):
     t0 = time.time()
     prob, tgt_data = build_prob(cfg, m)
     stage["build_prob"] = time.time() - t0
+    _note(f"build_prob done ({stage['build_prob']:.1f}s)")
     pd = dict(prob.collect_main_params())
     fn = prob._batch_fn(0)
     _, icov = prob._batch_args(0)
@@ -243,12 +275,14 @@ def run_jax(cfg, platform=None, x64=False):
         return out
 
     fetch = _fetch_floor()
+    _note(f"fetch_floor={fetch*1e3:.1f}ms; compiling train loop")
 
     # compile + first run
     t0 = time.time()
     v, _ = train(pd, prob.model, tgt_data)
     _ = float(v)
     compile_time = time.time() - t0
+    _note(f"train compile+first run done ({compile_time:.1f}s)")
 
     # min-of-3 timed windows: remote-TPU RPC latency fluctuates ~±20%
     # run-to-run; the floor-subtracted min is the stable estimator
@@ -258,6 +292,7 @@ def run_jax(cfg, platform=None, x64=False):
         v, _ = train(pd, prob.model, tgt_data)
         _ = float(v)
         windows.append(time.time() - t0)
+        _note(f"window {len(windows)}/3 = {windows[-1]:.3f}s")
     dt = max(min(windows) - fetch, 1e-9) / reps
 
     if cfg.get("skip_fwd_split", True):
@@ -310,12 +345,15 @@ def _run_batched(cfg, rime, T, arr, bls, tgroups, freqs, npix_cut):
             _ = float(np.asarray(jnp.ravel(g[k])[0]))
         return v
 
+    _note("batched: compiling accumulate sweep")
     t0 = _time.time()
     sweep()
     compile_time = _time.time() - t0
+    _note(f"batched sweep compile+first done ({compile_time:.1f}s)")
     t0 = _time.time()
     sweep()
     dt = _time.time() - t0
+    _note(f"batched timed sweep = {dt:.1f}s")
 
     points = nb * cfg["nfreq"] * cfg["ntime"]
     return dict(step_time=dt, fwd_time=float("nan"), bwd_time=float("nan"),
