@@ -612,6 +612,7 @@ class VisData(TensorData):
         new_blnums, chunks = [], []
         ic = self.icov if (self.icov is not None and self.cov_axis is None) else None
         new_icov = [] if ic is not None else None
+        new_flags = [] if self.flags is not None else None
         for red in reds:
             idx = self._bl2ind(red)
             d = jnp.take(self.data, jnp.asarray(idx), axis=2)
@@ -628,12 +629,23 @@ class VisData(TensorData):
             new_blnums.append(int(ants2blnum(tuple(red[0]))))
             if new_icov is not None:
                 new_icov.append(wsum)
+            if new_flags is not None:
+                # the group is flagged only where EVERY member is
+                # (reference dataset.py:1329-1341: OR-accumulate of
+                # ~flags, negated)
+                f = jnp.take(jnp.asarray(self.flags), jnp.asarray(idx),
+                             axis=2)
+                new_flags.append(jnp.all(f, axis=2, keepdims=True))
+        had_cov = self.cov is not None
         obj.data = jnp.concatenate(chunks, axis=2)
         obj.blnums = np.asarray(new_blnums, dtype=np.int64)
-        obj.flags = None
+        obj.flags = None if new_flags is None \
+            else jnp.concatenate(new_flags, axis=2)
         if new_icov is not None:
             obj.icov = jnp.concatenate(new_icov, axis=2)
-            obj.cov = 1.0 / obj.icov
+            # cov only propagates if the input carried one (reference
+            # :1349-1351)
+            obj.cov = 1.0 / obj.icov if had_cov else None
         return obj
 
     def reduce_by_redundancy(self, reds=None, redtol=1.0):

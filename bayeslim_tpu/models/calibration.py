@@ -9,10 +9,12 @@ params2complex/complex2params :215-288, JonesModel :416-743, JonesResponse
 remove_redcal_degen :2611, compute_redcal_degen :2665, redcal_degen_gains
 :2760). VisCoupling/RedVisCoupling live in models/coupling.py.
 
-TPU-first notes: the reference's IndexCache machinery (calibration.py
-:291-414, runtime hash caches of time/bl index maps) disappears — antenna
--> baseline index arrays are precomputed on host (`ant_index`) and time
-selection happens at setup. All forwards are pure & jit-friendly.
+TPU-first notes: the reference's IndexCache (calibration.py:291-414) is
+kept as a HOST-side mixin: index maps are numpy computed once per distinct
+batch (keyed by arr_hash) and enter jit as static gather indices — a new
+time/bl batch means a retrace, never a per-element device fetch. Antenna
+-> baseline index arrays are precomputed on host (`ant_index`). All
+forwards are pure & jit-friendly.
 """
 from __future__ import annotations
 
@@ -27,9 +29,92 @@ from ..data.containers import VisData, CalData
 __all__ = [
     "params2complex", "complex2params", "BaseResponse", "JonesResponse",
     "JonesModel", "VisModelResponse", "VisModel", "RedVisModel",
-    "apply_cal", "_apply_cal", "rephase_to_refant",
+    "IndexCache", "apply_cal", "_apply_cal", "rephase_to_refant",
     "compute_redcal_degen", "redcal_degen_gains", "remove_redcal_degen",
 ]
+
+
+class IndexCache:
+    """Time/baseline minibatch index cache (reference calibration.py
+    :291-414): maps a data batch's times / blnums onto the params axes.
+
+    TPU-first: indices are computed with HOST numpy from static metadata
+    and cached by `arr_hash` (cache_tidx / cache_bidx); the selection is
+    one `jnp.take` with a static index, so under jit a distinct batch is
+    a distinct trace and there is never a per-element device fetch."""
+
+    def _init_index_cache(self, times=None, bls=None, atol=1e-5):
+        self._times = None if times is None else np.asarray(times)
+        if bls is not None and not isinstance(bls, list):
+            bls = np.asarray(bls)
+        self._bls = bls   # blnum array or list of antpair tuples
+        self._atol = atol
+        self.clear_time_cache()
+        self.clear_bl_cache()
+
+    def clear_time_cache(self):
+        self.cache_tidx = {}
+
+    def clear_bl_cache(self):
+        self.cache_bidx = {}
+
+    def clear_cache(self):
+        """Clear all index caches (reference :377-380)."""
+        self.clear_time_cache()
+        self.clear_bl_cache()
+
+    def get_time_idx(self, times):
+        """Indices of `times` in the params time axis (reference
+        :322-350); isclose within atol, nearest-match fallback."""
+        if times is None or getattr(self, "_times", None) is None:
+            return None
+        from ..utils.indexing import arr_hash
+        t = np.atleast_1d(np.asarray(times))
+        h = arr_hash(t)
+        if h not in self.cache_tidx:
+            idx = []
+            for tt in t:
+                w = np.where(np.isclose(self._times, tt,
+                                        atol=self._atol, rtol=1e-15))[0]
+                idx.append(int(w[0]) if len(w)
+                           else int(np.argmin(np.abs(self._times - tt))))
+            self.cache_tidx[h] = np.asarray(idx, dtype=np.int32)
+        return self.cache_tidx[h]
+
+    def get_bl_idx(self, bls):
+        """Indices of `bls` (blnums or antpair tuples) in the params
+        baseline axis (reference :352-375)."""
+        if bls is None or getattr(self, "_bls", None) is None:
+            return None
+        from ..utils.indexing import arr_hash, ants2blnum
+        own = self._bls
+        if isinstance(own, list):
+            own = np.asarray([int(ants2blnum(b)) for b in own])
+        if isinstance(bls, list):
+            q = np.asarray([int(ants2blnum(b)) for b in bls])
+        else:
+            q = np.asarray(bls)
+        h = arr_hash(q)
+        if h not in self.cache_bidx:
+            lut = {int(b): i for i, b in enumerate(own)}
+            self.cache_bidx[h] = np.asarray(
+                [lut[int(b)] for b in q], dtype=np.int32)
+        return self.cache_bidx[h]
+
+    def index_params(self, params, times=None, bls=None):
+        """Down-select params onto the batch times/bls (reference
+        :382-414); no-op when the index covers the full axis in order."""
+        tidx = self.get_time_idx(times)
+        if tidx is not None and not (
+                len(tidx) == params.shape[-2]
+                and np.array_equal(tidx, np.arange(len(tidx)))):
+            params = jnp.take(params, jnp.asarray(tidx), axis=-2)
+        bidx = self.get_bl_idx(bls)
+        if bidx is not None and not (
+                len(bidx) == params.shape[-3]
+                and np.array_equal(bidx, np.arange(len(bidx)))):
+            params = jnp.take(params, jnp.asarray(bidx), axis=-3)
+        return params
 
 
 def params2complex(params, param_type, freqs=None):
@@ -182,13 +267,13 @@ class JonesResponse(BaseResponse):
         return jnp.exp(1j * slope)
 
 
-class JonesModel(Module):
+class JonesModel(Module, IndexCache):
     """Antenna-based direction-independent gains: V_d = J_p V_m J_q^H
     (reference calibration.py:416-743)."""
 
     def __init__(self, params, ants, p0=None, refant=None, R=None,
                  parameter=True, polmode="1pol", single_ant=False,
-                 name=None, vis_type="com"):
+                 name=None, vis_type="com", atol=1e-5):
         super().__init__(name=name)
         self.params = jnp.asarray(params)
         self.p0 = None if p0 is None else jnp.asarray(p0)
@@ -202,6 +287,8 @@ class JonesModel(Module):
         self.vis_type = vis_type
         self._g1_idx = None
         self._g2_idx = None
+        self._init_index_cache(times=getattr(self.R, "times", None),
+                               atol=atol)
         self.set_refant(refant)
 
     def set_refant(self, refant):
@@ -283,19 +370,22 @@ class JonesModel(Module):
         return jones
 
     def index_params(self, jones, times=None, bls=None):
-        """Down-select the gain time axis onto the data times (replaces
-        the reference's IndexCache, calibration.py:291-414: nearest-time
-        indices are computed on host from static metadata). bls is
-        accepted for the reference IndexCache surface: gains are
-        antenna-indexed, so baseline selection happens in apply_cal via
-        the per-baseline antenna gathers instead."""
+        """Down-select the gain time axis onto the data times via the
+        arr_hash-cached host index maps (IndexCache, reference
+        calibration.py:291-414 / :654). bls is accepted for the
+        reference surface: gains are antenna-indexed, so baseline
+        selection happens in apply_cal via the per-baseline antenna
+        gathers instead."""
         if times is None or self.R.times is None or \
-                jones.shape[-2] == len(times):
+                jones.shape[-2] == len(np.atleast_1d(times)):
             return jones
         if jones.shape[-2] == 1:
             return jones  # broadcast single time bin
-        idx = np.asarray([np.argmin(np.abs(self.R.times - t))
-                          for t in np.atleast_1d(times)])
+        rt = np.asarray(self.R.times)
+        if self._times is None or not np.array_equal(self._times, rt):
+            self._times = rt          # R.times assigned post-init
+            self.clear_time_cache()
+        idx = self.get_time_idx(times)
         return jnp.take(jones, jnp.asarray(idx), axis=-2)
 
     def forward(self, vd, undo=False, prior_cache=None, jones=None,
@@ -333,37 +423,54 @@ class VisModelResponse(BaseResponse):
     """Response for (Red)VisModel (reference :1212-1257)."""
 
 
-class VisModel(Module):
+class VisModel(Module, IndexCache):
     """Full per-baseline visibility model: vout = vd + R(params)
-    (reference :1056-1211)."""
+    (reference :1056-1211). blnums (params baseline order) and R.times
+    enable bl/time minibatching: a vd carrying a subset of either axis
+    gets the matching params rows via the IndexCache host maps."""
 
-    def __init__(self, params, R=None, p0=None, parameter=True, name=None):
+    def __init__(self, params, R=None, p0=None, parameter=True,
+                 blnums=None, name=None, atol=1e-5):
         super().__init__(name=name)
         self.params = jnp.asarray(params)
         self.p0 = None if p0 is None else jnp.asarray(p0)
         if parameter:
             self.set_param("params")
         self.R = R if R is not None else VisModelResponse()
+        self._init_index_cache(times=getattr(self.R, "times", None),
+                               bls=blnums, atol=atol)
 
     def forward(self, vd, undo=False, prior_cache=None, **kwargs):
         p = self.params if self.p0 is None else self.params + self.p0
         vis = self.R(p)
         self.eval_prior(prior_cache, inp_params=self.params, out_params=vis)
+        # down-select on times / bls for minibatching (reference
+        # :1176-1181)
+        times = bls = None
+        if getattr(vd, "blnums", None) is not None \
+                and vd.Nbls != vis.shape[-3]:
+            bls = vd.blnums
+        if getattr(vd, "times", None) is not None \
+                and vd.Ntimes != vis.shape[-2]:
+            times = vd.times
+        vis = self.index_params(vis, times=times, bls=bls)
         vout = vd.copy()
         vout.data = vd.data - vis if undo else vd.data + vis
         return vout
 
 
-class RedVisModel(Module):
+class RedVisModel(Module, IndexCache):
     """Per-redundant-group visibility model, expanded onto baselines
     (reference :877-1054).
 
     bl2red maps each data baseline (tuple) to its redundant-group index
-    along the params Nredvis axis.
+    along the params Nredvis axis. R.times enables time minibatching
+    (reference :986); the group-expansion index is cached per distinct
+    baseline batch (reference get_bl_idx overload :1002-1024).
     """
 
     def __init__(self, params, bl2red, R=None, p0=None, parameter=True,
-                 name=None):
+                 name=None, atol=1e-5):
         super().__init__(name=name)
         self.params = jnp.asarray(params)
         self.p0 = None if p0 is None else jnp.asarray(p0)
@@ -372,11 +479,17 @@ class RedVisModel(Module):
         if parameter:
             self.set_param("params")
         self.R = R if R is not None else VisModelResponse()
+        self._init_index_cache(times=getattr(self.R, "times", None),
+                               atol=atol)
 
     def red_index(self, bls):
-        bls = blnum2ants(bls)
-        return np.asarray([self.bl2red[tuple(bl)] for bl in bls],
-                          dtype=np.int32)
+        from ..utils.indexing import arr_hash
+        h = arr_hash(np.asarray(bls))
+        if h not in self.cache_bidx:
+            pairs = blnum2ants(bls)
+            self.cache_bidx[h] = np.asarray(
+                [self.bl2red[tuple(bl)] for bl in pairs], dtype=np.int32)
+        return self.cache_bidx[h]
 
     def set_bls(self, bls):
         """Pin the baseline->group expansion index as a DEVICE array
@@ -393,6 +506,10 @@ class RedVisModel(Module):
         redvis = self.R(p)
         self.eval_prior(prior_cache, inp_params=self.params,
                         out_params=redvis)
+        # time minibatching (reference :986)
+        if getattr(vd, "times", None) is not None \
+                and vd.Ntimes != redvis.shape[-2]:
+            redvis = self.index_params(redvis, times=vd.times)
         if getattr(self, "_red_idx", None) is not None:
             idx = self._red_idx
         else:

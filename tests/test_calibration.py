@@ -371,3 +371,85 @@ def test_fix_refant_phs():
     assert np.abs(np.angle(np.asarray(J.params)[0, 0, 1])).max() < 1e-10
     # forward output is unchanged by the re-fix (phase was projected)
     assert np.abs(np.angle(np.asarray(J.get_jones())[0, 0, 1])).max() < 1e-10
+
+
+def test_vismodel_minibatch_index_cache():
+    """VisModel time/bl minibatching via IndexCache (reference
+    calibration.py:291-414, :1176-1181, mirrored from the reference's
+    own test_VisModel): a vd carrying a subset of times or baselines
+    gets the matching params rows, with host index maps cached by
+    arr_hash in cache_tidx/cache_bidx."""
+    from bayeslim_tpu.models.calibration import VisModel, VisModelResponse
+    from bayeslim_tpu.utils.indexing import ants2blnum, arr_hash
+    from bayeslim_tpu.data.containers import VisData
+
+    rng = np.random.default_rng(3)
+    bls = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    times = 2458168.1 + np.arange(4) * 1e-3
+    freqs = np.linspace(120e6, 130e6, 6)
+    shape = (1, 1, len(bls), len(times), len(freqs))
+    params = jnp.asarray(rng.normal(size=shape) +
+                         1j * rng.normal(size=shape))
+    blnums = np.asarray([int(ants2blnum(b)) for b in bls])
+
+    vd = VisData()
+    vd.setup_data(bls, times, freqs, pol="ee",
+                  data=jnp.zeros(shape, dtype=params.dtype))
+
+    vm = VisModel(params, R=VisModelResponse(times=times),
+                  parameter=False, blnums=blnums)
+    # full pass: vout == params
+    vout = vm.forward(vd)
+    assert np.allclose(np.asarray(vout.data), np.asarray(params))
+
+    # time minibatching
+    vd2 = vd.select(time_inds=range(3), inplace=False)
+    vm.clear_cache()
+    vout = vm.forward(vd2)
+    assert vout.data.shape[-2] == 3
+    assert np.allclose(np.asarray(vout.data),
+                       np.asarray(params)[..., :3, :])
+    assert arr_hash(np.asarray(vd2.times)) in vm.cache_tidx
+
+    # bl minibatching (a scrambled subset)
+    sub = [3, 1, 4]
+    vd3 = vd.select(bl=[bls[i] for i in sub], inplace=False)
+    vm.clear_cache()
+    vout = vm.forward(vd3)
+    assert vout.data.shape[-3] == 3
+    assert np.allclose(np.asarray(vout.data),
+                       np.asarray(params)[:, :, sub])
+    assert arr_hash(np.asarray(vd3.blnums)) in vm.cache_bidx
+
+    # cache hit: second call reuses the same index object
+    idx1 = vm.cache_bidx[arr_hash(np.asarray(vd3.blnums))]
+    vm.forward(vd3)
+    assert vm.cache_bidx[arr_hash(np.asarray(vd3.blnums))] is idx1
+
+
+def test_redvismodel_time_minibatch():
+    """RedVisModel time down-select (reference calibration.py:986) and
+    red-expansion index caching."""
+    from bayeslim_tpu.models.calibration import RedVisModel, \
+        VisModelResponse
+    from bayeslim_tpu.data.containers import VisData
+
+    rng = np.random.default_rng(5)
+    reds = [[(0, 1), (1, 2)], [(0, 2)]]
+    bl2red = {bl: i for i, red in enumerate(reds) for bl in red}
+    bls = [bl for red in reds for bl in red]
+    times = 2458168.1 + np.arange(4) * 1e-3
+    freqs = np.linspace(120e6, 130e6, 5)
+    shape = (1, 1, len(reds), len(times), len(freqs))
+    params = jnp.asarray(rng.normal(size=shape) +
+                         1j * rng.normal(size=shape))
+
+    vd = VisData()
+    vd.setup_data(bls, times[:2], freqs, pol="ee",
+                  data=jnp.zeros((1, 1, len(bls), 2, len(freqs)),
+                                 dtype=params.dtype))
+    rvm = RedVisModel(params, bl2red, R=VisModelResponse(times=times),
+                      parameter=False)
+    vout = rvm.forward(vd)
+    exp = np.asarray(params)[:, :, [0, 0, 1], :2]
+    assert np.allclose(np.asarray(vout.data), exp)

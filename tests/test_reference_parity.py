@@ -3791,3 +3791,87 @@ def test_cholesky_inverse_parity():
     assert np.allclose(np.asarray(L1), [2.0, 3.0])
     with pytest.raises(np.linalg.LinAlgError):
         cholesky_inverse(jnp.asarray(-np.eye(3)))
+
+
+def test_gpfilter_inpaint_parity():
+    """GPFilter vs the reference (filt.py:191-316), mirroring the
+    reference's own test_GPFilter: (a) residual high-pass on complex
+    visibilities, (b) GP inpainting of flagged channels via
+    Cs_cross/Cs_pred/input_idx (the prediction-points form) — G, V and
+    filtered outputs all pinned."""
+    from bayeslim_tpu.models import filt as bfilt
+    rng = np.random.default_rng(17)
+    nf = 32
+    freqs = np.linspace(120e6, 130e6, nf)
+    data = rng.normal(size=(1, 1, 3, 2, nf)) \
+        + 1j * rng.normal(size=(1, 1, 3, 2, nf))
+
+    # (a) residual high-pass
+    Cs_ref = ba.filt.rbf_cov(torch.tensor(freqs), 2e6)
+    Cn_ref = torch.eye(nf, dtype=torch.float64) * 1e-8
+    F_ref = ba.filt.GPFilter(Cs_ref, Cn_ref, dim=-1, residual=True,
+                             hermitian=True, dtype=torch.complex128)
+    out_ref = F_ref(torch.tensor(data))
+
+    Cs = bfilt.rbf_cov(freqs, 2e6)
+    Cn = jnp.eye(nf) * 1e-8
+    F = bfilt.GPFilter(Cs, Cn, dim=-1, residual=True, hermitian=True)
+    assert np.allclose(np.asarray(F.G), F_ref.G.numpy(), atol=1e-6)
+    assert np.allclose(np.asarray(F.V), F_ref.V.numpy(), atol=1e-6)
+    out = F.forward(jnp.asarray(data))
+    assert np.allclose(np.asarray(out), out_ref.numpy(), atol=1e-7)
+    # high-pass property: mean along freq ~ 0
+    assert np.abs(np.asarray(out).mean(-1)).mean() \
+        < 1e-5 * np.abs(data.mean(-1)).mean()
+
+    # (b) inpainting: predict flagged channels from the full vector
+    flags = np.zeros(nf, dtype=bool)
+    flags[::3] = True
+    data_fl = data.copy()
+    data_fl[..., flags] = 0.0
+
+    Cc_ref = ba.filt.rbf_cov(torch.tensor(freqs), 2e6,
+                             x2=torch.tensor(freqs[flags]))
+    Cp_ref = ba.filt.rbf_cov(torch.tensor(freqs[flags]), 2e6)
+    Fi_ref = ba.filt.GPFilter(Cs_ref, Cn_ref, Cs_cross=Cc_ref,
+                              Cs_pred=Cp_ref,
+                              input_idx=torch.tensor(flags),
+                              dim=-1, residual=False, hermitian=True,
+                              dtype=torch.complex128)
+    outi_ref = Fi_ref(torch.tensor(data_fl))
+
+    Cc = bfilt.rbf_cov(freqs, 2e6, x2=freqs[flags])
+    Cp = bfilt.rbf_cov(freqs[flags], 2e6)
+    Fi = bfilt.GPFilter(Cs, Cn, Cs_cross=Cc, Cs_pred=Cp,
+                        input_idx=np.where(flags)[0], dim=-1,
+                        residual=False, hermitian=True)
+    outi = Fi.forward(jnp.asarray(data_fl))
+    assert np.allclose(np.asarray(outi), outi_ref.numpy(), atol=1e-7)
+    # unflagged channels pass through untouched; flagged got filled
+    assert np.allclose(np.asarray(outi)[..., ~flags],
+                       data_fl[..., ~flags], atol=1e-12)
+    assert (np.abs(np.asarray(outi)[..., flags]) > 0).all()
+
+
+def test_bl_average_flags_icov_parity():
+    """bl_average with flags + icov (no cov) vs the reference
+    (dataset.py:1257-1362), mirroring the reference's own
+    test_visdata_bl_average tail: flag propagation through the group
+    mean and icov summation."""
+    vd_ref, vd, bls, times, freqs = _make_visdata_pair()
+    # drop cov, keep icov; flag the first group's first baseline
+    fl = np.zeros(np.shape(vd.data), dtype=bool)
+    fl[:, :, 0] = True
+    vd_ref.cov = None
+    vd_ref.flags = torch.tensor(fl)
+    vd.cov = None
+    vd.flags = jnp.asarray(fl)
+    reds = [[bls[0], bls[1]], [bls[2]], [bls[3]]]
+    avg_ref = vd_ref.bl_average(reds=reds, inplace=False)
+    avg = vd.bl_average(reds=reds, inplace=False)
+    assert np.allclose(np.asarray(avg.data), avg_ref.data.numpy(),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(avg.icov), avg_ref.icov.numpy(),
+                       atol=1e-12)
+    assert np.array_equal(np.asarray(avg.flags),
+                          avg_ref.flags.numpy())
