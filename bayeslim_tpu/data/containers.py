@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import AntposDict, ants2blnum, blnum2ants
+from ..utils.indexing import inflate_bls
 from ..utils.module import Module
 from ..utils.dtypes import _float, _cfloat
 
@@ -460,9 +461,10 @@ class VisData(TensorData):
             out = out[..., 0, :, :] if out.ndim >= 3 and out.shape[-3] == 1 else out
         return out
 
-    def get_flags(self, **kwargs):
+    def get_flags(self, bl=None, **kwargs):
         kwargs.setdefault("data", self.flags)
-        return self.get_data(**kwargs) if self.flags is not None else None
+        return self.get_data(bl=bl, **kwargs) \
+            if self.flags is not None else None
 
     def get_cov(self, **kwargs):
         if self.cov is not None and self.cov_axis is not None:
@@ -609,43 +611,58 @@ class VisData(TensorData):
             red_info = build_reds(self.antpos, bls=self.bls, redtol=redtol)
             reds = red_info[0]
         obj = self if inplace else self.copy()
+        # member covariance for error propagation (reference :1308-1314:
+        # cov, else 1/icov); weights default to icov (:1305)
+        cov = None
+        if self.cov_axis is None:
+            if self.cov is not None:
+                cov = self.cov
+            elif self.icov is not None:
+                cov = 1.0 / jnp.clip(self.icov, 1e-60)
+        W = None
+        if wgts is not None:
+            W = jnp.broadcast_to(jnp.asarray(wgts), np.shape(self.data))
+        elif self.icov is not None and self.cov_axis is None:
+            W = self.icov
         new_blnums, chunks = [], []
-        ic = self.icov if (self.icov is not None and self.cov_axis is None) else None
-        new_icov = [] if ic is not None else None
+        new_cov = [] if cov is not None else None
         new_flags = [] if self.flags is not None else None
         for red in reds:
             idx = self._bl2ind(red)
             d = jnp.take(self.data, jnp.asarray(idx), axis=2)
-            if wgts is not None:
-                w = jnp.take(jnp.asarray(wgts), jnp.asarray(idx), axis=0)
-                w = w.reshape((1, 1, -1, 1, 1))
-            elif ic is not None:
-                w = jnp.take(ic, jnp.asarray(idx), axis=2)
+            if W is not None:
+                w = jnp.take(W, jnp.asarray(idx), axis=2)
             else:
                 w = jnp.ones((1, 1, len(idx), 1, 1), dtype=d.real.dtype)
             wsum = jnp.sum(w, axis=2, keepdims=True)
             avg = jnp.sum(d * w, axis=2, keepdims=True) / wsum
             chunks.append(avg)
-            new_blnums.append(int(ants2blnum(tuple(red[0]))))
-            if new_icov is not None:
-                new_icov.append(wsum)
+            rep = red[0] if np.ndim(red) else red
+            new_blnums.append(int(ants2blnum(tuple(rep)))
+                              if isinstance(rep, tuple) else int(rep))
+            if new_cov is not None:
+                # var of the weighted mean: sum w^2 c / (sum w)^2
+                # (reference average_data, dataset.py:1316-1325)
+                c = jnp.take(cov, jnp.asarray(idx), axis=2)
+                new_cov.append(jnp.sum(w ** 2 * c, axis=2, keepdims=True)
+                               / wsum ** 2)
             if new_flags is not None:
                 # the group is flagged only where EVERY member is
-                # (reference dataset.py:1329-1341: OR-accumulate of
-                # ~flags, negated)
+                # (reference :1329-1341: OR-accumulate of ~flags, negated)
                 f = jnp.take(jnp.asarray(self.flags), jnp.asarray(idx),
                              axis=2)
                 new_flags.append(jnp.all(f, axis=2, keepdims=True))
-        had_cov = self.cov is not None
         obj.data = jnp.concatenate(chunks, axis=2)
         obj.blnums = np.asarray(new_blnums, dtype=np.int64)
         obj.flags = None if new_flags is None \
             else jnp.concatenate(new_flags, axis=2)
-        if new_icov is not None:
-            obj.icov = jnp.concatenate(new_icov, axis=2)
-            # cov only propagates if the input carried one (reference
-            # :1349-1351)
-            obj.cov = 1.0 / obj.icov if had_cov else None
+        if new_cov is not None:
+            avg_cov = jnp.concatenate(new_cov, axis=2)
+            # icov propagates if the input carried one; cov only if the
+            # input carried cov (reference :1343-1351)
+            obj.icov = 1.0 / jnp.clip(avg_cov, 1e-60) \
+                if self.icov is not None else None
+            obj.cov = avg_cov if self.cov is not None else None
         return obj
 
     def reduce_by_redundancy(self, reds=None, redtol=1.0):
@@ -719,8 +736,21 @@ class VisData(TensorData):
         if time_inds is None:
             time_inds = [np.arange(self.Ntimes)]
         obj = self if inplace else self.copy()
-        chunks, new_times, icov_chunks = [], [], []
-        ic = self.icov if (self.icov is not None and self.cov_axis is None) else None
+        # member covariance + default weights (reference :1486-1496)
+        cov = None
+        if self.cov_axis is None:
+            if self.cov is not None:
+                cov = self.cov
+            elif self.icov is not None:
+                cov = 1.0 / jnp.clip(self.icov, 1e-60)
+        W = None
+        if wgts is not None:
+            W = jnp.broadcast_to(jnp.asarray(wgts), np.shape(self.data))
+        elif self.icov is not None and self.cov_axis is None:
+            W = self.icov
+        chunks, new_times = [], []
+        new_cov = [] if cov is not None else None
+        new_flags = [] if self.flags is not None else None
         for idx in time_inds:
             idx = np.asarray(idx)
             tmean = float(np.mean(self.times[idx]))
@@ -733,23 +763,32 @@ class VisData(TensorData):
                                   self.telescope.location[1],
                                   self.get_bl_vecs(), jnp.asarray(self.freqs))
                 d = d * phs[None, None]
-            if wgts is not None:
-                w = jnp.take(jnp.asarray(wgts), jnp.asarray(idx), axis=0)
-                w = w.reshape((1, 1, 1, -1, 1))
-            elif ic is not None:
-                w = jnp.take(ic, jnp.asarray(idx), axis=3)
+            if W is not None:
+                w = jnp.take(W, jnp.asarray(idx), axis=3)
             else:
                 w = jnp.ones((1, 1, 1, len(idx), 1), dtype=d.real.dtype)
             wsum = jnp.sum(w, axis=3, keepdims=True)
             chunks.append(jnp.sum(d * w, axis=3, keepdims=True) / wsum)
-            icov_chunks.append(wsum)
             new_times.append(tmean)
+            if new_cov is not None:
+                # var of the weighted mean (reference average_data)
+                c = jnp.take(cov, jnp.asarray(idx), axis=3)
+                new_cov.append(jnp.sum(w ** 2 * c, axis=3, keepdims=True)
+                               / wsum ** 2)
+            if new_flags is not None:
+                # flagged only where every member is (reference :1536-1546)
+                f = jnp.take(jnp.asarray(self.flags), jnp.asarray(idx),
+                             axis=3)
+                new_flags.append(jnp.all(f, axis=3, keepdims=True))
         obj.data = jnp.concatenate(chunks, axis=3)
         obj.times = np.asarray(new_times)
-        obj.flags = None
-        if ic is not None:
-            obj.icov = jnp.concatenate(icov_chunks, axis=3)
-            obj.cov = 1.0 / obj.icov
+        obj.flags = None if new_flags is None \
+            else jnp.concatenate(new_flags, axis=3)
+        if new_cov is not None:
+            avg_cov = jnp.concatenate(new_cov, axis=3)
+            obj.icov = 1.0 / jnp.clip(avg_cov, 1e-60) \
+                if self.icov is not None else None
+            obj.cov = avg_cov if self.cov is not None else None
         return obj
 
     def time_nn_interp(self, lsts=None, rephase=True, inplace=True,
@@ -785,28 +824,45 @@ class VisData(TensorData):
             obj.times = times  # JD targets become the new time grid
         return obj
 
-    def inflate_by_redundancy(self, bls, bl2red=None, red_bls=None):
-        """Copy each redundant-group visibility onto physical baselines.
-
-        reference :1604. `bls` are the target baselines; bl2red maps any bl
-        tuple to a redundant-group index matching the current Nbls axis
-        (i.e. self must hold one vis per redundant group, ordered by group
-        index), or `red_bls` lists the representative bl per current row.
-        """
-        if bl2red is None:
-            assert red_bls is not None
-        if red_bls is not None:
-            # map current rows by their redundant representative
-            rep_idx = {tuple(b): i for i, b in enumerate(red_bls)}
-            idx = np.asarray([rep_idx[tuple(b)] for b in bls])
-        else:
-            idx = np.asarray([bl2red[tuple(b)] for b in bls])
+    def _inflate_by_redundancy(self, new_bls, red_bl_inds):
+        """Expand current rows onto new_bls given per-bl row indices
+        (reference :1568-1602): data, flags, cov, icov all expand."""
+        idx = np.asarray(red_bl_inds)
         obj = self.copy()
         obj.data = jnp.take(self.data, jnp.asarray(idx), axis=2)
         if self.flags is not None:
             obj.flags = np.take(np.asarray(self.flags), idx, axis=2)
-        obj._set_bls(bls)
+        if self.cov is not None and self.cov_axis is None:
+            obj.cov = jnp.take(self.cov, jnp.asarray(idx), axis=2)
+        if self.icov is not None and self.cov_axis is None:
+            obj.icov = jnp.take(self.icov, jnp.asarray(idx), axis=2)
+        obj._set_bls(new_bls)
         return obj
+
+    def inflate_by_redundancy(self, bls=None, bl2red=None, red_bls=None,
+                              **kwargs):
+        """Copy each redundant-group visibility onto physical baselines.
+
+        reference :1604-1640. `bls` are the target baselines (default: every
+        baseline in bl2red); bl2red maps any bl tuple to a redundant-group
+        index matching the current Nbls axis (i.e. self must hold one vis
+        per redundant group, ordered by group index; built from self.antpos
+        via build_reds(red_bls=self.bls, **kwargs) when omitted), or
+        `red_bls` lists the representative bl per current row.
+        """
+        if bl2red is None and red_bls is None:
+            from ..models.telescope import build_reds
+            bl2red = build_reds(self.antpos, red_bls=self.bls, **kwargs)[2]
+        if bls is None:
+            assert bl2red is not None
+            bls = list(bl2red.keys())
+        if red_bls is not None:
+            # map current rows by their redundant representative
+            rep_idx = {tuple(b): i for i, b in enumerate(red_bls)}
+            idx = [rep_idx[tuple(b)] for b in bls]
+        else:
+            bls, idx = inflate_bls(self.bls, bl2red, bls)
+        return self._inflate_by_redundancy(bls, idx)
 
     # --- IO ----------------------------------------------------------------------
     def write_hdf5(self, fname, overwrite=False):
@@ -891,7 +947,7 @@ class VisData(TensorData):
         if freq_inds is not None:
             assert freqs is None
             freqs = np.asarray(obj.freqs)[np.atleast_1d(freq_inds)]
-        if (bl, times, freqs, pol) != (None, None, None, None):
+        if any(x is not None for x in (bl, times, freqs, pol)):
             obj.select(bl=bl, times=times, freqs=freqs, pol=pol,
                        inplace=True)
         return obj

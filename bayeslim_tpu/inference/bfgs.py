@@ -179,7 +179,13 @@ class BFGS(_QuasiNewtonBase):
     def __init__(self, prob, pdict=None, H0=None, **kwargs):
         super().__init__(prob, pdict, **kwargs)
         n = self.x.size
-        self.H = jnp.eye(n) if H0 is None else jnp.asarray(H0)
+        if H0 is None:
+            self.H = jnp.eye(n)
+        elif jnp.ndim(H0) < 2:
+            # scalar/diag starting inverse Hessian (reference :101-115)
+            self.H = jnp.eye(n) * jnp.asarray(H0)
+        else:
+            self.H = jnp.asarray(H0)
         self._f = None
         self._g = None
 
@@ -222,18 +228,43 @@ class BFGS(_QuasiNewtonBase):
 
 
 class LBFGS(_QuasiNewtonBase):
-    """Two-loop-recursion L-BFGS (reference bfgs.py:377-552,619)."""
+    """Two-loop-recursion L-BFGS (reference bfgs.py:377-552,619).
 
-    def __init__(self, prob, pdict=None, history_size=20, **kwargs):
+    H0: starting inverse Hessian — scalar, diag vector, or a hmat
+    BaseMat (reference _init_H :442-476). update_Hdiag (default True,
+    reference :423-428): rescale the starting diagonal each accepted
+    curvature pair by Nocedal Eqn 7.20 normalized to the current
+    diagonal, update = sᵀy / (yᵀ H₀ y). With a uniform H0 this equals
+    the standard gamma scaling sᵀy/yᵀy.
+    """
+
+    def __init__(self, prob, pdict=None, history_size=20, H0=None,
+                 update_Hdiag=True, **kwargs):
         super().__init__(prob, pdict, **kwargs)
         self.history_size = history_size
+        self.update_Hdiag = update_Hdiag
         self.s_hist = []
         self.y_hist = []
         self.rho_hist = []
         self.t_hist = []  # line-search steps matching (s, y) pairs
         self._f = None
         self._g = None
-        self.H_diag = 1.0
+        n = self.x.size
+        if H0 is None:
+            self._Hdiag = jnp.ones(n)
+        elif hasattr(H0, "diagonal"):
+            self._Hdiag = jnp.asarray(H0.diagonal()).real
+        elif jnp.ndim(H0) == 0:
+            self._Hdiag = jnp.full((n,), float(H0))
+        else:
+            self._Hdiag = jnp.asarray(H0)
+
+    @property
+    def H(self):
+        """Running starting inverse Hessian as a DiagMat (reference
+        keeps self.H as the hmat it scalar_mul's; tests read .diag)."""
+        from .hmat import DiagMat
+        return DiagMat(self._Hdiag)
 
     def _two_loop(self, g):
         q = g
@@ -243,7 +274,7 @@ class LBFGS(_QuasiNewtonBase):
             a = rho * float(s @ q)
             alphas.append(a)
             q = q - a * y
-        r = q * self.H_diag
+        r = q * self._Hdiag
         for (s, y, rho), a in zip(zip(self.s_hist, self.y_hist, self.rho_hist),
                                   reversed(alphas)):
             b = rho * float(y @ r)
@@ -279,7 +310,11 @@ class LBFGS(_QuasiNewtonBase):
                 self.y_hist.pop(0)
                 self.rho_hist.pop(0)
                 self.t_hist.pop(0)
-            self.H_diag = ys / float(y @ y)
+            if self.update_Hdiag:
+                # Eqn 7.20 normalized to the current diagonal
+                # (reference :520-535)
+                upd = ys / float(y @ (self._Hdiag * y))
+                self._Hdiag = self._Hdiag * upd
         self._commit(x_new)
         self._f, self._g = f_new, g_new
         self.n_iter += 1
@@ -314,13 +349,12 @@ def lbfgs_approx_cov(obj, Nsteps=5, as_dense=True, **kwargs):
             sub = ParamDict({key: pd[key]})
             opt = LBFGS(prob, sub, **kwargs)
             opt.minimize(Nsteps)
-            n = int(np.prod(np.shape(pd[key])))
-            diags.append(jnp.full((n,), opt.H_diag))
+            diags.append(opt._Hdiag)
         return DiagMat(jnp.concatenate(diags))
 
     lbfgs = obj
     n = lbfgs.x.size
-    H = jnp.eye(n) * lbfgs.H_diag
+    H = jnp.diag(lbfgs._Hdiag)
     for s, y, rho in zip(lbfgs.s_hist, lbfgs.y_hist, lbfgs.rho_hist):
         I = jnp.eye(n)
         V = I - rho * jnp.outer(s, y)

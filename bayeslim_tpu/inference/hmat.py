@@ -182,11 +182,19 @@ class DenseMat(BaseMat):
 
 
 class DiagMat(BaseMat):
-    """Diagonal operator stored as a vector (reference :218)."""
+    """Diagonal (or scalar) operator stored as a vector (reference
+    :218-244: `diag` attr; a scalar matrix via len-1 diag + size)."""
 
-    def __init__(self, d):
-        self.d = jnp.asarray(d)
+    def __init__(self, d, size=None):
+        d = jnp.atleast_1d(jnp.asarray(d))
+        if size is not None and d.size == 1:
+            d = jnp.full((int(size),), d[0])
+        self.d = d
         self.shape = (len(self.d), len(self.d))
+
+    @property
+    def diag(self):
+        return self.d
 
     def mat_vec_mul(self, v):
         return self.d * v

@@ -132,6 +132,13 @@ class RIME(Module):
         self.all_sim_times = np.concatenate(list(groups.values()))
         self.Ntime_groups = len(groups)
         self.time_group_id = 0
+        # re-batching after construction (reference rime_model.py:241-266
+        # allows it at any point): rebuild the per-group precompute and
+        # any indexed-batching stack built from it
+        if hasattr(self, "_pre"):
+            self.precompute()
+            if self.indexed_batching:
+                self.enable_indexed_batching()
 
     # ------------------------------------------------------------ batching API
     @property
