@@ -240,6 +240,9 @@ class VisMapper:
                                    jnp.asarray(self._az[i]), ctx=ctx,
                                    angles_offset=True)
             b = b[0, 0, 0]  # single-pol, antenna-independent
+            fidx = self._beam_fidx()
+            if fidx is not None and b.shape[0] != self.Nfreqs:
+                b = b[jnp.asarray(fidx)]
             if not self.beam.powerbeam:
                 b = b ** 2
             A = A * b
@@ -256,11 +259,24 @@ class VisMapper:
             return icov[0, 0, :, time_ind, :].real
         return jnp.ones((self.Nbls, self.Nfreqs), dtype=_float())
 
+    def _beam_fidx(self):
+        """Indices of the active (possibly sub-selected) freqs in the
+        beam's native freq axis (the reference slices the beam by
+        freq_inds after evaluation, imaging.py:277-278)."""
+        if self.beam is None:
+            return None
+        bf = np.asarray(self.beam.freqs)
+        if len(bf) == len(self.freqs) and np.allclose(bf, self.freqs):
+            return None
+        return np.asarray([int(np.argmin(np.abs(bf - f)))
+                           for f in self.freqs])
+
     def _a_builder(self):
         """Traced per-time imaging-matrix build shared by the jitted
         analysis loops (same math as build_A, indexed into the stacked
         precompute)."""
         freqs = self.freqs
+        fidx = self._beam_fidx()
 
         def build(i, s_all, cut_all, mask_all, zen_all, az_all, ctx,
                   blvecs, beam):
@@ -271,6 +287,8 @@ class VisMapper:
                 c = None if len(ctx) == 0 else (ctx[0][i], ctx[1][i])
                 b = beam.gen_beam(zen_all[i], az_all[i], ctx=c,
                                   angles_offset=True)[0, 0, 0]
+                if fidx is not None and b.shape[0] != len(freqs):
+                    b = b[jnp.asarray(fidx)]
                 if not beam.powerbeam:
                     b = b ** 2
                 A = A * b
@@ -469,6 +487,13 @@ class VisMapper:
         vd = self.vd if vd is None else vd
         data = vd.data
         icov = self.icov if self.icov is not None else vd.icov
+        # lazy (HDF5/cat) tensors: materialize once before entering jit
+        # (reference imaging.py reads vd.get_data per time; one bulk
+        # read is strictly cheaper)
+        if data is not None and not isinstance(data, jnp.ndarray):
+            data = jnp.asarray(data[:])
+        if icov is not None and not isinstance(icov, jnp.ndarray):
+            icov = jnp.asarray(icov[:])
         if not hasattr(self, "_mm_cache"):
             self._mm_cache = {}
         key = (return_P, contract, self.method, self.clip,
@@ -491,10 +516,10 @@ class VisMapper:
         return maps, P
 
     def _build_mm_fn(self, return_P, contract, has_icov):
-        freqs = self.freqs
         method, clip = self.method, self.clip
         nf, npix, nbls = self.Nfreqs, self.Npix, self.Nbls
         ntimes = len(self.times)
+        build = self._a_builder()
 
         def fn(data, icov, s_all, cut_all, mask_all, zen_all, az_all,
                ctx, blvecs, beam):
@@ -510,18 +535,8 @@ class VisMapper:
 
             def body(i, carry):
                 maps, Aw, P = carry
-                s, cut, mask = s_all[i], cut_all[i], mask_all[i]
-                tau = (blvecs @ s) / C_MS
-                A = jnp.moveaxis(fringe_phasor(tau, freqs, conj=True),
-                                 -1, 1)
-                if beam is not None:
-                    c = None if len(ctx) == 0 else (ctx[0][i], ctx[1][i])
-                    b = beam.gen_beam(zen_all[i], az_all[i], ctx=c,
-                                      angles_offset=True)[0, 0, 0]
-                    if not beam.powerbeam:
-                        b = b ** 2
-                    A = A * b
-                A = A * mask
+                A, cut, mask = build(i, s_all, cut_all, mask_all,
+                                     zen_all, az_all, ctx, blvecs, beam)
                 v = data[0, 0, :, i, :]
                 w = icov[0, 0, :, i, :].real if has_icov else \
                     jnp.ones((nbls, nf), dtype=_float())

@@ -725,3 +725,231 @@ def test_LM():
         # inverse with diag norm (not equal to x, but right shape)
         xhat = LM.least_squares(y, norm="diag")
         assert xhat.shape == tuple(xshape)
+
+
+# ---------------------------------------------------------------------------
+# test_imaging.py mirrors
+# ---------------------------------------------------------------------------
+
+def setup_VisMapper(vd, fov=180, nside=32):
+    """Mirror of test_imaging.py:17-31 — HERA-stripe mapper with an Airy
+    beam (our VisMapper precomputes per-time A inside one jitted loop,
+    so the reference's cache_A knob has no counterpart)."""
+    from bayeslim_tpu.models.imaging import VisMapper
+    theta, phi = hp.pix2ang(nside, np.arange(hp.nside2npix(nside)))
+    s = (np.abs(theta - (90 + 30.72148) * np.pi / 180) <
+         (20 * np.pi / 180)) & (phi < 110 * np.pi / 180)
+
+    R = AiryResponse(freq_ratio=1.0)
+    p0 = jnp.ones((1, 1, 1, len(vd.freqs), 2)) * 11.0
+    beam = PixelBeam(p0, vd.freqs, ant2beam=None, R=R, pol="e",
+                     powerbeam=True, fov=fov, parameter=False)
+
+    angs = np.asarray([phi[s] / D2R - 15, 90 - theta[s] / D2R])
+    return VisMapper(vd, *angs, beam=beam)
+
+
+IMG_TIMES = np.linspace(2459861.41509122, 2459861.62089175, 20)
+IMG_FREQS = np.linspace(120e6, 130e6, 2)
+
+
+def test_imaging():
+    """Mirror of test_imaging.py:34-86: A2w-normalized maps, P diagonal
+    normalization, Pm vs P@m, diag/rowsum contractions, Aw norm."""
+    vd = setup_VisData(N=3, times=IMG_TIMES, freqs=IMG_FREQS)
+    VM = setup_VisMapper(vd)
+    VM.set_normalization("A2w", clip=1e-8)
+
+    maps, _ = VM.make_map()
+    maps = np.asarray(maps)
+    assert maps.shape == (vd.Nfreqs, VM.Npix)
+
+    # full P is diagonally normalized
+    Pfull = np.asarray(VM.compute_P(contract=None))
+    assert np.allclose(np.diagonal(Pfull, axis1=1, axis2=2), 1.0,
+                       atol=1e-5, rtol=1e-5)
+
+    # point-source map
+    idx = int(np.argmin((VM.ra - 40) ** 2 + (VM.dec - -30.72) ** 2))
+    maps = np.zeros_like(maps)
+    maps[:, idx] = 1.0
+
+    Pm = np.asarray(VM.compute_Pm(jnp.asarray(maps)))
+    assert np.allclose(Pm[:, idx], maps[:, idx], atol=1e-5, rtol=1e-5)
+
+    Pam = np.einsum("ijk,ik->ij", Pfull, maps)
+    assert np.allclose(Pm, Pam, atol=1e-5, rtol=1e-5)
+
+    # Pdiag vs P.diag(), Prow vs P.sum(-1)
+    Pdiag = np.asarray(VM.compute_P(contract="diag"))
+    assert np.allclose(np.diagonal(Pfull, axis1=1, axis2=2), Pdiag,
+                       atol=1e-5, rtol=1e-5)
+    Prow = np.asarray(VM.compute_P(contract="rowsum"))
+    assert np.allclose(Pfull.sum(-1), Prow, atol=1e-5, rtol=1e-5)
+
+    # Aw normalization: Pdiag peak ~ 0.8
+    VM.set_normalization("Aw", clip=1e-8)
+    Pdiag = np.asarray(VM.compute_P(contract="diag"))
+    assert np.allclose(Pdiag.max(axis=1), 0.8, atol=1e-1)
+
+
+def test_Am():
+    """Mirror of test_imaging.py:89-111: make_map(compute_Am(m)) ==
+    compute_Pm(m) under 'w' normalization."""
+    vd = setup_VisData(N=3, times=IMG_TIMES, freqs=IMG_FREQS)
+    VM = setup_VisMapper(vd)
+    VM.set_normalization("w", clip=1e-8)
+
+    rng = np.random.default_rng(0)
+    maps = rng.normal(size=(3, VM.Nfreqs, VM.Npix))
+    v = np.asarray(VM.compute_Am(jnp.asarray(maps)))
+    assert v.shape == (3, VM.Nbls, len(VM.times), VM.Nfreqs)
+
+    _maps2 = np.asarray(VM.compute_Pm(jnp.asarray(maps)))
+    for i in range(3):
+        vdi = vd.copy()
+        vdi.data = jnp.asarray(v[i][None, None])
+        _maps, Pdiag = VM.make_map(vdi)
+        assert np.abs(np.asarray(_maps) - _maps2[i]).max() < 1e-10
+
+
+def test_imaging_lazy(tmp_path):
+    """Mirror of test_imaging.py:114-158: maps from lazy-loaded data ==
+    in-memory, with freq/time/bl sub-selections."""
+    tmpfile = str(tmp_path / "img.h5")
+    vd = setup_VisData(N=3, times=IMG_TIMES, freqs=IMG_FREQS)
+    vd.write_hdf5(tmpfile)
+
+    VM = setup_VisMapper(vd)
+    VM.set_normalization("A2w", clip=1e-8)
+    maps1, _ = VM.make_map()
+
+    vd2 = VisData()
+    vd2.read_hdf5(tmpfile, lazy_load=True)
+    VM2 = setup_VisMapper(vd2)
+    VM2.set_normalization("A2w", clip=1e-8)
+    maps2, _ = VM2.make_map()
+
+    assert np.allclose(np.asarray(maps1), np.asarray(maps2),
+                       atol=1e-8, rtol=1e-8)
+
+    # freq, time, and bl selections
+    for M in (VM, VM2):
+        M.set_freq_inds(freq_inds=[0])
+        M.set_time_inds(time_inds=range(0, 20, 2))
+        M.set_bl_inds(bl_inds=range(0, 100))
+    maps3, _ = VM.make_map()
+    maps4, _ = VM2.make_map()
+    assert np.shape(maps3) == (1, VM.Npix)
+    assert np.allclose(np.asarray(maps3), np.asarray(maps4),
+                       atol=1e-8, rtol=1e-8)
+
+    # different time indices give different maps
+    VM.set_time_inds(time_inds=range(0, 10))
+    maps5, _ = VM.make_map()
+    assert np.shape(maps5) == (1, VM.Npix)
+    assert not np.isclose(np.asarray(maps3), np.asarray(maps5),
+                          atol=1e-8, rtol=1e-8).any()
+
+
+# ---------------------------------------------------------------------------
+# test_calibration.py mirrors (test_VisModel is mirrored in
+# test_calibration.test_vismodel_minibatch_index_cache)
+# ---------------------------------------------------------------------------
+
+def test_VisCoupling():
+    """Mirror of test_calibration.py:316-354: RedVisCoupling params
+    exported through CouplingInflate into a VisCoupling forward on
+    inflated data, first order and double reflections."""
+    from bayeslim_tpu.models.coupling import (
+        gen_coupling_terms, CouplingInflate, VisCoupling,
+    )
+    freqs = np.linspace(120e6, 130e6, 8)
+    times = np.linspace(2458168.1, 2458168.3, 4)
+
+    # hex-7 array (test_calibration.py setup_Coupling:23-54)
+    ants, antvecs = _make_hex(2)
+    antpos = dict(zip(ants, antvecs))
+    array = ArrayModel(AntposDict(ants, antvecs))
+    bls_in = array.get_bls(uniq_bls=True)
+    bls_out = array.get_bls(uniq_bls=False)
+
+    terms, coupling_idx = gen_coupling_terms(
+        antpos, no_auto_coupling=False, compress_to_red=True)
+    rng = np.random.default_rng(1)
+    params = jnp.asarray(
+        rng.normal(size=(1, 1, len(terms), 1, len(freqs))) +
+        1j * rng.normal(size=(1, 1, len(terms), 1, len(freqs))))
+
+    # mock redundant data, autocorr fixed to abs
+    vd = VisData()
+    vd.setup_meta(antpos=AntposDict(ants, antvecs))
+    data = rng.normal(size=(1, 1, len(bls_in), len(times), len(freqs))) \
+        + 1j * rng.normal(size=(1, 1, len(bls_in), len(times), len(freqs)))
+    vd.setup_data(bls_in, times, freqs, data=jnp.asarray(data))
+    vd.set((0, 0), jnp.abs(vd.get_data((0, 0), squeeze=False)),
+           arr="data")
+    vd = vd.inflate_by_redundancy(bls_out)
+
+    # export to antenna-coupling matrix and run VisCoupling
+    X = CouplingInflate(ants, terms, coupling_idx)(params)
+    vis_cpl = VisCoupling(X, freqs, antpos, bls_out)
+    vout = vis_cpl(vd)
+    assert np.shape(vout.data) == np.shape(vd.data)
+
+    # double reflections
+    vis_cpl2 = VisCoupling(X, freqs, antpos, bls_out, double=True)
+    vout2 = vis_cpl2(vd)
+    assert np.shape(vout2.data) == np.shape(vd.data)
+    assert not np.allclose(np.asarray(vout2.data), np.asarray(vout.data))
+
+
+def test_PartialRedVisInflate():
+    """Mirror of test_calibration.py:394-440: purely-redundant and
+    partial (2 red bls per group) learnable inflation."""
+    from bayeslim_tpu.models.coupling import PartialRedVisInflate
+
+    vd = setup_VisData()
+    red_info = build_reds(vd.antpos, bls=vd.bls)
+    vd_red = vd.bl_average(red_info[0], inplace=False)
+    vd = vd_red.inflate_by_redundancy()   # make the data truly redundant
+
+    # purely redundant mapping
+    model = PartialRedVisInflate(red_info[2], vd.bls, parameter=False)
+    A = np.asarray(model._buildA(model.params, jnp.float64))
+    vd_inf = model(vd_red)
+
+    assert np.allclose(A.sum(1), 1.0)
+    assert vd.bls == vd_inf.bls
+    assert np.shape(vd.data) == np.shape(vd_inf.data)
+    assert np.abs(np.asarray(vd.data) - np.asarray(vd_inf.data)).max() \
+        < 1e-10
+
+    # partial mapping: up to 2 red bls per group
+    vd = setup_VisData()
+    vd_red = vd.bl_average(red_info[0], inplace=False)
+    vd = vd_red.inflate_by_redundancy()
+
+    bl2red = {}
+    k = 0
+    reds = []
+    for i, red in enumerate(red_info[0]):
+        reds.append([red[0]])
+        if len(red) > 1:
+            reds.append([red[1]])
+        for bl in red:
+            bl2red[bl] = np.arange(k, k + len(red[:2]))
+        k += len(red[:2])
+
+    vd_red = vd.bl_average(reds, inplace=False)
+    vd = vd_red.inflate_by_redundancy()
+
+    model = PartialRedVisInflate(bl2red, vd.bls, parameter=False)
+    A = np.asarray(model._buildA(model.params, jnp.float64))
+    vd_inf = model(vd_red)
+
+    assert np.allclose(A.sum(1), 1.0)
+    assert vd.bls == vd_inf.bls
+    assert np.shape(vd.data) == np.shape(vd_inf.data)
+    assert np.abs(np.asarray(vd.data) - np.asarray(vd_inf.data)).max() \
+        < 1e-10
