@@ -11,8 +11,9 @@ symbolic coupling parity in test_coupling.py.
 
 Deliberately not mirrored: test_visdata_get_cpu2gpu (CPU2GPUTensor is
 obsolete-by-design — jax.device_put + shardings, PARITY.md) and
-test_Coupling_sympy* (needs symengine; the same E V E^H contraction is
-pinned numerically in test_coupling.py).
+test_Coupling_sympy / test_Coupling_sympy_double_path (need symengine;
+the same E V E^H contraction — including the double-reflection product —
+is pinned numerically in test_coupling.py).
 """
 import numpy as np
 import pytest
