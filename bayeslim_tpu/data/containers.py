@@ -466,28 +466,32 @@ class VisData(TensorData):
         return self.get_data(bl=bl, **kwargs) \
             if self.flags is not None else None
 
-    def get_cov(self, **kwargs):
+    def get_cov(self, bl=None, **kwargs):
         if self.cov is not None and self.cov_axis is not None:
-            if any(v is not None for v in kwargs.values()):
+            if bl is not None or any(v is not None
+                                     for v in kwargs.values()):
                 raise NotImplementedError(
                     "selection on a structured (cov_axis) cov is not "
                     "supported; select the container first")
             return self.cov
         kwargs.setdefault("data", self.cov)
-        return self.get_data(**kwargs) if self.cov is not None else None
+        return self.get_data(bl=bl, **kwargs) \
+            if self.cov is not None else None
 
-    def get_icov(self, **kwargs):
+    def get_icov(self, bl=None, **kwargs):
         if self.icov is not None and self.cov_axis is not None:
             # structured covariance (6-dim, e.g. (P,P,B,T,F,F) for
             # cov_axis='freq'): the visibility-grid indexing below would
             # misalign its axes — hand it to apply_icov unchanged
-            if any(v is not None for v in kwargs.values()):
+            if bl is not None or any(v is not None
+                                     for v in kwargs.values()):
                 raise NotImplementedError(
                     "selection on a structured (cov_axis) icov is not "
                     "supported; select the container first")
             return self.icov
         kwargs.setdefault("data", self.icov)
-        return self.get_data(**kwargs) if self.icov is not None else None
+        return self.get_data(bl=bl, **kwargs) \
+            if self.icov is not None else None
 
     def __getitem__(self, bl):
         return self.get_data(bl)

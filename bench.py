@@ -26,6 +26,7 @@ Usage: python bench.py [--cpu] [--size small|medium|large|hera|hera100]
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -226,7 +227,33 @@ def run_jax(cfg, platform=None, x64=False):
 
     stage = {}
     w = _watchdog("backend init (jax.devices)")
-    _note(f"devices={[d.platform for d in jax.devices()]}")
+    # hard deadline on backend init: when the axon tunnel is down,
+    # jax.devices() blocks indefinitely — emit a PARSEABLE error line
+    # instead of dying at the driver's timeout with nothing recorded
+    import threading
+    box = {}
+
+    def _init():
+        try:
+            box["devices"] = [d.platform for d in jax.devices()]
+        except Exception as e:  # pragma: no cover - infra failure path
+            box["error"] = repr(e)
+
+    th = threading.Thread(target=_init, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("BENCH_INIT_DEADLINE_S", 300)))
+    if "devices" not in box:
+        msg = box.get("error",
+                      "backend init (jax.devices) exceeded deadline — "
+                      "remote TPU tunnel down?")
+        print(json.dumps({
+            "metric": "RIME vis points/sec/chip "
+                      "(bl*freq*time, fwd+grad step)",
+            "value": None, "unit": "points/s", "vs_baseline": None,
+            "error": msg}))
+        _note(f"FATAL: {msg}")
+        os._exit(3)
+    _note(f"devices={box['devices']}")
     w.set()
     t0 = time.time()
     m = build_model(cfg)

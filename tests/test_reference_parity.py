@@ -3446,7 +3446,7 @@ def test_two_loop_recursion_parity():
     mine = np.asarray(opt._two_loop(jnp.asarray(v)))
     ref = ba.bfgs.two_loop_recursion(
         torch.tensor(v), s, y, rho,
-        H0=torch.ones(6, dtype=torch.float64) * opt.H_diag).numpy()
+        H0=torch.tensor(np.asarray(opt._Hdiag))).numpy()
     np.testing.assert_allclose(mine, ref, rtol=1e-10)
 
 
