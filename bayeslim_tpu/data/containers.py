@@ -628,45 +628,70 @@ class VisData(TensorData):
             W = jnp.broadcast_to(jnp.asarray(wgts), np.shape(self.data))
         elif self.icov is not None and self.cov_axis is None:
             W = self.icov
-        new_blnums, chunks = [], []
-        new_cov = [] if cov is not None else None
-        new_flags = [] if self.flags is not None else None
+
+        # host index plumbing (one pass; on the remote backend an eager
+        # per-group loop would cost an RPC per op — CLAUDE.md gotcha)
+        idx_list = [self._bl2ind(red) for red in reds]
+        idx_all = np.concatenate(idx_list)
+        seg = np.repeat(np.arange(len(reds)),
+                        [len(ix) for ix in idx_list])
+        segj = jnp.asarray(seg)
+        new_blnums = []
         for red in reds:
-            idx = self._bl2ind(red)
-            d = jnp.take(self.data, jnp.asarray(idx), axis=2)
-            if W is not None:
-                w = jnp.take(W, jnp.asarray(idx), axis=2)
-            else:
-                w = jnp.ones((1, 1, len(idx), 1, 1), dtype=d.real.dtype)
-            wsum = jnp.sum(w, axis=2, keepdims=True)
-            avg = jnp.sum(d * w, axis=2, keepdims=True) / wsum
-            chunks.append(avg)
             rep = red[0] if np.ndim(red) else red
             new_blnums.append(int(ants2blnum(tuple(rep)))
                               if isinstance(rep, tuple) else int(rep))
-            if new_cov is not None:
-                # var of the weighted mean: sum w^2 c / (sum w)^2
-                # (reference average_data, dataset.py:1316-1325)
-                c = jnp.take(cov, jnp.asarray(idx), axis=2)
-                new_cov.append(jnp.sum(w ** 2 * c, axis=2, keepdims=True)
-                               / wsum ** 2)
-            if new_flags is not None:
-                # the group is flagged only where EVERY member is
-                # (reference :1329-1341: OR-accumulate of ~flags, negated)
-                f = jnp.take(jnp.asarray(self.flags), jnp.asarray(idx),
-                             axis=2)
-                new_flags.append(jnp.all(f, axis=2, keepdims=True))
-        obj.data = jnp.concatenate(chunks, axis=2)
+        nred = len(reds)
+        out_shape = (np.shape(self.data)[:2] + (nred,)
+                     + np.shape(self.data)[3:])
+
+        # one gather + segment scatter-adds for mean / weight / cov
+        d_all = jnp.take(self.data, jnp.asarray(idx_all), axis=2)
+        if W is not None:
+            w_all = jnp.take(W, jnp.asarray(idx_all), axis=2)
+        else:
+            w_all = jnp.ones((1, 1, len(idx_all), 1, 1),
+                             dtype=d_all.real.dtype)
+        wsum = jnp.zeros(w_all.shape[:2] + (nred,) + w_all.shape[3:],
+                         dtype=w_all.dtype).at[:, :, segj].add(w_all)
+        num = jnp.zeros(out_shape, dtype=d_all.dtype
+                        ).at[:, :, segj].add(d_all * w_all)
+        obj.data = num / wsum
         obj.blnums = np.asarray(new_blnums, dtype=np.int64)
-        obj.flags = None if new_flags is None \
-            else jnp.concatenate(new_flags, axis=2)
-        if new_cov is not None:
-            avg_cov = jnp.concatenate(new_cov, axis=2)
-            # icov propagates if the input carried one; cov only if the
-            # input carried cov (reference :1343-1351)
-            obj.icov = 1.0 / jnp.clip(avg_cov, 1e-60) \
-                if self.icov is not None else None
-            obj.cov = avg_cov if self.cov is not None else None
+
+        if self.flags is not None:
+            # the group is flagged only where EVERY member is (reference
+            # :1329-1341: OR-accumulate of ~flags, negated) — flags are
+            # host metadata; reduce with numpy, no device round trip
+            f_all = np.moveaxis(
+                np.take(np.asarray(self.flags), idx_all, axis=2), 2, 0)
+            fout = np.ones((nred,) + f_all.shape[1:], dtype=bool)
+            np.logical_and.at(fout, seg, f_all)
+            obj.flags = np.moveaxis(fout, 0, 2)
+        else:
+            obj.flags = None
+
+        if cov is not None:
+            if wgts is None and self.cov is None and self.icov is not None:
+                # exact sufficient-statistics path (reduce_by_redundancy
+                # relies on icov == sum of member icovs EXACTLY; the
+                # general round trip 1/(sum w^2 c / wsum^2) reintroduces
+                # f32 roundoff for c = 1/w)
+                obj.icov = wsum
+                obj.cov = None
+            else:
+                # var of the weighted mean: sum w^2 c / (sum w)^2
+                # (reference average_data, dataset.py:1316-1325); icov
+                # propagates if the input carried one; cov only if the
+                # input carried cov (reference :1343-1351)
+                c_all = jnp.take(cov, jnp.asarray(idx_all), axis=2)
+                wc = w_all ** 2 * c_all
+                csum = jnp.zeros(wc.shape[:2] + (nred,) + wc.shape[3:],
+                                 dtype=wc.dtype).at[:, :, segj].add(wc)
+                avg_cov = csum / wsum ** 2
+                obj.icov = 1.0 / jnp.clip(avg_cov, 1e-60) \
+                    if self.icov is not None else None
+                obj.cov = avg_cov if self.cov is not None else None
         return obj
 
     def reduce_by_redundancy(self, reds=None, redtol=1.0):
@@ -755,6 +780,9 @@ class VisData(TensorData):
         chunks, new_times = [], []
         new_cov = [] if cov is not None else None
         new_flags = [] if self.flags is not None else None
+        # flags are host metadata: reduce with numpy (no per-bin device
+        # conversion; the bin count is small so the loop itself is fine)
+        flags_np = None if self.flags is None else np.asarray(self.flags)
         for idx in time_inds:
             idx = np.asarray(idx)
             tmean = float(np.mean(self.times[idx]))
@@ -781,13 +809,12 @@ class VisData(TensorData):
                                / wsum ** 2)
             if new_flags is not None:
                 # flagged only where every member is (reference :1536-1546)
-                f = jnp.take(jnp.asarray(self.flags), jnp.asarray(idx),
-                             axis=3)
-                new_flags.append(jnp.all(f, axis=3, keepdims=True))
+                f = np.take(flags_np, idx, axis=3)
+                new_flags.append(np.all(f, axis=3, keepdims=True))
         obj.data = jnp.concatenate(chunks, axis=3)
         obj.times = np.asarray(new_times)
         obj.flags = None if new_flags is None \
-            else jnp.concatenate(new_flags, axis=3)
+            else np.concatenate(new_flags, axis=3)
         if new_cov is not None:
             avg_cov = jnp.concatenate(new_cov, axis=3)
             obj.icov = 1.0 / jnp.clip(avg_cov, 1e-60) \

@@ -250,13 +250,16 @@ class LBFGS(_QuasiNewtonBase):
         self._f = None
         self._g = None
         n = self.x.size
+        from .hmat import BaseMat
         if H0 is None:
             self._Hdiag = jnp.ones(n)
-        elif hasattr(H0, "diagonal"):
+        elif isinstance(H0, BaseMat):
             self._Hdiag = jnp.asarray(H0.diagonal()).real
         elif jnp.ndim(H0) == 0:
             self._Hdiag = jnp.full((n,), float(H0))
         else:
+            # diag vector (numpy/jax arrays also expose .diagonal —
+            # the BaseMat check must come first, not hasattr)
             self._Hdiag = jnp.asarray(H0)
 
     @property

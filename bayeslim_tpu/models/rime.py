@@ -116,6 +116,13 @@ class RIME(Module):
                 self.data_bl_groups[k] = dbls
                 self._sim2data[k] = np.asarray(
                     [sim_red.index(i) for i in data_red], dtype=np.int32)
+        # post-construction re-batching (reference rime_model.py:148-226
+        # allows it at any point): the model-pair dispatch built by
+        # precompute from the OLD groups would silently mispair beams
+        if hasattr(self, "_pre"):
+            self.precompute()
+            if self.indexed_batching:
+                self.enable_indexed_batching()
 
     def setup_sim_times(self, times):
         if isinstance(times, dict):

@@ -250,8 +250,10 @@ def run_jax(cfg, platform=None, x64=False):
             "metric": "RIME vis points/sec/chip "
                       "(bl*freq*time, fwd+grad step)",
             "value": None, "unit": "points/s", "vs_baseline": None,
-            "error": msg}))
+            "error": msg}), flush=True)
         _note(f"FATAL: {msg}")
+        # os._exit skips stdio teardown — the flush above is what puts
+        # the JSON on the (block-buffered) driver pipe
         os._exit(3)
     _note(f"devices={box['devices']}")
     w.set()

@@ -954,3 +954,27 @@ def test_PartialRedVisInflate():
     assert np.shape(vd.data) == np.shape(vd_inf.data)
     assert np.abs(np.asarray(vd.data) - np.asarray(vd_inf.data)).max() \
         < 1e-10
+
+
+def test_rime_rebatch_bls_post_construction():
+    """Regression: setup_sim_bls called after construction must rebuild
+    the precompute (model-pair dispatch) like setup_sim_times does —
+    the reference allows re-batching at any point (rime_model.py
+    :148-226)."""
+    freqs = FREQS
+    times = np.linspace(2459861, 2459861.01, 2)
+    telescope = setup_Telescope()
+    array = setup_Array(N=2, freqs=freqs)
+    rime = setup_RIME(times, freqs, array, telescope, nside=16)
+
+    bls = array.get_bls(uniq_bls=True, keep_autos=False)
+    sub = bls[::2]
+    rime.setup_sim_bls(sub)
+    v1 = np.asarray(rime.forward().data)
+
+    beam = setup_PixBeam_Interp(freqs)
+    sky = setup_PixSky_Noise(freqs, nside=16)
+    fresh = RIME(sky, telescope, beam, array, sub, times, freqs)
+    v2 = np.asarray(fresh.forward().data)
+    assert v1.shape == v2.shape
+    assert np.abs(v1 - v2).max() < 1e-10
