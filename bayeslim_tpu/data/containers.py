@@ -366,14 +366,20 @@ class VisData(TensorData):
         return jnp.stack([ap[bl[1]] - ap[bl[0]] for bl in bls])
 
     # --- index helpers ------------------------------------------------------------
-    def _bl2ind(self, bl):
+    def _blnum_lookup(self):
+        """blnum -> row dict. Build ONCE per bulk operation and pass to
+        _bl2ind(_lut=...) — rebuilding it per redundant group is an
+        O(Nbls * Nred) host hotspot at array scale."""
+        return {int(b): i for i, b in enumerate(self.blnums)}
+
+    def _bl2ind(self, bl, _lut=None):
         if isinstance(bl, tuple):
             bl = [bl]
         if isinstance(bl, list) and len(bl) and isinstance(bl[0], tuple):
             nums = np.asarray(ants2blnum(bl))
         else:
             nums = np.atleast_1d(np.asarray(bl, dtype=np.int64))
-        lookup = {int(b): i for i, b in enumerate(self.blnums)}
+        lookup = _lut if _lut is not None else self._blnum_lookup()
         try:
             return np.asarray([lookup[int(n)] for n in nums])
         except KeyError as e:
@@ -631,7 +637,8 @@ class VisData(TensorData):
 
         # host index plumbing (one pass; on the remote backend an eager
         # per-group loop would cost an RPC per op — CLAUDE.md gotcha)
-        idx_list = [self._bl2ind(red) for red in reds]
+        lut = self._blnum_lookup()
+        idx_list = [self._bl2ind(red, _lut=lut) for red in reds]
         idx_all = np.concatenate(idx_list)
         seg = np.repeat(np.arange(len(reds)),
                         [len(ix) for ix in idx_list])
@@ -730,7 +737,8 @@ class VisData(TensorData):
         # vectorized (the second reuses the just-computed group stats;
         # an eager per-group loop would cost an RPC per op on the
         # remote backend)
-        idx_all = jnp.asarray(np.concatenate([self._bl2ind(r)
+        _lut = self._blnum_lookup()
+        idx_all = jnp.asarray(np.concatenate([self._bl2ind(r, _lut=_lut)
                                               for r in reds]))
         d_all = jnp.take(self.data, idx_all, axis=2)
         w_all = jnp.take(ic, idx_all, axis=2) if ic is not None else 1.0
