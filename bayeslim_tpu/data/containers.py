@@ -785,49 +785,68 @@ class VisData(TensorData):
             W = jnp.broadcast_to(jnp.asarray(wgts), np.shape(self.data))
         elif self.icov is not None and self.cov_axis is None:
             W = self.icov
-        chunks, new_times = [], []
-        new_cov = [] if cov is not None else None
-        new_flags = [] if self.flags is not None else None
-        # flags are host metadata: reduce with numpy (no per-bin device
-        # conversion; the bin count is small so the loop itself is fine)
-        flags_np = None if self.flags is None else np.asarray(self.flags)
-        for idx in time_inds:
-            idx = np.asarray(idx)
-            tmean = float(np.mean(self.times[idx]))
-            d = jnp.take(self.data, jnp.asarray(idx), axis=3)
-            if rephase:
-                from ..models.telescope import vis_rephase
-                # rephase each integration FROM its time TO the group mean
-                dlst = (tmean - self.times[idx]) * 2 * np.pi * 1.00273793
-                phs = vis_rephase(jnp.asarray(dlst),
-                                  self.telescope.location[1],
-                                  self.get_bl_vecs(), jnp.asarray(self.freqs))
-                d = d * phs[None, None]
-            if W is not None:
-                w = jnp.take(W, jnp.asarray(idx), axis=3)
+        # host index plumbing, then ONE gather + segment scatter-add per
+        # quantity (an eager per-bin loop costs an RPC per op on the
+        # remote backend; at many LST bins it also dominates host time)
+        idx_list = [np.atleast_1d(np.asarray(ix)) for ix in time_inds]
+        idx_all = np.concatenate(idx_list)
+        nbin = len(idx_list)
+        seg = np.repeat(np.arange(nbin), [len(ix) for ix in idx_list])
+        segj = jnp.asarray(seg)
+        new_times = np.asarray([float(np.mean(self.times[ix]))
+                                for ix in idx_list])
+
+        d_all = jnp.take(self.data, jnp.asarray(idx_all), axis=3)
+        if rephase:
+            from ..models.telescope import vis_rephase
+            # rephase each member FROM its time TO its bin's mean time —
+            # all member occurrences in one vis_rephase call
+            dlst = (new_times[seg] - self.times[idx_all]) \
+                * 2 * np.pi * 1.00273793
+            phs = vis_rephase(jnp.asarray(dlst),
+                              self.telescope.location[1],
+                              self.get_bl_vecs(), jnp.asarray(self.freqs))
+            d_all = d_all * phs[None, None]
+        if W is not None:
+            w_all = jnp.take(W, jnp.asarray(idx_all), axis=3)
+        else:
+            w_all = jnp.ones((1, 1, 1, len(idx_all), 1),
+                             dtype=d_all.real.dtype)
+        wsum = jnp.zeros(w_all.shape[:3] + (nbin,) + w_all.shape[4:],
+                         dtype=w_all.dtype).at[:, :, :, segj].add(w_all)
+        out_shape = d_all.shape[:3] + (nbin,) + d_all.shape[4:]
+        num = jnp.zeros(out_shape, dtype=d_all.dtype
+                        ).at[:, :, :, segj].add(d_all * w_all)
+        obj.data = num / wsum
+        obj.times = new_times
+
+        if self.flags is not None:
+            # flagged only where every member is (reference :1536-1546);
+            # flags are host metadata — reduce with numpy
+            f_all = np.moveaxis(
+                np.take(np.asarray(self.flags), idx_all, axis=3), 3, 0)
+            fout = np.ones((nbin,) + f_all.shape[1:], dtype=bool)
+            np.logical_and.at(fout, seg, f_all)
+            obj.flags = np.moveaxis(fout, 0, 3)
+        else:
+            obj.flags = None
+
+        if cov is not None:
+            if wgts is None and self.cov is None and self.icov is not None:
+                # exact path: group icov is the member-icov sum
+                obj.icov = wsum
+                obj.cov = None
             else:
-                w = jnp.ones((1, 1, 1, len(idx), 1), dtype=d.real.dtype)
-            wsum = jnp.sum(w, axis=3, keepdims=True)
-            chunks.append(jnp.sum(d * w, axis=3, keepdims=True) / wsum)
-            new_times.append(tmean)
-            if new_cov is not None:
-                # var of the weighted mean (reference average_data)
-                c = jnp.take(cov, jnp.asarray(idx), axis=3)
-                new_cov.append(jnp.sum(w ** 2 * c, axis=3, keepdims=True)
-                               / wsum ** 2)
-            if new_flags is not None:
-                # flagged only where every member is (reference :1536-1546)
-                f = np.take(flags_np, idx, axis=3)
-                new_flags.append(np.all(f, axis=3, keepdims=True))
-        obj.data = jnp.concatenate(chunks, axis=3)
-        obj.times = np.asarray(new_times)
-        obj.flags = None if new_flags is None \
-            else np.concatenate(new_flags, axis=3)
-        if new_cov is not None:
-            avg_cov = jnp.concatenate(new_cov, axis=3)
-            obj.icov = 1.0 / jnp.clip(avg_cov, 1e-60) \
-                if self.icov is not None else None
-            obj.cov = avg_cov if self.cov is not None else None
+                # var of the weighted mean (reference average_data);
+                # icov/cov propagate only if the input carried them
+                c_all = jnp.take(cov, jnp.asarray(idx_all), axis=3)
+                wc = w_all ** 2 * c_all
+                csum = jnp.zeros(wc.shape[:3] + (nbin,) + wc.shape[4:],
+                                 dtype=wc.dtype).at[:, :, :, segj].add(wc)
+                avg_cov = csum / wsum ** 2
+                obj.icov = 1.0 / jnp.clip(avg_cov, 1e-60) \
+                    if self.icov is not None else None
+                obj.cov = avg_cov if self.cov is not None else None
         return obj
 
     def time_nn_interp(self, lsts=None, rephase=True, inplace=True,
