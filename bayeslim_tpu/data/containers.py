@@ -788,7 +788,11 @@ class VisData(TensorData):
         # host index plumbing, then ONE gather + segment scatter-add per
         # quantity (an eager per-bin loop costs an RPC per op on the
         # remote backend; at many LST bins it also dominates host time)
-        idx_list = [np.atleast_1d(np.asarray(ix)) for ix in time_inds]
+        # each bin may be a list/array/range or a slice (the reference
+        # _list2slice's in-place conversion means callers hold slices)
+        idx_list = [np.arange(self.Ntimes)[ix] if isinstance(ix, slice)
+                    else np.atleast_1d(np.asarray(ix))
+                    for ix in time_inds]
         idx_all = np.concatenate(idx_list)
         nbin = len(idx_list)
         seg = np.repeat(np.arange(nbin), [len(ix) for ix in idx_list])

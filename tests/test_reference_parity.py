@@ -3875,3 +3875,131 @@ def test_bl_average_flags_icov_parity():
                        atol=1e-12)
     assert np.array_equal(np.asarray(avg.flags),
                           avg_ref.flags.numpy())
+
+
+def test_container_op_fuzz():
+    """Randomized op-composition fuzz vs the reference: random select /
+    bl_average(random partitions) / time_average(random bins) sequences
+    applied to matched VisData pairs, comparing data/flags/cov/icov
+    after EVERY op. Catches semantic drift that single-op parity tests
+    compose past (reference dataset.py select :690-1255, bl_average
+    :1257-1362, time_average :1452-1567)."""
+    from bayeslim_tpu.data.containers import VisData as OurVisData
+
+    def make_pair(rng, with_flags, carry):
+        ants = list(range(6))
+        bls = [(i, j) for i in ants for j in ants if i < j]
+        Nbls, Nt, Nf = len(bls), 6, 7
+        times = 2458168.3 + np.arange(Nt) * 1e-3
+        freqs = np.linspace(100e6, 110e6, Nf)
+        shape = (1, 1, Nbls, Nt, Nf)
+        data = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+        icov = rng.uniform(0.5, 2.0, shape)
+        flags = rng.random(shape) < 0.2 if with_flags else None
+        kw_ref, kw = {}, {}
+        if carry == "icov":
+            kw_ref["icov"] = torch.tensor(icov)
+            kw["icov"] = jnp.asarray(icov)
+        elif carry == "cov":
+            kw_ref["cov"] = torch.tensor(1.0 / icov)
+            kw["cov"] = jnp.asarray(1.0 / icov)
+        elif carry == "both":
+            kw_ref.update(cov=torch.tensor(1.0 / icov),
+                          icov=torch.tensor(icov))
+            kw.update(cov=jnp.asarray(1.0 / icov),
+                      icov=jnp.asarray(icov))
+        if flags is not None:
+            kw_ref["flags"] = torch.tensor(flags)
+            kw["flags"] = jnp.asarray(flags)
+        vr = ba.dataset.VisData()
+        vr.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data), cov_axis=None,
+                      **kw_ref)
+        vo = OurVisData()
+        vo.setup_data(bls, times, freqs, pol="ee",
+                      data=jnp.asarray(data), **kw)
+        return vr, vo
+
+    def check(vr, vo, tag):
+        assert np.allclose(np.asarray(vo.data), vr.data.numpy(),
+                           atol=1e-12), tag
+        for name in ("cov", "icov"):
+            a, b = getattr(vo, name), getattr(vr, name)
+            if name == "icov" and a is None and b is not None \
+                    and vr.cov is not None \
+                    and bool(torch.equal(b, vr.cov)):
+                # REFERENCE BUG (found by this fuzz): get_icov with no
+                # stored icov falls through get_cov(cov=None) and
+                # returns the COV values as "icov" (dataset.py:1037-1044
+                # -> get_cov's cov=self.cov default), so select() on
+                # cov-only data materializes icov == cov (probed live:
+                # cov=4.0 -> icov=4.0, not 0.25). Ours correctly keeps
+                # icov None.
+                continue
+            assert (a is None) == (b is None), (tag, name, a is None)
+            if a is not None:
+                assert np.allclose(np.asarray(a), b.numpy(),
+                                   atol=1e-10), (tag, name)
+        if vo.flags is not None and vr.flags is not None:
+            assert np.array_equal(np.asarray(vo.flags),
+                                  vr.flags.numpy()), (tag, "flags")
+
+    def op_select(rng, vr, vo):
+        kind = rng.choice(["bl", "time", "freq"])
+        if kind == "bl" and vo.Nbls > 2:
+            k = int(rng.integers(2, vo.Nbls))
+            ii = sorted(rng.choice(vo.Nbls, size=k, replace=False))
+            sub = [vo.bls[i] for i in ii]
+            return (vr.select(bl=sub, inplace=False),
+                    vo.select(bl=sub, inplace=False), f"select bl {k}")
+        if kind == "time" and vo.Ntimes > 2:
+            k = int(rng.integers(2, vo.Ntimes))
+            ii = sorted(rng.choice(vo.Ntimes, size=k, replace=False))
+            return (vr.select(time_inds=list(ii), inplace=False),
+                    vo.select(time_inds=list(ii), inplace=False),
+                    f"select time {k}")
+        k = max(2, int(rng.integers(2, vo.Nfreqs)))
+        ii = sorted(rng.choice(vo.Nfreqs, size=k, replace=False))
+        return (vr.select(freq_inds=list(ii), inplace=False),
+                vo.select(freq_inds=list(ii), inplace=False),
+                f"select freq {k}")
+
+    def op_bl_average(rng, vr, vo):
+        # random PARTITION of the current baselines into groups
+        perm = list(rng.permutation(vo.Nbls))
+        reds, i = [], 0
+        while i < len(perm):
+            k = int(rng.integers(1, 4))
+            reds.append([vo.bls[j] for j in perm[i:i + k]])
+            i += k
+        return (vr.bl_average(reds=reds, inplace=False),
+                vo.bl_average(reds=reds, inplace=False),
+                f"bl_average {len(reds)} groups")
+
+    def op_time_average(rng, vr, vo):
+        nt = vo.Ntimes
+        if nt < 2:
+            return vr, vo, "noop"
+        cuts = sorted(rng.choice(range(1, nt), size=min(2, nt - 1),
+                                 replace=False))
+        bounds = [0] + list(cuts) + [nt]
+        tinds = [list(range(a, b)) for a, b in zip(bounds[:-1], bounds[1:])]
+        return (vr.time_average(time_inds=tinds, inplace=False),
+                vo.time_average(time_inds=tinds, inplace=False),
+                f"time_average {len(tinds)} bins")
+
+    ops = [op_select, op_select, op_bl_average, op_time_average]
+    for seed in range(10):
+        rng = np.random.default_rng(1000 + seed)
+        vr, vo = make_pair(rng, with_flags=bool(seed % 2),
+                           carry=["icov", "cov", "both"][seed % 3])
+        check(vr, vo, f"seed{seed} init")
+        trail = []
+        for depth in range(4):
+            op = ops[int(rng.integers(len(ops)))]
+            # averaging drops below useful sizes fast; only average once
+            if op is not op_select and any("average" in t for t in trail):
+                op = op_select
+            vr, vo, tag = op(rng, vr, vo)
+            trail.append(tag)
+            check(vr, vo, f"seed{seed} {' -> '.join(trail)}")
