@@ -4003,3 +4003,60 @@ def test_container_op_fuzz():
             vr, vo, tag = op(rng, vr, vo)
             trail.append(tag)
             check(vr, vo, f"seed{seed} {' -> '.join(trail)}")
+
+
+def test_filt_option_sweep_parity():
+    """Combinatorial GPFilter/MatFilter sweep vs the reference
+    (filt.py:37-320): dim x residual x hermitian x cov-kernel x
+    real/complex data, G/V and filtered outputs pinned (the targeted
+    configs are pinned in test_gpfilter_inpaint_parity; this covers
+    the full option matrix)."""
+    from bayeslim_tpu.models import filt as bfilt
+    rng = np.random.default_rng(23)
+    nf = 12
+    x = np.linspace(100e6, 110e6, nf)
+
+    for kernel in ("rbf", "exp"):
+        for residual in (False, True):
+            for hermitian in (True, False):
+                for cplx in (True, False):
+                    if kernel == "rbf":
+                        Cs_ref = ba.filt.rbf_cov(torch.tensor(x), 2e6)
+                        Cs = bfilt.rbf_cov(x, 2e6)
+                    else:
+                        Cs_ref = ba.filt.exp_cov(torch.tensor(x), 2e6)
+                        Cs = bfilt.exp_cov(x, 2e6)
+                    Cn_ref = torch.eye(nf, dtype=torch.float64) * 1e-6
+                    Cn = jnp.eye(nf) * 1e-6
+
+                    F_ref = ba.filt.GPFilter(
+                        Cs_ref, Cn_ref, dim=-1, residual=residual,
+                        hermitian=hermitian,
+                        dtype=torch.complex128 if cplx
+                        else torch.float64)
+                    F = bfilt.GPFilter(Cs, Cn, dim=-1, residual=residual,
+                                       hermitian=hermitian)
+                    tag = (kernel, residual, hermitian, cplx)
+                    assert np.allclose(np.asarray(F.G), F_ref.G.numpy(),
+                                       atol=1e-8), tag
+
+                    shape = (2, 3, nf)
+                    data = rng.normal(size=shape)
+                    if cplx:
+                        data = data + 1j * rng.normal(size=shape)
+                    out_ref = F_ref(torch.tensor(data))
+                    out = F.forward(jnp.asarray(data))
+                    assert np.allclose(np.asarray(out), out_ref.numpy(),
+                                       atol=1e-8), tag
+
+    # MatFilter along a non-trailing dim with an arbitrary G
+    G = rng.normal(size=(nf, nf))
+    # the reference's MatFilter never casts G by its dtype arg (its
+    # torch.einsum rejects real-G x complex-y); pass G complex directly
+    M_ref = ba.filt.MatFilter(torch.tensor(G, dtype=torch.complex128),
+                              dim=-2)
+    M = bfilt.MatFilter(jnp.asarray(G) + 0j, dim=-2)
+    data = rng.normal(size=(2, nf, 4)) + 1j * rng.normal(size=(2, nf, 4))
+    out_ref = M_ref(torch.tensor(data))
+    out = M.forward(jnp.asarray(data))
+    assert np.allclose(np.asarray(out), out_ref.numpy(), atol=1e-10)
