@@ -1260,12 +1260,28 @@ class CalData(TensorData):
 
     def select(self, ants=None, times=None, freqs=None, pol=None,
                inplace=True, try_view=False, **kwargs):
-        """Down-select, in place by default (reference dataset.py:3000)."""
+        """Down-select, in place by default (reference dataset.py:3000);
+        flags/cov/icov slice along with the data (:3040-3070)."""
         obj = self if inplace else self.copy()
         a, t, f = self.get_inds(ant=ants, times=times, freqs=freqs, pol=pol)
-        d = _take(self.data, a, 2)
-        d = _take(d, t, 3)
-        obj.data = _take(d, f, 4)
+
+        def _sel(arr):
+            if arr is None:
+                return None
+            arr = _take(arr, a, 2)
+            arr = _take(arr, t, 3)
+            return _take(arr, f, 4)
+
+        obj.data = _sel(self.data)
+        if self.flags is not None:
+            obj.flags = np.asarray(_sel(np.asarray(self.flags)))
+        if self.cov_axis is None:
+            obj.cov = _sel(self.cov)
+            obj.icov = _sel(self.icov)
+        elif self.cov is not None or self.icov is not None:
+            raise NotImplementedError(
+                "selection on a structured (cov_axis) CalData cov is "
+                "not supported; select before set_cov")
         if ants is not None:
             obj.ants = [int(x) for x in np.atleast_1d(ants)]
         if not isinstance(t, slice):

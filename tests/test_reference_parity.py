@@ -4060,3 +4060,89 @@ def test_filt_option_sweep_parity():
     out_ref = M_ref(torch.tensor(data))
     out = M.forward(jnp.asarray(data))
     assert np.allclose(np.asarray(out), out_ref.numpy(), atol=1e-10)
+
+
+def test_caldata_op_fuzz():
+    """Randomized CalData select/HDF5-roundtrip sequences vs the
+    reference (dataset.py:2462-3322): ants/times/freqs selections in
+    random order, data/flags/icov compared after every op."""
+    import tempfile
+    import os
+    from bayeslim_tpu.data.containers import CalData as OurCalData
+
+    def make_pair(rng, with_flags):
+        ants = list(range(7))
+        Nt, Nf = 5, 6
+        times = 2458168.3 + np.arange(Nt) * 1e-3
+        freqs = np.linspace(100e6, 110e6, Nf)
+        shape = (1, 1, len(ants), Nt, Nf)
+        data = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+        icov = rng.uniform(0.5, 2.0, shape)
+        flags = rng.random(shape) < 0.2 if with_flags else None
+        cr = ba.dataset.CalData()
+        cr.setup_meta()
+        cr.setup_data(ants, torch.tensor(times), torch.tensor(freqs),
+                      pol="Jee", data=torch.tensor(data), cov_axis=None,
+                      icov=torch.tensor(icov),
+                      flags=None if flags is None else torch.tensor(flags))
+        co = OurCalData()
+        co.setup_data(ants, times, freqs, pol="Jee",
+                      data=jnp.asarray(data), icov=jnp.asarray(icov),
+                      flags=None if flags is None else jnp.asarray(flags))
+        return cr, co, flags
+
+    def check(cr, co, tag, flags_src=None):
+        assert np.allclose(np.asarray(co.data), cr.data.numpy(),
+                           atol=1e-12), tag
+        assert np.allclose(np.asarray(co.icov), cr.icov.numpy(),
+                           atol=1e-12), tag
+        if co.flags is not None:
+            # REFERENCE BUG (found by this fuzz): CalData.select computes
+            # the sliced flags in every branch then passes the UNSLICED
+            # obj.flags to setup_data (dataset.py:3031-3068,
+            # `flags=obj.flags` instead of `flags=flags`), so selected
+            # CalData keeps full-shape stale flags. Ours slices; compare
+            # against an independently-tracked slice of the originals.
+            assert np.array_equal(np.asarray(co.flags), flags_src), tag
+        assert list(co.ants) == list(cr.ants), tag
+
+    for seed in range(6):
+        rng = np.random.default_rng(2000 + seed)
+        cr, co, fl = make_pair(rng, with_flags=bool(seed % 2))
+        check(cr, co, f"seed{seed} init", flags_src=fl)
+        trail = []
+        for depth in range(3):
+            kind = rng.choice(["ants", "time", "freq"])
+            if kind == "ants" and len(co.ants) > 2:
+                k = int(rng.integers(2, len(co.ants)))
+                ii = sorted(rng.choice(len(co.ants), size=k,
+                                       replace=False))
+                sub = [co.ants[i] for i in ii]
+                cr = cr.select(ants=sub, inplace=False)
+                co = co.select(ants=sub, inplace=False)
+                fl = None if fl is None else fl[:, :, ii]
+            elif kind == "time" and co.Ntimes > 2:
+                k = int(rng.integers(2, co.Ntimes))
+                ii = sorted(rng.choice(co.Ntimes, size=k, replace=False))
+                tsel = np.asarray(co.times)[ii]
+                cr = cr.select(times=torch.tensor(tsel), inplace=False)
+                co = co.select(times=tsel, inplace=False)
+                fl = None if fl is None else fl[:, :, :, ii]
+            else:
+                k = max(2, int(rng.integers(2, co.Nfreqs)))
+                ii = sorted(rng.choice(co.Nfreqs, size=k, replace=False))
+                fsel = np.asarray(co.freqs)[ii]
+                cr = cr.select(freqs=torch.tensor(fsel), inplace=False)
+                co = co.select(freqs=fsel, inplace=False)
+                fl = None if fl is None else fl[..., ii]
+            trail.append(f"select {kind} {k}")
+            check(cr, co, f"seed{seed} {' -> '.join(trail)}",
+                  flags_src=fl)
+
+        # HDF5 round trip through OUR writer at the final state
+        with tempfile.TemporaryDirectory() as tmp:
+            fn = os.path.join(tmp, "cal.h5")
+            co.write_hdf5(fn)
+            co2 = OurCalData()
+            co2.read_hdf5(fn)
+            check(cr, co2, f"seed{seed} hdf5 roundtrip", flags_src=fl)
