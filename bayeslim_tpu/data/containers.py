@@ -1117,6 +1117,25 @@ class MapData(TensorData):
         obj = self if inplace else self.copy()
         p, f, a = self.get_inds(angs=angs, freqs=freqs, pols=pols)
         obj.data = self.get_data(angs=angs, freqs=freqs, pols=pols, squeeze=False)
+        # flags/norm/cov/icov slice along with the data (reference
+        # dataset.py:2290-2330 get_* per branch)
+        kw = dict(angs=angs, freqs=freqs, pols=pols, squeeze=False)
+        if self.flags is not None:
+            obj.flags = np.asarray(self.get_data(data=self.flags, **kw))
+        if self.norm is not None:
+            obj.norm = self.get_data(data=self.norm, **kw)
+        if self.cov_axis is None:
+            if self.cov is not None:
+                obj.cov = self.get_data(data=self.cov, **kw)
+            if self.icov is not None:
+                obj.icov = self.get_data(data=self.icov, **kw)
+        elif self.cov is not None or self.icov is not None:
+            raise NotImplementedError(
+                "selection on a structured (cov_axis) MapData cov is "
+                "not supported; select before set_cov")
+        if self.df is not None and not isinstance(f, slice):
+            obj.df = np.atleast_1d(self.df)[f] \
+                if np.ndim(self.df) else self.df
         if not isinstance(f, slice):
             obj.freqs = self.freqs[f]
         if not isinstance(a, slice) and self.angs is not None:

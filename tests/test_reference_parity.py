@@ -4146,3 +4146,71 @@ def test_caldata_op_fuzz():
             co2 = OurCalData()
             co2.read_hdf5(fn)
             check(cr, co2, f"seed{seed} hdf5 roundtrip", flags_src=fl)
+
+
+def test_mapdata_op_fuzz():
+    """Randomized MapData select sequences vs the reference
+    (dataset.py:1887-2461): ang/freq/pol selections in random order,
+    data/flags/icov/norm compared after every op."""
+    from bayeslim_tpu.data.containers import MapData as OurMapData
+
+    def make_pair(rng, with_flags):
+        Np, Nf, Npx = 2, 5, 9
+        pols = ["ee", "nn"]
+        freqs = np.linspace(100e6, 110e6, Nf)
+        angs = np.stack([rng.uniform(0, 360, Npx),
+                         rng.uniform(-40, -20, Npx)])
+        shape = (Np, 1, Nf, Npx)
+        data = rng.normal(size=shape)
+        icov = rng.uniform(0.5, 2.0, shape)
+        norm = rng.uniform(0.5, 2.0, shape)
+        flags = rng.random(shape) < 0.2 if with_flags else None
+        mr = ba.dataset.MapData()
+        mr.setup_meta()
+        mr.setup_data(torch.tensor(freqs), pols=pols,
+                      data=torch.tensor(data),
+                      angs=torch.tensor(angs), cov_axis=None,
+                      icov=torch.tensor(icov), norm=torch.tensor(norm),
+                      flags=None if flags is None
+                      else torch.tensor(flags))
+        mo = OurMapData()
+        mo.setup_data(freqs, pols=pols, data=jnp.asarray(data),
+                      angs=angs, icov=jnp.asarray(icov),
+                      norm=jnp.asarray(norm),
+                      flags=None if flags is None else jnp.asarray(flags))
+        return mr, mo
+
+    def check(mr, mo, tag):
+        assert np.allclose(np.asarray(mo.data), mr.data.numpy(),
+                           atol=1e-12), tag
+        if mo.icov is not None and mr.icov is not None:
+            assert np.allclose(np.asarray(mo.icov), mr.icov.numpy(),
+                               atol=1e-12), (tag, "icov")
+        assert np.allclose(np.asarray(mo.angs), mr.angs.numpy(),
+                           atol=1e-12), (tag, "angs")
+        assert np.allclose(np.asarray(mo.freqs),
+                           np.asarray(mr.freqs), atol=1e-3), (tag, "freqs")
+
+    for seed in range(5):
+        rng = np.random.default_rng(3000 + seed)
+        mr, mo = make_pair(rng, with_flags=bool(seed % 2))
+        check(mr, mo, f"seed{seed} init")
+        trail = []
+        for depth in range(3):
+            kind = rng.choice(["ang", "freq"])
+            if kind == "ang" and np.shape(mo.angs)[1] > 2:
+                n = np.shape(mo.angs)[1]
+                k = int(rng.integers(2, n))
+                ii = sorted(rng.choice(n, size=k, replace=False))
+                mr = mr.select(ang_inds=list(ii), inplace=False)
+                mo = mo.select(ang_inds=list(ii), inplace=False)
+            else:
+                nf = len(np.asarray(mo.freqs))
+                if nf <= 2:
+                    continue
+                k = int(rng.integers(2, nf))
+                ii = sorted(rng.choice(nf, size=k, replace=False))
+                mr = mr.select(freq_inds=list(ii), inplace=False)
+                mo = mo.select(freq_inds=list(ii), inplace=False)
+            trail.append(f"select {kind} {k}")
+            check(mr, mo, f"seed{seed} {' -> '.join(trail)}")
