@@ -4004,6 +4004,15 @@ def test_container_op_fuzz():
             trail.append(tag)
             check(vr, vo, f"seed{seed} {' -> '.join(trail)}")
 
+        # HDF5 round trip through OUR writer at the final state
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as tmp:
+            fn = os.path.join(tmp, "vis.h5")
+            vo.write_hdf5(fn)
+            vo2 = OurVisData()
+            vo2.read_hdf5(fn)
+            check(vr, vo2, f"seed{seed} hdf5 roundtrip")
+
 
 def test_filt_option_sweep_parity():
     """Combinatorial GPFilter/MatFilter sweep vs the reference
