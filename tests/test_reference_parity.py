@@ -4223,3 +4223,134 @@ def test_mapdata_op_fuzz():
                 mo = mo.select(freq_inds=list(ii), inplace=False)
             trail.append(f"select {kind} {k}")
             check(mr, mo, f"seed{seed} {' -> '.join(trail)}")
+
+
+def test_calibration_chain_gradient_fuzz():
+    """Randomized calibration-chain GRADIENT fuzz vs the reference:
+    random subsets/orders of RedVisModel -> JonesModel -> VisModel
+    applied to a fixed input VisData, chi^2 loss, per-block parameter
+    gradients compared (calibration.py:416-743 Jones, :877-1054 RedVis,
+    :1057-1211 Vis). Complements the fixed graded configs with breadth
+    over the chain space (no RIME/ephemeris needed)."""
+    from collections import OrderedDict
+    from bayeslim_tpu.models.calibration import (
+        JonesModel, VisModel, RedVisModel, VisModelResponse,
+    )
+    from bayeslim_tpu.models.telescope import build_reds
+    from bayeslim_tpu.utils import model2pdict, viewreal
+
+    ants, antvecs = bl.utils.make_hex(2)
+    ants = list(ants)
+    antpos = dict(zip(ants, [np.asarray(v) for v in antvecs]))
+    reds_info = build_reds(antpos)
+    reds = [r for r in reds_info[0] if r[0][0] != r[0][1]]
+    bl2red = {b: i for i, r in enumerate(reds) for b in r}
+    bls = [b for r in reds for b in r]
+    Nb = len(bls)
+    Nt, Nf = 2, 3
+    times = 2458168.3 + np.arange(Nt) * 1e-3
+    freqs = np.linspace(100e6, 110e6, Nf)
+
+    for seed in range(4):
+        rng = np.random.default_rng(4000 + seed)
+        vis_in = rng.normal(size=(1, 1, Nb, Nt, Nf)) \
+            + 1j * rng.normal(size=(1, 1, Nb, Nt, Nf))
+        target = rng.normal(size=(1, 1, Nb, Nt, Nf)) \
+            + 1j * rng.normal(size=(1, 1, Nb, Nt, Nf))
+        icov = rng.uniform(0.5, 2.0, (1, 1, Nb, Nt, Nf))
+        gains = (rng.normal(size=(1, 1, len(ants), Nt, Nf)) * 0.05
+                 + 1j * rng.normal(size=(1, 1, len(ants), Nt, Nf))
+                 * 0.05 + 1.0)
+        rv = (rng.normal(size=(1, 1, len(reds), Nt, Nf))
+              + 1j * rng.normal(size=(1, 1, len(reds), Nt, Nf))) * 0.3
+        av = (rng.normal(size=(1, 1, Nb, Nt, Nf))
+              + 1j * rng.normal(size=(1, 1, Nb, Nt, Nf))) * 0.2
+
+        # random non-empty chain
+        pool = ["redvis", "jones", "vis"]
+        keep = [n for n in pool if rng.random() < 0.7]
+        if not keep:
+            keep = [pool[int(rng.integers(3))]]
+        order = list(rng.permutation(keep))
+
+        # ---- ours
+        blocks = {}
+        for name in order:
+            if name == "jones":
+                blocks[name] = JonesModel(
+                    viewreal(jnp.asarray(gains)), ants, parameter=True,
+                    polmode="1pol")
+            elif name == "redvis":
+                blocks[name] = RedVisModel(
+                    viewreal(jnp.asarray(rv)), bl2red, parameter=True,
+                    R=VisModelResponse(param_type="com"))
+            else:
+                blocks[name] = VisModel(
+                    viewreal(jnp.asarray(av)), parameter=True,
+                    R=VisModelResponse(param_type="com"))
+        model = bl.utils.Sequential(blocks)
+        vd_in = bl.VisData()
+        vd_in.setup_data(bls, times, freqs, pol="ee",
+                         data=jnp.asarray(vis_in))
+        pd = model2pdict(model)
+        icov_j = jnp.asarray(icov)
+        tgt_j = jnp.asarray(target)
+
+        def loss_fn(p, model=model, vd_in=vd_in):
+            out = model.updated(p).forward(vd_in)
+            r = out.data - tgt_j
+            return 0.5 * jnp.sum(icov_j * jnp.abs(r) ** 2)
+
+        v_j, g_j = jax.value_and_grad(loss_fn)(pd)
+
+        # ---- reference
+        blocks_ref = OrderedDict()
+        for name in order:
+            if name == "jones":
+                jr = ba.calibration.JonesModel(
+                    torch.view_as_real(torch.tensor(gains)).clone(),
+                    ants, parameter=True, polmode="1pol",
+                    R=ba.calibration.JonesResponse(param_type="com"))
+                ba.calibration.IndexCache.__init__(
+                    jr, times=torch.tensor(times))
+                blocks_ref[name] = jr
+            elif name == "redvis":
+                # the reference's RedVisModel.get_bl_idx indexes
+                # bl2red by BLNUM ints (calibration.py:1010)
+                bl2red_num = {int(bl.utils.ants2blnum(b)): i
+                              for b, i in bl2red.items()}
+                rr = ba.calibration.RedVisModel(
+                    torch.view_as_real(torch.tensor(rv)).clone(),
+                    bl2red_num, parameter=True,
+                    R=ba.calibration.VisModelResponse(param_type="com"))
+                ba.calibration.IndexCache.__init__(
+                    rr, times=torch.tensor(times))
+                blocks_ref[name] = rr
+            else:
+                vr_ = ba.calibration.VisModel(
+                    torch.view_as_real(torch.tensor(av)).clone(),
+                    parameter=True,
+                    R=ba.calibration.VisModelResponse(param_type="com"))
+                ba.calibration.IndexCache.__init__(
+                    vr_, times=torch.tensor(times))
+                blocks_ref[name] = vr_
+        model_ref = ba.utils.Sequential(blocks_ref)
+        vd_ref = ba.dataset.VisData()
+        vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                          pol="ee", data=torch.tensor(vis_in))
+        out_ref = model_ref(vd_ref)
+        r = out_ref.data - torch.tensor(target)
+        loss_ref = 0.5 * torch.sum(torch.tensor(icov) * torch.abs(r) ** 2)
+        loss_ref.backward()
+
+        tag = f"seed{seed} chain={order}"
+        assert np.isclose(float(v_j), float(loss_ref), rtol=1e-12), tag
+        for name in order:
+            g_ref = blocks_ref[name].params.grad.numpy()
+            key = [k for k in g_j
+                   if f".{name}." in f".{k}"
+                   or k.startswith(f"{name}.")][0]
+            g_mine = np.asarray(g_j[key])
+            rel = np.abs(g_mine - g_ref).max() / \
+                max(np.abs(g_ref).max(), 1e-30)
+            assert rel < 1e-9, (tag, name, rel)
