@@ -4354,3 +4354,113 @@ def test_calibration_chain_gradient_fuzz():
             rel = np.abs(g_mine - g_ref).max() / \
                 max(np.abs(g_ref).max(), 1e-30)
             assert rel < 1e-9, (tag, name, rel)
+
+
+def test_sky_beam_response_fuzz():
+    """Randomized sky/beam response fuzz vs the reference: PointSky /
+    PixelSky freq modes and Gauss/Airy beam responses at random angles
+    and parameters, outputs AND parameter gradients pinned (sky_model.py
+    PointSkyResponse/PixelSkyResponse, beam_model.py Gauss/AiryResponse).
+    No coordinate transforms involved — pure response math."""
+    for seed in range(4):
+        rng = np.random.default_rng(5000 + seed)
+        Nf, Ns = 4, 5
+        freqs = np.linspace(100e6, 120e6, Nf)
+        angs = np.stack([rng.uniform(0, 360, Ns),
+                         rng.uniform(-40, -20, Ns)])
+
+        # --- PointSky powerlaw: value + gradient
+        params = np.zeros((1, 1, 2, Ns))
+        params[0, 0, 0] = rng.uniform(1, 5, Ns)
+        params[0, 0, 1] = rng.uniform(-3, -1, Ns)
+        sky_ref = ba.sky_model.PointSky(
+            torch.tensor(params), torch.tensor(angs),
+            R=ba.sky_model.PointSkyResponse(
+                torch.tensor(freqs), freq_mode="powerlaw",
+                f0=torch.tensor(freqs[:1])), parameter=True)
+        out_ref = sky_ref()
+        w = torch.tensor(rng.normal(size=tuple(out_ref.data.shape)))
+        (out_ref.data * w).sum().backward()
+        g_ref = sky_ref.params.grad.numpy()
+
+        sky = bl.PointSky(
+            jnp.asarray(params), jnp.asarray(angs),
+            R=bl.sky_model.PointSkyResponse(
+                freqs, freq_mode="powerlaw", f0=float(freqs[0])))
+
+        def sloss(p):
+            out = sky.updated({"params": p}).forward()
+            return jnp.sum(out.data * jnp.asarray(w.numpy()))
+
+        v, g = jax.value_and_grad(sloss)(jnp.asarray(params))
+        assert np.allclose(np.asarray(sky.forward().data),
+                           out_ref.data.detach().numpy(), atol=1e-10), seed
+        assert np.allclose(np.asarray(g), g_ref, atol=1e-8), seed
+
+        # --- PixelSky channel mode (the reference's PixelSkyResponse
+        # constructor needs an astropy cosmology, mocked out here; its
+        # channel-mode output is pinned by the config #2 gradient parity
+        # test) — check ours against the analytic channel-mode contract
+        pxa = 3e-5
+        pparams = rng.normal(size=(1, 1, Nf, Ns))
+        psky = bl.sky_model.PixelSky(
+            jnp.asarray(pparams), jnp.asarray(angs), pxa,
+            R=bl.sky_model.PixelSkyResponse(freqs), parameter=False)
+        assert np.allclose(np.asarray(psky.forward().data),
+                           pparams * pxa, atol=1e-12), seed
+
+        # --- Gauss + Airy beam responses: gen_beam at random angles
+        zen = rng.uniform(0, 85, 12)
+        az = rng.uniform(0, 360, 12)
+        for resp in ("gauss", "airy"):
+            if resp == "gauss":
+                bp = np.full((1, 1, 1, Nf, 2), 0.0)
+                bp[..., 0] = rng.uniform(0.3, 0.8)
+                bp[..., 1] = rng.uniform(0.3, 0.8)
+                R_ref = ba.beam_model.GaussResponse()
+                R_our = bl.beam_model.GaussResponse()
+            else:
+                bp = np.full((1, 1, 1, 1, 1), rng.uniform(8, 14))
+                R_ref = ba.beam_model.AiryResponse(freq_ratio=1.0)
+                R_our = bl.beam_model.AiryResponse(freq_ratio=1.0)
+            beam_ref = ba.beam_model.PixelBeam(
+                torch.tensor(bp), torch.tensor(freqs), R=R_ref, pol="e",
+                powerbeam=True, fov=180.0, parameter=True)
+            b_ref = beam_ref.gen_beam(torch.tensor(zen),
+                                      torch.tensor(az))[0]
+            wb = torch.tensor(rng.normal(size=tuple(b_ref.shape)))
+            (b_ref * wb).sum().backward()
+            gb_ref = beam_ref.params.grad.numpy()
+
+            beam = bl.PixelBeam(jnp.asarray(bp), freqs, R=R_our, pol="e",
+                                powerbeam=True, fov=180.0)
+
+            def bloss(p, beam=beam):
+                b = beam.updated({"params": p}).gen_beam(zen, az)[0]
+                return jnp.sum(b * jnp.asarray(wb.numpy()))
+
+            vb, gb = jax.value_and_grad(bloss)(jnp.asarray(bp))
+            assert np.allclose(np.asarray(beam.gen_beam(zen, az)[0]),
+                               b_ref.detach().numpy(), atol=1e-9), \
+                (seed, resp)
+            if resp == "airy":
+                # REFERENCE BUG (found by this fuzz): AiryResponse's
+                # diameter gradient is WRONG — torch.special.bessel_j1
+                # has no derivative (special.py:498-535 even warns "not
+                # differentiable!" yet default brute_force=False uses
+                # it), so autograd silently treats J1 as constant and
+                # differentiates only the 1/x factor (probed: autograd
+                # -0.424 vs the function's own numeric -0.125). Pin OUR
+                # gradient against a numeric derivative of our function
+                # instead.
+                eps = 1e-5 * float(bp.ravel()[0])
+                bp_hi = bp.copy(); bp_hi[..., 0, 0] += eps
+                bp_lo = bp.copy(); bp_lo[..., 0, 0] -= eps
+                num = (float(bloss(jnp.asarray(bp_hi)))
+                       - float(bloss(jnp.asarray(bp_lo)))) / (2 * eps)
+                assert np.isclose(float(np.asarray(gb).sum()), num,
+                                  rtol=1e-5), (seed, resp)
+            else:
+                rel = np.abs(np.asarray(gb) - gb_ref).max() / \
+                    max(np.abs(gb_ref).max(), 1e-30)
+                assert rel < 1e-7, (seed, resp, rel)
