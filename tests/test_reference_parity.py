@@ -4464,3 +4464,35 @@ def test_sky_beam_response_fuzz():
                 rel = np.abs(np.asarray(gb) - gb_ref).max() / \
                     max(np.abs(gb_ref).max(), 1e-30)
                 assert rel < 1e-7, (seed, resp, rel)
+
+
+def test_fft_option_fuzz():
+    """Randomized FFT-block option fuzz vs the reference (fft.py:11-170):
+    dim x window x fftshift x ifft x norm x abs/square/peaknorm on random
+    complex tensors."""
+    from bayeslim_tpu.models.fft import FFT as OurFFT
+    rng = np.random.default_rng(6000)
+    N = 16
+    for trial in range(10):
+        dim = int(rng.choice([-1, -2]))
+        window = rng.choice([None, "hann", "blackmanharris", "bh"])
+        fftshift = bool(rng.integers(2))
+        ifft = bool(rng.integers(2))
+        norm = rng.choice([None, "forward", "backward", "ortho"])
+        absout = bool(rng.integers(2))
+        square = bool(rng.integers(2)) and not absout
+        peaknorm = bool(rng.integers(2))
+        shape = [3, N, N]
+        data = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+
+        kw = dict(dim=dim, abs=absout, peaknorm=peaknorm, N=N, dx=1.0,
+                  ndim=len(shape), fftshift=fftshift, ifft=ifft,
+                  norm=None if norm is None else str(norm),
+                  square=square,
+                  window=None if window is None else str(window))
+        ref = ba.fft.FFT(**kw)(torch.tensor(data))
+        mine = OurFFT(**kw)(jnp.asarray(data))
+        tag = (trial, dim, window, fftshift, ifft, norm, absout, square,
+               peaknorm)
+        assert np.allclose(np.asarray(mine), ref.numpy(),
+                           atol=1e-10), tag
