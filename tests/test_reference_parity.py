@@ -4496,3 +4496,72 @@ def test_fft_option_fuzz():
                peaknorm)
         assert np.allclose(np.asarray(mine), ref.numpy(),
                            atol=1e-10), tag
+
+
+def test_special_function_fuzz():
+    """Random-argument sweep of the special-function family vs the
+    reference (special.py: Plm :14, Qlm :122, hypF :227, pochln :318,
+    jl :377, yl :442, j1 :498) — non-integer degrees, both branches
+    of |x| and a range of orders."""
+    from bayeslim_tpu.ops import special as sp
+    rng = np.random.default_rng(7000)
+
+    # associated Legendre P_lm / Q_lm at non-integer l
+    for _ in range(6):
+        l = float(rng.uniform(0.5, 8.0))
+        m = int(rng.integers(0, min(4, int(l) + 1)))
+        x = rng.uniform(-0.95, 0.95, 7)
+        for deriv in (False, True):
+            ref = np.asarray(ba.special.Plm(l, m, torch.tensor(x),
+                                            deriv=deriv,
+                                            high_prec=False))
+            mine = np.asarray(sp.Plm(l, m, x, deriv=deriv))
+            assert np.allclose(mine, ref, atol=1e-8, rtol=1e-8), \
+                ("Plm", l, m, deriv)
+        ref = np.asarray(ba.special.Qlm(l, m, torch.tensor(x),
+                                        high_prec=False))
+        mine = np.asarray(sp.Qlm(l, m, x))
+        assert np.allclose(mine, ref, atol=1e-7, rtol=1e-7), ("Qlm", l, m)
+
+    # hypergeometric 2F1 / Gamma(c) and log-Pochhammer
+    for _ in range(6):
+        a, b = rng.uniform(-3, 3, 2)
+        c = float(rng.uniform(0.5, 4.0))
+        z = rng.uniform(-0.8, 0.8, 5)
+        ref = np.asarray(ba.special.hypF(a, b, c, z,
+                                         high_prec=False))
+        mine = np.asarray(sp.hypF(a, b, c, z))
+        assert np.allclose(mine, ref, atol=1e-9, rtol=1e-8), \
+            ("hypF", a, b, c)
+        n = int(rng.integers(1, 6))
+        aa = float(rng.uniform(0.1, 5.0))
+        s_m, v_m = sp.pochln(aa, n)
+        s_r, v_r = ba.special.pochln(np.asarray(aa), np.asarray(n))
+        assert int(np.asarray(s_m).ravel()[0]) == \
+            int(np.asarray(s_r).ravel()[0]), ("pochln sign", aa, n)
+        assert np.isclose(float(np.asarray(v_m).ravel()[0]),
+                          float(np.asarray(v_r).ravel()[0])), \
+            ("pochln", aa, n)
+
+    # spherical bessel jl / yl incl. derivatives
+    for _ in range(6):
+        l = int(rng.integers(0, 5))
+        z = rng.uniform(0.3, 20.0, 8)
+        for deriv in (False, True):
+            ref = np.asarray(ba.special.jl(l, torch.tensor(z),
+                                           deriv=deriv))
+            mine = np.asarray(sp.jl(l, z, deriv=deriv))
+            assert np.allclose(mine, ref, atol=1e-9, rtol=1e-7), \
+                ("jl", l, deriv)
+            ref = np.asarray(ba.special.yl(l, torch.tensor(z),
+                                           deriv=deriv))
+            mine = np.asarray(sp.yl(l, z, deriv=deriv))
+            assert np.allclose(mine, ref, atol=1e-9, rtol=1e-7), \
+                ("yl", l, deriv)
+
+    # cylindrical J1: ours (A&S rational) vs torch's exact
+    z = rng.uniform(0.01, 25.0, 64)
+    ref = np.asarray(ba.special.j1(torch.tensor(z)))
+    mine = np.asarray(sp.j1(jnp.asarray(z)))
+    # A&S 9.4 rational approximations carry ~1e-7 absolute error
+    assert np.abs(mine - ref).max() < 2e-7
