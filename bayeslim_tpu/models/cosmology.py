@@ -12,8 +12,6 @@ distances match astropy to <0.01%.
 from __future__ import annotations
 
 import numpy as np
-from scipy.integrate import quad
-from scipy.interpolate import interp1d
 
 __all__ = ["Cosmology", "gauss1d", "cube2lcone", "cube2map"]
 
@@ -75,6 +73,8 @@ class Cosmology:
         cum = np.concatenate([[0.0], np.cumsum((f[1:] + f[:-1]) / 2 *
                                                np.diff(zg))])
         r = C_KMS / self.H0 * cum
+        # lazy: scipy.interpolate import deferred off the package import
+        from scipy.interpolate import interp1d
         self._r_of_z = interp1d(zg, r, kind="cubic")
         self._z_of_r = interp1d(r, zg, kind="cubic")
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.signal import windows
 
 from ..utils import Module
 from ..utils.dtypes import _float
@@ -25,6 +24,8 @@ __all__ = ["FFT", "PeakDelay", "vis_wedge", "gen_window"]
 
 def gen_window(window, N, alpha=None, edgecut=None, **kwargs):
     """Generate a window of length N (reference fft.py:241-302)."""
+    # lazy: importing scipy.signal costs ~0.9s of process startup
+    from scipy.signal import windows
     if edgecut is not None:
         N = N - sum(edgecut)
     if window in ("none", None, "None", "boxcar", "tophat"):
