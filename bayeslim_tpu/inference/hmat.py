@@ -242,10 +242,23 @@ class HadamardMat(BaseMat):
 
 
 class TriangMat(BaseMat):
-    """Triangular matrix operator (reference :461)."""
+    """Triangular matrix operator (reference :461). Only the lower
+    (upper) triangle of a 2D input is KEPT — the reference stores
+    `L[tril_indices]` and densifies into zeros, so a full matrix is
+    silently masked to its triangle; we mirror that. A 1D input is the
+    raveled triangle (reference :478-487 documents this form but its
+    size recovery reads an undefined name `b` — a NameError in the
+    reference; ours implements it)."""
 
     def __init__(self, L, lower=True):
-        self.L = jnp.asarray(L)
+        L = jnp.asarray(L)
+        if L.ndim == 1:
+            n = int(round((np.sqrt(8 * L.shape[0] + 1) - 1) / 2))
+            idx = np.tril_indices(n) if lower else np.triu_indices(n)
+            L = jnp.zeros((n, n), dtype=L.dtype).at[idx].set(L)
+        else:
+            L = jnp.tril(L) if lower else jnp.triu(L)
+        self.L = L
         self.lower = lower
         self.shape = self.L.shape
 
@@ -266,36 +279,68 @@ class TriangMat(BaseMat):
 
 
 class SparseMat(BaseMat):
-    """Low-rank + diagonal: A = U V^T + diag(d) (reference :593)."""
+    """Low-rank + diagonal: A = U V^T + diag(d) (reference :593).
 
-    def __init__(self, U, V=None, d=None):
-        self.U = jnp.asarray(U)
-        self.V = self.U if V is None else jnp.asarray(V)
+    Two constructor forms:
+
+    - ``SparseMat(U, V=None, d=None)``: A = U V^T + diag(d) with
+      U (Nrows, Nmodes), V (Ncols, Nmodes); V=U when omitted.
+    - ``SparseMat(shape, U, V=None, Hdiag=None, hermitian=False)``:
+      the reference's drop-in form (hmat.py:600-628) — A = U V + a
+      (possibly PARTIAL) diagonal: only the first ``len(Hdiag)``
+      rows get ``Hdiag * vec`` added (reference mat_vec_mul does
+      ``result[:N] += Hdiag * vec[:N]``). Here V has row-modes
+      (Nmodes, Ncols); ``hermitian`` stores U only and uses
+      V = U^H.
+    """
+
+    def __init__(self, U, V=None, d=None, Hdiag=None, hermitian=False):
+        if isinstance(U, (tuple, list)) and len(U) == 2 \
+                and all(isinstance(s, (int, np.integer)) for s in U):
+            # reference positional order: (shape, U, V, Hdiag, hermitian)
+            U, refV = jnp.asarray(V), d
+            if hermitian:
+                self.V = jnp.conj(U)
+            else:
+                assert refV is not None, \
+                    "reference-form SparseMat needs V or hermitian=True"
+                self.V = jnp.asarray(refV).T
+            d = Hdiag
+        else:
+            U = jnp.asarray(U)
+            self.V = U if V is None else jnp.asarray(V)
+            if d is None:
+                d = Hdiag
+        self.U = U
         self.d = d if d is None else jnp.asarray(d)
         self.shape = (self.U.shape[0], self.V.shape[0])
 
+    def _add_diag(self, out, v):
+        if self.d is None:
+            return out
+        n = self.d.shape[0]
+        if n == out.shape[0] == v.shape[0]:
+            return out + self.d * v
+        return out.at[:n].add(self.d * v[:n])
+
     def mat_vec_mul(self, v):
-        out = self.U @ (self.V.T @ v)
-        if self.d is not None:
-            out = out + self.d * v
-        return out
+        return self._add_diag(self.U @ (self.V.T @ v), v)
 
     def t_mat_vec_mul(self, v):
-        out = self.V @ (self.U.T @ v)
-        if self.d is not None:
-            out = out + self.d * v
-        return out
+        return self._add_diag(self.V @ (self.U.T @ v), v)
 
     def to_dense(self):
         out = self.U @ self.V.T
         if self.d is not None:
-            out = out + jnp.diag(self.d)
+            n = self.d.shape[0]
+            idx = (np.arange(n), np.arange(n))
+            out = out.at[idx].add(self.d)
         return out
 
     def diagonal(self):
         out = jnp.sum(self.U * self.V, axis=1)
         if self.d is not None:
-            out = out + self.d
+            out = out.at[:self.d.shape[0]].add(self.d)
         return out
 
     def scalar_mul(self, a):
@@ -304,9 +349,10 @@ class SparseMat(BaseMat):
 
 
 class ZeroMat(BaseMat):
-    """Zero operator (reference :865)."""
+    """Zero operator (reference :865; dtype/device accepted for
+    drop-in compat, unused — jax output dtype follows the operand)."""
 
-    def __init__(self, shape):
+    def __init__(self, shape, dtype=None, device=None):
         self.shape = tuple(shape)
 
     def mat_vec_mul(self, v):
@@ -323,11 +369,17 @@ class ZeroMat(BaseMat):
 
 
 class OneMat(BaseMat):
-    """Constant (rank-1 ones * value) operator (reference :945)."""
+    """Constant (rank-1 ones * value) operator (reference :945; the
+    reference names the value ``scalar`` — both spellings accepted)."""
 
-    def __init__(self, shape, value=1.0):
+    def __init__(self, shape, value=1.0, scalar=None, dtype=None,
+                 device=None):
         self.shape = tuple(shape)
-        self.value = value
+        self.value = value if scalar is None else scalar
+
+    @property
+    def scalar(self):
+        return self.value
 
     def mat_vec_mul(self, v):
         return jnp.full(self.shape[0], jnp.sum(v) * self.value,

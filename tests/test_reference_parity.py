@@ -4565,3 +4565,154 @@ def test_special_function_fuzz():
     mine = np.asarray(sp.j1(jnp.asarray(z)))
     # A&S 9.4 rational approximations carry ~1e-7 absolute error
     assert np.abs(mine - ref).max() < 2e-7
+
+
+def test_hmat_operator_fuzz():
+    """Random operator-tree fuzz vs the reference hmat family
+    (reference hmat.py:71-2210): random leaves — DenseMat, DiagMat,
+    TriangMat (lower/upper, from an UNMASKED full matrix: the reference
+    keeps only the tril/triu values, so must we), SparseMat in BOTH
+    calling forms (ours (U,V,d) and the reference's
+    (shape,U,V,Hdiag,hermitian) incl. PARTIAL Hdiag and hermitian
+    storage), ZeroMat, OneMat(scalar=) — composed through
+    TransposedMat, MatSum, and HierMat, then checked against a dense
+    numpy mirror AND the reference object: to_dense, matvec, conjugate-
+    transpose matvec, and mat-mat.
+
+    Reference methods broken outright are skipped on the reference side
+    and pinned by other tests: MatSum.mat_vec_mult / to_dense
+    (torch.sum over a python list, hmat.py:1795+), and any tree
+    containing a MatSum. Reference HierMat.mat_vec_mul silently IGNORES
+    transpose=True (hmat.py:2058 swallows **kwargs), so transposed
+    matvecs are compared to the dense mirror only.
+
+    REFERENCE BUG (found by this fuzz): SparseMat.to_dense with Hdiag
+    does ``out[:N] += self.Hdiag`` (hmat.py:749) — a row-slice
+    broadcast that adds Hdiag[j] to COLUMN j of every one of the first
+    N rows (and raises outright when N != Ncols), disagreeing with its
+    own mat_vec_mul which applies a true diagonal. Ours adds a true
+    (partial) diagonal; reference to_dense is skipped when Hdiag is
+    carried."""
+    import bayeslim_tpu.inference.hmat as hm
+    rhm = ba.hmat
+    rng = np.random.default_rng(20260818)
+    n = 6
+
+    # node := (ours, ref-or-None, dense mirror, ref_to_dense_ok)
+    def leaf():
+        kind = rng.choice(["dense", "diag", "tril", "triu", "sparse",
+                           "sparse_ref", "sparse_herm", "zero", "one"])
+        if kind == "dense":
+            A = rng.normal(size=(n, n))
+            return (hm.DenseMat(jnp.asarray(A)),
+                    rhm.DenseMat(torch.tensor(A)), A, True)
+        if kind == "diag":
+            d = rng.normal(size=n)
+            return (hm.DiagMat(jnp.asarray(d)),
+                    rhm.DiagMat(torch.tensor(d)), np.diag(d), True)
+        if kind in ("tril", "triu"):
+            lower = kind == "tril"
+            A = rng.normal(size=(n, n))  # FULL matrix: ctor must mask
+            D = np.tril(A) if lower else np.triu(A)
+            return (hm.TriangMat(jnp.asarray(A), lower=lower),
+                    rhm.TriangMat(torch.tensor(A), lower=lower), D,
+                    True)
+        if kind == "sparse":
+            U = rng.normal(size=(n, 2))
+            V = rng.normal(size=(n, 2))
+            d = rng.normal(size=n)
+            return (hm.SparseMat(jnp.asarray(U), jnp.asarray(V),
+                                 jnp.asarray(d)),
+                    rhm.SparseMat((n, n), torch.tensor(U),
+                                  V=torch.tensor(V.T),
+                                  Hdiag=torch.tensor(d)),
+                    U @ V.T + np.diag(d), False)
+        if kind == "sparse_ref":
+            # the reference calling form on OUR class, partial Hdiag
+            U = rng.normal(size=(n, 2))
+            Vr = rng.normal(size=(2, n))  # row-modes (Nmodes, Ncols)
+            k = int(rng.integers(1, n + 1))
+            d = rng.normal(size=k)
+            D = U @ Vr
+            D[np.arange(k), np.arange(k)] += d
+            return (hm.SparseMat((n, n), jnp.asarray(U),
+                                 jnp.asarray(Vr), Hdiag=jnp.asarray(d)),
+                    rhm.SparseMat((n, n), torch.tensor(U),
+                                  V=torch.tensor(Vr),
+                                  Hdiag=torch.tensor(d)), D, False)
+        if kind == "sparse_herm":
+            U = rng.normal(size=(n, 3))
+            return (hm.SparseMat((n, n), jnp.asarray(U),
+                                 hermitian=True),
+                    rhm.SparseMat((n, n), torch.tensor(U),
+                                  hermitian=True), U @ U.T, True)
+        if kind == "zero":
+            return (hm.ZeroMat((n, n)),
+                    rhm.ZeroMat((n, n), dtype=torch.float64),
+                    np.zeros((n, n)), True)
+        c = float(rng.normal())
+        return (hm.OneMat((n, n), scalar=c),
+                rhm.OneMat((n, n), scalar=c, dtype=torch.float64),
+                np.full((n, n), c), True)
+
+    def unit():
+        """An n x n node: leaf, T(leaf), or MatSum(leaves)."""
+        kind = rng.choice(["leaf", "T", "sum"])
+        if kind == "leaf":
+            return leaf()
+        if kind == "T":
+            o, r, D, ok = leaf()
+            return hm.TransposedMat(o), rhm.TransposedMat(r), D.T, ok
+        k = int(rng.integers(2, 4))
+        os_, rs, Ds, oks = zip(*[leaf() for _ in range(k)])
+        # reference MatSum's own methods are broken (torch.sum on a
+        # list) -- no reference mirror for this subtree
+        return hm.MatSum(list(os_)), None, np.sum(Ds, axis=0), False
+
+    def tree():
+        kind = rng.choice(["unit", "hier", "hier2"])
+        if kind == "unit":
+            return unit()
+
+        def hier(sub):
+            (o00, r00, D00, k00), (o11, r11, D11, k11) = sub(), sub()
+            (o01, r01, D01, k01), (o10, r10, D10, k10) = sub(), sub()
+            scalar = float(rng.normal()) if rng.random() < 0.3 else None
+            D = np.block([[D00, D01], [D10, D11]])
+            if scalar is not None:
+                D = D * scalar
+            refs = [r00, r11, r01, r10]
+            r = None if any(x is None for x in refs) else \
+                rhm.HierMat(r00, r11, A01=r01, A10=r10, scalar=scalar)
+            return (hm.HierMat(o00, o11, A01=o01, A10=o10,
+                               scalar=scalar), r, D,
+                    all([k00, k11, k01, k10]))
+
+        if kind == "hier":
+            return hier(unit)
+        return hier(lambda: hier(unit))
+
+    for trial in range(40):
+        o, r, D, ref_dense_ok = tree()
+        m = D.shape[0]
+        v = rng.normal(size=m)
+        M = rng.normal(size=(m, 3))
+        jv, jM = jnp.asarray(v), jnp.asarray(M)
+        tag = f"trial {trial}"
+        # ours vs the dense mirror
+        assert np.allclose(np.asarray(o.to_dense()), D,
+                           atol=1e-12), tag
+        assert np.allclose(np.asarray(o.mat_vec_mul(jv)), D @ v,
+                           atol=1e-12), tag
+        assert np.allclose(
+            np.asarray(o.mat_vec_mul(jv, transpose=True)), D.T @ v,
+            atol=1e-12), tag
+        assert np.allclose(np.asarray(o.mat_mat_mul(jM)), D @ M,
+                           atol=1e-12), tag
+        # the reference vs the same mirror (transitively: ours == ref)
+        if r is not None:
+            assert np.allclose(r.mat_vec_mul(torch.tensor(v)).numpy(),
+                               D @ v, atol=1e-12), tag
+            if ref_dense_ok:
+                assert np.allclose(r.to_dense().numpy(), D,
+                                   atol=1e-12), tag
