@@ -156,6 +156,19 @@ class TensorData:
                 self.cov_ndim = nblocks * n
                 sign, logdet = np.linalg.slogdet(np.asarray(cov))
                 self.cov_logdet = float(np.sum(logdet))
+        elif icov is not None:
+            # icov-only containers still carry a non-None logdet so the
+            # likelihood norm is included (reference dataset.py:112-124:
+            # -sum(log icov) for elementwise icov; 0.0 placeholder for
+            # matrix axes where the reference cannot recover it either)
+            if cov_axis is None:
+                self.cov_ndim = int(np.prod(np.shape(icov)))
+                self.cov_logdet = float(
+                    -np.sum(np.log(np.asarray(icov).real)))
+            else:
+                self.cov_ndim = (int(np.prod(np.shape(self.data)))
+                                 if self.data is not None else None)
+                self.cov_logdet = 0.0
         else:
             self.cov_ndim = None
             self.cov_logdet = None

@@ -4716,3 +4716,184 @@ def test_hmat_operator_fuzz():
             if ref_dense_ok:
                 assert np.allclose(r.to_dense().numpy(), D,
                                    atol=1e-12), tag
+
+
+def test_logprob_option_fuzz():
+    """Random LogProb option-matrix fuzz vs the reference on an
+    identity model (reference optim.py:385-1226): cov carriage
+    (none / elementwise icov / SPD icov over 'bl' / 'freq' / 'full'),
+    compute in post/like/prior, negate on/off, complex_circular on/off,
+    and random priors (LogGaussPrior diag, LogUniformPrior,
+    LogTaperedUniformPrior sigmoid+tanh, LogLaplacePrior) — comparing
+    the closure VALUE and the parameter GRADIENT for every combo.
+    Complex-parameter trials carry the params as a real (re, im) pair
+    on our side (the viewreal convention) and compare against torch's
+    complex grad (= dL/dre + i dL/dim).
+
+    REFERENCE BUG (found by this fuzz): apply_icov (optim.py:1899-1913)
+    references an undefined name ``d`` in the 'bl', 'time', 'freq' and
+    'pix' branches — every matrix cov_axis except 'full' raises
+    NameError in the reference, so its matrix-cov likelihoods can never
+    have run ('time' additionally has an einsum contradicting its own
+    docstring — pinned in test_inference). Ours implements the
+    DOCSTRING semantics; for parity, 'bl'/'freq' trials here feed the
+    reference the SAME covariance embedded as a block 'full' matrix
+    (which its working path handles) and demand equal values and
+    gradients."""
+    from bayeslim_tpu.inference.prob import (LogGaussPrior,
+                                             LogUniformPrior,
+                                             LogTaperedUniformPrior,
+                                             LogLaplacePrior)
+    rng = np.random.default_rng(20260819)
+    B, T, F = 3, 2, 4
+    shape = (1, 1, B, T, F)
+    ants = [0, 1, 2]
+    bls = [(0, 1), (0, 2), (1, 2)]
+    times = 2458168.3 + np.arange(T) * 1e-3
+    freqs = np.linspace(100e6, 110e6, F)
+
+    class _RefId(ba.utils.Module):
+        def __init__(self, p0):
+            super().__init__()
+            self.params = torch.nn.Parameter(torch.tensor(p0))
+
+        def forward(self, inp=None, prior_cache=None, **k):
+            return self.params
+
+    class _IdModel(bl.utils.Module):
+        def __init__(self, p0, cplx):
+            super().__init__()
+            self._cplx = cplx
+            self.params = jnp.asarray(p0)
+            self.set_param("params")
+
+        def forward(self, inp=None, prior_cache=None, **k):
+            if self._cplx:
+                return self.params[0] + 1j * self.params[1]
+            return self.params
+
+    def spd(n, keys):
+        """Stack of random SPD (n, n) blocks with the given lead dims."""
+        lead = tuple(keys)
+        a = rng.normal(size=lead + (n, 2 * n))
+        return a @ np.swapaxes(a, -1, -2) / (2 * n) \
+            + 2.0 * np.eye(n)
+
+    def build(covkind, cplx):
+        p0 = rng.normal(size=shape)
+        if cplx:
+            p0 = np.stack([p0, rng.normal(size=shape)])
+            p_t = p0[0] + 1j * p0[1]
+        else:
+            p_t = p0
+        data = p_t + (rng.normal(size=shape)
+                      + (1j * rng.normal(size=shape) if cplx else 0.0))
+
+        def cast(m):
+            # torch's matrix apply_icov paths require matching dtypes
+            # for complex data; feed a complex-cast icov to BOTH codes
+            return m.astype(complex) if cplx else m
+
+        kw_r, kw_o = {}, {}
+        if covkind == "diag":
+            icov = rng.uniform(0.5, 2.0, shape)
+            kw_r = dict(icov=torch.tensor(icov), cov_axis=None)
+            kw_o = dict(icov=jnp.asarray(icov), cov_axis=None)
+        elif covkind == "bl":
+            icov = cast(spd(B, (1, 1, T, F)))
+            full = np.zeros((B * T * F, B * T * F), dtype=icov.dtype)
+            for t in range(T):
+                for f in range(F):
+                    ii = np.arange(B) * T * F + t * F + f
+                    full[np.ix_(ii, ii)] = icov[0, 0, t, f]
+            kw_r = dict(icov=torch.tensor(full), cov_axis="full")
+            kw_o = dict(icov=jnp.asarray(icov), cov_axis="bl")
+        elif covkind == "freq":
+            icov = cast(spd(F, (1, 1, B, T)))
+            full = np.zeros((B * T * F, B * T * F), dtype=icov.dtype)
+            for b in range(B):
+                for t in range(T):
+                    ii = b * T * F + t * F + np.arange(F)
+                    full[np.ix_(ii, ii)] = icov[0, 0, b, t]
+            kw_r = dict(icov=torch.tensor(full), cov_axis="full")
+            kw_o = dict(icov=jnp.asarray(icov), cov_axis="freq")
+        elif covkind == "full":
+            n = int(np.prod(shape))
+            icov = cast(spd(n, ()))
+            kw_r = dict(icov=torch.tensor(icov), cov_axis="full")
+            kw_o = dict(icov=jnp.asarray(icov), cov_axis="full")
+        vr = ba.dataset.VisData()
+        vr.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                      pol="ee", data=torch.tensor(data), **kw_r)
+        vo = bl.VisData()
+        vo.setup_data(bls, times, freqs, pol="ee",
+                      data=jnp.asarray(data), **kw_o)
+        return p0, _RefId(p_t), _IdModel(p0, cplx), vr, vo
+
+    def priors(p0):
+        kind = rng.choice(["gauss", "uniform", "tapered", "laplace"])
+        if kind == "gauss":
+            mean = rng.normal(size=shape)
+            cov = rng.uniform(0.5, 2.0, shape)
+            density = bool(rng.random() < 0.5)
+            side = str(rng.choice(["both", "upper", "lower"]))
+            return (ba.optim.LogGaussPrior(torch.tensor(mean),
+                                           torch.tensor(cov),
+                                           side=side, density=density),
+                    LogGaussPrior(mean, cov, side=side, density=density))
+        if kind == "uniform":
+            lo, hi = p0.min() - 1.0, p0.max() + 1.0
+            return (ba.optim.LogUniformPrior(torch.tensor(lo),
+                                             torch.tensor(hi)),
+                    LogUniformPrior(lo, hi))
+        if kind == "tapered":
+            lo, hi = p0.min() - 0.5, p0.max() + 0.5
+            kind2 = str(rng.choice(["sigmoid", "tanh"]))
+            return (ba.optim.LogTaperedUniformPrior(
+                        torch.tensor(lo), torch.tensor(hi), kind=kind2,
+                        alpha=50.0),
+                    LogTaperedUniformPrior(lo, hi, kind=kind2,
+                                           alpha=50.0))
+        mean = rng.normal(size=shape)
+        scale = rng.uniform(0.5, 2.0, shape)
+        density = bool(rng.random() < 0.5)
+        return (ba.optim.LogLaplacePrior(torch.tensor(mean),
+                                         torch.tensor(scale),
+                                         density=density),
+                LogLaplacePrior(mean, scale, density=density))
+
+    for trial in range(30):
+        cplx = bool(rng.random() < 0.35)
+        covkind = str(rng.choice(["none", "diag", "bl", "freq", "full"]))
+        compute = str(rng.choice(["post", "like", "prior"]))
+        negate = bool(rng.random() < 0.5)
+        circ = bool(rng.random() < 0.5)
+        use_prior = (not cplx) and (compute != "like") \
+            and rng.random() < 0.8
+        if compute == "prior" and not use_prior:
+            compute = "post"
+        p0, m_ref, m_our, vr, vo = build(covkind, cplx)
+        pr_r, pr_o = priors(p0) if use_prior else (None, None)
+        pd_r = {"params": pr_r} if pr_r is not None else None
+        pd_o = {"params": pr_o} if pr_o is not None else None
+        tag = (trial, covkind, compute, negate, circ, cplx, use_prior)
+
+        prob_r = ba.optim.LogProb(m_ref, ba.dataset.Dataset(vr),
+                                  prior_dict=pd_r, compute=compute,
+                                  negate=negate, complex_circular=circ)
+        v_r = prob_r.closure()
+        g_r = m_ref.params.grad.numpy()
+        if cplx:
+            g_r = np.stack([g_r.real, g_r.imag])
+
+        prob_o = bl.LogProb(m_our, vo, prior_dict=pd_o,
+                            compute=compute, negate=negate,
+                            complex_circular=circ)
+        v_o, g_o = prob_o.value_and_grad(prob_o.collect_main_params())
+        g_o = np.asarray(g_o["params"])
+
+        assert np.isclose(float(v_o), float(v_r), rtol=1e-9,
+                          atol=1e-12), (tag, float(v_o), float(v_r))
+        scale = max(np.abs(g_r).max(), 1e-30)
+        assert np.abs(g_o - g_r).max() / scale < 1e-9, \
+            (tag, np.abs(g_o - g_r).max() / scale)
