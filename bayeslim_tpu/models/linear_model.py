@@ -108,6 +108,10 @@ def gen_linear_A(linear_mode, A=None, x=None, d0=None, logx=False,
         raise NameError(f"linear_mode {linear_mode} not recognized")
     if dtype is not None:
         A = A.astype(dtype)
+    # DELIBERATE divergence: with no explicit dtype the reference casts
+    # the COMPLEX fourier A to its default float dtype (reference
+    # :393-412), silently discarding the imaginary half of every mode;
+    # we keep the complex matrix (pass dtype= explicitly to cast).
     return jnp.atleast_1d(A)
 
 

@@ -4897,3 +4897,118 @@ def test_logprob_option_fuzz():
         scale = max(np.abs(g_r).max(), 1e-30)
         assert np.abs(g_o - g_r).max() / scale < 1e-9, \
             (tag, np.abs(g_o - g_r).max() / scale)
+
+
+def test_linear_model_fuzz():
+    """Random LinearModel option fuzz vs the reference
+    (linear_model.py:15-259 + gen_linear_A/gen_poly_A/gen_fourier_A
+    :347-520): random design matrices (poly in all five bases x
+    whiten/logx/d0/qr, fourier with central-Ndeg truncation and all
+    three fft norms, custom dense + diag), random forward options
+    (dim incl. negative, coeff, idx feature-selection, out_real), and
+    least_squares round-trips — A matrices, fourier freqs, forward
+    outputs, and recovered params all compared per trial."""
+    from bayeslim_tpu.models.linear_model import LinearModel
+    rng = np.random.default_rng(20260820)
+
+    def make_lm():
+        mode = str(rng.choice(["poly", "fourier", "custom"]))
+        kw_r, kw_o = {}, {}
+        diag = False
+        Ns = int(rng.integers(6, 10))
+        if mode == "poly":
+            x = np.sort(rng.uniform(1.0, 10.0, Ns))
+            Ndeg = int(rng.integers(2, 5))
+            basis = str(rng.choice(["direct", "legendre", "chebyshevt",
+                                    "chebyshevu", "laguerre"]))
+            whiten = bool(rng.random() < 0.6)
+            logx = bool(rng.random() < 0.3)
+            d0 = float(x[0]) if rng.random() < 0.3 else None
+            qr = bool(rng.random() < 0.3)
+            kw = dict(Ndeg=Ndeg, basis=basis, whiten=whiten,
+                      logx=logx, d0=d0, qr=qr)
+            kw_r = dict(kw, x=torch.tensor(x))
+            kw_o = dict(kw, x=x)
+            nfeat = Ndeg
+        elif mode == "fourier":
+            x = np.arange(Ns) * 0.37 + 1.2
+            Ndeg = (None if rng.random() < 0.3
+                    else int(rng.integers(2, Ns)))
+            fft_norm = str(rng.choice(["ortho", "forward", "backward"]))
+            # the reference's default dtype CASTS the complex fourier A
+            # to real, silently discarding the imaginary half of every
+            # mode (gen_linear_A :393-412); ours keeps it complex, so
+            # the reference is pinned at the explicit complex dtype
+            kw_r = dict(x=x, Ndeg=Ndeg, fft_norm=fft_norm,
+                        dtype=torch.complex128)
+            kw_o = dict(x=x, Ndeg=Ndeg, fft_norm=fft_norm)
+            nfeat = Ns if Ndeg is None else Ndeg
+        else:
+            diag = bool(rng.random() < 0.4)
+            if diag:
+                A = rng.normal(size=Ns)
+                nfeat = Ns
+            else:
+                nfeat = int(rng.integers(2, 6))
+                A = rng.normal(size=(Ns, nfeat))
+            kw_r = dict(A=torch.tensor(A))
+            kw_o = dict(A=jnp.asarray(A))
+        return mode, diag, kw_r, kw_o, Ns, nfeat
+
+    for trial in range(30):
+        mode, diag, kw_r, kw_o, Ns, nfeat = make_lm()
+        ndim = int(rng.integers(1, 4))
+        dim = int(rng.integers(0, ndim))
+        if rng.random() < 0.3 and not diag:
+            # negative-dim form (the reference's diag path crashes on
+            # negative dim: its reshape comprehension never matches)
+            dim = dim - ndim
+        use_idx = (not diag) and rng.random() < 0.3
+        use_coeff = rng.random() < 0.3
+        out_real = mode == "fourier" and rng.random() < 0.5
+        pshape = [int(rng.integers(2, 5)) for _ in range(ndim)]
+        if use_idx:
+            nbig = nfeat + int(rng.integers(1, 4))
+            pshape[dim] = nbig
+            idx = np.sort(rng.choice(nbig, size=nfeat, replace=False))
+        else:
+            pshape[dim] = nfeat if not diag else Ns
+            idx = None
+        params = rng.normal(size=tuple(pshape))
+        coeff = rng.normal(size=tuple(pshape)) if use_coeff else None
+        tag = (trial, mode, diag, dim, use_idx, use_coeff, out_real)
+
+        lm_r = ba.linear_model.LinearModel(
+            mode, dim=dim, diag=diag, out_real=out_real,
+            coeff=None if coeff is None else torch.tensor(coeff),
+            idx=None if idx is None else torch.tensor(idx), **kw_r)
+        lm_o = LinearModel(
+            mode, dim=dim, diag=diag, out_real=out_real,
+            coeff=None if coeff is None else jnp.asarray(coeff),
+            idx=idx, **kw_o)
+
+        A_r = lm_r.A.numpy()
+        A_o = np.asarray(lm_o.A)
+        assert A_r.shape == A_o.shape, (tag, A_r.shape, A_o.shape)
+        assert np.allclose(A_o, A_r, atol=1e-10), \
+            (tag, np.abs(A_o - A_r).max())
+        if mode == "fourier":
+            np.testing.assert_allclose(np.asarray(lm_o.freqs),
+                                       lm_r.freqs.numpy(), atol=1e-12)
+
+        # torch cannot matmul complex A with real params; ours
+        # auto-promotes, so hand the reference the promoted params
+        p_t = torch.tensor(params, dtype=torch.complex128) \
+            if mode == "fourier" else torch.tensor(params)
+        out_r = lm_r.forward(p_t)
+        out_o = lm_o.forward(jnp.asarray(params))
+        assert np.shape(out_r.numpy()) == np.shape(np.asarray(out_o)), tag
+        assert np.allclose(np.asarray(out_o), out_r.numpy(),
+                           atol=1e-9), (tag, "forward")
+
+        # least_squares round trip on the simple surface
+        if not use_idx and not use_coeff and not out_real and not diag:
+            x_r = lm_r.least_squares(out_r.detach())
+            x_o = lm_o.least_squares(out_o)
+            assert np.allclose(np.asarray(x_o), x_r.numpy(),
+                               atol=1e-7), (tag, "least_squares")
