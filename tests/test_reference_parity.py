@@ -5012,3 +5012,91 @@ def test_linear_model_fuzz():
             x_o = lm_o.least_squares(out_o)
             assert np.allclose(np.asarray(x_o), x_r.numpy(),
                                atol=1e-7), (tag, "least_squares")
+
+
+def test_leapfrog_mass_form_fuzz():
+    """Leapfrog trajectory fuzz vs the reference across mass-matrix
+    forms (reference sampler.py:1433-1585): random multi-key quadratic
+    potentials, random step sizes (scalar / per-key / per-element),
+    random trajectory lengths, and all three cov_L forms — per-element
+    diagonal (diag_mass=True), dense lower-tri Cholesky factors
+    (diag_mass=False), and per-key scalars — comparing the full final
+    (q, p) state. Identity mass is exercised through explicit cov_L=1
+    tensors (the reference's cov_L=1.0 DEFAULT crashes on ParamDict q —
+    pinned in test_leapfrog_parity)."""
+    from bayeslim_tpu.inference.sampler import leapfrog
+    from bayeslim_tpu.utils import ParamDict
+    rng = np.random.default_rng(20260821)
+
+    for trial in range(25):
+        nkeys = int(rng.integers(1, 3))
+        keys = [f"k{i}" for i in range(nkeys)]
+        sizes = {k: int(rng.integers(3, 6)) for k in keys}
+        H = {k: (lambda a: a @ a.T / (2 * sizes[k])
+                 + 2.0 * np.eye(sizes[k]))(
+                     rng.normal(size=(sizes[k], 2 * sizes[k])))
+             for k in keys}
+        q0 = {k: rng.normal(size=sizes[k]) for k in keys}
+        p0 = {k: rng.normal(size=sizes[k]) for k in keys}
+        N = int(rng.integers(2, 8))
+        mass_form = str(rng.choice(["diag", "dense", "scalar"]))
+        eps_form = str(rng.choice(["scalar", "perkey", "perelem"]))
+        tag = (trial, mass_form, eps_form, N)
+
+        if eps_form == "scalar":
+            e = float(rng.uniform(0.01, 0.1))
+            eps_r, eps_o = torch.tensor(e), e
+        elif eps_form == "perkey":
+            e = {k: float(rng.uniform(0.01, 0.1)) for k in keys}
+            eps_r = ba.paramdict.ParamDict(
+                {k: torch.tensor(e[k]) for k in keys})
+            eps_o = ParamDict({k: jnp.asarray(e[k]) for k in keys})
+        else:
+            e = {k: rng.uniform(0.01, 0.1, sizes[k]) for k in keys}
+            eps_r = ba.paramdict.ParamDict(
+                {k: torch.tensor(e[k]) for k in keys})
+            eps_o = ParamDict({k: jnp.asarray(e[k]) for k in keys})
+
+        diag_mass = mass_form != "dense"
+        if mass_form == "diag":
+            L = {k: rng.uniform(0.5, 2.0, sizes[k]) for k in keys}
+        elif mass_form == "scalar":
+            L = {k: np.asarray(rng.uniform(0.5, 2.0)) for k in keys}
+        else:
+            L = {}
+            for k in keys:
+                a = rng.normal(size=(sizes[k], 2 * sizes[k]))
+                L[k] = np.linalg.cholesky(
+                    a @ a.T / (2 * sizes[k]) + 1.5 * np.eye(sizes[k]))
+        covL_r = ba.paramdict.ParamDict(
+            {k: torch.tensor(L[k]) for k in keys})
+        covL_o = ParamDict({k: jnp.asarray(L[k]) for k in keys})
+
+        def dUdq_ref(q, Ucache=None, **kw):
+            return ba.paramdict.ParamDict(
+                {k: torch.tensor(H[k]) @ q[k] for k in q.keys()})
+
+        def dUdq_our(q, **kw):
+            g = ParamDict({k: jnp.asarray(H[k]) @ q[k]
+                           for k in q.keys()})
+            U = sum(float(0.5 * np.asarray(q[k] @ g[k])) for k in q.keys())
+            return U, g
+
+        q_r = ba.paramdict.ParamDict(
+            {k: torch.tensor(q0[k].copy()) for k in keys})
+        p_r = ba.paramdict.ParamDict(
+            {k: torch.tensor(p0[k].copy()) for k in keys})
+        q_r, p_r = ba.sampler.leapfrog(q_r, p_r, dUdq_ref, eps_r, N,
+                                       cov_L=covL_r,
+                                       diag_mass=diag_mass)[:2]
+
+        q_o = ParamDict({k: jnp.asarray(q0[k]) for k in keys})
+        p_o = ParamDict({k: jnp.asarray(p0[k]) for k in keys})
+        q_o, p_o = leapfrog(q_o, p_o, dUdq_our, eps_o, N,
+                            cov_L=covL_o, diag_mass=diag_mass)[:2]
+
+        for k in keys:
+            assert np.allclose(np.asarray(q_o[k]), q_r[k].numpy(),
+                               atol=1e-10), (tag, k, "q")
+            assert np.allclose(np.asarray(p_o[k]), p_r[k].numpy(),
+                               atol=1e-10), (tag, k, "p")
