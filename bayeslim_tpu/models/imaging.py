@@ -32,7 +32,7 @@ def make_map(v, w, A):
     A (Nbls, Nfreqs, Npix) imaging matrix. Returns (Nfreqs, Npix) real.
     """
     wv = (w * v).astype(A.dtype)
-    return jnp.einsum("bf,bfp->fp", wv, A).real
+    return jnp.einsum("...bf,bfp->...fp", wv, A).real
 
 
 def compute_P(A, w, D=None, contract=None):
@@ -485,15 +485,24 @@ class VisMapper:
         (return_P, contract, method, has_icov) on this mapper.
         """
         vd = self.vd if vd is None else vd
-        data = vd.data
-        icov = self.icov if self.icov is not None else vd.icov
-        # lazy (HDF5/cat) tensors: materialize once before entering jit
-        # (reference imaging.py reads vd.get_data per time; one bulk
-        # read is strictly cheaper)
-        if data is not None and not isinstance(data, jnp.ndarray):
-            data = jnp.asarray(data[:])
-        if icov is not None and not isinstance(icov, jnp.ndarray):
-            icov = jnp.asarray(icov[:])
+
+        def _mat(d):
+            # lazy (HDF5/cat) tensors: materialize once before entering
+            # jit (reference imaging.py reads vd.get_data per time; one
+            # bulk read is strictly cheaper)
+            return d if isinstance(d, jnp.ndarray) else jnp.asarray(d[:])
+
+        if isinstance(vd, (list, tuple)):
+            # multi-map form (reference :387-398): stack along a leading
+            # Nmaps axis; weights stay shared (see below)
+            data = jnp.stack([_mat(v.data) for v in vd])
+        else:
+            data = _mat(vd.data) if vd.data is not None else None
+        # weights ALWAYS come from self (reference build_w :328-358:
+        # self.icov, else self.vd.icov), even when imaging another vd
+        icov = self.icov if self.icov is not None else self.vd.icov
+        if icov is not None:
+            icov = _mat(icov)
         if not hasattr(self, "_mm_cache"):
             self._mm_cache = {}
         key = (return_P, contract, self.method, self.clip,
@@ -523,7 +532,8 @@ class VisMapper:
 
         def fn(data, icov, s_all, cut_all, mask_all, zen_all, az_all,
                ctx, blvecs, beam):
-            maps0 = jnp.zeros((nf, npix), dtype=_float())
+            lead = tuple(data.shape[:-5])  # () or (Nmaps,)
+            maps0 = jnp.zeros(lead + (nf, npix), dtype=_float())
             Aw0 = jnp.zeros((nf, 1 if method == "w" else npix),
                             dtype=_float())
             if not return_P:
@@ -537,11 +547,11 @@ class VisMapper:
                 maps, Aw, P = carry
                 A, cut, mask = build(i, s_all, cut_all, mask_all,
                                      zen_all, az_all, ctx, blvecs, beam)
-                v = data[0, 0, :, i, :]
+                v = data[..., 0, 0, :, i, :]
                 w = icov[0, 0, :, i, :].real if has_icov else \
                     jnp.ones((nbls, nf), dtype=_float())
                 m = make_map(v, w, A)
-                maps = maps.at[:, cut].add(m * mask)
+                maps = maps.at[..., cut].add(m * mask)
                 if return_P:
                     _P = compute_P(A, w, contract=contract)
                     if contract is not None:

@@ -5100,3 +5100,107 @@ def test_leapfrog_mass_form_fuzz():
                                atol=1e-10), (tag, k, "q")
             assert np.allclose(np.asarray(p_o[k]), p_r[k].numpy(),
                                atol=1e-10), (tag, k, "p")
+
+
+def test_vismapper_option_fuzz():
+    """VisMapper option fuzz vs the reference (imaging.py:12-972):
+    random normalization ('w' / 'Aw'; 'A2w' is the documented reference
+    bug — Re(A^2) instead of |A|^2 — pinned in test_vismapper_parity),
+    weight source (stored icov vs explicit override vs uniform),
+    PSF contract ('diag' / 'rowsum' / None), VisData-list multi-map
+    inputs, and random sky-grid sizes — maps and PSFs compared per
+    combo. The ephemeris is stubbed identically on both sides."""
+    from bayeslim_tpu.models.imaging import VisMapper
+    rng = np.random.default_rng(20260822)
+    loc = (21.42827, -30.72148, 1051.69)
+    ants, antvecs = bl.utils.make_hex(2)
+    T = bl.TelescopeModel(loc)
+
+    class StubTel:
+        location = loc
+        tloc = None
+        device = None
+
+        def __init__(self, location=loc, tloc=None, device=None):
+            pass
+
+        def eq2top(self, time, ra_, dec_, store=False, key=None):
+            zen, az = T.eq2top(float(time), np.asarray(ra_),
+                               np.asarray(dec_))
+            return torch.tensor(zen), torch.tensor(az)
+
+    for trial in range(8):
+        Nf = int(rng.integers(2, 4))
+        Nt = int(rng.integers(1, 3))
+        Nside = int(rng.integers(3, 6))
+        freqs = np.linspace(120e6, 130e6, Nf)
+        times = 2458148.15 + np.arange(Nt) * 1.1e-3
+        bls = [(a, b) for i, a in enumerate(ants)
+               for b in ants[i + 1:]][:int(rng.integers(3, 7))]
+        ra0 = T.JD2RA(float(times[0]))
+        grid = np.linspace(-4, 4, Nside)
+        rr, dd = np.meshgrid(ra0 + grid, loc[1] + grid)
+        ra, dec = rr.ravel(), dd.ravel()
+        shape = (1, 1, len(bls), Nt, Nf)
+        nmaps = int(rng.integers(1, 3))
+        datas = [rng.normal(size=shape) + 1j * rng.normal(size=shape)
+                 for _ in range(nmaps)]
+        icov = rng.uniform(0.5, 2.0, shape)
+        method = str(rng.choice(["w", "Aw"]))
+        wsrc = str(rng.choice(["stored", "override", "uniform"]))
+        contract = rng.choice(["diag", "rowsum", None])
+        contract = None if contract is None else str(contract)
+        tag = (trial, method, wsrc, contract, nmaps)
+
+        def mk_vd(data, ours):
+            if ours:
+                v = bl.VisData()
+                v.setup_meta(T, AntposDict(ants, antvecs))
+                kw = dict(icov=jnp.asarray(icov)) \
+                    if wsrc == "stored" else {}
+                v.setup_data(bls, times, freqs, pol="ee",
+                             data=jnp.asarray(data), **kw)
+            else:
+                v = ba.dataset.VisData()
+                v.setup_meta(telescope=StubTel(),
+                             antpos=ba.utils.AntposDict(
+                                 list(ants),
+                                 torch.tensor(np.asarray(antvecs))))
+                kw = dict(icov=torch.tensor(icov)) \
+                    if wsrc == "stored" else {}
+                v.setup_data(bls, torch.tensor(times),
+                             torch.tensor(freqs), pol="ee",
+                             data=torch.tensor(data), **kw)
+            return v
+
+        vd_o = mk_vd(datas[0], True)
+        vd_r = mk_vd(datas[0], False)
+        mapper = VisMapper(vd_o, ra, dec, fov=180.0)
+        mapper_ref = ba.imaging.VisMapper(vd_r, torch.tensor(ra),
+                                          torch.tensor(dec), fov=180.0)
+        kw_o, kw_r = {}, {}
+        if wsrc == "override":
+            kw_o["icov"] = jnp.asarray(icov)
+            kw_r["icov"] = torch.tensor(icov)
+        mapper.set_normalization(method, **kw_o)
+        mapper_ref.set_normalization(method, **kw_r)
+
+        arg_o = [mk_vd(d, True) for d in datas[1:]] or None
+        arg_r = [mk_vd(d, False) for d in datas[1:]] or None
+        if arg_o is not None:
+            arg_o = [vd_o] + arg_o
+            arg_r = [vd_r] + arg_r
+        with torch.no_grad():
+            maps_ref, P_ref = mapper_ref.make_map(vd=arg_r,
+                                                  return_P=True,
+                                                  contract=contract)
+        maps, P = mapper.make_map(vd=arg_o, return_P=True,
+                                  contract=contract)
+        m, mr = np.asarray(maps), np.asarray(maps_ref)
+        assert m.shape == tuple(mr.shape), (tag, m.shape, mr.shape)
+        rel = np.abs(m - mr).max() / max(np.abs(mr).max(), 1e-30)
+        assert rel < 1e-8, (tag, "map", rel)
+        p, pr = np.asarray(P), np.asarray(P_ref)
+        assert p.shape == tuple(pr.shape), (tag, p.shape, pr.shape)
+        rel = np.abs(p - pr).max() / max(np.abs(pr).max(), 1e-30)
+        assert rel < 1e-8, (tag, "P", rel)
