@@ -5204,3 +5204,120 @@ def test_vismapper_option_fuzz():
         assert p.shape == tuple(pr.shape), (tag, p.shape, pr.shape)
         rel = np.abs(p - pr).max() / max(np.abs(pr).max(), 1e-30)
         assert rel < 1e-8, (tag, "P", rel)
+
+
+def test_pixinterp_rect_fuzz():
+    """Randomized rect-grid PixInterp fuzz vs the reference
+    (utils.py:684-878 + setup_bipoly_interp/bipoly_grid_index): random
+    uniform grids (spacing/origin), every degree pair (nearest/linear/
+    quadratic/cubic incl. mixed az,zen modes), batched maps, target
+    angles including az-wrap neighborhoods and grid-edge zeniths.
+    Values AND map gradients pinned.
+
+    Tolerances are conditioning-aware: the reference builds its bipoly
+    design matrix on ABSOLUTE-scaled coordinates (arange(N)*dx,
+    utils.py:1091-1094) and pinv's A^T A, so its weights carry
+    O(cond(A^T A)*eps) noise — ~6e-9 for quadratic at dy~6 deg and
+    catastrophic (O(1e-2) on smooth maps) for cubic; see
+    test_reference_bicubic_conditioning_bug. Cubic-containing modes are
+    therefore fuzzed on UNIT-SPACING grids (dx=dy=1, where the
+    reference's algebra is well-conditioned and windows/weights must
+    agree) and the rest on random angle grids."""
+    from bayeslim_tpu.utils.interp import PixInterp
+
+    modes = ["nearest", "linear", "quadratic", "cubic",
+             "linear,quadratic", "cubic,linear", "quadratic,cubic",
+             "nearest,linear"]
+    for seed in range(12):
+        rng = np.random.default_rng(7200 + seed)
+        nt = int(rng.integers(12, 25))
+        np_ = int(rng.integers(18, 40))
+        mode = modes[seed % len(modes)]
+        cubic = "cubic" in mode
+        if cubic:
+            # unit spacing: reference conditioning is benign here
+            tg = np.arange(nt, dtype=np.float64)
+            pg = np.arange(np_, dtype=np.float64)
+            t0, t1, span = 0.0, float(nt - 1), float(nt - 1)
+            az_hi = float(np_)
+        else:
+            t0 = rng.uniform(0.0, 5.0)
+            t1 = rng.uniform(80.0, 95.0)
+            tg = np.linspace(t0, t1, nt)
+            pg = np.arange(np_) * (360.0 / np_)  # full az circle, wrapx
+            span = t1 - t0
+            az_hi = 360.0
+
+        # batched random map over the raveled (theta-major) grid
+        m = rng.normal(size=(2, nt * np_))
+
+        # targets: interior + az-wrap neighborhood + near-edge zeniths
+        nq = 30
+        zen = np.concatenate([
+            rng.uniform(t0 + 0.05 * span, t1 - 0.05 * span, nq - 4),
+            [t0 + 0.05 * span, t1 - 0.05 * span,
+             t0 + 0.01 * span, t1 - 0.01 * span]])
+        dxa = az_hi / np_
+        az = np.concatenate([
+            rng.uniform(0.0, az_hi, nq - 4),
+            [0.03 * dxa, az_hi - 0.03 * dxa, 0.49 * dxa,
+             az_hi - 0.49 * dxa]])
+
+        ref = ba.utils.PixInterp("rect", interp_mode=mode,
+                                 theta_grid=torch.tensor(tg),
+                                 phi_grid=torch.tensor(pg))
+        m_t = torch.tensor(m, requires_grad=True)
+        out_ref = ref.interp(m_t, torch.tensor(zen), torch.tensor(az))
+        w = torch.tensor(rng.normal(size=tuple(out_ref.shape)))
+        (out_ref * w).sum().backward()
+        g_ref = m_t.grad.numpy()
+
+        ours = PixInterp("rect", interp_mode=mode, theta_grid=tg,
+                         phi_grid=pg)
+
+        def loss(mm):
+            return jnp.sum(ours.interp(mm, zen, az) * jnp.asarray(w.numpy()))
+
+        out = ours.interp(jnp.asarray(m), zen, az)
+        g = jax.grad(loss)(jnp.asarray(m))
+        # quadratic on deg-scale grids: reference pinv noise ~1e-8
+        atol = 3e-7 if ("quadratic" in mode and not cubic) else 1e-9
+        assert np.allclose(np.asarray(out), out_ref.detach().numpy(),
+                           atol=atol), (seed, mode)
+        assert np.allclose(np.asarray(g), g_ref, atol=atol), (seed, mode)
+
+
+def test_reference_bicubic_conditioning_bug():
+    """Documents a REFERENCE numerical bug: setup_bipoly_interp
+    (utils.py:1085-1117) builds the polynomial design matrix on
+    absolute-scaled window coordinates (arange(Npoints)*dx) and inverts
+    A^T A with pinv. For cubic windows on degree-scale grids
+    (dy ~ 6 deg -> y^3 ~ 6.8e3, cond(A^T A) ~ 1e15) the pinv truncates
+    singular values and the resulting weights are WRONG at the 1e-2
+    level on smooth maps. Oracle: bicubic interpolation of a globally
+    cubic map must be exact; the reference errs by >1e-3 while ours
+    (Lagrange weights in grid units, utils/interp.py) is exact to f64
+    roundoff. The fuzz above pins cubic window/weight parity on
+    unit-spacing grids where the reference is well-conditioned."""
+    from bayeslim_tpu.utils.interp import PixInterp
+
+    nt, np_ = 16, 24
+    tg = np.linspace(0., 90., nt)
+    pg = np.arange(np_) * (360.0 / np_)
+    P, T = np.meshgrid(pg, tg)
+    f = (T / 90.) ** 3  # globally cubic in zen, constant in az
+    fr = f.ravel()
+    zen = np.array([10.3, 33.7, 47.05, 61.9, 79.99, 85.2])
+    az = np.array([5., 100., 200., 300., 359., 37.])
+    exact = (zen / 90.) ** 3
+
+    ref = ba.utils.PixInterp("rect", interp_mode="cubic",
+                             theta_grid=torch.tensor(tg),
+                             phi_grid=torch.tensor(pg))
+    out_ref = ref.interp(torch.tensor(fr), torch.tensor(zen),
+                         torch.tensor(az)).numpy()
+    ours = PixInterp("rect", interp_mode="cubic", theta_grid=tg,
+                     phi_grid=pg)
+    out = np.asarray(ours.interp(jnp.asarray(fr), zen, az))
+    assert np.abs(out - exact).max() < 1e-12          # ours: exact
+    assert np.abs(out_ref - exact).max() > 1e-3       # reference: broken
