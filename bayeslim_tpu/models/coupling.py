@@ -291,7 +291,8 @@ class VisCoupling(Module):
         # map back from flattened matrix -> original bls ordering
         self.bls_idx = np.argsort(argsort_key, kind="stable")[:len(self.bls)].astype(np.int32)
 
-    def _coupling_matrix(self, params=None):
+    def _coupling_matrix(self, params=None, add_I=None, prod=None,
+                         double=None):
         p = self.params if params is None else params
         if self.p0 is not None:
             p = p + self.p0
@@ -300,18 +301,26 @@ class VisCoupling(Module):
             X = viewcomp(X) if X.shape[-1] == 2 else X.astype(_cfloat())
         X = X * self.dly
         X1 = X if self.term_mask is None else X * self.term_mask
-        if self.double:
+        if self.double if double is None else double:
             Xs = X if self.term_mask2 is None else X * self.term_mask2
             X1 = X1 + jnp.einsum("...patf,...aqtf->...pqtf", Xs, Xs)
         X = X1
-        if self.add_I:
+        if self.add_I if add_I is None else add_I:
             eye = jnp.eye(self.Nants, dtype=X.dtype)[None, None, :, :,
                                                      None, None]
             X = X + eye
         return X
 
-    def forward(self, vd, prior_cache=None, **kwargs):
-        E = self._coupling_matrix()
+    def forward(self, vd, prior_cache=None, add_I=None, prod=None,
+                double=None, **kwargs):
+        """Push vd through the coupling matrix. add_I/prod/double are
+        per-call overrides of the construction values (reference forward
+        kwargs, calibration.py:1412-1425 — note the reference's own
+        `double` kwarg defaults to False rather than None there, so its
+        construction-time double=True is silently ignored unless re-
+        passed per call; here None means 'use the constructed value')."""
+        prod = self.prod if prod is None else prod
+        E = self._coupling_matrix(add_I=add_I, double=double)
         self.eval_prior(prior_cache, inp_params=self.params, out_params=E)
 
         # scatter data bls into the (Nant, Nant) matrix
@@ -322,9 +331,9 @@ class VisCoupling(Module):
         shape = vd.data.shape
         V = flat.reshape(shape[:-3] + (self.Nants, self.Nants) + shape[-2:])
 
-        if self.prod in ("left", "both"):
+        if prod in ("left", "both"):
             V = jnp.einsum("...patf,...aqtf->...pqtf", E, V)
-        if self.prod in ("right", "both"):
+        if prod in ("right", "both"):
             V = jnp.einsum("...patf,...qatf->...pqtf", V, E.conj())
 
         flat_c = V.reshape(shape[:-3] + (self.Nants * self.Nants,) +

@@ -5321,3 +5321,153 @@ def test_reference_bicubic_conditioning_bug():
     out = np.asarray(ours.interp(jnp.asarray(fr), zen, az))
     assert np.abs(out - exact).max() < 1e-12          # ours: exact
     assert np.abs(out_ref - exact).max() > 1e-3       # reference: broken
+
+
+def test_viscoupling_option_fuzz():
+    """Randomized VisCoupling option-matrix fuzz vs the reference
+    (calibration.py:1258-1587): random arrays, baseline subsets (nulled
+    matrix cells), add_I/prod/double/conj/min_dly/p0 combinations and
+    time-broadcast vs per-time params — values AND the chi^2 params
+    gradient. The reference's forward `double` kwarg defaults to False
+    (not None), so construction-time double=True is silently dropped
+    there (calibration.py:1493-1495); we pass it explicitly per call to
+    probe the actual double-path math, and our forward treats None as
+    'use the constructed value'."""
+    from bayeslim_tpu.models.coupling import VisCoupling
+    from bayeslim_tpu.models.calibration import VisModelResponse
+    from bayeslim_tpu.utils import viewreal
+
+    for seed in range(8):
+        rng = np.random.default_rng(7100 + seed)
+        nant = int(rng.integers(3, 6))
+        ants = list(range(nant))
+        av = np.round(rng.uniform(-60, 60, (nant, 3)), 2)
+        av[:, 2] = 0.0
+        antpos = {a: av[i] for i, a in enumerate(ants)}
+        Nt, Nf = 2, 4
+        times = 2458168.3 + np.arange(Nt) * 1e-3
+        freqs = np.linspace(100e6, 110e6, Nf)
+
+        # upper-triangle bls incl. autos; randomly drop ~30% half the time
+        all_bls = [(a1, a2) for i, a1 in enumerate(ants)
+                   for a2 in ants[i:]]
+        if rng.random() < 0.5:
+            keep = rng.random(len(all_bls)) > 0.3
+            keep[0] = True
+            bls = [b for b, k in zip(all_bls, keep) if k]
+        else:
+            bls = all_bls
+        Nb = len(bls)
+
+        add_I = bool(rng.random() < 0.7)
+        prod = ["both", "left", "right"][int(rng.integers(3))]
+        double = bool(rng.random() < 0.4)
+        conj = bool(rng.random() < 0.7)
+        min_dly = None if rng.random() < 0.6 else 10.0
+        use_p0 = rng.random() < 0.3
+        per_time = rng.random() < 0.3
+        ntc = Nt if per_time else 1
+
+        X = (rng.normal(size=(1, 1, nant, nant, ntc, Nf))
+             + 1j * rng.normal(size=(1, 1, nant, nant, ntc, Nf))) * 0.1
+        p0 = None
+        if use_p0:
+            p0 = (rng.normal(size=X.shape)
+                  + 1j * rng.normal(size=X.shape)) * 0.05
+        vis_in = rng.normal(size=(1, 1, Nb, Nt, Nf)) \
+            + 1j * rng.normal(size=(1, 1, Nb, Nt, Nf))
+        target = rng.normal(size=(1, 1, Nb, Nt, Nf)) \
+            + 1j * rng.normal(size=(1, 1, Nb, Nt, Nf))
+        icov = rng.uniform(0.5, 2.0, (1, 1, Nb, Nt, Nf))
+
+        # ---- reference. p0 is always passed (zeros when ours uses
+        # none): without it R(params) is a VIEW of the leaf parameter
+        # and the reference's in-place `coupling *= self.dly`
+        # (calibration.py:1501) raises — its working configs reach the
+        # multiply through params+p0 or an LM, never the bare leaf.
+        ap_ref = {a: torch.tensor(antpos[a]) for a in ants}
+        p0_ref = torch.view_as_real(torch.tensor(
+            np.zeros_like(X) if p0 is None else p0))
+        vc_ref = ba.calibration.VisCoupling(
+            torch.view_as_real(torch.tensor(X)).clone(),
+            torch.tensor(freqs), ap_ref, list(bls),
+            R=ba.calibration.VisModelResponse(param_type="com"),
+            parameter=True, p0=p0_ref,
+            add_I=add_I, prod=prod, double=double)
+        if per_time:
+            ba.calibration.IndexCache.__init__(
+                vc_ref, times=torch.tensor(times))
+        vc_ref.setup_coupling(min_dly=min_dly, conj=conj)
+        vd_ref = ba.dataset.VisData()
+        vd_ref.setup_data(list(bls), torch.tensor(times),
+                          torch.tensor(freqs), pol="ee",
+                          data=torch.tensor(vis_in))
+        out_ref = vc_ref.forward(vd_ref, prod=prod, add_I=add_I,
+                                 double=double)
+        loss_ref = 0.5 * torch.sum(
+            torch.tensor(icov) * torch.abs(out_ref.data
+                                           - torch.tensor(target)) ** 2)
+        g_ref = None
+        if not double:
+            # REFERENCE BUG: double=True breaks its own autograd — the
+            # in-place `coupling += einsum(coupling, coupling)`
+            # (calibration.py:1495) modifies a tensor the einsum's
+            # backward needs ("modified by an inplace operation"
+            # RuntimeError). double trials check values vs the
+            # reference and OUR gradient vs finite differences below.
+            loss_ref.backward()
+            g_ref = vc_ref.params.grad.numpy()
+
+        # ---- ours
+        vc = VisCoupling(
+            viewreal(jnp.asarray(X)), freqs, antpos, bls,
+            R=VisModelResponse(param_type="com"), parameter=True,
+            p0=None if p0 is None else viewreal(jnp.asarray(p0)),
+            add_I=add_I, prod=prod, double=double)
+        vc.setup_coupling(min_dly=min_dly, conj=conj)
+        vd = bl.VisData()
+        vd.setup_data(bls, times, freqs, pol="ee",
+                      data=jnp.asarray(vis_in))
+        icov_j = jnp.asarray(icov)
+        tgt_j = jnp.asarray(target)
+
+        def loss_fn(p, vc=vc, vd=vd):
+            out = vc.updated({"params": p}).forward(vd)
+            return 0.5 * jnp.sum(icov_j * jnp.abs(out.data - tgt_j) ** 2)
+
+        out_j = vc.forward(vd)
+        assert np.abs(np.asarray(out_j.data)
+                      - out_ref.data.detach().numpy()).max() < 1e-10, \
+            (seed, add_I, prod, double, conj, min_dly, use_p0, per_time)
+        v_j, g_j = jax.value_and_grad(loss_fn)(vc.params)
+        assert abs(float(v_j) - float(loss_ref)) < 1e-8 * max(
+            1.0, abs(float(loss_ref)))
+        if g_ref is not None:
+            den = max(np.abs(g_ref).max(), 1.0)
+            assert np.abs(np.asarray(g_j) - g_ref).max() < 1e-9 * den, \
+                (seed, add_I, prod, double, conj, min_dly, use_p0,
+                 per_time)
+        else:
+            # finite-difference spot check of our double-path gradient
+            flat = np.asarray(vc.params).ravel()
+            for idx in rng.integers(0, flat.size, 3):
+                e = np.zeros(flat.size)
+                e[idx] = 1e-6
+                pp = jnp.asarray((flat + e).reshape(vc.params.shape))
+                pm = jnp.asarray((flat - e).reshape(vc.params.shape))
+                fd = (float(loss_fn(pp)) - float(loss_fn(pm))) / 2e-6
+                gi = float(np.asarray(g_j).ravel()[idx])
+                assert abs(gi - fd) < 1e-4 * max(1.0, abs(fd)), \
+                    (seed, idx, gi, fd)
+
+        # our forward kwarg overrides == the constructed path (flip the
+        # constructor then override back per call)
+        vc2 = VisCoupling(
+            viewreal(jnp.asarray(X)), freqs, antpos, bls,
+            R=VisModelResponse(param_type="com"), parameter=True,
+            p0=None if p0 is None else viewreal(jnp.asarray(p0)),
+            add_I=not add_I, prod="both", double=not double)
+        vc2.setup_coupling(min_dly=min_dly, conj=conj)
+        out2 = vc2.forward(vd, add_I=add_I, prod=prod, double=double)
+        assert np.abs(np.asarray(out2.data)
+                      - np.asarray(out_j.data)).max() < 1e-12
