@@ -311,6 +311,23 @@ class VisCoupling(Module):
             X = X + eye
         return X
 
+    def _to_matrix(self, data):
+        """Scatter the (..., Nbls, T, F) data onto the (Nant, Nant)
+        visibility matrix (conjugating lower-triangle cells, nulling
+        cells absent from self.bls)."""
+        flat = jnp.take(data, jnp.asarray(self.flat_idx), axis=-3)
+        flat = flat * jnp.asarray(~self.flat_null)[:, None, None]
+        flat = jnp.where(jnp.asarray(self.flat_conj)[:, None, None],
+                         flat.conj(), flat)
+        return flat.reshape(data.shape[:-3] + (self.Nants, self.Nants)
+                            + data.shape[-2:])
+
+    def _from_matrix(self, V, shape):
+        """Gather self.bls back out of the (Nant, Nant) matrix."""
+        flat_c = V.reshape(shape[:-3] + (self.Nants * self.Nants,)
+                           + shape[-2:])
+        return jnp.take(flat_c, jnp.asarray(self.bls_idx), axis=-3)
+
     def forward(self, vd, prior_cache=None, add_I=None, prod=None,
                 double=None, **kwargs):
         """Push vd through the coupling matrix. add_I/prod/double are
@@ -323,23 +340,15 @@ class VisCoupling(Module):
         E = self._coupling_matrix(add_I=add_I, double=double)
         self.eval_prior(prior_cache, inp_params=self.params, out_params=E)
 
-        # scatter data bls into the (Nant, Nant) matrix
-        flat = jnp.take(vd.data, jnp.asarray(self.flat_idx), axis=-3)
-        flat = flat * jnp.asarray(~self.flat_null)[:, None, None]
-        flat = jnp.where(jnp.asarray(self.flat_conj)[:, None, None],
-                         flat.conj(), flat)
         shape = vd.data.shape
-        V = flat.reshape(shape[:-3] + (self.Nants, self.Nants) + shape[-2:])
-
+        V = self._to_matrix(vd.data)
         if prod in ("left", "both"):
             V = jnp.einsum("...patf,...aqtf->...pqtf", E, V)
         if prod in ("right", "both"):
             V = jnp.einsum("...patf,...qatf->...pqtf", V, E.conj())
 
-        flat_c = V.reshape(shape[:-3] + (self.Nants * self.Nants,) +
-                           shape[-2:])
         vout = vd.copy()
-        vout.data = jnp.take(flat_c, jnp.asarray(self.bls_idx), axis=-3)
+        vout.data = self._from_matrix(V, shape)
         return vout
 
 
@@ -372,6 +381,7 @@ class RedVisCoupling(Module):
         self.inflate = PartialRedVisInflate(red_idx=red_idx)
         self.full_bls = full_bls
         self.out_bls = [tuple(b) for b in out_bls]
+        self.include_second_order = True
         self.coupling = VisCoupling(params, freqs, antpos, full_bls, R=R,
                                     parameter=parameter, p0=p0, add_I=add_I,
                                     prod=prod, double=double)
@@ -383,13 +393,43 @@ class RedVisCoupling(Module):
             [bl not in full_bls for bl in self.out_bls])
 
     def forward(self, vd, prior_cache=None, **kwargs):
-        # inflate redundant vis onto the full baseline set
+        """Inflate the redundant vis onto the full baseline set, apply
+        the coupling expansion, select output baselines.
+
+        Default semantics are the reference's (calibration.py
+        :1958-2048): Vc = V + X1 V + V X1^H (+ X2 V X2^H when
+        include_second_order), where X1 carries the first-order
+        geometric cuts (term_mask) and X2 the independent second_max_*
+        cuts (term_mask2) — the reference cuts each order separately,
+        which a single exact (I+X) V (I+X)^H product cannot express.
+        With no cuts and include_second_order=True the expansion IS the
+        exact product. The constructor's add_I/prod/double extension
+        knobs (non-reference) route through VisCoupling's exact-product
+        path instead."""
         vfull = vd.copy()
         vfull.data = self.inflate(vd.data)
         vfull._set_bls(self.full_bls)
-        coupled = self.coupling.forward(
-            vfull, prior_cache=prior_cache,
-            **{})
+        vc = self.coupling
+        if vc.double or vc.prod != "both" or not vc.add_I:
+            coupled = vc.forward(vfull, prior_cache=prior_cache)
+        else:
+            p = vc.params if vc.p0 is None else vc.params + vc.p0
+            X = vc.R(p)
+            if not jnp.iscomplexobj(X):
+                X = viewcomp(X) if X.shape[-1] == 2 else X.astype(_cfloat())
+            X = X * vc.dly
+            X1 = X if vc.term_mask is None else X * vc.term_mask
+            vc.eval_prior(prior_cache, inp_params=vc.params, out_params=X1)
+            shape = vfull.data.shape
+            V = vc._to_matrix(vfull.data)
+            out = (V + jnp.einsum("...patf,...aqtf->...pqtf", X1, V)
+                   + jnp.einsum("...patf,...qatf->...pqtf", V, X1.conj()))
+            if self.include_second_order:
+                X2 = X if vc.term_mask2 is None else X * vc.term_mask2
+                VX2 = jnp.einsum("...patf,...qatf->...pqtf", V, X2.conj())
+                out = out + jnp.einsum("...patf,...aqtf->...pqtf", X2, VX2)
+            coupled = vfull.copy()
+            coupled.data = vc._from_matrix(out, shape)
         # select output baselines (conjugating if needed)
         out = jnp.take(coupled.data, jnp.asarray(self._out_idx), axis=-3)
         out = jnp.where(jnp.asarray(self._out_conj)[:, None, None],
@@ -413,8 +453,10 @@ class RedVisCoupling(Module):
 
         Geometric cuts select which ant->ant coupling-matrix cells
         participate: max_len/max_EW/max_NS (+ min_len) for first-order
-        terms and second_max_* for the factors of the second-order
-        single-path product (include_second_order toggles it).
+        terms and second_max_* (with the same min_len) INDEPENDENTLY
+        for the factors of the second-order X V X^H term
+        (include_second_order toggles that term — reference
+        :3212-3236; it is NOT the double-path E=I+X+XX flag).
         copydata is accepted for API compat (forward is functional —
         the input VisData is never mutated). use_reds=False (physical
         baseline input) is plain VisCoupling — use that class."""
@@ -426,7 +468,7 @@ class RedVisCoupling(Module):
         self.redtol = redtol
         vc = self.coupling
         if include_second_order is not None:
-            vc.double = bool(include_second_order)
+            self.include_second_order = bool(include_second_order)
         if min_dly is not None:
             vc.setup_coupling(min_dly=min_dly)
 

@@ -190,9 +190,10 @@ def test_redviscoupling_setup_coupling_cuts():
                          list(all_bls))
     out_full = np.asarray(rvc(vd_red).data)
 
-    # a max_len cut below the array size must change the output and
-    # match manually zeroing the cut cells
-    rvc.setup_coupling(max_len=15.0)
+    # cutting BOTH orders at max_len (max_len + second_max_len) must
+    # equal manually zeroing the cut cells of X (then the expansion is
+    # the exact product of the masked matrix)
+    rvc.setup_coupling(max_len=15.0, second_max_len=15.0)
     out_cut = np.asarray(rvc(vd_red).data)
     assert not np.allclose(out_cut, out_full)
     av = np.asarray(rvc.coupling.antpos.antvecs)
@@ -204,10 +205,34 @@ def test_redviscoupling_setup_coupling_cuts():
     assert np.allclose(out_cut, np.asarray(rvc2(vd_red).data),
                        atol=1e-12)
 
-    # second-order toggle + tighter second_max_len
-    rvc.setup_coupling(include_second_order=True, second_max_len=15.0)
-    out2 = np.asarray(rvc(vd_red).data)
-    assert rvc.coupling.double and not np.allclose(out2, out_cut)
+    # the orders cut INDEPENDENTLY (reference :3212-3236): a first-order
+    # max_len cut with uncut second order differs from cutting both
+    rvc.setup_coupling(max_len=15.0, second_max_len=None)
+    out_first_only = np.asarray(rvc(vd_red).data)
+    assert not np.allclose(out_first_only, out_cut)
+
+    # include_second_order=False drops the X V X^H term: on the uncut
+    # model it equals V + X V + V X^H built by hand
+    rvc.setup_coupling(include_second_order=False)
+    rvc.coupling.term_mask = None
+    rvc.coupling.term_mask2 = None
+    out1 = np.asarray(rvc(vd_red).data)
+    assert not rvc.coupling.double  # NOT the double-path flag
+    vc = rvc.coupling
+    vfull = vd_red.copy()
+    vfull.data = rvc.inflate(vd_red.data)
+    Xd = jnp.asarray(X) * vc.dly
+    V = vc._to_matrix(vfull.data)
+    lin = (V + jnp.einsum("...patf,...aqtf->...pqtf", Xd, V)
+           + jnp.einsum("...patf,...qatf->...pqtf", V, Xd.conj()))
+    exp = np.asarray(vc._from_matrix(lin, vfull.data.shape))
+    lut = {b: i for i, b in enumerate(rvc.full_bls)}
+    sel = [lut.get(bl, lut.get((bl[1], bl[0]))) for bl in all_bls]
+    cj = np.asarray([bl not in lut for bl in all_bls])
+    exp = exp[:, :, sel]
+    exp[:, :, cj] = exp[:, :, cj].conj()
+    assert np.allclose(out1, exp, atol=1e-12)
+
     # use_reds=False routes users to VisCoupling
     with pytest.raises(NotImplementedError):
         rvc.setup_coupling(use_reds=False)

@@ -5471,3 +5471,116 @@ def test_viscoupling_option_fuzz():
         out2 = vc2.forward(vd, add_I=add_I, prod=prod, double=double)
         assert np.abs(np.asarray(out2.data)
                       - np.asarray(out_j.data)).max() < 1e-12
+
+
+def test_redviscoupling_option_fuzz():
+    """Randomized RedVisCoupling fuzz vs the reference
+    (calibration.py:1588-2117 + configure_coupling_matrix_singlepath
+    :3052-3246): redundant-input coupling on hex/line/grid arrays over
+    include_second_order / max_len / second_max_len / min_dly options —
+    values AND the chi^2 params gradient. The reference builds
+    Vc = V + X1 V + V X1^H + X2 V X2^H with the first- and second-order
+    factors cut INDEPENDENTLY (max_* vs second_max_*); our forward
+    mirrors that expansion (models/coupling.py RedVisCoupling)."""
+    from bayeslim_tpu.models.coupling import RedVisCoupling
+    from bayeslim_tpu.models.calibration import VisModelResponse
+    from bayeslim_tpu.models.telescope import build_reds
+    from bayeslim_tpu.utils import viewreal, make_hex
+
+    def line_array(n, sp):
+        return {i: np.asarray([i * sp, 0.0, 0.0]) for i in range(n)}
+
+    def grid_array(nx, ny, sp):
+        ap, k = {}, 0
+        for i in range(nx):
+            for j in range(ny):
+                ap[k] = np.asarray([i * sp, j * sp, 0.0])
+                k += 1
+        return ap
+
+    hex_ants, hex_vecs = make_hex(2)
+    arrays = [dict(zip(list(hex_ants), [np.asarray(v) for v in hex_vecs])),
+              line_array(4, 10.0), grid_array(2, 3, 12.0)]
+
+    for seed in range(6):
+        rng = np.random.default_rng(7300 + seed)
+        antpos = arrays[seed % len(arrays)]
+        ants = list(antpos.keys())
+        nant = len(ants)
+        reds_all = build_reds(antpos)[0]
+        reds = [r for r in reds_all if r[0][0] != r[0][1]]
+        bl2red = {b: i for i, r in enumerate(reds) for b in r}
+        red_bls = [r[0] for r in reds]
+        all_bls = [b for r in reds for b in r]
+        Nred, Nb = len(reds), len(all_bls)
+        Nt, Nf = 2, 3
+        times = 2458168.3 + np.arange(Nt) * 1e-3
+        freqs = np.linspace(100e6, 110e6, Nf)
+
+        include_second = bool(rng.random() < 0.6)
+        max_len = None if rng.random() < 0.5 else 15.0
+        second_max_len = None if rng.random() < 0.5 else 15.0
+        min_dly = None if rng.random() < 0.6 else 10.0
+
+        X = (rng.normal(size=(1, 1, nant, nant, 1, Nf))
+             + 1j * rng.normal(size=(1, 1, nant, nant, 1, Nf))) * 0.1
+        rv = (rng.normal(size=(1, 1, Nred, Nt, Nf))
+              + 1j * rng.normal(size=(1, 1, Nred, Nt, Nf)))
+        target = rng.normal(size=(1, 1, Nb, Nt, Nf)) \
+            + 1j * rng.normal(size=(1, 1, Nb, Nt, Nf))
+        icov = rng.uniform(0.5, 2.0, (1, 1, Nb, Nt, Nf))
+
+        # ---- reference: uncompressed terms = all ordered ant pairs
+        terms = [(a1, a2) for a1 in ants for a2 in ants]
+        p_ref = torch.view_as_real(torch.tensor(
+            X.reshape(1, 1, nant * nant, 1, Nf))).clone()
+        ap_ref = {a: torch.tensor(antpos[a]) for a in ants}
+        rvc_ref = ba.calibration.RedVisCoupling(
+            p_ref, torch.tensor(freqs), ap_ref, terms,
+            list(red_bls), list(all_bls),
+            R=ba.calibration.VisModelResponse(param_type="com"),
+            parameter=True)
+        rvc_ref.setup_coupling(
+            use_reds=True, include_second_order=include_second,
+            max_len=max_len, second_max_len=second_max_len,
+            min_dly=min_dly)
+        vd_ref = ba.dataset.VisData()
+        vd_ref.setup_data(list(red_bls), torch.tensor(times),
+                          torch.tensor(freqs), pol="ee",
+                          data=torch.tensor(rv))
+        out_ref = rvc_ref.forward(vd_ref)
+        loss_ref = 0.5 * torch.sum(
+            torch.tensor(icov) * torch.abs(out_ref.data
+                                           - torch.tensor(target)) ** 2)
+        loss_ref.backward()
+        g_ref = rvc_ref.params.grad.numpy().reshape(
+            1, 1, nant, nant, 1, Nf, 2)
+
+        # ---- ours
+        rvc = RedVisCoupling(
+            viewreal(jnp.asarray(X)), freqs, antpos, red_bls, bl2red,
+            all_bls, R=VisModelResponse(param_type="com"), parameter=True)
+        rvc.setup_coupling(
+            use_reds=True, include_second_order=include_second,
+            max_len=max_len, second_max_len=second_max_len,
+            min_dly=min_dly)
+        vd = bl.VisData()
+        vd.setup_data(red_bls, times, freqs, pol="ee",
+                      data=jnp.asarray(rv))
+        icov_j = jnp.asarray(icov)
+        tgt_j = jnp.asarray(target)
+
+        def loss_fn(p, rvc=rvc, vd=vd):
+            out = rvc.updated({"coupling.params": p}).forward(vd)
+            return 0.5 * jnp.sum(icov_j * jnp.abs(out.data - tgt_j) ** 2)
+
+        out_j = rvc.forward(vd)
+        ctx = (seed, include_second, max_len, second_max_len, min_dly)
+        assert [tuple(b) for b in out_ref.bls] == rvc.out_bls, ctx
+        assert np.abs(np.asarray(out_j.data)
+                      - out_ref.data.detach().numpy()).max() < 1e-10, ctx
+        v_j, g_j = jax.value_and_grad(loss_fn)(rvc.coupling.params)
+        assert abs(float(v_j) - float(loss_ref)) < 1e-8 * max(
+            1.0, abs(float(loss_ref)))
+        den = max(np.abs(g_ref).max(), 1.0)
+        assert np.abs(np.asarray(g_j) - g_ref).max() < 1e-9 * den, ctx
