@@ -86,17 +86,27 @@ def _bc_residual(l, m, theta_min, theta_max, method, bc_type, high_prec):
     """Boundary-condition residual at the 'other' boundary for degree l."""
     if method == "cap":
         x = np.cos(np.atleast_1d(theta_max))
-        if bc_type == 2:
+        # bc_type 1 still uses the derivative condition for m == 0
+        # (reference :66-67: "dP_lm/dtheta = 0 when m == 0"); the
+        # function zero applies to m > 0 only
+        deriv = bc_type == 2 or np.isclose(float(np.asarray(m).flat[0]), 0)
+        if deriv:
             return special.Plm(l, m, x, deriv=True, high_prec=high_prec,
                                keepdims=True)[:, 0]
         return special.Plm(l, m, x, high_prec=high_prec, keepdims=True)[:, 0]
-    # stripe: A fixed at theta_min (x_crit), residual at theta_max
-    x_crit = np.cos(theta_min)
+    # stripe: product (Wronskian) form P(x_min)Q(x_max) - P(x_max)Q(x_min)
+    # (reference :186-190). The equivalent A-form residual H(x_max) with
+    # A = -P(x_min)/Q(x_min) has POLES where Q^(d)(x_min) = 0, and a
+    # bracketing root-finder converges on the pole's sign flip as if it
+    # were an eigenvalue (probed: l=4.561 on the 25-70deg stripe is a
+    # pole, not a root).
+    x_min = np.cos(np.atleast_1d(theta_min))
     x = np.cos(np.atleast_1d(theta_max))
-    H = legendre_func(x, l, m, "stripe", x_crit=x_crit,
-                      high_prec=high_prec, bc_type=bc_type,
-                      deriv=bc_type == 2)
-    return H[:, 0]
+    d = bc_type == 2
+    kw = dict(high_prec=high_prec, keepdims=True, sq_norm=False, deriv=d)
+    res = (special.Plm(l, m, x_min, **kw) * special.Qlm(l, m, x, **kw)
+           - special.Plm(l, m, x, **kw) * special.Qlm(l, m, x_min, **kw))
+    return res[:, 0]
 
 
 def compute_lm(phi_max, mmax, theta_min, theta_max, lmax, dl=0.1, mmin=0,

@@ -5584,3 +5584,64 @@ def test_redviscoupling_option_fuzz():
             1.0, abs(float(loss_ref)))
         den = max(np.abs(g_ref).max(), 1.0)
         assert np.abs(np.asarray(g_j) - g_ref).max() < 1e-9 * den, ctx
+
+
+def test_cutsky_lm_and_ylm_fuzz():
+    """Cut-sky (stripe/cap) non-integer-degree modes vs the reference:
+    compute_lm root-finding (sph_harm.py:47-253) and the stripe/cap
+    gen_sph2pix matrices (:255-476) over random masks, bc_type, real
+    and renorm options. The full-sphere integer path is pinned in
+    test_gen_sph2pix_parity; this covers the boundary-condition
+    eigenvalue machinery the cut-sky bases depend on."""
+    import bayeslim_tpu.ops.sph_harm as sh
+
+    cases = [
+        # (theta_min_deg, theta_max_deg, bc_type, real, renorm)
+        (0.0, 42.0, 2, False, False),     # cap, Neumann
+        (0.0, 55.0, 1, True, False),      # cap, Dirichlet, real basis
+        (25.0, 70.0, 2, False, True),     # stripe, renormed
+        (35.0, 80.0, 1, False, False),    # stripe, Dirichlet
+    ]
+    rng = np.random.default_rng(7400)
+    for (tmin_d, tmax_d, bc, real, renorm) in cases:
+        tmin, tmax = np.radians(tmin_d), np.radians(tmax_d)
+        mmax, lmax, dl = 2, 7, 0.2
+
+        l_ref, m_ref = ba.sph_harm.compute_lm(
+            2 * np.pi, mmax, tmin, tmax, lmax, dl=dl, high_prec=True,
+            bc_type=bc)
+        l_ref = np.asarray(l_ref, dtype=float).ravel()
+        m_ref = np.asarray(m_ref, dtype=float).ravel()
+        l, m = sh.compute_lm(2 * np.pi, mmax, tmin, tmax, lmax, dl=dl,
+                             high_prec=True, bc_type=bc)
+        ctx = (tmin_d, tmax_d, bc)
+        assert len(l) == len(l_ref), (ctx, len(l), len(l_ref))
+        order_r = np.lexsort((l_ref, m_ref))
+        order_o = np.lexsort((np.asarray(l), np.asarray(m)))
+        assert np.allclose(np.asarray(m)[order_o], m_ref[order_r]), ctx
+        assert np.allclose(np.asarray(l)[order_o], l_ref[order_r],
+                           atol=1e-5), ctx
+
+        # Ylm matrices on random in-mask points
+        npts = 20
+        theta = rng.uniform(max(tmin, 1e-3), tmax, npts)
+        phi = rng.uniform(0, 2 * np.pi, npts)
+        method = "cap" if tmin_d == 0.0 else "stripe"
+        # stripe: the A coefficient is fixed at the theta_min boundary
+        # (the l eigenvalues enforce the theta_max condition)
+        tcrit = tmax if method == "cap" else tmin
+        Y_ref = ba.sph_harm.gen_sph2pix(
+            theta, phi, l_ref[order_r], m_ref[order_r], method=method,
+            theta_crit=tcrit, high_prec=True, bc_type=bc, real=real,
+            renorm=renorm)
+        if isinstance(Y_ref, tuple):
+            Y_ref = Y_ref[0]
+        Y, _, _ = sh.gen_sph2pix(
+            theta, phi, l_ref[order_r], m_ref[order_r], method=method,
+            theta_crit=tcrit, high_prec=True, bc_type=bc, real=real,
+            renorm=renorm)
+        Y_ref = np.asarray(Y_ref)
+        Y = np.asarray(Y)
+        scale = max(np.abs(Y_ref).max(), 1.0)
+        assert np.abs(Y - Y_ref).max() < 1e-8 * scale, \
+            (ctx, real, renorm, np.abs(Y - Y_ref).max())
