@@ -5645,3 +5645,124 @@ def test_cutsky_lm_and_ylm_fuzz():
         scale = max(np.abs(Y_ref).max(), 1.0)
         assert np.abs(Y - Y_ref).max() < 1e-8 * scale, \
             (ctx, real, renorm, np.abs(Y - Y_ref).max())
+
+
+def test_jones_response_option_fuzz():
+    """JonesModel response option-matrix fuzz vs the reference
+    (calibration.py:745-875 JonesResponse + :11-213 BaseResponse):
+    param_type in {com, real, amp, phs, amp_phs, dly, dly_slope,
+    phs_slope}, channel vs linear freq/time modes (custom LinearModel
+    A), optional base0 — forward values AND the chi^2 params gradient
+    through a 1-pol JonesModel apply_cal."""
+    from bayeslim_tpu.models.calibration import JonesModel, JonesResponse
+    from bayeslim_tpu.models.linear_model import LinearModel
+    from bayeslim_tpu.utils import viewreal, AntposDict
+
+    ants = [0, 1, 2, 3]
+    av = np.asarray([[0., 0, 0], [12., 3, 0], [25., -4, 0], [8., 18, 0]])
+    antpos = {a: av[i] for i, a in enumerate(ants)}
+    bls = [(a1, a2) for i, a1 in enumerate(ants) for a2 in ants[i + 1:]]
+    Nb, Nt, Nf, Nant = len(bls), 3, 4, len(ants)
+    times = 2458168.3 + np.arange(Nt) * 1e-3
+    freqs = np.linspace(100e6, 110e6, Nf)
+
+    ptypes = ["com", "real", "amp", "phs", "amp_phs", "dly",
+              "dly_slope", "phs_slope"]
+    for seed in range(10):
+        rng = np.random.default_rng(7500 + seed)
+        ptype = ptypes[seed % len(ptypes)]
+        nax = 2 if "slope" in ptype else Nant
+        # linear modes only for real-valued param types (com + linear
+        # needs complex design matrices — covered by the LinearModel
+        # fuzz); slope/amp_phs stay channel for shape simplicity
+        can_linear = ptype in ("real", "amp", "phs", "dly")
+        fmode = "linear" if can_linear and rng.random() < 0.5 else "channel"
+        tmode = "linear" if can_linear and rng.random() < 0.5 else "channel"
+        use_base0 = ptype in ("amp", "phs", "real") and rng.random() < 0.4
+        ndf = 2 if fmode == "linear" else Nf
+        ndt = 2 if tmode == "linear" else Nt
+
+        shape = (1, 1, nax, ndt, ndf)
+        if ptype == "com":
+            params = (rng.normal(size=shape)
+                      + 1j * rng.normal(size=shape)) * 0.2 + 1.0
+        elif ptype == "amp_phs":
+            params = rng.normal(size=shape + (2,)) * 0.2
+        elif ptype == "dly":
+            params = rng.normal(size=shape) * 2.0      # ns
+        elif ptype == "dly_slope":
+            params = rng.normal(size=shape) * 0.05     # ns / m
+        elif ptype == "phs_slope":
+            params = rng.normal(size=shape) * 0.02     # rad / m
+        else:
+            params = rng.normal(size=shape) * 0.2
+
+        Af = rng.normal(size=(Nf, ndf)) if fmode == "linear" else None
+        At = rng.normal(size=(Nt, ndt)) if tmode == "linear" else None
+        base0 = rng.normal(size=(1, 1, nax, Nt, Nf)) * 0.1 \
+            if use_base0 else None
+
+        vis_in = rng.normal(size=(1, 1, Nb, Nt, Nf)) \
+            + 1j * rng.normal(size=(1, 1, Nb, Nt, Nf))
+        target = rng.normal(size=(1, 1, Nb, Nt, Nf)) \
+            + 1j * rng.normal(size=(1, 1, Nb, Nt, Nf))
+        icov = rng.uniform(0.5, 2.0, (1, 1, Nb, Nt, Nf))
+        ctx = (seed, ptype, fmode, tmode, use_base0)
+
+        # ---- reference
+        fLM = None if Af is None else ba.linear_model.LinearModel(
+            "custom", A=torch.tensor(Af), dim=-1)
+        tLM = None if At is None else ba.linear_model.LinearModel(
+            "custom", A=torch.tensor(At), dim=-2)
+        Rr = ba.calibration.JonesResponse(
+            freq_mode=fmode, time_mode=tmode, param_type=ptype,
+            vis_type="com",
+            antpos={a: torch.tensor(antpos[a]) for a in ants},
+            freqs=torch.tensor(freqs), times=torch.tensor(times),
+            freq_LM=fLM, time_LM=tLM,
+            base0=None if base0 is None else torch.tensor(base0))
+        p_ref = torch.view_as_real(torch.tensor(params)).clone() \
+            if ptype == "com" else torch.tensor(params).clone()
+        jr = ba.calibration.JonesModel(p_ref, ants, parameter=True,
+                                       polmode="1pol", R=Rr)
+        ba.calibration.IndexCache.__init__(jr, times=torch.tensor(times))
+        vd_ref = ba.dataset.VisData()
+        vd_ref.setup_data(bls, torch.tensor(times), torch.tensor(freqs),
+                          pol="ee", data=torch.tensor(vis_in))
+        out_ref = jr.forward(vd_ref)
+        loss_ref = 0.5 * torch.sum(
+            torch.tensor(icov) * torch.abs(out_ref.data
+                                           - torch.tensor(target)) ** 2)
+        loss_ref.backward()
+        g_ref = jr.params.grad.numpy()
+
+        # ---- ours
+        fLM_j = None if Af is None else LinearModel("custom", A=Af, dim=-1)
+        tLM_j = None if At is None else LinearModel("custom", A=At, dim=-2)
+        R = JonesResponse(
+            freq_mode=fmode, time_mode=tmode, param_type=ptype,
+            vis_type="com",
+            antpos=AntposDict(ants, av),
+            freqs=freqs, times=times, freq_LM=fLM_j, time_LM=tLM_j,
+            base0=None if base0 is None else jnp.asarray(base0))
+        p_j = viewreal(jnp.asarray(params)) if ptype == "com" \
+            else jnp.asarray(params)
+        jm = JonesModel(p_j, ants, parameter=True, polmode="1pol", R=R)
+        vd = bl.VisData()
+        vd.setup_data(bls, times, freqs, pol="ee",
+                      data=jnp.asarray(vis_in))
+        icov_j = jnp.asarray(icov)
+        tgt_j = jnp.asarray(target)
+
+        def loss_fn(p, jm=jm, vd=vd):
+            out = jm.updated({"params": p}).forward(vd)
+            return 0.5 * jnp.sum(icov_j * jnp.abs(out.data - tgt_j) ** 2)
+
+        out_j = jm.forward(vd)
+        assert np.abs(np.asarray(out_j.data)
+                      - out_ref.data.detach().numpy()).max() < 1e-10, ctx
+        v_j, g_j = jax.value_and_grad(loss_fn)(jm.params)
+        assert abs(float(v_j) - float(loss_ref)) < 1e-8 * max(
+            1.0, abs(float(loss_ref))), ctx
+        den = max(np.abs(g_ref).max(), 1.0)
+        assert np.abs(np.asarray(g_j) - g_ref).max() < 1e-9 * den, ctx
