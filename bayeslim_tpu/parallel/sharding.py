@@ -463,8 +463,6 @@ class ShardedLogProb:
                 ("bl_axis sharding with Nmp > 1 needs the device "
                  "baseline->pair map (shard_rime pins it; rebuild the "
                  "ShardedLogProb) or time sharding")
-            assert cov_axis in (None, "time"), \
-                "bl-coupled covariance cannot shard over baselines"
             s2d = rime._sim2data[rime.bl_group_id]
             if s2d is not None:
                 # sim->data redundancy expansion across baseline shards:
@@ -500,11 +498,18 @@ class ShardedLogProb:
                     jnp.asarray(np.asarray(s2d), jnp.int32),
                     NamedSharding(self.mesh, P(self.bl_axis)))
         if cov_axis is not None:
-            allowed = ("bl", "freq") if self.bl_axis is None \
-                else ("time",)
+            # a coupled covariance can shard along any axis it does NOT
+            # couple: 'freq' icov (P,P,B,T,F,F) shards over baselines
+            # and/or times; 'bl' (P,P,T,F,B,B) only over times; 'time'
+            # (P,P,B,F,T,T) only over baselines
+            allowed = ["freq"]
+            if self.bl_axis is None:
+                allowed.append("bl")
+            if self.time_axis is None:
+                allowed.append("time")
             assert cov_axis in allowed, \
-                f"cov_axis '{cov_axis}' incompatible with this sharding " \
-                f"(time sharding: bl/freq; bl sharding: time)"
+                f"cov_axis '{cov_axis}' couples an axis this sharding " \
+                f"partitions (allowed here: {allowed})"
         include_prior = (idx == 0) and prob.compute == "post"
         cc, negate = prob.complex_circular, prob.negate
         LM, main_params = prob.LM, prob.main_params

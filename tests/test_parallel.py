@@ -1237,3 +1237,216 @@ def test_set_bls_validation_and_blnum_codes():
     with _pt.raises(AssertionError):
         ShardedLogProb(prob, make_mesh({"data": 2, "model": 2}),
                        bl_axis="model")
+
+
+def test_smap_vs_single_device_fuzz():
+    """Randomized sharding-closure fuzz (VERDICT r4 #6): the smap
+    closure (parallel/sharding.py) is the largest hand-threaded surface
+    in the package; this composes random chains (RIME +- Jones +-
+    RedVisModel), random mesh splits (data / model / 2D), cov_axis
+    (None / freq / time), Nbatch in {1, 2}, redundancy expansion,
+    Nmp > 1 heterogeneous beams, priors, and per-time param_shardings,
+    asserting loss+gradient parity vs the unsharded LogProb on the
+    8-CPU mesh for every draw."""
+    from jax.sharding import PartitionSpec as P
+    from bayeslim_tpu.utils import Sequential
+    from bayeslim_tpu.models.calibration import (JonesModel,
+                                                 JonesResponse,
+                                                 RedVisModel)
+    from bayeslim_tpu.models.beam import PixelBeam, GaussResponse
+    from bayeslim_tpu.inference import LogGaussPrior
+
+    rng = np.random.default_rng(20260819)
+    T = setup_Telescope()
+    nfail = 0
+
+    for trial in range(24):
+        nf = int(rng.integers(3, 5))
+        sky, freqs = setup_PointSky(T, Nsource=int(rng.integers(2, 5)),
+                                    Nfreqs=nf, seed=int(rng.integers(99)))
+        arr = setup_Array(N=2, freqs=freqs)
+        all_bls = arr.get_bls(keep_autos=False)
+
+        # --- mesh draw
+        mesh_opts = [
+            ({"data": 2}, "data", None),
+            ({"data": 4}, "data", None),
+            ({"model": 2}, None, "model"),
+            ({"data": 2, "model": 2}, "data", "model"),
+        ]
+        mesh_shape, time_axis, bl_axis = mesh_opts[
+            int(rng.integers(len(mesh_opts)))]
+        nmdl = mesh_shape.get("model", 1) if bl_axis else 1
+        ndata = mesh_shape.get("data", 1) if time_axis else 1
+
+        # --- redundancy draw (sim+data counts must divide the bl shard)
+        redundant = bool(rng.random() < 0.4)
+        sim_bls = data_bls = None
+        if redundant:
+            red_groups = [r for r in arr.reds if r[0][0] != r[0][1]]
+            chosen = None
+            for k in range(nmdl, len(red_groups) + 1):
+                gids_k = {arr.bl2red[r[0]] for r in red_groups[:k]}
+                data_k = [b for b in all_bls if arr.bl2red[b] in gids_k]
+                if k % nmdl == 0 and len(data_k) % nmdl == 0 \
+                        and len(data_k) > k:
+                    chosen = (red_groups[:k], data_k)
+                    break
+            if chosen is None:
+                redundant = False
+            else:
+                sim_bls = [r[0] for r in chosen[0]]
+                data_bls = chosen[1]
+        if not redundant:
+            nb = int(rng.integers(1, 3)) * 2 * nmdl
+            data_bls = all_bls[:min(nb, (len(all_bls) // nmdl) * nmdl)]
+            sim_bls = data_bls
+
+        # --- beam draw: Nmp > 1 heterogeneous beams sometimes
+        nmp = bool(rng.random() < 0.25)
+        ants_used = sorted(set(a for b in data_bls for a in b))
+        if nmp:
+            bp = jnp.stack([jnp.ones((1, 1, nf, 2)) * 0.5,
+                            jnp.ones((1, 1, nf, 2)) * 0.8], axis=2)
+            ant2beam = {a: (0 if i < len(ants_used) // 2 else 1)
+                        for i, a in enumerate(ants_used)}
+            beam = PixelBeam(bp, freqs, R=GaussResponse(), pol="e",
+                             ant2beam=ant2beam, powerbeam=True,
+                             fov=180.0)
+            if beam.modelpairs(data_bls)[2] is None:
+                nmp = False
+                beam = setup_GaussBeam(freqs)
+        else:
+            beam = setup_GaussBeam(freqs)
+
+        # --- times / batching draw
+        nbatch = int(rng.integers(1, 3))
+        ntpb = max(ndata, 1) * int(rng.integers(1, 3))
+        tgroups = [JD0 + b * 0.01 + np.arange(ntpb) * 5e-4
+                   for b in range(nbatch)]
+        times_arg = tgroups if nbatch > 1 else tgroups[0]
+
+        # --- chain draw
+        with_jones = bool(rng.random() < 0.5)
+        with_rv = bool(rng.random() < 0.3)
+        gains = jnp.asarray(
+            rng.normal(1, 0.05, (1, 1, len(ants_used), 1, nf))
+            + 1j * rng.normal(0, 0.05, (1, 1, len(ants_used), 1, nf)))
+        bl2red = {b: arr.bl2red[b] for b in data_bls}
+        ngrp = max(bl2red.values()) + 1
+        rv_params = jnp.asarray(
+            (rng.normal(size=(1, 1, ngrp, 1, nf))
+             + 1j * rng.normal(size=(1, 1, ngrp, 1, nf))) * 0.1)
+
+        # --- per-time gain param_shardings draw (time-sharded meshes,
+        # Jones chain, no priors)
+        ps_trial = bool(rng.random() < 0.2 and time_axis and with_jones
+                        and nbatch == 1)
+        if ps_trial:
+            gains = jnp.asarray(
+                rng.normal(1, 0.05, (1, 1, len(ants_used), ntpb, nf))
+                + 1j * rng.normal(0, 0.05,
+                                  (1, 1, len(ants_used), ntpb, nf)))
+
+        # --- prior draw
+        with_prior = bool(rng.random() < 0.3 and not ps_trial)
+
+        # --- cov draw
+        cov_axis = rng.choice([None, "freq"]
+                              if time_axis else [None, "freq", "time"])
+        cov_axis = None if cov_axis is None else str(cov_axis)
+
+        tag = dict(trial=trial, mesh=dict(mesh_shape), red=redundant,
+                   nmp=nmp, jones=with_jones, rv=with_rv,
+                   nbatch=nbatch, cov=cov_axis, prior=with_prior,
+                   ps=ps_trial, nbls=len(data_bls))
+
+        if with_prior:
+            sky.set_priors(LogGaussPrior(jnp.zeros(1),
+                                         jnp.ones(1) * 50.0))
+        else:
+            sky.priors_inp_params = None
+
+        def build():
+            rime = bl.RIME(sky, T, beam, arr, sim_bls, times_arg, freqs,
+                           data_bls=(data_bls if redundant else None),
+                           time_mode="vmap")
+            blocks = {"rime": rime}
+            if with_jones:
+                blocks["cal"] = JonesModel(gains, ants_used,
+                                           R=JonesResponse())
+            if with_rv:
+                blocks["rv"] = RedVisModel(rv_params, bl2red)
+            model = Sequential(blocks) if len(blocks) > 1 else rime
+            tgts = []
+            for i in range(rime.Nbatch):
+                rime.batch_idx = i
+                vd = model.forward()
+                tgt = vd.copy()
+                kw = {}
+                if cov_axis == "freq":
+                    A = rng.normal(size=(nf, nf))
+                    icf = np.eye(nf) * 2.0 + 0.1 * (A @ A.T)
+                    kw = dict(cov=None, cov_axis="freq", icov=jnp.asarray(
+                        np.broadcast_to(icf, (1, 1, len(data_bls), ntpb,
+                                              nf, nf))))
+                elif cov_axis == "time":
+                    A = rng.normal(size=(1, 1, len(data_bls), nf, ntpb,
+                                         ntpb))
+                    kw = dict(cov=None, cov_axis="time", icov=jnp.asarray(
+                        A @ np.swapaxes(A, -1, -2) + 2 * np.eye(ntpb)))
+                elif rng.random() < 0.5:
+                    kw = dict(cov=None, cov_axis=None,
+                              icov=jnp.ones(vd.data.shape))
+                tgt.setup_data(data_bls, tgroups[i], freqs, pol="ee",
+                               data=vd.data + 0.03, **kw)
+                tgts.append(tgt)
+            rime.batch_idx = 0
+            return LogProb(model, tgts if nbatch > 1 else tgts[0])
+
+        # cov matrices must be identical across the two builds
+        state = rng.bit_generator.state
+        prob1 = build()
+        pd = prob1.collect_main_params()
+        v1, g1 = prob1.value_and_grad(pd)
+        rng.bit_generator.state = state
+        prob2 = build()
+        kw = {}
+        if ps_trial:
+            kw["param_shardings"] = {
+                "models.cal.params": P(None, None, None, "data", None)}
+        sprob = ShardedLogProb(prob2, make_mesh(mesh_shape),
+                               time_axis=time_axis, bl_axis=bl_axis,
+                               **kw)
+        v2, g2 = sprob.smap_value_and_grad(pd)
+        ok = np.isclose(float(v1), float(v2), rtol=1e-9)
+        if not ok:
+            nfail += 1
+            print("LOSS MISMATCH", tag, float(v1), float(v2))
+        for k in g1:
+            a, b = np.asarray(g1[k]), np.asarray(g2[k])
+            scale = np.abs(a).max() + 1e-30
+            if np.abs(a - b).max() / scale > 1e-8:
+                nfail += 1
+                print("GRAD MISMATCH", tag, k,
+                      np.abs(a - b).max() / scale)
+
+        # GSPMD (NamedSharding) path on a subset of draws: same mesh,
+        # skip combos it does not thread (param_shardings)
+        if not ps_trial and trial % 3 == 0:
+            rng.bit_generator.state = state
+            prob3 = build()
+            sprob3 = ShardedLogProb(prob3, make_mesh(mesh_shape),
+                                    time_axis=time_axis, bl_axis=bl_axis)
+            v3, g3 = sprob3.value_and_grad(pd)
+            if not np.isclose(float(v1), float(v3), rtol=1e-9):
+                nfail += 1
+                print("GSPMD LOSS MISMATCH", tag, float(v1), float(v3))
+            for k in g1:
+                a, b = np.asarray(g1[k]), np.asarray(g3[k])
+                scale = np.abs(a).max() + 1e-30
+                if np.abs(a - b).max() / scale > 1e-8:
+                    nfail += 1
+                    print("GSPMD GRAD MISMATCH", tag, k)
+
+    assert nfail == 0, f"{nfail} sharding-fuzz mismatches (see stdout)"
