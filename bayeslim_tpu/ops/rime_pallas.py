@@ -137,6 +137,25 @@ FWD_V3 = [True]
 # VMEM. Experimental A/B flag; see _fwd_kernel docstring.
 FWD_PP = [False]
 
+# v4 inner pixel-chunk loop (round 5, attacking the 26% residual stage
+# of the round-4 decomposition): fold several pixel tiles into ONE grid
+# step's operand block and loop over them inside the kernel (statically
+# unrolled), cutting the pixel grid dimension — and its per-step
+# grid/DMA-issue overhead — by the chunk count. VMEM-budgeted by
+# _pick_ki; ki == 1 (or False here) is exactly the v3 kernel.
+#
+# MEASURED NEUTRAL on v5e (round 5, large shape, one process,
+# min-of-4): fast 7.44 ms ki=2 vs 7.47 ms ki=1; precise 9.94 vs
+# 9.96 ms — i.e. per-grid-step overhead is <1% of the kernel, so the
+# round-4 'residual' stage is NOT grid machinery (see
+# docs/performance.md round-5 section: it is chain fill-store VMEM
+# bandwidth the rotate-ablation had retained). Default OFF: zero gain
+# does not buy the VMEM-OOM risk on untested shapes (the first ki=3
+# attempt exceeded scoped vmem by 80K at the 16M limit) or the HLO
+# change that invalidates warmed compilation-cache entries. Kept as an
+# A/B flag with an interpret-mode equivalence test.
+FWD_KI = [False]
+
 # profiling hook (scripts/kernel_decompose.py): trace-time ablations of
 # the v3 forward kernel to attribute time to seed/rotate/dot stages.
 # Values: 'seed' (constant angles, no per-tile transcendentals),
@@ -279,7 +298,7 @@ def _fwd_kernel_old(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, c_ref, s_ref,
 def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
                 cs2_ref=None,
                 *, f0_split, df_split, tf, nfp, nc, G, conj, ps_real,
-                out_imag, precise=True):
+                out_imag, precise=True, ki=1):
     """v3 forward kernel: V(tf, tb) += sum over this pixel tile.
 
     Same G-chain phasor recurrence as v2 (see _fwd_kernel_old), three
@@ -308,7 +327,7 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
     """
     if_ = pl.program_id(0)
     ic = pl.program_id(2)
-    tc = tau_ref.shape[0]
+    tc = tau_ref.shape[0] // ki
     tb = ore_ref.shape[1]
 
     @pl.when(ic == 0)
@@ -317,54 +336,13 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
         if out_imag:
             oim_ref[:, :] = jnp.zeros_like(oim_ref)
 
-    tau = tau_ref[:, :]                            # (tc, tb)
     sgn = -1.0 if conj else 1.0
-    if "seed" in _ABLATE:
-        ang0 = tau * 0.5
-        cosd = tau
-        sind = tau * sgn
-        cosdG = tau
-        sindG = tau * sgn
-    else:
-        c0 = _seed_cycles(tau, f0_split)
-        c1 = _seed_cycles(tau, df_split)
-        k0f = ((if_ * tf) % nfp).astype(jnp.float32)
-        ang0 = (2 * np.pi) * _phase0(c0, c1, k0f)
-        angd = (2 * np.pi) * c1
-        cosd = jnp.cos(angd)
-        sind = sgn * jnp.sin(angd)
 
     def store_state(g, half, x, ref=None):
         """Write chain state x (f32 values, in registers) for block g,
         lane half 0 (=C) or 1 (=S)."""
         ref = cs_ref if ref is None else ref
         ref[pl.ds(g * tc, tc), pl.ds(half * tb, tb)] = x
-
-    # fill the G chain states, C in the left lane half, S in the right
-    cprev = jnp.cos(ang0) if "seed" not in _ABLATE else ang0
-    sprev = sgn * jnp.sin(ang0) if "seed" not in _ABLATE else ang0
-    store_state(0, 0, cprev)
-    store_state(0, 1, sprev)
-    for g in range(1, G):
-        if "rotate" not in _ABLATE:
-            cnew = cprev * cosd - sprev * sind
-            snew = sprev * cosd + cprev * sind
-        else:
-            cnew, snew = cprev, sprev
-        store_state(g, 0, cnew)
-        store_state(g, 1, snew)
-        cprev, sprev = cnew, snew
-
-    if "seed" not in _ABLATE:
-        # advance step D^G: exact mod-1 doubling of c1
-        cg = c1
-        gg = G
-        while gg > 1:
-            cg = mod1(2.0 * cg)
-            gg //= 2
-        angG = (2 * np.pi) * cg
-        cosdG = jnp.cos(angG)
-        sindG = sgn * jnp.sin(angG)
 
     def dot(a, b):
         # operands are bf16-valued f32 (precise: exact hi/lo pairs) or
@@ -395,8 +373,59 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
     wide = out_imag or not ps_real
     nj = tf // G
 
-    def step(j, src, dst):
-        rows_r = psr_ref[pl.ds(j * G, G), :]       # (G, tc)
+    def run_chunk(kk):
+        """Process pixel sub-chunk kk of this grid step's operand block
+        (v4 inner pixel-chunk loop, statically unrolled: kk must be a
+        python int — Mosaic rejects dynamic LANE slicing of the psky
+        rows). ki == 1 reproduces the v3 kernel exactly."""
+        lanes = slice(kk * tc, (kk + 1) * tc)
+        tau = tau_ref[lanes, :]                    # (tc, tb)
+        if "seed" in _ABLATE:
+            ang0 = tau * 0.5
+            cosd = tau
+            sind = tau * sgn
+            cosdG = tau
+            sindG = tau * sgn
+        else:
+            c0 = _seed_cycles(tau, f0_split)
+            c1 = _seed_cycles(tau, df_split)
+            k0f = ((if_ * tf) % nfp).astype(jnp.float32)
+            ang0 = (2 * np.pi) * _phase0(c0, c1, k0f)
+            angd = (2 * np.pi) * c1
+            cosd = jnp.cos(angd)
+            sind = sgn * jnp.sin(angd)
+
+        # fill the G chain states, C in the left half, S in the right
+        cprev = jnp.cos(ang0) if "seed" not in _ABLATE else ang0
+        sprev = sgn * jnp.sin(ang0) if "seed" not in _ABLATE else ang0
+        if "stores" not in _ABLATE:
+            store_state(0, 0, cprev)
+            store_state(0, 1, sprev)
+        for g in range(1, G):
+            if "rotate" not in _ABLATE:
+                cnew = cprev * cosd - sprev * sind
+                snew = sprev * cosd + cprev * sind
+            else:
+                cnew, snew = cprev, sprev
+            if "stores" not in _ABLATE:
+                store_state(g, 0, cnew)
+                store_state(g, 1, snew)
+            cprev, sprev = cnew, snew
+
+        if "seed" not in _ABLATE:
+            # advance step D^G: exact mod-1 doubling of c1
+            cg = c1
+            gg = G
+            while gg > 1:
+                cg = mod1(2.0 * cg)
+                gg //= 2
+            angG = (2 * np.pi) * cg
+            cosdG = jnp.cos(angG)
+            sindG = sgn * jnp.sin(angG)
+        return lanes, cosdG, sindG
+
+    def step(j, src, dst, lanes, cosdG, sindG):
+        rows_r = psr_ref[pl.ds(j * G, G), lanes]   # (G, tc)
         im = None
         if "dot" in _ABLATE:
             re = src[pl.ds(0, G), pl.ds(0, tb)] + rows_r[:, 0:1]
@@ -413,7 +442,7 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
                 if out_imag:
                     im = A[0:G, tb:] + A[G:2 * G, tb:] + B[0:G, tb:]
             else:
-                rows_i = psi_ref[pl.ds(j * G, G), :]
+                rows_i = psi_ref[pl.ds(j * G, G), lanes]
                 rh, rl = hi_lo(rows_r)
                 ih, il = hi_lo(rows_i)
                 A = dot(bd(jnp.concatenate([rh, rl, ih, il], axis=0)), csh)
@@ -433,7 +462,7 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
                 if out_imag:
                     im = O[:, tb:]
             else:
-                rows_i = psi_ref[pl.ds(j * G, G), :]
+                rows_i = psi_ref[pl.ds(j * G, G), lanes]
                 O = dot(bd(jnp.concatenate([rows_r, rows_i], axis=0)), cs)
                 re = O[0:G, :tb] - O[G:2 * G, tb:]
                 if out_imag:
@@ -451,24 +480,27 @@ def _fwd_kernel(tau_ref, psr_ref, psi_ref, ore_ref, oim_ref, cs_ref,
                     store_state(g, 0, cg_ * cosdG - sg_ * sindG, dst)
                     store_state(g, 1, sg_ * cosdG + cg_ * sindG, dst)
 
-    if cs2_ref is not None:
-        # ping-pong: the dot of step j (reads src) and the advance
-        # j -> j+1 (writes dst) touch DIFFERENT scratches, removing the
-        # WAR hazard that forces Mosaic to serialize MXU and VPU work
-        assert nj % 2 == 0, "ping-pong needs an even row-block count"
+    for _kk in range(ki):
+        _lanes, _cosdG, _sindG = run_chunk(_kk)
+        if cs2_ref is not None:
+            # ping-pong: the dot of step j (reads src) and the advance
+            # j -> j+1 (writes dst) touch DIFFERENT scratches, removing
+            # the WAR hazard that forces Mosaic to serialize MXU and VPU
+            # work
+            assert nj % 2 == 0, "ping-pong needs an even row-block count"
 
-        def body2(jp, _):
-            step(2 * jp, cs_ref, cs2_ref)
-            step(2 * jp + 1, cs2_ref, cs_ref)
-            return 0
+            def body2(jp, _, lanes=_lanes, cosdG=_cosdG, sindG=_sindG):
+                step(2 * jp, cs_ref, cs2_ref, lanes, cosdG, sindG)
+                step(2 * jp + 1, cs2_ref, cs_ref, lanes, cosdG, sindG)
+                return 0
 
-        jax.lax.fori_loop(0, nj // 2, body2, 0)
-    else:
-        def body(j, _):
-            step(j, cs_ref, cs_ref)
-            return 0
+            jax.lax.fori_loop(0, nj // 2, body2, 0)
+        else:
+            def body(j, _, lanes=_lanes, cosdG=_cosdG, sindG=_sindG):
+                step(j, cs_ref, cs_ref, lanes, cosdG, sindG)
+                return 0
 
-        jax.lax.fori_loop(0, nj, body, 0)
+            jax.lax.fori_loop(0, nj, body, 0)
 
 
 def _pad2(x, rows, cols):
@@ -554,6 +586,36 @@ def _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=256, tc=512, G=8,
     return G, tb, tc, tf
 
 
+def _pick_ki(G, tb, tc, tf, NC, ps_real, budget=int(11.5 * 2 ** 20)):
+    """Largest inner pixel-chunk count ki dividing the pixel-tile count
+    whose grown operand blocks (tau (ki*tc, tb), psky rows (tf, ki*tc);
+    both double-buffered by the Mosaic grid pipeline) still fit the
+    scoped-vmem budget alongside the chain scratch. The budget is
+    calibrated DOWN from the tile picker's 14.5M: at the large-fast
+    shape ki=3 modeled 12.8M but the compiler's stack accounting hit
+    16.08M (80K over the 16M limit) — the grown blocks carry ~3M of
+    extra pipeline buffering the 24B/elem temp model misses."""
+    nch = NC // tc
+    if nch <= 1:
+        return 1
+
+    def vmem(ki):
+        scratch = 4 * 2 * G * tc * tb
+        if FWD_PP[0]:
+            scratch += 4 * 2 * G * tc * tb
+        if PRECISE_DOTS[0]:
+            scratch += 2 * 4 * 2 * G * tc * tb
+        blocks = (ki * tc * tb + tf * ki * tc * (1 if ps_real else 2)
+                  + 2 * tf * tb)
+        return scratch + 4 * 2 * blocks + 24 * tc * tb
+
+    best = 1
+    for ki in range(2, nch + 1):
+        if nch % ki == 0 and vmem(ki) <= budget:
+            best = ki
+    return best
+
+
 def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
                 tb=256, tc=512, interpret=False):
     """Run the forward kernel.
@@ -574,26 +636,29 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
     G, tb, tc, tf = _pick_fwd_tiles(nbl, npx, nfp, ps_real, tb=tb, tc=tc)
     NB = _round_up(_round_up(max(nbl, 128), 128), tb)
     NC = _round_up(_round_up(max(npx, 128), 128), tc)
+    ki = _pick_ki(G, tb, tc, tf, NC, ps_real) \
+        if FWD_V3[0] and FWD_KI[0] else 1
 
     tau_p = _pad2(tau_T.astype(jnp.float32), NC, NB)
     if ps_real:
         psr = _pad2(ps.astype(jnp.float32), R, NC)
         psi = psr[:1]  # dummy, unread
-        psi_spec = pl.BlockSpec((1, tc), lambda i, j, k: (0, k),
+        psi_spec = pl.BlockSpec((1, ki * tc), lambda i, j, k: (0, k),
                                 memory_space=pltpu.VMEM)
     else:
         psr = _pad2(ps.real.astype(jnp.float32), R, NC)
         psi = _pad2(ps.imag.astype(jnp.float32), R, NC)
-        psi_spec = pl.BlockSpec((tf, tc), lambda i, j, k: (i, k),
+        psi_spec = pl.BlockSpec((tf, ki * tc), lambda i, j, k: (i, k),
                                 memory_space=pltpu.VMEM)
 
-    grid = (R // tf, NB // tb, NC // tc)
+    grid = (R // tf, NB // tb, NC // (tc * ki))
     kfn = _fwd_kernel if FWD_V3[0] else _fwd_kernel_old
     kernel = functools.partial(
         kfn, f0_split=_split_f32(f0), df_split=_split_f32(df),
         tf=tf, nfp=nfp, nc=grid[2], G=G, conj=conj, ps_real=ps_real,
         out_imag=out_imag, precise=PRECISE_DOTS[0])
     if FWD_V3[0]:
+        kernel = functools.partial(kernel, ki=ki)
         scratch = [pltpu.VMEM((G * tc, 2 * tb), jnp.float32)]
         if FWD_PP[0] and (tf // G) % 2 == 0:
             scratch += [pltpu.VMEM((G * tc, 2 * tb), jnp.float32)]
@@ -606,9 +671,9 @@ def _fwd_pallas(ps, tau_T, f0, df, nfp, conj=False, out_imag=True,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tc, tb), lambda i, j, k: (k, j),
+            pl.BlockSpec((ki * tc, tb), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tf, tc), lambda i, j, k: (i, k),
+            pl.BlockSpec((tf, ki * tc), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             psi_spec,
         ],

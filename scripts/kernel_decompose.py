@@ -64,6 +64,12 @@ def main():
         ("-dot", frozenset({"dot"})),
         ("-seed-rotate", frozenset({"seed", "rotate"})),
         ("-seed-rot-dot", frozenset({"seed", "rotate", "dot"})),
+        # round 5: 'stores' additionally elides the chain FILL stores
+        # ('rotate' already removes the advance stores with the advance);
+        # the (-rotate) vs (-rotate-stores) delta isolates the fill-store
+        # VMEM bandwidth that round 4's 'residual' silently contained
+        ("-rot-stores", frozenset({"rotate", "stores"})),
+        ("-all-stores", frozenset({"seed", "rotate", "dot", "stores"})),
     ]
     timers = {}
     for name, ab in ablations:

@@ -343,3 +343,31 @@ def test_pallas_tb128_parity():
     ref = np.asarray(rime_reduce_ref(ps[None], tau, freqs))
     out = np.asarray(rime_pallas_reduce(ps, tau, freqs, interpret=True))
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_pallas_inner_pixel_chunks():
+    """v4 inner pixel-chunk loop (FWD_KI): ki > 1 folds several pixel
+    tiles into one grid step; accumulation order is chunk-sequential,
+    identical to the ki == 1 grid order, so results are bit-identical,
+    and both match the XLA reference."""
+    rng = np.random.default_rng(7)
+    nb, nf, npx = 40, 16, 1024
+    tau = jnp.asarray(rng.uniform(-1e-5, 1e-5, (nb, npx)), jnp.float32)
+    ps = jnp.asarray(rng.normal(size=(nf, npx)), jnp.float32)
+    freqs = np.linspace(100e6, 120e6, nf)
+    # tc=128 on NC=1024 -> 8 pixel tiles; _pick_ki folds them
+    from bayeslim_tpu.ops.rime_pallas import _pick_ki
+    assert _pick_ki(8, 128, 128, 16, 1024, True) > 1
+    saved = rime_pallas.FWD_KI[0]
+    try:
+        rime_pallas.FWD_KI[0] = True
+        out_ki = np.asarray(rime_pallas_reduce(ps, tau, freqs, tb=128,
+                                               tc=128, interpret=True))
+        rime_pallas.FWD_KI[0] = False
+        out_1 = np.asarray(rime_pallas_reduce(ps, tau, freqs, tb=128,
+                                              tc=128, interpret=True))
+    finally:
+        rime_pallas.FWD_KI[0] = saved
+    assert np.array_equal(out_ki, out_1)
+    ref = np.asarray(rime_reduce_ref(ps[None], tau, freqs))
+    assert np.abs(out_ki - ref).max() / np.abs(ref).max() < 1e-4
