@@ -964,11 +964,22 @@ class NUTS(SamplerBase):
 
     def __init__(self, potential, x0, eps=0.1, mass=None, chol=None,
                  invchol=None, max_treedepth=8, dHmax=1000.0, seed=0,
-                 adapt_eps=False, adapt_kwargs=None, on_device="auto"):
+                 adapt_eps=False, adapt_kwargs=None, on_device="auto",
+                 tree_variant="slice", biased=True, sample_direction=True):
         """on_device: expand each tree doubling's 2^depth leapfrog steps
         inside ONE device dispatch (lax.while_loop, iterative NUTS with
         the O(log N) checkpoint scheme) when the wrapped LogProb is
-        single-batch; False forces the recursive host tree."""
+        single-batch; False forces the recursive host tree.
+
+        tree_variant: 'slice' (default) is Hoffman & Gelman Alg. 3 with
+        slice sampling (on-device capable). 'reference' mirrors the
+        reference's merge-trees NUTS draw for draw (sampler.py:956-1337:
+        Betancourt Sec A.3.2 (biased) progressive sampling with
+        multinomial logaddexp weights, raw-momentum hoffman_uturn, and
+        a final Metropolis accept on the active state) — host path
+        only; pinned against the actual reference by the trajectory
+        fuzz in tests/test_reference_parity.py. biased /
+        sample_direction match the reference kwargs."""
         super().__init__(x0)
         self.potential = potential
         self.eps = eps
@@ -983,6 +994,10 @@ class NUTS(SamplerBase):
         self._on_device = on_device
         self._subtree_cache = {}
         self._prob = getattr(potential, "prob", None)
+        assert tree_variant in ("slice", "reference")
+        self.tree_variant = tree_variant
+        self.biased = biased
+        self.sample_direction = sample_direction
 
     def _subtree_eligible(self):
         p = self._prob
@@ -1008,11 +1023,153 @@ class NUTS(SamplerBase):
         self.fn_evals += 1
         return self.potential(x)
 
+    # reference NUTS subclasses HMC and inherits its mass plumbing
+    set_chol = HMC.set_chol
+    K = HMC.K
+    is_divergent = HMC.is_divergent
+
     def _uturn(self, q_minus, q_plus, p_minus, p_plus):
         """Hoffman u-turn criterion (reference :1402-1432)."""
         dq = (q_plus - q_minus).ravel()
         return (float(dq @ self.mass.minv(p_minus).ravel()) < 0) or \
                (float(dq @ self.mass.minv(p_plus).ravel()) < 0)
+
+    # ---- tree_variant='reference': the reference's merge-trees NUTS,
+    # draw for draw (sampler.py:956-1337). Uniform-consumption order
+    # matches the reference's np.random.rand order exactly: one
+    # direction draw per doubling, one merge draw per internal tree
+    # merge (2^depth - 1 inside build_tree, bottom-up), one step-level
+    # merge draw, one final Metropolis draw.
+
+    def _u(self):
+        """One uniform [0,1) draw; advances self.key."""
+        self.key, ku = jax.random.split(self.key)
+        return float(jax.random.uniform(ku))
+
+    def _ref_uturn(self, qm, qp_, pm, pp_):
+        """The reference's hoffman_uturn (:1402-1432): RAW momentum
+        (no mass-inverse), conjugated position difference."""
+        ma = sum(float(jnp.real(jnp.vdot(jnp.ravel(qp_[k] - qm[k]),
+                                         jnp.ravel(pm[k]))))
+                 for k in qm.keys())
+        pa = sum(float(jnp.real(jnp.vdot(jnp.ravel(qp_[k] - qm[k]),
+                                         jnp.ravel(pp_[k]))))
+                 for k in qm.keys())
+        return (ma < 0) or (pa < 0)
+
+    def _ref_basetree(self, q, p, direction, H0):
+        """Depth-0 tree: one leapfrog step (reference :1104-1141). The
+        node weight is logaddexp(-H_start, -H_new), mirroring the
+        reference's formula (its own TODO notes -H_new would be the
+        textbook choice)."""
+        q2, p2, U2, _g2, _ = leapfrog(q, p, self.dUdx,
+                                      self.eps * direction, 1,
+                                      self.mass.minv)
+        H2 = float(U2) + self.mass.kinetic(p2)
+        diverging = (not np.isfinite(H2)) or (H2 - H0) > self.dHmax
+        return dict(ql=q2, pl=p2, qr=q2, pr=p2, qp=q2, pp=p2,
+                    U=float(U2), H=H2, w=float(np.logaddexp(-H0, -H2)),
+                    turning=False, diverging=diverging)
+
+    def _ref_merge(self, old, new, new_right):
+        """Betancourt Sec A.3.2 (biased) progressive sampling
+        (reference merge_trees, :1037-1103)."""
+        if self.biased:
+            prob = min(1.0, float(np.exp(new["w"] - old["w"])))
+        else:
+            prob = min(1.0, float(np.exp(
+                new["w"] - np.logaddexp(old["w"], new["w"]))))
+        src = new if self._u() < prob else old
+        other = old if src is new else new
+        m = dict(src)
+        # edges always span both trees
+        left, right = (old, new) if new_right else (new, old)
+        m["ql"], m["pl"] = left["ql"], left["pl"]
+        m["qr"], m["pr"] = right["qr"], right["pr"]
+        m["w"] = float(np.logaddexp(old["w"], new["w"]))
+        m["turning"] = old["turning"] or new["turning"]
+        m["diverging"] = old["diverging"] or new["diverging"]
+        del other
+        return m
+
+    def _ref_build(self, q, p, direction, depth, H0, base):
+        """Recursive subtree doubling (reference build_tree,
+        :1142-1219): both halves are always built (the reference's
+        early break is commented out), merged with one uniform, then
+        the u-turn cross-check runs against the BASE tree's far edge
+        (the merged tree's own-edge check is dead code there — the
+        base_tree branch overwrites it)."""
+        if depth == 0:
+            return self._ref_basetree(q, p, direction, H0)
+        half = self._ref_build(q, p, direction, depth - 1, H0, base)
+        qs, ps_ = (half["qr"], half["pr"]) if direction > 0 \
+            else (half["ql"], half["pl"])
+        other = self._ref_build(qs, ps_, direction, depth - 1, H0, base)
+        m = self._ref_merge(half, other, new_right=direction > 0)
+        if direction > 0:
+            qm, pm, qp_, pp_ = base["ql"], base["pl"], m["qr"], m["pr"]
+        else:
+            qm, pm, qp_, pp_ = m["ql"], m["pl"], base["qr"], base["pr"]
+        m["turning"] = m["turning"] or self._ref_uturn(qm, qp_, pm, pp_)
+        return m
+
+    def _step_reference(self, sample_p=True):
+        """One reference-semantics NUTS step (reference step,
+        :1220-1337): multiplicative doublings merged into a base tree,
+        final Metropolis accept on the active state."""
+        self.key, kp = jax.random.split(self.key)
+        if sample_p or getattr(self, "p", None) is None:
+            p = self.mass.sample_momentum(kp, self.x)
+        else:
+            p = self.p
+        U0, _g0 = self.dUdx(self.x)
+        H0 = float(U0) + self.mass.kinetic(p)
+        base = dict(ql=self.x, pl=p, qr=self.x, pr=p, qp=self.x, pp=p,
+                    U=float(U0), H=H0, w=-H0, turning=False,
+                    diverging=False)
+        depth = 0
+        new = base
+        while depth < self.max_treedepth:
+            direction = (1 if self._u() > 0.5 else -1) \
+                if self.sample_direction else 1
+            qs, ps_ = (base["qr"], base["pr"]) if direction > 0 \
+                else (base["ql"], base["pl"])
+            new = self._ref_build(qs, ps_, direction, depth, H0, base)
+            if new["diverging"] or new["turning"]:
+                break
+            base = self._ref_merge(base, new, direction > 0)
+            depth += 1
+
+        if new["diverging"]:
+            self._divergences.append(self.Nsamples)
+            if self.Nsamples > 0 and depth < 2:
+                # restart from a random chain position (reference
+                # :1307-1315)
+                self.key, kr = jax.random.split(self.key)
+                idx = int(jax.random.randint(kr, (), 0, self.Nsamples))
+                self.x = ParamDict({k: jnp.asarray(self.chain[k][idx])
+                                    for k in self.chain})
+                self.append_chain(self.x)
+                self._acceptances.append(0.0)
+                self.tree_depths.append(depth)
+                return False
+
+        prob = min(1.0, float(np.exp(H0 - base["H"])))
+        # the reference always consumes the accept uniform (a nan/0
+        # prob simply never accepts) — match its draw count exactly
+        accept = bool(self._u() < prob)
+        if accept:
+            self.x = base["qp"]
+            self.p = base["pp"]
+            U = base["U"]
+        else:
+            U = float(U0)
+        self.append_chain(self.x, U=U)
+        self._acceptances.append(prob)
+        self.tree_depths.append(depth)
+        if self.stepsize is not None:
+            self.eps = self.stepsize.update(prob)
+        return accept
 
     def _leap1(self, q, p, direction):
         q2, p2, U2, g2, _ = leapfrog(q, p, self.dUdx, direction * self.eps,
@@ -1045,9 +1202,12 @@ class NUTS(SamplerBase):
             n2 += n3
         return qm, pm, qp, pp, q2, n2, s2, a2, na2
 
-    def step(self):
+    def step(self, sample_p=True):
+        if self.tree_variant == "reference":
+            return self._step_reference(sample_p=sample_p)
         self.key, kp, ku = jax.random.split(self.key, 3)
-        p0 = self.mass.sample_momentum(kp, self.x)
+        p0 = self.mass.sample_momentum(kp, self.x) \
+            if sample_p or getattr(self, "p", None) is None else self.p
         U0, _ = self.dUdx(self.x)
         H0 = float(U0) + self.mass.kinetic(p0)
         # slice variable
