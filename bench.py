@@ -21,8 +21,11 @@ CHAINED inside one jit (adam update feeds step i's gradients into step
 i+1's parameters -- nothing can be dead-code-eliminated) and the single
 end-of-loop scalar fetch is subtracted via a measured fetch floor.
 
-Usage: python bench.py [--cpu] [--size small|medium|large|hera|hera100]
+Usage: python bench.py [--cpu] [--size small|...|hera-stat|hera100-stat]
                        [--ntime N] [--x64]
+Default size: hera-stat (the production redundant-array configuration)
+on TPU; 'large' under --cpu. A persistent XLA compilation cache
+(.jax_cache) makes warm runs skip the 43s train compile.
 """
 import argparse
 import json
@@ -711,8 +714,10 @@ def main():
     # default = hera-stat (VERDICT r4 #1): the production redundant-array
     # configuration at BASELINE array scale (331 ants / 54,615 delivered
     # baselines x 1024 freqs, sufficient-statistics solve) — the
-    # representative number. 'large' remains available behind --size.
-    ap.add_argument("--size", default="hera-stat",
+    # representative number. 'large' remains available behind --size and
+    # stays the default for --cpu drives (hera-stat is a TPU-scale
+    # config).
+    ap.add_argument("--size", default=None,
                     choices=["small", "medium", "large", "hera", "hera100",
                              "small-red", "medium-red", "large-red",
                              "hera-red", "hera100-red",
@@ -748,6 +753,8 @@ def main():
                          "step, compile) to PATH for round-over-round "
                          "tracking")
     args = ap.parse_args()
+    if args.size is None:
+        args.size = "large" if args.cpu else "hera-stat"
 
     if args.fast:
         from bayeslim_tpu.ops.rime_pallas import set_precise_dots
