@@ -15,7 +15,7 @@ from .containers import VisData
 from ..utils import AntposDict
 
 __all__ = ["HAS_PYUVDATA", "PyVisData", "read_uvh5", "write_uvh5",
-           "write_uvh5_part", "read_calfits",
+           "write_uvh5_part", "read_calfits", "write_calfits",
            "run_rime_sim", "setup_uvdata", "complete_uvdata",
            "parse_time_params", "parse_freq_params"]
 
@@ -440,6 +440,138 @@ def read_calfits(fname, run_check=True):
     return cd
 
 
+def _fits_card(key, val):
+    """Format one 80-char FITS header card (fixed format where it fits)."""
+    k = f"{key:<8}"
+    if isinstance(val, (bool, np.bool_)):
+        v = f"{'T' if val else 'F':>20}"
+    elif isinstance(val, (int, np.integer)):
+        v = f"{val:>20d}"
+    elif isinstance(val, (float, np.floating)):
+        s = f"{float(val):.17g}"
+        v = f"{s:>20}"
+    else:
+        v = f"'{str(val):<8}'"
+    return f"{k}= {v}"[:80].ljust(80)
+
+
+def _fits_header_block(cards):
+    """Assemble cards + END into space-padded 2880-byte blocks."""
+    hdr = "".join(cards) + "END".ljust(80)
+    pad = (-len(hdr)) % 2880
+    return (hdr + " " * pad).encode("ascii")
+
+
+def write_calfits(cd, fname, overwrite=False, x_orient="east",
+                  telescope_name="UNKNOWN", quality=None, cal_style="sky",
+                  gain_convention="divide"):
+    """Write a CalData as a pyuvdata-compatible gain calfits file — no
+    pyuvdata/astropy required (pure-numpy FITS emit).
+
+    Standalone counterpart of the reference's pyuvdata round-trip (its
+    gains only reach calfits via UVCal.write_calfits); the layout mirrors
+    the bundled 2458101.sum.true_gains file that pins `read_calfits`:
+    primary image HDU (Nants, 1, Nfreqs, Ntimes, Njones, 4) float64 with
+    trailing axis [gain_re, gain_im, flag, quality], JONES axis as AIPS
+    codes via CRVAL2/CDELT2 + XORIENT, and an ANTENNAS bintable
+    (ANTNAME/ANTINDEX/ANTARR/ANTXYZ). Round-trips through read_calfits
+    bit-exactly for float64 gains.
+    """
+    import os
+    if os.path.exists(fname) and not overwrite:
+        raise FileExistsError(fname)
+    na, nt, nf = cd.Nants, cd.Ntimes, cd.Nfreqs
+    npol = cd.Npol
+    feed_map = ({"e": "x", "n": "y"} if x_orient.lower().startswith("e")
+                else {"e": "y", "n": "x"})
+    code = {v: k for k, v in _AIPS_POL_FEEDS.items()}
+    pols = [cd.pol] if npol == 1 else ["ee", "nn"]
+    jones = [code["".join(feed_map[c] for c in p)] for p in pols]
+    order = np.argsort(jones)[::-1]  # descending AIPS codes, CDELT2=-1
+    jones = [jones[i] for i in order]
+
+    data = np.asarray(cd.data)
+    flags = (np.asarray(cd.flags) if cd.flags is not None
+             else np.zeros(data.shape, bool))
+    qual = (np.asarray(quality, dtype=np.float64) if quality is not None
+            else np.zeros((npol, npol, na, nt, nf)))
+    arr = np.zeros((na, 1, nf, nt, len(jones), 4), dtype=">f8")
+    for k, oi in enumerate(order):
+        i = 0 if npol == 1 else int(oi)
+        g = np.moveaxis(data[i, i], 1, 2)          # (Na, Nt, Nf)->(Na,Nf,Nt)
+        arr[:, 0, :, :, k, 0] = g.real
+        arr[:, 0, :, :, k, 1] = g.imag
+        arr[:, 0, :, :, k, 2] = np.moveaxis(flags[i, i], 1, 2)
+        arr[:, 0, :, :, k, 3] = np.moveaxis(qual[i, i], 1, 2)
+
+    times = np.asarray(cd.times, dtype=np.float64)
+    freqs = np.asarray(cd.freqs, dtype=np.float64)
+    dt = float(times[1] - times[0]) if nt > 1 else 1.0
+    df = float(freqs[1] - freqs[0]) if nf > 1 else 1.0
+    cards = [_fits_card("SIMPLE", True), _fits_card("BITPIX", -64),
+             _fits_card("NAXIS", 6)]
+    for i, n in enumerate(arr.shape[::-1]):
+        cards.append(_fits_card(f"NAXIS{i + 1}", int(n)))
+    cards.append(_fits_card("EXTEND", True))
+    cards.append(_fits_card("TELESCOP", telescope_name))
+    if cd.telescope is not None:
+        lon, lat, alt = (list(cd.telescope.location) + [0.0])[:3]
+        cards += [_fits_card("LAT", float(lat)), _fits_card("LON", float(lon)),
+                  _fits_card("ALT", float(alt))]
+    cards += [_fits_card("GNCONVEN", gain_convention),
+              _fits_card("CALTYPE", "gain"),
+              _fits_card("CALSTYLE", cal_style),
+              _fits_card("INTTIME", dt * 86400.0 if nt > 1 else 10.0),
+              _fits_card("CHWIDTH", df),
+              _fits_card("XORIENT", x_orient)]
+    axes = [("Narrays", "Integer", 1.0, 1.0),
+            ("JONES", "Integer", float(jones[0]),
+             float(jones[1] - jones[0]) if len(jones) > 1 else -1.0),
+            ("TIME", "JD", float(times[0]), dt),
+            ("FREQS", "Hz", float(freqs[0]), df),
+            ("IF", "Integer", 1.0, 1.0),
+            ("ANTAXIS", "Integer", 1.0, -1.0)]
+    for i, (ctype, cunit, crval, cdelt) in enumerate(axes):
+        cards += [_fits_card(f"CTYPE{i + 1}", ctype),
+                  _fits_card(f"CUNIT{i + 1}", cunit),
+                  _fits_card(f"CRPIX{i + 1}", 1),
+                  _fits_card(f"CRVAL{i + 1}", crval),
+                  _fits_card(f"CDELT{i + 1}", cdelt)]
+    payload = arr.tobytes()
+    blocks = [_fits_header_block(cards), payload,
+              b"\0" * ((-len(payload)) % 2880)]
+
+    ants = np.asarray(cd.ants, dtype=np.float64)
+    if cd.antpos is not None:
+        xyz = np.asarray([np.asarray(cd.antpos[int(a)]) for a in cd.ants],
+                         dtype=np.float64)
+    else:
+        xyz = np.zeros((na, 3))
+    tab = np.zeros(na, dtype=np.dtype({
+        "names": ["ANTNAME", "ANTINDEX", "ANTARR", "ANTXYZ"],
+        "formats": ["S8", ">f8", ">f8", (">f8", (3,))]}))
+    tab["ANTNAME"] = [f"ant{int(a)}".encode() for a in cd.ants]
+    tab["ANTINDEX"] = np.arange(na, dtype=np.float64)
+    tab["ANTARR"] = ants
+    tab["ANTXYZ"] = xyz
+    tcards = [_fits_card("XTENSION", "BINTABLE"), _fits_card("BITPIX", 8),
+              _fits_card("NAXIS", 2),
+              _fits_card("NAXIS1", tab.dtype.itemsize),
+              _fits_card("NAXIS2", na), _fits_card("PCOUNT", 0),
+              _fits_card("GCOUNT", 1), _fits_card("TFIELDS", 4),
+              _fits_card("TTYPE1", "ANTNAME"), _fits_card("TFORM1", "8A"),
+              _fits_card("TTYPE2", "ANTINDEX"), _fits_card("TFORM2", "D"),
+              _fits_card("TTYPE3", "ANTARR"), _fits_card("TFORM3", "D"),
+              _fits_card("TTYPE4", "ANTXYZ"), _fits_card("TFORM4", "3D"),
+              _fits_card("EXTNAME", "ANTENNAS")]
+    tpayload = tab.tobytes()
+    blocks += [_fits_header_block(tcards), tpayload,
+               b"\0" * ((-len(tpayload)) % 2880)]
+    with open(fname, "wb") as f:
+        f.write(b"".join(blocks))
+    return fname
+
+
 class PyVisData(VisData):
     """VisData constructed from a pyuvdata.UVData / UVH5 file
     (reference uvdata_interface.py:58-133). When pyuvdata is absent and
@@ -448,6 +580,11 @@ class PyVisData(VisData):
 
     @classmethod
     def read_uvdata(cls, fname, run_check=True, **kwargs):
+        if isinstance(fname, VisData):
+            # a VisData mock observation (setup_uvdata) is this
+            # framework's analog of the reference's UVData template
+            return fname.copy() if not kwargs else fname.select(
+                inplace=False, **kwargs)
         if not HAS_PYUVDATA and isinstance(fname, str):
             if kwargs:
                 raise TypeError(

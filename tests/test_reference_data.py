@@ -328,3 +328,67 @@ def test_write_uvh5_bundled_roundtrip(tmp_path):
                                np.asarray(vd.antpos.antvecs), atol=1e-4)
     l1, l2 = vd.telescope.location, vd2.telescope.location
     assert all(abs(a - b) < 1e-8 for a, b in zip(l1, l2))
+
+
+def test_write_calfits_roundtrip(tmp_path):
+    """write_calfits emits a pyuvdata-layout gain calfits (pure-numpy FITS)
+    that read_calfits loads back bit-exactly — the reference can only
+    produce these through pyuvdata (dataset.py read_uvcal is read-only
+    there too)."""
+    import jax.numpy as jnp
+    from bayeslim_tpu.data.containers import CalData
+    from bayeslim_tpu.data.uvdata_interface import read_calfits, write_calfits
+    from bayeslim_tpu.utils import AntposDict
+
+    rng = np.random.default_rng(11)
+    ants = [0, 1, 11]
+    times = 2458168.3 + np.arange(2) * 1e-3
+    freqs = np.linspace(120e6, 130e6, 5)
+    na, nt, nf = len(ants), len(times), len(freqs)
+
+    for npol, pol in [(2, None), (1, "nn")]:
+        g = np.zeros((npol, npol, na, nt, nf), complex)
+        fl = np.zeros((npol, npol, na, nt, nf), bool)
+        for i in range(npol):
+            g[i, i] = (rng.normal(size=(na, nt, nf))
+                       + 1j * rng.normal(size=(na, nt, nf)))
+            fl[i, i] = rng.random((na, nt, nf)) < 0.2
+        cd = CalData()
+        cd.setup_meta(
+            telescope=bl.TelescopeModel(HERA_LOC := (21.4283, -30.7215, 1073.0)),
+            antpos=AntposDict(ants, rng.normal(size=(na, 3))))
+        cd.setup_data(ants, times, freqs, pol=pol, data=jnp.asarray(g),
+                      flags=jnp.asarray(fl))
+
+        f = str(tmp_path / f"gains{npol}.calfits")
+        write_calfits(cd, f)
+        cd2 = read_calfits(f)
+        assert cd2.ants == ants and cd2.pol == pol
+        np.testing.assert_allclose(np.asarray(cd2.times), times, rtol=0,
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(cd2.freqs), freqs, rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(cd2.data), g)
+        np.testing.assert_array_equal(np.asarray(cd2.flags), fl)
+        np.testing.assert_allclose(np.asarray(cd2.antpos.antvecs),
+                                   np.asarray(cd.antpos.antvecs), rtol=1e-12)
+        l1, l2 = cd.telescope.location, cd2.telescope.location
+        assert all(abs(a - b) < 1e-8 for a, b in zip(l1, l2))
+        # overwrite guard
+        with pytest.raises(FileExistsError):
+            write_calfits(cd, f)
+
+    # full loop through the real pyuvdata-written bundled file:
+    # read -> rewrite with our writer -> reread, gains identical
+    src = os.path.join(REF_DATA,
+                       "2458101.sum.true_gains.singletime_downselect.calfits")
+    cd = read_calfits(src)
+    f = str(tmp_path / "rewrite.calfits")
+    write_calfits(cd, f, telescope_name="HERA")
+    cd3 = read_calfits(f)
+    assert cd3.ants == cd.ants and cd3.pol is None
+    np.testing.assert_array_equal(np.asarray(cd3.data), np.asarray(cd.data))
+    np.testing.assert_array_equal(np.asarray(cd3.flags), np.asarray(cd.flags))
+    np.testing.assert_allclose(np.asarray(cd3.freqs), np.asarray(cd.freqs),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(cd3.times), np.asarray(cd.times),
+                               rtol=0, atol=1e-9)
