@@ -508,6 +508,22 @@ def write_calfits(cd, fname, overwrite=False, x_orient="east",
     freqs = np.asarray(cd.freqs, dtype=np.float64)
     dt = float(times[1] - times[0]) if nt > 1 else 1.0
     df = float(freqs[1] - freqs[0]) if nf > 1 else 1.0
+    # the calfits WCS cards can only encode regular grids (pyuvdata
+    # raises on irregular spacing too) — never silently corrupt.
+    # np.diff of a uniform grid wobbles by the ulp of the VALUES (JD
+    # times ~2.46e6 have ulp ~5e-10, often >> dt*1e-6), so the atol
+    # must carry a magnitude term, not just a spacing term.
+    eps = np.finfo(np.float64).eps
+    t_atol = abs(dt) * 1e-6 + 8 * eps * float(np.abs(times).max())
+    if nt > 1 and not np.allclose(np.diff(times), dt, rtol=0, atol=t_atol):
+        raise ValueError("calfits requires uniformly spaced times; "
+                         "got irregular spacing (select a regular "
+                         "subset or write HDF5 instead)")
+    f_atol = abs(df) * 1e-6 + 8 * eps * float(np.abs(freqs).max())
+    if nf > 1 and not np.allclose(np.diff(freqs), df, rtol=0, atol=f_atol):
+        raise ValueError("calfits requires uniformly spaced freqs; "
+                         "got irregular spacing (select a regular "
+                         "subset or write HDF5 instead)")
     cards = [_fits_card("SIMPLE", True), _fits_card("BITPIX", -64),
              _fits_card("NAXIS", 6)]
     for i, n in enumerate(arr.shape[::-1]):

@@ -316,7 +316,10 @@ class SamplerBase:
         for k in self.chain:
             self.chain[k] = self.chain[k][N:]
         self.Uchain = self.Uchain[N:]
-        self._divergences = [(d[0] - N, d[1]) for d in self._divergences]
+        # divergence records are int sample indices (the reference keeps
+        # (Nchain, q, p) tuples and its clear_chain silently truncates
+        # them to 2 elements, sampler.py:178)
+        self._divergences = [d - N for d in self._divergences if d >= N]
 
     def step(self):
         raise NotImplementedError
@@ -1066,7 +1069,11 @@ class NUTS(SamplerBase):
                                       self.eps * direction, 1,
                                       self.mass.minv)
         H2 = float(U2) + self.mass.kinetic(p2)
-        diverging = (not np.isfinite(H2)) or (H2 - H0) > self.dHmax
+        # exactly the reference's is_divergent (:452-469): False for a
+        # NaN Hamiltonian too (NaN > dHmax is False), so a NaN-producing
+        # trajectory keeps doubling and consuming uniforms just like the
+        # reference — required for draw-for-draw RNG parity
+        diverging = (H2 - H0) > self.dHmax
         return dict(ql=q2, pl=p2, qr=q2, pr=p2, qp=q2, pp=p2,
                     U=float(U2), H=H2, w=float(np.logaddexp(-H0, -H2)),
                     turning=False, diverging=diverging)
@@ -1080,7 +1087,6 @@ class NUTS(SamplerBase):
             prob = min(1.0, float(np.exp(
                 new["w"] - np.logaddexp(old["w"], new["w"]))))
         src = new if self._u() < prob else old
-        other = old if src is new else new
         m = dict(src)
         # edges always span both trees
         left, right = (old, new) if new_right else (new, old)
@@ -1089,7 +1095,6 @@ class NUTS(SamplerBase):
         m["w"] = float(np.logaddexp(old["w"], new["w"]))
         m["turning"] = old["turning"] or new["turning"]
         m["diverging"] = old["diverging"] or new["diverging"]
-        del other
         return m
 
     def _ref_build(self, q, p, direction, depth, H0, base):

@@ -350,8 +350,15 @@ def run_jax(cfg, platform=None, x64=False):
     _ = float(v)
     compile_time = time.time() - t0
     cache_new = _cache_entries(cache_dir) - n_cache0
+    # zero new entries only proves a hit when a miss would have persisted
+    # something: compiles under the 2s min_compile_time threshold write
+    # nothing, so a fast cold compile on an empty/unrelated cache is
+    # indistinguishable from a hit — label it honestly
     cache_note = ("off" if cache_dir is None else
-                  "miss-populated" if cache_new else "hit")
+                  "miss-populated" if cache_new else
+                  "hit" if (n_cache0 and compile_time >= 5.0) else
+                  "no-new-entries (sub-threshold compile: hit/cold "
+                  "indistinguishable)")
     _note(f"train compile+first run done ({compile_time:.1f}s, "
           f"persistent cache {cache_note})")
 
@@ -879,8 +886,8 @@ def main():
           f"(fwd={res['fwd_time']*1e3:.1f}ms bwd={res['bwd_time']*1e3:.1f}ms) "
           f"fetch_floor={res['fetch']*1e3:.1f}ms "
           f"compile={res['compile_time']:.1f}s "
-          f"(persistent cache {res.get('cache_note', 'n/a')}; "
-          f"cold=43.4s measured 2026-08-19)", file=sys.stderr)
+          f"(persistent cache {res.get('cache_note', 'n/a')})",
+          file=sys.stderr)
     stg = res.get("stage", {})
     wins = res.get("windows")
     print("# stages: " + " ".join(f"{k}={v:.1f}s" for k, v in stg.items())

@@ -222,7 +222,17 @@ def compare(out_path, platform="tpu"):
                 cmd += ["--platform", plat]
             if x64:
                 cmd += ["--x64"]
-            r = subprocess.run(cmd, cwd=_REPO)
+            # bound each child run: a down axon tunnel otherwise blocks
+            # jax backend init forever (same scar as bench.py's
+            # BENCH_INIT_DEADLINE_S)
+            deadline = float(os.environ.get("ERRBUDGET_RUN_DEADLINE_S",
+                                            1800))
+            try:
+                r = subprocess.run(cmd, cwd=_REPO, timeout=deadline)
+            except subprocess.TimeoutExpired:
+                raise SystemExit(
+                    f"errbudget: {config}/{tag} exceeded {deadline:.0f}s "
+                    "(axon tunnel down?) — no artifact written")
             assert r.returncode == 0, (config, tag)
             paths[tag] = p
         a = np.load(paths["device_f32"])
