@@ -3934,7 +3934,12 @@ def test_container_op_fuzz():
                 # -> get_cov's cov=self.cov default), so select() on
                 # cov-only data materializes icov == cov (probed live:
                 # cov=4.0 -> icov=4.0, not 0.25). Ours correctly keeps
-                # icov None.
+                # icov None. De-contaminate the reference object so
+                # downstream ops follow the intended cov-only path —
+                # bl_average would otherwise WEIGHT by the bogus icov
+                # (dataset.py:1305 wgts = self.icov), found by the
+                # offset-seed sweep (scripts/fuzz_sweep.py).
+                vr.icov = None
                 continue
             assert (a is None) == (b is None), (tag, name, a is None)
             if a is not None:
@@ -3958,7 +3963,9 @@ def test_container_op_fuzz():
             return (vr.select(time_inds=list(ii), inplace=False),
                     vo.select(time_inds=list(ii), inplace=False),
                     f"select time {k}")
-        k = max(2, int(rng.integers(2, vo.Nfreqs)))
+        if vo.Nfreqs <= 2:
+            return vr, vo, "noop"
+        k = int(rng.integers(2, vo.Nfreqs))
         ii = sorted(rng.choice(vo.Nfreqs, size=k, replace=False))
         return (vr.select(freq_inds=list(ii), inplace=False),
                 vo.select(freq_inds=list(ii), inplace=False),
