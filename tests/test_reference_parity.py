@@ -4144,13 +4144,16 @@ def test_caldata_op_fuzz():
                 cr = cr.select(times=torch.tensor(tsel), inplace=False)
                 co = co.select(times=tsel, inplace=False)
                 fl = None if fl is None else fl[:, :, :, ii]
-            else:
-                k = max(2, int(rng.integers(2, co.Nfreqs)))
+            elif co.Nfreqs > 2:
+                kind = "freq"
+                k = int(rng.integers(2, co.Nfreqs))
                 ii = sorted(rng.choice(co.Nfreqs, size=k, replace=False))
                 fsel = np.asarray(co.freqs)[ii]
                 cr = cr.select(freqs=torch.tensor(fsel), inplace=False)
                 co = co.select(freqs=fsel, inplace=False)
                 fl = None if fl is None else fl[..., ii]
+            else:
+                continue  # every axis already at minimum size
             trail.append(f"select {kind} {k}")
             check(cr, co, f"seed{seed} {' -> '.join(trail)}",
                   flags_src=fl)
@@ -4901,8 +4904,12 @@ def test_logprob_option_fuzz():
 
         assert np.isclose(float(v_o), float(v_r), rtol=1e-9,
                           atol=1e-12), (tag, float(v_o), float(v_r))
+        # abs floor: a flat prior's true gradient is 0 — ours returns
+        # exactly 0 while torch autograd leaves eps-level roundoff, and
+        # a purely relative check would divide by that eps (offset-seed
+        # sweep finding)
         scale = max(np.abs(g_r).max(), 1e-30)
-        assert np.abs(g_o - g_r).max() / scale < 1e-9, \
+        assert np.abs(g_o - g_r).max() < 1e-9 * scale + 1e-14, \
             (tag, np.abs(g_o - g_r).max() / scale)
 
 
@@ -5226,10 +5233,13 @@ def test_pixinterp_rect_fuzz():
     utils.py:1091-1094) and pinv's A^T A, so its weights carry
     O(cond(A^T A)*eps) noise — ~6e-9 for quadratic at dy~6 deg and
     catastrophic (O(1e-2) on smooth maps) for cubic; see
-    test_reference_bicubic_conditioning_bug. Cubic-containing modes are
-    therefore fuzzed on UNIT-SPACING grids (dx=dy=1, where the
-    reference's algebra is well-conditioned and windows/weights must
-    agree) and the rest on random angle grids."""
+    test_reference_bicubic_conditioning_bug. Cubic- AND quadratic-
+    containing modes are therefore fuzzed on UNIT-SPACING grids
+    (dx=dy=1, where the reference's algebra is well-conditioned and
+    windows/weights must agree) and the rest on random angle grids —
+    the offset-seed sweep measured the reference's quadratic noise at
+    4e-5 on a dphi=19 deg grid (ours exact to 1e-12 on the quadratic-
+    map oracle, pinned in test_reference_bicubic_conditioning_bug)."""
     from bayeslim_tpu.utils.interp import PixInterp
 
     modes = ["nearest", "linear", "quadratic", "cubic",
@@ -5240,7 +5250,7 @@ def test_pixinterp_rect_fuzz():
         nt = int(rng.integers(12, 25))
         np_ = int(rng.integers(18, 40))
         mode = modes[seed % len(modes)]
-        cubic = "cubic" in mode
+        cubic = "cubic" in mode or "quadratic" in mode
         if cubic:
             # unit spacing: reference conditioning is benign here
             tg = np.arange(nt, dtype=np.float64)
@@ -5287,8 +5297,7 @@ def test_pixinterp_rect_fuzz():
 
         out = ours.interp(jnp.asarray(m), zen, az)
         g = jax.grad(loss)(jnp.asarray(m))
-        # quadratic on deg-scale grids: reference pinv noise ~1e-8
-        atol = 3e-7 if ("quadratic" in mode and not cubic) else 1e-9
+        atol = 1e-9
         assert np.allclose(np.asarray(out), out_ref.detach().numpy(),
                            atol=atol), (seed, mode)
         assert np.allclose(np.asarray(g), g_ref, atol=atol), (seed, mode)
@@ -5328,6 +5337,17 @@ def test_reference_bicubic_conditioning_bug():
     out = np.asarray(ours.interp(jnp.asarray(fr), zen, az))
     assert np.abs(out - exact).max() < 1e-12          # ours: exact
     assert np.abs(out_ref - exact).max() > 1e-3       # reference: broken
+
+    # quadratic windows on deg-scale grids carry the same (milder)
+    # conditioning noise in the reference (~4e-5 measured at
+    # dphi=19 deg by the offset-seed sweep); ours must stay exact on a
+    # globally quadratic map
+    fq = (0.3 * (T / 9.0) ** 2 - 1.7 * (T / 9.0)).ravel()
+    exact_q = 0.3 * (zen / 9.0) ** 2 - 1.7 * (zen / 9.0)
+    ours_q = PixInterp("rect", interp_mode="quadratic", theta_grid=tg,
+                       phi_grid=pg)
+    out_q = np.asarray(ours_q.interp(jnp.asarray(fq), zen, az))
+    assert np.abs(out_q - exact_q).max() < 1e-12
 
 
 def test_viscoupling_option_fuzz():
