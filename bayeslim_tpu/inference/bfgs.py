@@ -145,7 +145,7 @@ class _QuasiNewtonBase:
     """Shared machinery: ravel/unravel, closure adaptation, step loop."""
 
     def __init__(self, prob, pdict=None, lr=1.0, max_iter=20,
-                 tolerance_grad=1e-10, tolerance_change=1e-12,
+                 tolerance_grad=1e-14, tolerance_change=1e-16,
                  line_search_fn="strong_wolfe"):
         self.prob = prob
         self.pdict = pdict if pdict is not None else prob.collect_main_params()
@@ -163,6 +163,19 @@ class _QuasiNewtonBase:
         v, g = self.prob.value_and_grad(pd)
         self.func_evals += 1
         return float(v), g.ravel()
+
+    def _exit_after_ls(self, f, f_new, g_new, t, d):
+        """Reference break conditions evaluated after the line search
+        (bfgs.py:333-347): optimality (exit 2), step-size stagnation
+        (exit 3), loss stagnation (exit 4). True = skip the Hessian
+        update for this iteration."""
+        if float(jnp.abs(g_new).max()) <= self.tolerance_grad:
+            return True
+        if float(jnp.abs(t * d).max()) <= self.tolerance_change:
+            return True
+        if abs(f_new - f) < self.tolerance_change:
+            return True
+        return False
 
     @property
     def x(self):
@@ -199,8 +212,14 @@ class BFGS(_QuasiNewtonBase):
             return f
         d = -(self.H @ g)
         gtd = float(g @ d)
-        t = self.lr if self.n_iter > 0 else \
-            min(1.0, 1.0 / float(jnp.abs(g).sum())) * self.lr
+        # non-descent direction guard (reference :290-292, exit 1)
+        if gtd > -self.tolerance_change:
+            return f
+        # the reference scales the FIRST trial step only without a line
+        # search (bfgs.py:281-284); strong_wolfe always starts at lr
+        t = self.lr
+        if self.n_iter == 0 and self.line_search_fn is None:
+            t = min(1.0, 1.0 / float(jnp.abs(g).sum())) * self.lr
         if self.line_search_fn == "strong_wolfe":
             f_new, g_new, t, _ = strong_wolfe(self._fun, x, t, d, f, g, gtd)
         else:
@@ -208,8 +227,16 @@ class BFGS(_QuasiNewtonBase):
         x_new = x + t * d
         s = x_new - x
         y = g_new - g
+        # the reference's exits 2/3/4 (bfgs.py:333-347) fire AFTER the
+        # parameter update but BEFORE update_hessian: the near-converged
+        # curvature pair is dropped and n_iter not incremented
+        if self._exit_after_ls(f, f_new, g_new, t, d):
+            self._commit(x_new)
+            self._f, self._g = f_new, g_new
+            return f_new
         ys = float(y @ s)
-        if ys > 1e-10:
+        # sufficient-curvature condition (reference :192)
+        if ys > self.tolerance_grad:
             rho = 1.0 / ys
             I = jnp.eye(x.size)
             V = I - rho * jnp.outer(s, y)
@@ -293,8 +320,14 @@ class LBFGS(_QuasiNewtonBase):
             return f
         d = -self._two_loop(g)
         gtd = float(g @ d)
-        t = self.lr if self.n_iter > 0 else \
-            min(1.0, 1.0 / float(jnp.abs(g).sum())) * self.lr
+        # non-descent direction guard (reference :290-292, exit 1)
+        if gtd > -self.tolerance_change:
+            return f
+        # the reference scales the FIRST trial step only without a line
+        # search (bfgs.py:281-284); strong_wolfe always starts at lr
+        t = self.lr
+        if self.n_iter == 0 and self.line_search_fn is None:
+            t = min(1.0, 1.0 / float(jnp.abs(g).sum())) * self.lr
         if self.line_search_fn == "strong_wolfe":
             f_new, g_new, t, _ = strong_wolfe(self._fun, x, t, d, f, g, gtd)
         else:
@@ -302,8 +335,14 @@ class LBFGS(_QuasiNewtonBase):
         x_new = x + t * d
         s = x_new - x
         y = g_new - g
+        # reference exits 2/3/4 drop the curvature pair (see BFGS.step)
+        if self._exit_after_ls(f, f_new, g_new, t, d):
+            self._commit(x_new)
+            self._f, self._g = f_new, g_new
+            return f_new
         ys = float(y @ s)
-        if ys > 1e-10:
+        # sufficient-curvature condition (reference :120)
+        if ys > self.tolerance_grad:
             self.s_hist.append(s)
             self.y_hist.append(y)
             self.rho_hist.append(1.0 / ys)

@@ -6074,3 +6074,114 @@ def test_nuts_tree_doubling_fuzz(monkeypatch):
             for k in keys:
                 assert np.allclose(xr[k], xo[k], atol=1e-9), \
                     (tag, i, k, "state")
+
+
+def test_bfgs_lbfgs_trajectory_fuzz():
+    """Full quasi-Newton TRAJECTORY fuzz vs the reference
+    (bfgs.py:17-552): random quadratic(+quartic) posteriors driven
+    through BFGS and LBFGS with random options — line search
+    (strong_wolfe / fixed-lr), H0 (default / scalar / diag), LBFGS
+    history size and update_Hdiag — asserting per-iteration PARAMETER
+    equality over whole 10-step trajectories (reference stepped with
+    max_iter=1). Exercises the mirrored semantics: first-trial-step
+    scaling only without a line search (:281-284), sufficient-curvature
+    gate at tolerance_grad (:120,192), and exits 2/3/4 dropping the
+    curvature pair after the parameter update (:333-347)."""
+    from bayeslim_tpu.inference.bfgs import BFGS, LBFGS
+    from bayeslim_tpu.utils import ParamDict
+
+    rng = np.random.default_rng(20260819)
+
+    def make_problem(n, q):
+        a = rng.normal(size=(n, 2 * n))
+        A = a @ a.T / (2 * n) + 0.5 * np.eye(n)
+        b = rng.normal(size=n) * 0.5
+
+        A_t, b_t = torch.tensor(A), torch.tensor(b)
+
+        def loss_ref(x):
+            return (0.5 * x @ A_t @ x - b_t @ x
+                    + q * (x ** 4).sum())
+
+        A_j, b_j = jnp.asarray(A), jnp.asarray(b)
+
+        class Prob:
+            def __init__(self, x0):
+                self.pd = ParamDict({"x": jnp.asarray(x0)})
+
+            def collect_main_params(self):
+                return self.pd.copy()
+
+            def value_and_grad(self, pdict=None):
+                xv = (pdict if pdict is not None else self.pd)["x"]
+                f = 0.5 * xv @ A_j @ xv - b_j @ xv + q * jnp.sum(xv ** 4)
+                g = A_j @ xv - b_j + 4.0 * q * xv ** 3
+                return f, ParamDict({"x": g})
+
+            def update(self, pdict):
+                self.pd = pdict.copy()
+
+        return loss_ref, Prob
+
+    NITER = 10
+    for trial in range(14):
+        n = int(rng.integers(4, 11))
+        q = 0.0 if rng.random() < 0.4 else float(rng.uniform(0.005, 0.05))
+        kind = str(rng.choice(["bfgs", "lbfgs"]))
+        ls = str(rng.choice(["strong_wolfe", "none"]))
+        lr = 1.0 if ls == "strong_wolfe" else float(rng.uniform(0.02, 0.15))
+        ls_r = None if ls == "none" else ls
+        x0 = rng.normal(size=n) * 0.8
+        loss_ref, Prob = make_problem(n, q)
+        tag = (trial, kind, ls, n, q, lr)
+
+        kw_r = dict(lr=lr, max_iter=1, line_search_fn=ls_r)
+        kw_o = dict(lr=lr, line_search_fn=ls_r)
+        if kind == "bfgs":
+            h0kind = str(rng.choice(["none", "scalar"]))
+            if h0kind == "scalar":
+                h0 = float(rng.uniform(0.3, 1.5))
+                kw_r["H0"] = torch.tensor(h0)
+                kw_o["H0"] = h0
+        else:
+            hist = int(rng.integers(2, 7))
+            upd = bool(rng.random() < 0.5)
+            kw_r.update(history_size=hist, update_Hdiag=upd)
+            kw_o.update(history_size=hist, update_Hdiag=upd)
+            h0kind = str(rng.choice(["none", "scalar", "diag"]))
+            if h0kind == "scalar":
+                h0 = float(rng.uniform(0.3, 1.5))
+                kw_r["H0"] = torch.tensor(h0)
+                kw_o["H0"] = h0
+            elif h0kind == "diag":
+                h0v = rng.uniform(0.5, 2.0, n)
+                kw_r["H0"] = torch.tensor(h0v)
+                kw_o["H0"] = jnp.asarray(h0v)
+        tag = tag + (h0kind,)
+
+        x_t = torch.nn.Parameter(torch.tensor(x0))
+        cls_r = ba.bfgs.BFGS if kind == "bfgs" else ba.bfgs.LBFGS
+        opt_r = cls_r((x_t,), **kw_r)
+
+        def closure():
+            opt_r.zero_grad()
+            val = loss_ref(x_t)
+            val.backward()
+            return val.detach()
+
+        cls_o = BFGS if kind == "bfgs" else LBFGS
+        opt_o = cls_o(Prob(x0), **kw_o)
+
+        for i in range(NITER):
+            opt_r.step(closure)
+            opt_o.step()
+            xr = x_t.detach().numpy()
+            xo = np.asarray(opt_o.pdict["x"])
+            assert np.allclose(xo, xr, rtol=1e-8, atol=1e-7), \
+                (tag, i, np.abs(xo - xr).max())
+            # once (both) converged, later iterations are dominated by
+            # near-singular curvature pairs (ys just above the 1e-14
+            # gate -> rho ~ 1e13) that amplify op-ordering roundoff —
+            # stop comparing
+            if np.abs(opt_r._flat_grad.numpy()).max() < 1e-9:
+                break
