@@ -5502,6 +5502,44 @@ def test_viscoupling_option_fuzz():
                       - np.asarray(out_j.data)).max() < 1e-12
 
 
+def _ref_gated_sq_correction(rr, vd):
+    """REFERENCE BUG (found by the offset-seed sweep): RedVisCoupling's
+    forward gates each matrix block on its FIRST-ORDER index lists only
+    (`if len(self.unconj_param_conj_vis[0]) > 0 or
+    len(self.conj_param_conj_vis[0]) > 0:`, calibration.py forward), so
+    enumerated SECOND-ORDER terms (sq_param_*_vis) are silently dropped
+    whenever no first-order term lands in the same block — e.g. on a
+    line array the X[0,1] V(1,0) X*[1,0] conj-vis path for output (0,1).
+    This helper re-computes exactly those gated-out contributions with
+    the reference's own index lists (in the torch graph, so gradients
+    correct too); ours computes the full product and matches the
+    corrected reference to 4e-16."""
+    params = rr.params + rr.p0 if rr.p0 is not None else rr.params
+    coupling = rr.R(params)
+    coupling = rr.index_params(coupling, times=vd.times)
+    coupling = coupling * rr.dly
+    Nfreqs = coupling.shape[4]
+    corr = torch.zeros((1, 1, len(rr.bls_out)) + vd.data.shape[-2:],
+                       dtype=vd.data.dtype)
+    for idxs, first1, first2, vis in (
+            (rr.sq_param_unconj_vis, rr.unconj_param_unconj_vis,
+             rr.conj_param_unconj_vis, vd.data),
+            (rr.sq_param_conj_vis, rr.unconj_param_conj_vis,
+             rr.conj_param_conj_vis, vd.data.conj())):
+        if len(idxs[0]) == 0 or len(first1[0]) > 0 or len(first2[0]) > 0:
+            continue
+        _prms = torch.index_select(coupling, 2, idxs[3]) \
+            * torch.index_select(coupling.conj(), 2, idxs[4])
+        prms = torch.zeros(_prms.shape[:2] + idxs[0].shape + _prms.shape[3:],
+                           dtype=_prms.dtype)
+        prms.index_add_(2, idxs[2], _prms)
+        mat = torch.zeros((1, 1, len(rr.bls_out), len(rr.bls_in),
+                           coupling.shape[3], Nfreqs), dtype=vd.data.dtype)
+        mat[:, :, idxs[0], idxs[1]] += prms
+        corr = corr + torch.einsum("ijkl...,ijl...->ijk...", mat, vis)
+    return corr
+
+
 def test_redviscoupling_option_fuzz():
     """Randomized RedVisCoupling fuzz vs the reference
     (calibration.py:1588-2117 + configure_coupling_matrix_singlepath
@@ -5510,7 +5548,10 @@ def test_redviscoupling_option_fuzz():
     values AND the chi^2 params gradient. The reference builds
     Vc = V + X1 V + V X1^H + X2 V X2^H with the first- and second-order
     factors cut INDEPENDENTLY (max_* vs second_max_*); our forward
-    mirrors that expansion (models/coupling.py RedVisCoupling)."""
+    mirrors that expansion (models/coupling.py RedVisCoupling).
+    The reference output is corrected for its gated-out second-order
+    terms before comparison (see _ref_gated_sq_correction and
+    test_reference_redviscoupling_gated_sq_bug)."""
     from bayeslim_tpu.models.coupling import RedVisCoupling
     from bayeslim_tpu.models.calibration import VisModelResponse
     from bayeslim_tpu.models.telescope import build_reds
@@ -5578,6 +5619,10 @@ def test_redviscoupling_option_fuzz():
                           torch.tensor(freqs), pol="ee",
                           data=torch.tensor(rv))
         out_ref = rvc_ref.forward(vd_ref)
+        # re-add the second-order terms the reference's forward gates out
+        # (in-graph: the gradient is corrected too)
+        out_ref.data = out_ref.data + _ref_gated_sq_correction(rvc_ref,
+                                                               vd_ref)
         loss_ref = 0.5 * torch.sum(
             torch.tensor(icov) * torch.abs(out_ref.data
                                            - torch.tensor(target)) ** 2)
@@ -5613,6 +5658,89 @@ def test_redviscoupling_option_fuzz():
             1.0, abs(float(loss_ref)))
         den = max(np.abs(g_ref).max(), 1.0)
         assert np.abs(np.asarray(g_j) - g_ref).max() < 1e-9 * den, ctx
+
+
+def test_reference_redviscoupling_gated_sq_bug():
+    """Documents a REFERENCE BUG (found by the offset-seed fuzz sweep):
+    RedVisCoupling.forward gates each of its two matrix blocks on the
+    block's FIRST-ORDER index lists only, so second-order terms whose
+    block has no first-order member are enumerated by
+    configure_coupling_matrix_singlepath but never applied. Concrete
+    case: a 4-element 10 m line array with max_len=second_max_len=15 —
+    for output (0,1) the second-order conj-vis path
+    X[0,1] V(1,0) X*[1,0] = X[0,1] V*(0,1) X*[1,0] lands in the
+    conj-vis block, which has no first-order terms, so the reference
+    drops it (probed: its cross-sensitivity to the X[0,1]/X[1,0] pair
+    is exactly 0). With equal first/second cuts the expansion IS the
+    exact product Vc = (I+X) V (I+X)^H, whose oracle value is nonzero;
+    ours matches the oracle."""
+    from bayeslim_tpu.models.coupling import RedVisCoupling
+    from bayeslim_tpu.models.calibration import VisModelResponse
+    from bayeslim_tpu.models.telescope import build_reds
+    from bayeslim_tpu.utils import viewreal
+
+    antpos = {i: np.asarray([i * 10.0, 0.0, 0.0]) for i in range(4)}
+    ants = list(antpos.keys())
+    nant = 4
+    reds = [r for r in build_reds(antpos)[0] if r[0][0] != r[0][1]]
+    bl2red = {b: i for i, r in enumerate(reds) for b in r}
+    red_bls = [r[0] for r in reds]
+    all_bls = [b for r in reds for b in r]
+    Nred, Nt, Nf = len(reds), 1, 1
+    times = 2458168.3 + np.arange(Nt) * 1e-3
+    freqs = np.asarray([100e6])
+    rng = np.random.default_rng(11)
+    rv = (rng.normal(size=(1, 1, Nred, Nt, Nf))
+          + 1j * rng.normal(size=(1, 1, Nred, Nt, Nf)))
+    # only the two cells of the dropped pair are nonzero
+    X = np.zeros((1, 1, nant, nant, 1, Nf), complex)
+    X[0, 0, 0, 1] = 0.1 + 0.05j
+    X[0, 0, 1, 0] = -0.07 + 0.02j
+
+    kw = dict(use_reds=True, include_second_order=True, max_len=15.0,
+              second_max_len=15.0)
+    terms = [(a1, a2) for a1 in ants for a2 in ants]
+    p_ref = torch.view_as_real(torch.tensor(
+        X.reshape(1, 1, 16, 1, Nf))).clone()
+    rvc_ref = ba.calibration.RedVisCoupling(
+        p_ref, torch.tensor(freqs),
+        {a: torch.tensor(antpos[a]) for a in ants}, terms, list(red_bls),
+        list(all_bls), R=ba.calibration.VisModelResponse(param_type="com"),
+        parameter=False)
+    rvc_ref.setup_coupling(**kw)
+    vd_ref = ba.dataset.VisData()
+    vd_ref.setup_data(list(red_bls), torch.tensor(times),
+                      torch.tensor(freqs), pol="ee", data=torch.tensor(rv))
+    out_ref = rvc_ref.forward(vd_ref).data.detach().numpy()
+
+    # dense oracle: exact (I+X) V (I+X)^H with the delay phasor at f0
+    # (exp(0) = 1) and V the hermitian matrix of redundant values
+    # (diagonal zero: autos are not in the redundant input)
+    E = np.eye(nant) + X[0, 0, :, :, 0, 0]
+    V = np.zeros((nant, nant), complex)
+    for (a, b) in all_bls:
+        v = rv[0, 0, bl2red[(a, b)], 0, 0]
+        V[a, b] = v
+        V[b, a] = np.conj(v)
+    Vc = E @ V @ E.conj().T
+    oracle_01 = Vc[0, 1]
+
+    # our forward matches the oracle; the reference is missing the
+    # gated-out second-order cross term
+    rvc = RedVisCoupling(viewreal(jnp.asarray(X)), freqs, antpos, red_bls,
+                         bl2red, all_bls,
+                         R=VisModelResponse(param_type="com"),
+                         parameter=False)
+    rvc.setup_coupling(**kw)
+    vd = bl.VisData()
+    vd.setup_data(red_bls, times, freqs, pol="ee", data=jnp.asarray(rv))
+    ours_01 = complex(np.asarray(rvc.forward(vd).data)[0, 0, 0, 0, 0])
+
+    dropped = (X[0, 0, 0, 1] * np.conj(rv[0, 0, bl2red[(0, 1)], 0, 0])
+               * np.conj(X[0, 0, 1, 0]))
+    assert abs(ours_01 - oracle_01) < 1e-12
+    assert abs(out_ref[0, 0, 0, 0, 0] - (oracle_01 - dropped)) < 1e-12
+    assert abs(dropped) > 1e-3  # the dropped term is not negligible
 
 
 def test_cutsky_lm_and_ylm_fuzz():
