@@ -16,6 +16,11 @@ Layer map (mirrors SURVEY.md section 1):
 
 __version__ = "0.3.0"
 
+
+def version():
+    """Human-readable version string (reference: bayeslim/version.py)."""
+    return "bayeslim_tpu v{}".format(__version__)
+
 # TPU XLA's DEFAULT f32 matmul precision rounds operands to bf16 —
 # ~2e-3 relative error on cancellation-heavy reductions (measured by
 # bench.py --check; see docs/performance.md). For a Bayesian framework

@@ -473,3 +473,9 @@ def test_tensordata_device():
     assert td.device is not None
     td.data = np.zeros(3)
     assert td.device is None
+
+
+def test_version_string():
+    # reference version.py: __version__ + version()
+    assert isinstance(bl.__version__, str)
+    assert bl.__version__ in bl.version()
