@@ -105,6 +105,23 @@ def _to_list_of_slices_or_array(idx):
     return np.asarray(idx)
 
 
+def _sum_log_real(x):
+    """``float(sum(log(x.real)))`` without pulling the full array to
+    host. For a device-resident jax Array, ``np.asarray(x)`` is a
+    device->host fetch of the whole tensor — multi-MB over the remote
+    TPU tunnel costs seconds-to-minutes (measured 15.5 s for a 5 MB
+    icov; the dominant build_prob stage). Reduce on device and fetch
+    ONE scalar instead."""
+    if isinstance(x, jax.Array):
+        return float(_sum_log_real_jit(x))
+    return float(np.sum(np.log(np.asarray(x).real)))
+
+
+@jax.jit
+def _sum_log_real_jit(a):
+    return jnp.sum(jnp.log(a.real))
+
+
 def _take(arr, idx, axis):
     """Index arr along axis with a slice or integer array."""
     if arr is None:
@@ -149,7 +166,7 @@ class TensorData:
             if cov_axis is None:
                 # variance with shape of data
                 self.cov_ndim = int(np.prod(np.shape(cov)))
-                self.cov_logdet = float(np.sum(np.log(np.asarray(cov).real)))
+                self.cov_logdet = _sum_log_real(cov)
             else:
                 n = np.shape(cov)[-1]
                 nblocks = int(np.prod(np.shape(cov)[:-2]))
@@ -163,8 +180,7 @@ class TensorData:
             # matrix axes where the reference cannot recover it either)
             if cov_axis is None:
                 self.cov_ndim = int(np.prod(np.shape(icov)))
-                self.cov_logdet = float(
-                    -np.sum(np.log(np.asarray(icov).real)))
+                self.cov_logdet = -_sum_log_real(icov)
             else:
                 self.cov_ndim = (int(np.prod(np.shape(self.data)))
                                  if self.data is not None else None)
