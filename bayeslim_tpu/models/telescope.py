@@ -508,20 +508,37 @@ def build_reds(antpos, bls=None, red_bls=None, redtol=1.0, min_len=None,
         _, first_idx, groups = np.unique(cells, axis=0, return_index=True,
                                          return_inverse=True)
         reps = bl_vecs[first_idx]
-        # merge nearby representative cells (handles lattice-edge splits)
+        # merge nearby representative cells (handles lattice-edge splits).
+        # Two vectors within redtol land in the same or an adjacent lattice
+        # cell (|round(u)-round(v)| <= 1 when |u-v| <= 1), so only the
+        # 3^d-1 neighbor offsets need checking: O(ng * 3^d) union-find
+        # with one vectorized distance batch per offset, instead of the
+        # former lexsort window scan (199k scalar norm calls at hera scale)
         ng = len(reps)
         remap = np.arange(ng)
         if ng > 1:
-            order = np.lexsort(reps.T)
-            for ii in range(ng):
-                for jj in range(ii + 1, ng):
-                    a, b = order[ii], order[jj]
-                    if abs(reps[b][-1] - reps[a][-1]) > 2 * redtol and ng > 64:
-                        break
-                    if np.linalg.norm(reps[a] - reps[b]) < redtol:
-                        ra, rb = remap[a], remap[b]
-                        if ra != rb:
-                            remap[remap == max(ra, rb)] = min(ra, rb)
+            qcells = cells[first_idx]
+            cell_map = {tuple(c): i for i, c in enumerate(qcells)}
+
+            def _find(i):
+                while remap[i] != i:
+                    remap[i] = remap[remap[i]]
+                    i = remap[i]
+                return i
+
+            for off in itertools.product((-1, 0, 1), repeat=qcells.shape[1]):
+                if not any(off):
+                    continue
+                js = np.asarray([cell_map.get(tuple(c), -1)
+                                 for c in qcells + np.asarray(off)])
+                ii = np.nonzero(js >= 0)[0]
+                jj = js[ii]
+                d = np.linalg.norm(reps[ii] - reps[jj], axis=1)
+                for a, b in zip(ii[d < redtol], jj[d < redtol]):
+                    ra, rb = _find(a), _find(b)
+                    if ra != rb:
+                        remap[max(ra, rb)] = min(ra, rb)
+            remap = np.asarray([_find(i) for i in range(ng)])
         # compress group ids
         uniq = np.unique(remap[groups])
         gid = {g: i for i, g in enumerate(uniq)}
