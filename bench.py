@@ -294,6 +294,27 @@ def run_jax(cfg, platform=None, x64=False):
         os._exit(3)
     _note(f"devices={box['devices']}")
     w.set()
+
+    # Warm the first blocking fetch in the background. A fresh process's
+    # FIRST value fetch from the remote TPU intermittently stalls
+    # 20-140 s (measured: 67 s for a 1-element fetch after a trivial
+    # dispatch; 0.04 s for every later fetch) — a per-session server
+    # warmup, independent of how much work is queued. Paying it on a
+    # daemon thread overlaps it with the host-side build/trace stages
+    # instead of serializing it into build_prob's wall.
+    warm_box = {}
+
+    def _warm_fetch():
+        tw = time.time()
+        try:
+            warm_box["s"] = float(jax.jit(lambda: jnp.asarray(1.0) + 1.0)())
+        except Exception as e:  # pragma: no cover
+            warm_box["error"] = repr(e)
+        warm_box["t"] = time.time() - tw
+
+    warm_th = threading.Thread(target=_warm_fetch, daemon=True)
+    warm_th.start()
+
     t0 = time.time()
     m = build_model(cfg)
     stage["build_model"] = time.time() - t0
@@ -339,6 +360,12 @@ def run_jax(cfg, platform=None, x64=False):
         out, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), None,
                               length=reps)
         return out
+
+    # first-fetch warmup must be done before anything is timed
+    warm_th.join()
+    stage["first_fetch_warm"] = warm_box.get("t", float("nan"))
+    _note(f"first-fetch warm {stage['first_fetch_warm']:.1f}s "
+          f"(overlapped with build)")
 
     fetch = _fetch_floor()
     _note(f"fetch_floor={fetch*1e3:.1f}ms; compiling train loop")

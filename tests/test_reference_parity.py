@@ -4516,7 +4516,14 @@ def test_special_function_fuzz():
     from bayeslim_tpu.ops import special as sp
     rng = np.random.default_rng(7000)
 
-    # associated Legendre P_lm / Q_lm at non-integer l
+    # associated Legendre P_lm / Q_lm at non-integer l. The reference is
+    # compared at high_prec=False (its scipy hyp2f1 path), whose error
+    # exceeds 1e-8 for near-integer l with x near -1 (z=(1-x)/2 -> 1 is
+    # scipy's slow-convergence corner: measured 2.8e-8 rel at l=7.959,
+    # x=-0.910 where OUR value is 1e-14 from a 50-digit mpmath ground
+    # truth — offset-15 sweep find). Parity is asserted at the scipy
+    # path's accuracy, and OUR accuracy is pinned against mpmath below.
+    import mpmath as mp
     for _ in range(6):
         l = float(rng.uniform(0.5, 8.0))
         m = int(rng.integers(0, min(4, int(l) + 1)))
@@ -4526,8 +4533,21 @@ def test_special_function_fuzz():
                                             deriv=deriv,
                                             high_prec=False))
             mine = np.asarray(sp.Plm(l, m, x, deriv=deriv))
-            assert np.allclose(mine, ref, atol=1e-8, rtol=1e-8), \
+            assert np.allclose(mine, ref, atol=5e-7, rtol=5e-7), \
                 ("Plm", l, m, deriv)
+            # ground truth at one point per draw (mpmath Ferrers
+            # legenp, verified same convention incl. m>0; deriv
+            # convention dP/dtheta, x = cos(theta))
+            with mp.workdps(40):
+                xm = mp.mpf(float(x[0]))
+                C = mp.sqrt((2 * l + 1) / (4 * mp.pi)
+                            * mp.gamma(l - m + 1) / mp.gamma(l + m + 1))
+                P = lambda t: mp.legenp(l, m, t)
+                truth = (C * P(xm) if not deriv else
+                         C * mp.diff(P, xm) * (-mp.sin(mp.acos(xm))))
+            assert np.isclose(float(mine.ravel()[0]), float(truth),
+                              rtol=1e-10, atol=1e-12), \
+                ("Plm-mpmath", l, m, deriv)
         ref = np.asarray(ba.special.Qlm(l, m, torch.tensor(x),
                                         high_prec=False))
         mine = np.asarray(sp.Qlm(l, m, x))
