@@ -790,6 +790,32 @@ def main():
     if args.size is None:
         args.size = "large" if args.cpu else "hera-stat"
 
+    # Whole-run deadline (BENCH_TOTAL_DEADLINE_S, default 20 min, 0 =
+    # off): the remote TPU tunnel intermittently stalls for multiple
+    # minutes mid-run (measured: a 1-element fetch blocked 67 s; one
+    # run sat >480 s inside a single fetch) — past the deadline, emit
+    # the standard JSON line with value=null + an error field and exit
+    # 3 so the driver records a parseable failure instead of timing the
+    # process out with nothing on stdout (the round-3 rc=124 scar).
+    deadline = float(os.environ.get("BENCH_TOTAL_DEADLINE_S", 1200))
+    if deadline > 0 and not args.cpu:
+        import threading
+
+        def _too_long():
+            msg = (f"bench exceeded BENCH_TOTAL_DEADLINE_S={deadline:.0f}s"
+                   " — remote TPU tunnel stalled mid-run?")
+            print(json.dumps({
+                "metric": "RIME vis points/sec/chip "
+                          "(bl*freq*time, fwd+grad step)",
+                "value": None, "unit": "points/s", "vs_baseline": None,
+                "error": msg}), flush=True)
+            _note(f"FATAL: {msg}")
+            os._exit(3)
+
+        _timer = threading.Timer(deadline, _too_long)
+        _timer.daemon = True  # must not keep a finished bench alive
+        _timer.start()
+
     if args.fast:
         from bayeslim_tpu.ops.rime_pallas import set_precise_dots
         set_precise_dots(False)
