@@ -117,7 +117,10 @@ print("peak delay power per bl:",
 # parameter space: 10 of the 50 log-fluxes plus all beam parameters.
 # The LBFGS (strong-Wolfe line search, reference bfgs.py) then runs in
 # that reduced space; `send_main_params` pushes the MAP back into the
-# model.
+# model. Like the reference's own demo, we start from a small diagonal
+# inverse Hessian `H0` — with a line search the first trial step is
+# `lr * H0 @ grad`, and this posterior's raw gradients are ~1e5, so an
+# identity H0 would overshoot catastrophically on the first iteration.
 
 # %%
 prob = ba.optim.LogProb(rime, ba.dataset.Dataset(raw_vis),
@@ -131,7 +134,8 @@ mp = prob.collect_main_params()
 print("solving", mp["main"].shape[0], "of",
       sky.params.size + beam.params.size, "parameters")
 
-opt = ba.bfgs.LBFGS(prob, history_size=10)
+H0 = ba.hmat.DiagMat(jnp.asarray(1e-5), mp["main"].shape[0])
+opt = ba.bfgs.LBFGS(prob, history_size=10, H0=H0)
 losses = opt.minimize(15)
 print("loss:", round(float(losses[0]), 2), "->",
       round(float(losses[-1]), 2))

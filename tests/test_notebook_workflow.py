@@ -186,8 +186,13 @@ def test_notebook_beam_fg_flow():
     mp = prob.collect_main_params()
     assert mp["main"].shape == (10 + beam.params.size,)
 
-    # LBFGS solve from the un-perturbed start (cells 63-68)
-    opt = ba.bfgs.LBFGS(prob, history_size=10)
+    # LBFGS solve from the un-perturbed start (cells 63-68). Small H0
+    # like the reference demo: with strong_wolfe the first trial is
+    # lr * H0 @ grad (no first-iteration scaling, reference bfgs.py:282)
+    # and this posterior's raw gradients are ~1e5 — identity H0 NaNs.
+    opt = ba.bfgs.LBFGS(prob, history_size=10,
+                        H0=ba.hmat.DiagMat(jnp.asarray(1e-5),
+                                           mp["main"].shape[0]))
     losses = opt.minimize(15)
     assert losses[-1] < losses[0], (losses[0], losses[-1])
     # push the MAP into the model (optimized params live in opt.pdict)
