@@ -6335,3 +6335,175 @@ def test_bfgs_lbfgs_trajectory_fuzz():
             # stop comparing
             if np.abs(opt_r._flat_grad.numpy()).max() < 1e-9:
                 break
+
+
+def test_rime_posterior_gradient_fuzz():
+    """End-to-end RIME POSTERIOR fuzz vs the reference: random geometry
+    (ntimes/nfreqs/nsrc/baseline subset/source spread), beam response
+    family (Gauss/Airy/Uniform), fov cut 70-180 deg (our padded-gather
+    FOV cut vs the reference's boolean indexing, with sources straddling
+    the edge), PointSky freq_mode (powerlaw/channel), optional Jones
+    chain, optional diagonal icov — loss and every trainable-parameter
+    gradient pinned end to end (x64). Generalizes the fixed graded
+    configs (#1/#3 above) with breadth over the composition space;
+    ephemeris injected into the reference's conv_cache exactly as there.
+    Airy beams stay parameter=False: the reference's diameter gradient
+    is silently wrong (torch.special.bessel_j1 has no derivative —
+    pinned in test_airy_diameter_gradient_reference_bug). Reference
+    bar: rime_model.py:13-200, optim.py:385-520, beam_model.py:848-1018.
+    """
+    from collections import OrderedDict
+    from bayeslim_tpu.models.calibration import JonesModel
+    from bayeslim_tpu.utils import viewreal
+
+    loc = (21.42827, -30.72148, 1051.69)
+    ants, antvecs = bl.utils.make_hex(2)
+    ants = list(ants)
+    nant = len(ants)
+    T = bl.TelescopeModel(loc)
+    all_bls = [(a, b) for i, a in enumerate(ants) for b in ants[i + 1:]]
+
+    for trial in range(7):
+        rng = np.random.default_rng(9100 + trial)
+        ntime = int(rng.integers(2, 4))
+        nfreq = int(rng.integers(3, 5))
+        nsrc = int(rng.integers(4, 8))
+        freqs = np.linspace(110e6, 110e6 + rng.uniform(5e6, 2e7), nfreq)
+        times = 2458148.15 + np.arange(ntime) * rng.uniform(5e-4, 3e-3)
+        fov = float(rng.uniform(70, 180))
+        freq_mode = str(rng.choice(["powerlaw", "channel"]))
+        beam_kind = str(rng.choice(["gauss", "airy", "uniform"]))
+        with_jones = bool(rng.random() < 0.4)
+        with_icov = bool(rng.random() < 0.5)
+        tag = (trial, freq_mode, beam_kind, round(fov), with_jones,
+               with_icov)
+
+        ra0 = T.JD2RA(float(times[0]))
+        # half the sources sit well inside any fov cut; the rest spread
+        # wide so some fall outside for part or all of the observation
+        nin = (nsrc + 1) // 2
+        ra = np.concatenate([ra0 + rng.uniform(-5, 5, nin),
+                             ra0 + rng.uniform(-60, 60, nsrc - nin)])
+        dec = np.concatenate([loc[1] + rng.uniform(-5, 5, nin),
+                              loc[1] + rng.uniform(-50, 50, nsrc - nin)])
+        angs = np.stack([ra, dec])
+        if freq_mode == "powerlaw":
+            sky_params = np.zeros((1, 1, 2, nsrc))
+            sky_params[0, 0, 0] = rng.uniform(1, 5, nsrc)
+            sky_params[0, 0, 1] = rng.uniform(-3, -1, nsrc)
+        else:
+            sky_params = rng.uniform(1, 5, (1, 1, nfreq, nsrc))
+        if beam_kind == "gauss":
+            beam_params = rng.uniform(0.3, 0.8, (1, 1, 1, nfreq, 2))
+        elif beam_kind == "airy":
+            beam_params = np.full((1, 1, 1, 1, 2), rng.uniform(8., 20.))
+        else:
+            beam_params = np.ones((1, 1, 1, 1, 1))
+        beam_is_param = beam_kind == "gauss"
+        nbl = int(rng.integers(4, min(10, len(all_bls)) + 1))
+        pick = sorted(rng.choice(len(all_bls), size=nbl, replace=False))
+        bls = [all_bls[i] for i in pick]
+        gains = (rng.normal(size=(1, 1, nant, ntime, nfreq)) * 0.05
+                 + 1j * rng.normal(size=(1, 1, nant, ntime, nfreq))
+                 * 0.05 + 1.0)
+        icov = rng.uniform(0.5, 2.0, (1, 1, nbl, ntime, nfreq))
+
+        # ---- ours
+        if freq_mode == "powerlaw":
+            R_sky = bl.sky_model.PointSkyResponse(
+                freqs, freq_mode="powerlaw", f0=float(freqs[0]))
+        else:
+            R_sky = bl.sky_model.PointSkyResponse(freqs,
+                                                  freq_mode="channel")
+        sky = bl.PointSky(jnp.asarray(sky_params), jnp.asarray(angs),
+                          R=R_sky)
+        R_beam = {"gauss": bl.beam_model.GaussResponse,
+                  "airy": bl.beam_model.AiryResponse,
+                  "uniform": bl.beam_model.UniformResponse}[beam_kind]()
+        beam = bl.PixelBeam(jnp.asarray(beam_params), freqs, R=R_beam,
+                            pol="e", powerbeam=True, fov=fov,
+                            parameter=beam_is_param)
+        arr = bl.ArrayModel(AntposDict(ants, antvecs), freqs=freqs)
+        rime = bl.RIME(sky, T, beam, arr, bls, times, freqs)
+        if with_jones:
+            jones = JonesModel(viewreal(jnp.asarray(gains)), ants,
+                               parameter=True, polmode="1pol")
+            model = bl.utils.Sequential(
+                {"rime": rime, "cal": jones})
+        else:
+            model = rime
+        vd = model.forward(None)
+        noise = (rng.normal(size=vd.data.shape)
+                 + 1j * rng.normal(size=vd.data.shape)) * 0.2
+        data = np.asarray(vd.data) + noise
+
+        tgt = bl.VisData()
+        tgt.setup_meta(T, arr.to_antpos())
+        tgt.setup_data(bls, times, freqs, pol="ee", data=jnp.asarray(data),
+                       icov=jnp.asarray(icov) if with_icov else None)
+        prob = bl.LogProb(model, tgt)
+        pd = prob.collect_main_params()
+        v_j, g_j = prob.value_and_grad(pd)
+
+        # ---- reference, our ephemeris injected into its conv_cache
+        T_ref = ba.telescope_model.TelescopeModel(loc)
+        arr_ref = ba.telescope_model.ArrayModel(
+            ba.utils.AntposDict(ants, torch.tensor(np.asarray(antvecs))),
+            freqs=torch.tensor(freqs))
+        if freq_mode == "powerlaw":
+            R_sky_ref = ba.sky_model.PointSkyResponse(
+                torch.tensor(freqs), freq_mode="powerlaw",
+                f0=torch.tensor(freqs[:1]))
+        else:
+            R_sky_ref = ba.sky_model.PointSkyResponse(
+                torch.tensor(freqs), freq_mode="channel")
+        sky_ref = ba.sky_model.PointSky(
+            torch.tensor(sky_params), torch.tensor(angs), R=R_sky_ref,
+            parameter=True)
+        R_beam_ref = {"gauss": ba.beam_model.GaussResponse,
+                      "airy": ba.beam_model.AiryResponse,
+                      "uniform": ba.beam_model.UniformResponse}[beam_kind]()
+        beam_ref = ba.beam_model.PixelBeam(
+            torch.tensor(beam_params), torch.tensor(freqs), R=R_beam_ref,
+            pol="e", powerbeam=True, fov=fov, parameter=beam_is_param)
+        rime_ref = ba.rime_model.RIME(sky_ref, T_ref, beam_ref, arr_ref,
+                                      bls, times, torch.tensor(freqs))
+        for t in rime_ref.sim_times:
+            zen, az = T.eq2top(float(t), ra, dec)
+            T_ref.conv_cache[(sky_ref.name, len(ra), t)] = \
+                torch.tensor(np.stack([zen, az]))
+        if with_jones:
+            jones_ref = ba.calibration.JonesModel(
+                torch.view_as_real(torch.tensor(gains)).clone(), ants,
+                parameter=True, polmode="1pol",
+                R=ba.calibration.JonesResponse(param_type="com"))
+            ba.calibration.IndexCache.__init__(jones_ref,
+                                               times=torch.tensor(times))
+            model_ref = ba.utils.Sequential(OrderedDict(rime=rime_ref,
+                                                        cal=jones_ref))
+        else:
+            model_ref = rime_ref
+        vd_ref = ba.dataset.VisData()
+        vd_ref.setup_data(
+            bls, torch.tensor(times), torch.tensor(freqs), pol="ee",
+            data=torch.tensor(data),
+            icov=torch.tensor(icov) if with_icov else None)
+        prob_ref = ba.optim.LogProb(model_ref, ba.dataset.Dataset(vd_ref))
+        v_r = prob_ref.closure()
+
+        assert np.isclose(float(v_j), float(v_r), rtol=1e-9), \
+            (tag, float(v_j), float(v_r))
+
+        def _grad(key_sub, ref_grad):
+            ks = [k for k in g_j if key_sub in k]
+            assert len(ks) == 1, (tag, key_sub, list(g_j))
+            ours = np.asarray(g_j[ks[0]])
+            ref = ref_grad.numpy()
+            rel = np.abs(ours - ref).max() / max(np.abs(ref).max(), 1e-30)
+            assert rel < 1e-8, (tag, key_sub, rel)
+
+        _grad("sky.params", sky_ref.params.grad)
+        if beam_is_param:
+            _grad("beam.params", beam_ref.params.grad)
+        if with_jones:
+            _grad("cal.params", jones_ref.params.grad)
