@@ -825,6 +825,139 @@ class HMC(SamplerBase):
             self.eps = self.stepsize.update(accept_prob)
         return accepted
 
+    def sample_chains(self, Nsample, Nchain=4, x0=None, seed=None,
+                      Nstep=None, eps=None):
+        """Vectorized multi-chain HMC, fully on device (TPU-native —
+        beyond the reference, which runs one sequential chain per
+        process, sampler.py:181-757): ``jax.vmap`` over Nchain
+        independent chains x ``lax.scan`` over Nsample steps, so the
+        ENTIRE multi-chain run is ONE compiled device computation with
+        no per-sample host round trips (~30 ms each over the remote
+        backend). Chains differ by PRNG stream (and optionally by
+        starting point); any mass-matrix form whose operator actions
+        are jax-traceable (identity / diagonal / dense or hmat
+        Cholesky) rides along unchanged.
+
+        Works when the wrapped Potential carries a single-batch LogProb
+        with no grad mods (the on-device trajectory requirement, see
+        ``_traj_eligible``) or when ``potential`` itself is a pure jax
+        function ``q -> (U, grad)``.
+
+        Divergent trajectories reject in place and are flagged in the
+        returned ``divergent`` array — the sequential ``step()``'s
+        restart-from-a-random-chain-sample recovery is a host-side
+        policy that has no analog inside a fused scan. Step-size
+        adaptation is likewise host-side state: run a short sequential
+        warmup (``dual_averaging`` + ``sample``) first, then hand the
+        tuned ``self.eps`` to this method for the long vectorized run.
+
+        Parameters
+        ----------
+        Nsample : int — samples per chain.
+        Nchain : int — number of chains (ignored if x0 fixes it).
+        x0 : optional; list of ParamDicts (one per chain), or a
+            ParamDict whose leaves carry a leading chain axis. Default:
+            every chain starts at the current state self.x (distinct
+            momentum draws decorrelate them immediately).
+        seed : optional int — PRNG seed for the whole run; default
+            splits the sampler's running key.
+        Nstep, eps : optional overrides of the sampler settings.
+
+        Returns
+        -------
+        dict with ``chain`` {key: (Nchain, Nsample, *shape) ndarray},
+        ``U`` (Nchain, Nsample), ``accept_prob`` (Nchain, Nsample),
+        ``divergent`` (Nchain, Nsample) bool, ``acceptance_rate``
+        (Nchain,), and ``final`` (ParamDict, leading chain axis).
+        Retraces on every call (shapes/closures are rebuilt): call it
+        once with a large Nsample rather than many times with small
+        ones.
+        """
+        if self._prob is not None:
+            assert self._traj_eligible(), (
+                "sample_chains needs the on-device trajectory path: a "
+                "single-batch LogProb with no grad mods (got Nbatch="
+                f"{getattr(self._prob, 'Nbatch', 1)})")
+            fn = self._prob._batch_fn(0)
+            vg = jax.value_and_grad(fn)
+            model = self._prob.model
+            data, icov = self._prob._batch_args(0)
+        else:
+            pot = self.potential
+
+            def vg(q, model, data, icov):
+                return pot(q)
+
+            model = data = icov = None
+
+        traj = make_leapfrog_traj(vg, self.mass.minv)
+        nstep = int(Nstep if Nstep is not None else self.Nstep)
+        eps = eps if eps is not None else self.eps
+        dHmax = float(self.dHmax)
+        mass = self.mass
+        pmask = self.pmask
+
+        def kin(p):
+            mp = mass.minv(p)
+            return sum(jnp.sum((p[k] * mp[k]).real)
+                       for k in p.keys()) * 0.5
+
+        def one_step(carry, _):
+            key, q, U, g = carry
+            key, kp, ka = jax.random.split(key, 3)
+            p = mass.sample_momentum(kp, q)
+            if pmask is not None:
+                p = ParamDict({k: p[k] * pmask[k] if k in pmask
+                               else p[k] for k in p.keys()})
+            H0 = U + kin(p)
+            q1, p1, U1, g1 = traj(q, p, model, data, icov, eps, nstep)
+            dH = (U1 + kin(p1)) - H0
+            divergent = jnp.logical_or(~jnp.isfinite(dH), dH > dHmax)
+            accept_prob = jnp.where(
+                divergent, 0.0, jnp.minimum(1.0, jnp.exp(-dH)))
+            acc = jax.random.uniform(ka) < accept_prob
+            qn = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(acc, b, a), q, q1)
+            gn = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(acc, b, a), g, g1)
+            Un = jnp.where(acc, U1, U)
+            return (key, qn, Un, gn), (qn, Un, accept_prob, divergent)
+
+        def one_chain(key, q0):
+            U0, g0 = vg(q0, model, data, icov)
+            (_, qf, _, _), ys = jax.lax.scan(
+                one_step, (key, q0, U0, g0), None, length=int(Nsample))
+            return ys + (qf,)
+
+        if x0 is None:
+            q0s = jax.tree_util.tree_map(
+                lambda v: jnp.broadcast_to(v, (int(Nchain),) + v.shape),
+                self.x)
+        elif isinstance(x0, (list, tuple)):
+            Nchain = len(x0)
+            q0s = jax.tree_util.tree_map(lambda *vs: jnp.stack(vs), *x0)
+        else:
+            q0s = x0
+            Nchain = int(np.shape(q0s[next(iter(q0s.keys()))])[0])
+
+        if seed is not None:
+            krun = jax.random.PRNGKey(int(seed))
+        else:
+            self.key, krun = jax.random.split(self.key)
+        keys = jax.random.split(krun, int(Nchain))
+
+        qs, Us, aps, divs, qf = jax.jit(jax.vmap(one_chain))(keys, q0s)
+        self.fn_evals += int(Nchain) * int(Nsample) * (nstep + 1)
+        aps = np.asarray(aps)
+        return {
+            "chain": {k: np.asarray(qs[k]) for k in qs.keys()},
+            "U": np.asarray(Us),
+            "accept_prob": aps,
+            "divergent": np.asarray(divs),
+            "acceptance_rate": aps.mean(axis=1),
+            "final": qf,
+        }
+
     def estimate_cov(self, Nback=None, diag_mass=True, robust=False,
                      eps=None, set_mass=True, burn=0):
         """Estimate parameter covariance from the Nback most-recent

@@ -826,3 +826,77 @@ def test_hmc_reference_helpers():
     hmc.sample(30)
     assert hmc.stepsize.frozen
     assert hmc.acceptance_rate > 0.5
+
+
+def test_hmc_sample_chains_gaussian():
+    """Vectorized multi-chain HMC (vmap x scan, one device dispatch)
+    recovers an analytic 2D Gaussian: per-chain means/cov, acceptance,
+    determinism by seed, and chain decorrelation (beyond the reference,
+    which runs one sequential chain per process)."""
+    mu = np.asarray([1.0, -2.0])
+    cov = np.asarray([[1.0, 0.6], [0.6, 2.0]])
+    pot = GaussPotential(mu, cov)
+    x0 = ParamDict({"x": jnp.asarray(mu)})
+    # diagonal mass ~ inverse marginal variances + trajectory length
+    # ~ pi/2 in the whitened space: near-independent draws (a plain
+    # identity mass at eps*L ~ a full period autocorrelates heavily —
+    # equally so in the sequential sampler; checked side by side)
+    mass = ParamDict({"x": jnp.asarray([1.0, 0.5])})
+    hmc = HMC(pot, x0, eps=0.3, Nstep=5, mass=mass, seed=7)
+    out = hmc.sample_chains(600, Nchain=4, seed=11)
+
+    ch = out["chain"]["x"]
+    assert ch.shape == (4, 600, 2)
+    assert out["U"].shape == (4, 600)
+    assert not out["divergent"].any()
+    assert (out["acceptance_rate"] > 0.6).all(), out["acceptance_rate"]
+    # chains are distinct (different PRNG streams)
+    assert not np.allclose(ch[0], ch[1])
+    # pooled posterior moments match the target
+    pooled = ch[:, 100:].reshape(-1, 2)
+    assert np.abs(pooled.mean(axis=0) - mu).max() < 0.15, pooled.mean(0)
+    c = np.cov(pooled.T)
+    assert np.abs(c - cov).max() < 0.35, c
+    # determinism: same seed -> identical chains
+    out2 = hmc.sample_chains(600, Nchain=4, seed=11)
+    assert np.array_equal(ch, out2["chain"]["x"])
+    # final state carries the chain axis and equals the last sample
+    assert np.allclose(np.asarray(out["final"]["x"]), ch[:, -1])
+
+
+def test_hmc_sample_chains_logprob():
+    """sample_chains through a real single-batch LogProb (the
+    _batch_fn on-device path): chains start jittered, run fused, and
+    agree with the model's posterior structure (finite, accepted)."""
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.inference import LogProb
+    from tests.test_rime import (setup_Telescope, setup_PointSky,
+                                 setup_Array, setup_UniformBeam, JD0)
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=2, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_UniformBeam(freqs)
+    beam.unset_param("params")
+    bls = arr.get_bls(keep_autos=False)[:6]
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+    vd = rime.forward()
+    tgt = vd.copy()
+    tgt.setup_data(bls, vd.times, freqs, pol="ee", data=vd.data,
+                   cov=jnp.ones(vd.data.shape), cov_axis=None,
+                   icov=jnp.ones(vd.data.shape))
+    prob = LogProb(rime, tgt, negate=True)
+    pot = Potential(prob)
+    q = prob.collect_main_params()
+    hmc = HMC(pot, q, eps=2e-4, Nstep=5, seed=2)
+
+    rng = np.random.default_rng(0)
+    starts = [ParamDict({k: v + 1e-4 * rng.normal(size=v.shape)
+                         for k, v in q.items()}) for _ in range(3)]
+    out = hmc.sample_chains(8, x0=starts, seed=5)
+    k = next(iter(out["chain"]))
+    assert out["chain"][k].shape[:2] == (3, 8)
+    assert np.isfinite(out["chain"][k]).all()
+    assert out["accept_prob"].shape == (3, 8)
+    assert (out["acceptance_rate"] > 0).all()
+    assert not out["divergent"].any()
