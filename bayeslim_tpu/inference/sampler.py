@@ -670,6 +670,7 @@ class HMC(SamplerBase):
         self._grad = None
         self._on_device = on_device
         self._traj_cache = {}
+        self._chains_runners = {}
         self._prob = getattr(potential, "prob", None)
 
     def _traj_eligible(self):
@@ -825,6 +826,80 @@ class HMC(SamplerBase):
             self.eps = self.stepsize.update(accept_prob)
         return accepted
 
+    def _chains_runner(self, Nsample, nstep, eps):
+        """Compiled vmap(scan) runner for sample_chains, cached so
+        repeated same-shape calls don't retrace. eps rides as a traced
+        ARGUMENT (so dual-averaged updates between calls reuse the
+        executable); mass/pmask/prob state are closures — the cache
+        keys on their identities and is invalidated when they are
+        replaced (set_chol / estimate_cov build new _Mass objects)."""
+        ckey = (Nsample, nstep, id(self.mass), id(self.pmask),
+                hasattr(eps, "keys"),
+                id(getattr(self._prob, "main_params", None)))
+        runner = self._chains_runners.get(ckey)
+        if runner is not None:
+            return runner
+
+        if self._prob is not None:
+            assert self._traj_eligible(), (
+                "sample_chains needs the on-device trajectory path: a "
+                "single-batch LogProb with no grad mods (got Nbatch="
+                f"{getattr(self._prob, 'Nbatch', 1)})")
+            fn = self._prob._batch_fn(0)
+            vg = jax.value_and_grad(fn)
+            model = self._prob.model
+            data, icov = self._prob._batch_args(0)
+        else:
+            pot = self.potential
+
+            def vg(q, model, data, icov):
+                return pot(q)
+
+            model = data = icov = None
+
+        traj = make_leapfrog_traj(vg, self.mass.minv)
+        dHmax = float(self.dHmax)
+        mass = self.mass
+        pmask = self.pmask
+
+        def kin(p):
+            mp = mass.minv(p)
+            return sum(jnp.sum((p[k] * mp[k]).real)
+                       for k in p.keys()) * 0.5
+
+        def one_chain(key, q0, eps):
+            def one_step(carry, _):
+                key, q, U, g = carry
+                key, kp, ka = jax.random.split(key, 3)
+                p = mass.sample_momentum(kp, q)
+                if pmask is not None:
+                    p = ParamDict({k: p[k] * pmask[k] if k in pmask
+                                   else p[k] for k in p.keys()})
+                H0 = U + kin(p)
+                q1, p1, U1, g1 = traj(q, p, model, data, icov, eps,
+                                      nstep)
+                dH = (U1 + kin(p1)) - H0
+                divergent = jnp.logical_or(~jnp.isfinite(dH), dH > dHmax)
+                accept_prob = jnp.where(
+                    divergent, 0.0, jnp.minimum(1.0, jnp.exp(-dH)))
+                acc = jax.random.uniform(ka) < accept_prob
+                qn = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(acc, b, a), q, q1)
+                gn = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(acc, b, a), g, g1)
+                Un = jnp.where(acc, U1, U)
+                return (key, qn, Un, gn), (qn, Un, accept_prob,
+                                           divergent)
+
+            U0, g0 = vg(q0, model, data, icov)
+            (_, qf, _, _), ys = jax.lax.scan(
+                one_step, (key, q0, U0, g0), None, length=Nsample)
+            return ys + (qf,)
+
+        runner = jax.jit(jax.vmap(one_chain, in_axes=(0, 0, None)))
+        self._chains_runners[ckey] = runner
+        return runner
+
     def sample_chains(self, Nsample, Nchain=4, x0=None, seed=None,
                       Nstep=None, eps=None):
         """Vectorized multi-chain HMC, fully on device (TPU-native —
@@ -869,65 +944,12 @@ class HMC(SamplerBase):
         ``U`` (Nchain, Nsample), ``accept_prob`` (Nchain, Nsample),
         ``divergent`` (Nchain, Nsample) bool, ``acceptance_rate``
         (Nchain,), and ``final`` (ParamDict, leading chain axis).
-        Retraces on every call (shapes/closures are rebuilt): call it
-        once with a large Nsample rather than many times with small
-        ones.
+        The compiled runner is cached per (Nsample, Nstep, mass, pmask)
+        so repeated same-shape calls reuse the executable; eps is a
+        traced argument, so step-size changes between calls are free.
         """
-        if self._prob is not None:
-            assert self._traj_eligible(), (
-                "sample_chains needs the on-device trajectory path: a "
-                "single-batch LogProb with no grad mods (got Nbatch="
-                f"{getattr(self._prob, 'Nbatch', 1)})")
-            fn = self._prob._batch_fn(0)
-            vg = jax.value_and_grad(fn)
-            model = self._prob.model
-            data, icov = self._prob._batch_args(0)
-        else:
-            pot = self.potential
-
-            def vg(q, model, data, icov):
-                return pot(q)
-
-            model = data = icov = None
-
-        traj = make_leapfrog_traj(vg, self.mass.minv)
         nstep = int(Nstep if Nstep is not None else self.Nstep)
         eps = eps if eps is not None else self.eps
-        dHmax = float(self.dHmax)
-        mass = self.mass
-        pmask = self.pmask
-
-        def kin(p):
-            mp = mass.minv(p)
-            return sum(jnp.sum((p[k] * mp[k]).real)
-                       for k in p.keys()) * 0.5
-
-        def one_step(carry, _):
-            key, q, U, g = carry
-            key, kp, ka = jax.random.split(key, 3)
-            p = mass.sample_momentum(kp, q)
-            if pmask is not None:
-                p = ParamDict({k: p[k] * pmask[k] if k in pmask
-                               else p[k] for k in p.keys()})
-            H0 = U + kin(p)
-            q1, p1, U1, g1 = traj(q, p, model, data, icov, eps, nstep)
-            dH = (U1 + kin(p1)) - H0
-            divergent = jnp.logical_or(~jnp.isfinite(dH), dH > dHmax)
-            accept_prob = jnp.where(
-                divergent, 0.0, jnp.minimum(1.0, jnp.exp(-dH)))
-            acc = jax.random.uniform(ka) < accept_prob
-            qn = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(acc, b, a), q, q1)
-            gn = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(acc, b, a), g, g1)
-            Un = jnp.where(acc, U1, U)
-            return (key, qn, Un, gn), (qn, Un, accept_prob, divergent)
-
-        def one_chain(key, q0):
-            U0, g0 = vg(q0, model, data, icov)
-            (_, qf, _, _), ys = jax.lax.scan(
-                one_step, (key, q0, U0, g0), None, length=int(Nsample))
-            return ys + (qf,)
 
         if x0 is None:
             q0s = jax.tree_util.tree_map(
@@ -946,7 +968,8 @@ class HMC(SamplerBase):
             self.key, krun = jax.random.split(self.key)
         keys = jax.random.split(krun, int(Nchain))
 
-        qs, Us, aps, divs, qf = jax.jit(jax.vmap(one_chain))(keys, q0s)
+        runner = self._chains_runner(int(Nsample), nstep, eps)
+        qs, Us, aps, divs, qf = runner(keys, q0s, eps)
         self.fn_evals += int(Nchain) * int(Nsample) * (nstep + 1)
         aps = np.asarray(aps)
         return {
