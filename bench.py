@@ -560,7 +560,7 @@ def run_hvp_bench(cfg, platform=None, x64=False, nhvp=2):
 
 
 def run_hmc_bench(platform=None, x64=False, hexN=3, nfreq=128, nside=32,
-                  lmax=8, nsample=20, nstep=10, nwarm=3):
+                  lmax=8, nsample=20, nstep=10, nwarm=3, nchain=0):
     """Joint-posterior HMC throughput (BASELINE config #4 shape): alm
     diffuse sky + per-antenna complex gains through the full
     RIME+Jones chain, sampled with the on-device leapfrog trajectory
@@ -664,10 +664,28 @@ def run_hmc_bench(platform=None, x64=False, hexN=3, nfreq=128, nside=32,
     else:
         ess = float(len(u))
     sec_per_ess = dt / ess
-    return dict(steps_per_s=steps_per_s, sec_per_ess=sec_per_ess,
-                ess=ess, accept=hmc.acceptance_rate, nbls=len(bls),
-                nfreq=nfreq, nparam=nparam, compile_time=compile_time,
-                step_time=dt / nsample)
+    out = dict(steps_per_s=steps_per_s, sec_per_ess=sec_per_ess,
+               ess=ess, accept=hmc.acceptance_rate, nbls=len(bls),
+               nfreq=nfreq, nparam=nparam, compile_time=compile_time,
+               step_time=dt / nsample)
+
+    if nchain:
+        # vectorized multi-chain A/B: same posterior, nchain chains x
+        # nsample steps fused into ONE dispatch (HMC.sample_chains);
+        # the first call compiles, the second reuses the cached runner
+        t0 = time.time()
+        hmc.sample_chains(nsample, Nchain=nchain, seed=2)
+        chains_compile = time.time() - t0
+        t0 = time.time()
+        res = hmc.sample_chains(nsample, Nchain=nchain, seed=3)
+        dtc = time.time() - t0
+        out.update(
+            nchain=nchain,
+            chains_steps_per_s=nsample * nstep * nchain / dtc,
+            chains_accept=float(np.mean(res["acceptance_rate"])),
+            chains_compile=chains_compile,
+            chains_run_time=dtc)
+    return out
 
 
 def a100_roofline_step(cfg, res):
@@ -759,6 +777,10 @@ def main():
                              "hmc", "hmc-small"])
     ap.add_argument("--hvp", action="store_true",
                     help="second-order (HVP) benchmark on the given size")
+    ap.add_argument("--nchain", type=int, default=0,
+                    help="with --size hmc*: also run the vectorized "
+                         "multi-chain sampler (HMC.sample_chains) at "
+                         "this many chains and report its throughput")
     ap.add_argument("--ntime", type=int, default=None)
     ap.add_argument("--tbatch", type=int, default=None,
                     help="override time-minibatch size for batched sizes")
@@ -862,7 +884,7 @@ def main():
         kw = dict(hexN=2, nfreq=16, nside=8, nsample=10) \
             if args.size == "hmc-small" else {}
         res = run_hmc_bench(platform="cpu" if args.cpu else None,
-                            x64=args.x64, **kw)
+                            x64=args.x64, nchain=args.nchain, **kw)
         print(json.dumps({
             "metric": "joint-posterior HMC leapfrog steps/s "
                       "(alm sky + gains, RIME+Jones chain)",
@@ -874,6 +896,14 @@ def main():
               f"ESS={res['ess']:.1f} sec/ESS={res['sec_per_ess']:.2f} "
               f"traj={res['step_time']*1e3:.0f}ms "
               f"compile={res['compile_time']:.1f}s", file=sys.stderr)
+        if args.nchain:
+            print(f"# chains: nchain={res['nchain']} "
+                  f"steps/s={res['chains_steps_per_s']:.1f} "
+                  f"({res['chains_steps_per_s']/res['steps_per_s']:.2f}x "
+                  f"sequential) accept={res['chains_accept']:.2f} "
+                  f"run={res['chains_run_time']:.2f}s "
+                  f"compile={res['chains_compile']:.1f}s",
+                  file=sys.stderr)
         return
 
     cfg = build_case(args.size)
