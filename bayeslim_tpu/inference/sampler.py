@@ -1152,6 +1152,7 @@ class NUTS(SamplerBase):
         self.tree_depths = []
         self._on_device = on_device
         self._subtree_cache = {}
+        self._chains_runners = {}
         self._prob = getattr(potential, "prob", None)
         assert tree_variant in ("slice", "reference")
         self.tree_variant = tree_variant
@@ -1181,6 +1182,159 @@ class NUTS(SamplerBase):
     def dUdx(self, x):
         self.fn_evals += 1
         return self.potential(x)
+
+    def _chains_runner(self, Nsample, eps):
+        """Compiled vmap(scan(while)) runner for NUTS.sample_chains:
+        the outer tree-doubling loop is a lax.while_loop around the
+        traced-depth on-device subtree, so an entire Nchain x Nsample
+        NUTS run is ONE device computation. Cached like the HMC runner;
+        eps rides as a traced argument."""
+        ckey = (int(Nsample), id(self.mass), hasattr(eps, "keys"),
+                id(getattr(self._prob, "main_params", None)))
+        runner = self._chains_runners.get(ckey)
+        if runner is not None:
+            return runner
+
+        if self._prob is not None:
+            assert self._subtree_eligible(), (
+                "sample_chains needs the on-device subtree path: a "
+                "single-batch LogProb with no grad mods")
+            fn = self._prob._batch_fn(0)
+            vg = jax.value_and_grad(fn)
+            model = self._prob.model
+            data, icov = self._prob._batch_args(0)
+        else:
+            pot = self.potential
+
+            def vg(q, model, data, icov):
+                return pot(q)
+
+            model = data = icov = None
+
+        subtree = make_nuts_subtree(vg, self.mass.minv,
+                                    max_depth=self.max_treedepth)
+        mass = self.mass
+        max_depth = int(self.max_treedepth)
+        dHmax = float(self.dHmax)
+
+        def kin(p):
+            mp = mass.minv(p)
+            return sum(jnp.sum((p[k].conj() * mp[k]).real)
+                       for k in p.keys()) * 0.5
+
+        def pdot(a, b):
+            return sum(jnp.sum((a[k].conj() * b[k]).real)
+                       for k in a.keys())
+
+        def uturn(qm, qp, pm, pp):
+            dq = qp - qm
+            return (pdot(dq, mass.minv(pm)) < 0) | \
+                   (pdot(dq, mass.minv(pp)) < 0)
+
+        def sel(flag, a, b):
+            """tree_map where(flag, a, b) over ParamDicts."""
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(flag, x, y), a, b)
+
+        def one_draw(carry, _):
+            key, q, eps = carry
+            key, kp, ku = jax.random.split(key, 3)
+            p0 = mass.sample_momentum(kp, q)
+            U0, _ = vg(q, model, data, icov)
+            H0 = U0 + kin(p0)
+            logu = -H0 + jnp.log(jax.random.uniform(ku) + 1e-300)
+
+            def cond(st):
+                return st[8] & (st[9] < max_depth)
+
+            def body(st):
+                (key, qm, pm, qp, pp, qk, n, alpha_na, s, depth) = st
+                key, kd, ks, kt = jax.random.split(key, 4)
+                fwd = jax.random.uniform(kd) >= 0.5
+                direction = jnp.where(fwd, 1, -1).astype(jnp.int32)
+                zq = sel(fwd, qp, qm)
+                zp = sel(fwd, pp, pm)
+                res = subtree(zq, zp, kt, logu, H0, direction, eps,
+                              model, data, icov, depth, dHmax)
+                qm = sel(fwd, qm, res["q_end"])
+                pm = sel(fwd, pm, res["p_end"])
+                qp = sel(fwd, res["q_end"], qp)
+                pp = sel(fwd, res["p_end"], pp)
+                n2, s2 = res["n"], res["ok"]
+                u = jax.random.uniform(ks)
+                take = s2 & (u * jnp.maximum(n, 1).astype(u.dtype)
+                             < n2.astype(u.dtype))
+                qk = sel(take, res["q_prop"], qk)
+                n = n + n2
+                alpha_na = (alpha_na[0] + res["alpha"],
+                            alpha_na[1] + res["na"])
+                s = s2 & ~uturn(qm, qp, pm, pp)
+                return (key, qm, pm, qp, pp, qk, n, alpha_na, s,
+                        depth + 1)
+
+            st0 = (key, q, p0, q, p0, q, jnp.asarray(1, jnp.int32),
+                   (jnp.asarray(0.0), jnp.asarray(0, jnp.int32)),
+                   jnp.asarray(True), jnp.asarray(0, jnp.int32))
+            st = jax.lax.while_loop(cond, body, st0)
+            key, qk, (alpha, na), depth = st[0], st[5], st[7], st[9]
+            Uk, _ = vg(qk, model, data, icov)
+            ap = alpha / jnp.maximum(na, 1)
+            return (key, qk, eps), (qk, Uk, ap, depth)
+
+        def one_chain(key, q0, eps):
+            (_, qf, _), ys = jax.lax.scan(
+                one_draw, (key, q0, eps), None, length=int(Nsample))
+            return ys + (qf,)
+
+        runner = jax.jit(jax.vmap(one_chain, in_axes=(0, 0, None)))
+        self._chains_runners[ckey] = runner
+        return runner
+
+    def sample_chains(self, Nsample, Nchain=4, x0=None, seed=None,
+                      eps=None):
+        """Vectorized multi-chain NUTS, fully on device (TPU-native —
+        beyond the reference): vmap over Nchain chains x lax.scan over
+        draws, each draw's tree-doubling loop a lax.while_loop around
+        the traced-depth on-device subtree — the whole multi-chain NUTS
+        run is ONE compiled device computation. Slice-variant (Hoffman
+        & Gelman Alg. 3) semantics, identical to the sequential
+        ``step()``'s on-device path; step-size adaptation is host-side
+        state, so run a sequential warmup first and pass the tuned eps.
+
+        Returns dict with ``chain`` {key: (Nchain, Nsample, *shape)},
+        ``U`` (Nchain, Nsample), ``accept_prob``, ``tree_depth``
+        (Nchain, Nsample), ``acceptance_rate`` (Nchain,), ``final``.
+        """
+        eps = eps if eps is not None else self.eps
+
+        if x0 is None:
+            q0s = jax.tree_util.tree_map(
+                lambda v: jnp.broadcast_to(v, (int(Nchain),) + v.shape),
+                self.x)
+        elif isinstance(x0, (list, tuple)):
+            Nchain = len(x0)
+            q0s = jax.tree_util.tree_map(lambda *vs: jnp.stack(vs), *x0)
+        else:
+            q0s = x0
+            Nchain = int(np.shape(q0s[next(iter(q0s.keys()))])[0])
+
+        if seed is not None:
+            krun = jax.random.PRNGKey(int(seed))
+        else:
+            self.key, krun = jax.random.split(self.key)
+        keys = jax.random.split(krun, int(Nchain))
+
+        runner = self._chains_runner(int(Nsample), eps)
+        qs, Us, aps, depths, qf = runner(keys, q0s, eps)
+        aps = np.asarray(aps)
+        return {
+            "chain": {k: np.asarray(qs[k]) for k in qs.keys()},
+            "U": np.asarray(Us),
+            "accept_prob": aps,
+            "tree_depth": np.asarray(depths),
+            "acceptance_rate": aps.mean(axis=1),
+            "final": qf,
+        }
 
     # reference NUTS subclasses HMC and inherits its mass plumbing
     set_chol = HMC.set_chol

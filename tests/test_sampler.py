@@ -900,3 +900,67 @@ def test_hmc_sample_chains_logprob():
     assert out["accept_prob"].shape == (3, 8)
     assert (out["acceptance_rate"] > 0).all()
     assert not out["divergent"].any()
+
+
+def test_nuts_sample_chains_gaussian():
+    """Vectorized multi-chain NUTS: the outer doubling loop runs as a
+    lax.while_loop around the traced-depth subtree, vmapped over chains
+    and scanned over draws — one device dispatch for the whole run.
+    Recovers an analytic correlated 2D Gaussian with identity mass
+    (NUTS adapts trajectory length, so no resonance tuning needed)."""
+    mu = np.asarray([1.0, -2.0])
+    cov = np.asarray([[1.0, 0.6], [0.6, 2.0]])
+    pot = GaussPotential(mu, cov)
+    x0 = ParamDict({"x": jnp.asarray(mu)})
+    nuts = NUTS(pot, x0, eps=0.5, seed=3)
+    out = nuts.sample_chains(800, Nchain=4, seed=9)
+
+    ch = out["chain"]["x"]
+    assert ch.shape == (4, 800, 2)
+    assert (out["acceptance_rate"] > 0.6).all(), out["acceptance_rate"]
+    assert out["tree_depth"].min() >= 1
+    assert not np.allclose(ch[0], ch[1])
+    pooled = ch[:, 100:].reshape(-1, 2)
+    assert np.abs(pooled.mean(axis=0) - mu).max() < 0.15, pooled.mean(0)
+    c = np.cov(pooled.T)
+    assert np.abs(c - cov).max() < 0.35, c
+    # determinism + runner cache
+    out2 = nuts.sample_chains(800, Nchain=4, seed=9)
+    assert np.array_equal(ch, out2["chain"]["x"])
+    assert len(nuts._chains_runners) == 1
+
+
+def test_nuts_sample_chains_logprob():
+    """NUTS.sample_chains through a real single-batch LogProb (the
+    on-device subtree path), multi-start."""
+    import bayeslim_tpu as bl
+    from bayeslim_tpu.inference import LogProb
+    from tests.test_rime import (setup_Telescope, setup_PointSky,
+                                 setup_Array, setup_UniformBeam, JD0)
+
+    T = setup_Telescope()
+    sky, freqs = setup_PointSky(T, Nsource=2, Nfreqs=4)
+    arr = setup_Array(N=2, freqs=freqs)
+    beam = setup_UniformBeam(freqs)
+    beam.unset_param("params")
+    bls = arr.get_bls(keep_autos=False)[:6]
+    rime = bl.RIME(sky, T, beam, arr, bls, np.asarray([JD0]), freqs)
+    vd = rime.forward()
+    tgt = vd.copy()
+    tgt.setup_data(bls, vd.times, freqs, pol="ee", data=vd.data,
+                   cov=jnp.ones(vd.data.shape), cov_axis=None,
+                   icov=jnp.ones(vd.data.shape))
+    prob = LogProb(rime, tgt, negate=True)
+    pot = Potential(prob)
+    q = prob.collect_main_params()
+    nuts = NUTS(pot, q, eps=2e-4, max_treedepth=4, seed=2)
+
+    rng = np.random.default_rng(1)
+    starts = [ParamDict({k: v + 1e-4 * rng.normal(size=v.shape)
+                         for k, v in q.items()}) for _ in range(2)]
+    out = nuts.sample_chains(5, x0=starts, seed=5)
+    k = next(iter(out["chain"]))
+    assert out["chain"][k].shape[:2] == (2, 5)
+    assert np.isfinite(out["chain"][k]).all()
+    assert (out["acceptance_rate"] > 0).all()
+    assert out["tree_depth"].shape == (2, 5)
