@@ -830,15 +830,22 @@ class HMC(SamplerBase):
         """Compiled vmap(scan) runner for sample_chains, cached so
         repeated same-shape calls don't retrace. eps rides as a traced
         ARGUMENT (so dual-averaged updates between calls reuse the
-        executable); mass/pmask/prob state are closures — the cache
-        keys on their identities and is invalidated when they are
-        replaced (set_chol / estimate_cov build new _Mass objects)."""
+        executable); mass/pmask are closures — the cache keys on their
+        identities and is invalidated when they are replaced (set_chol
+        / estimate_cov build new _Mass objects). The prob's model/data/
+        icov leaves ride as ARGUMENTS too, NOT closures: a closed-over
+        complex device array becomes a trace-time MLIR constant, which
+        forces a device->host fetch that the axon remote TPU backend
+        cannot do for complex64 (measured: the Gaussian path ran, the
+        RIME path died fetching a closure constant).
+
+        Returns (runner, model, data, icov)."""
         ckey = (Nsample, nstep, id(self.mass), id(self.pmask),
                 hasattr(eps, "keys"),
                 id(getattr(self._prob, "main_params", None)))
-        runner = self._chains_runners.get(ckey)
-        if runner is not None:
-            return runner
+        cached = self._chains_runners.get(ckey)
+        if cached is not None:
+            return cached
 
         if self._prob is not None:
             assert self._traj_eligible(), (
@@ -867,7 +874,7 @@ class HMC(SamplerBase):
             return sum(jnp.sum((p[k] * mp[k]).real)
                        for k in p.keys()) * 0.5
 
-        def one_chain(key, q0, eps):
+        def one_chain(key, q0, eps, model, data, icov):
             def one_step(carry, _):
                 key, q, U, g = carry
                 key, kp, ka = jax.random.split(key, 3)
@@ -896,9 +903,11 @@ class HMC(SamplerBase):
                 one_step, (key, q0, U0, g0), None, length=Nsample)
             return ys + (qf,)
 
-        runner = jax.jit(jax.vmap(one_chain, in_axes=(0, 0, None)))
-        self._chains_runners[ckey] = runner
-        return runner
+        runner = jax.jit(jax.vmap(
+            one_chain, in_axes=(0, 0, None, None, None, None)))
+        cached = (runner, model, data, icov)
+        self._chains_runners[ckey] = cached
+        return cached
 
     def sample_chains(self, Nsample, Nchain=4, x0=None, seed=None,
                       Nstep=None, eps=None):
@@ -968,8 +977,9 @@ class HMC(SamplerBase):
             self.key, krun = jax.random.split(self.key)
         keys = jax.random.split(krun, int(Nchain))
 
-        runner = self._chains_runner(int(Nsample), nstep, eps)
-        qs, Us, aps, divs, qf = runner(keys, q0s, eps)
+        runner, model, data, icov = self._chains_runner(
+            int(Nsample), nstep, eps)
+        qs, Us, aps, divs, qf = runner(keys, q0s, eps, model, data, icov)
         self.fn_evals += int(Nchain) * int(Nsample) * (nstep + 1)
         aps = np.asarray(aps)
         return {
@@ -1188,12 +1198,16 @@ class NUTS(SamplerBase):
         the outer tree-doubling loop is a lax.while_loop around the
         traced-depth on-device subtree, so an entire Nchain x Nsample
         NUTS run is ONE device computation. Cached like the HMC runner;
-        eps rides as a traced argument."""
+        eps and the prob's model/data/icov leaves ride as traced
+        ARGUMENTS (complex closure constants cannot be fetched for
+        trace-time embedding on the axon remote backend).
+
+        Returns (runner, model, data, icov)."""
         ckey = (int(Nsample), id(self.mass), hasattr(eps, "keys"),
                 id(getattr(self._prob, "main_params", None)))
-        runner = self._chains_runners.get(ckey)
-        if runner is not None:
-            return runner
+        cached = self._chains_runners.get(ckey)
+        if cached is not None:
+            return cached
 
         if self._prob is not None:
             assert self._subtree_eligible(), (
@@ -1237,7 +1251,9 @@ class NUTS(SamplerBase):
                 lambda x, y: jnp.where(flag, x, y), a, b)
 
         def one_draw(carry, _):
-            key, q, eps = carry
+            # model/data/icov ride in the carry (loop-invariant; XLA
+            # hoists them) so nothing complex is a closure constant
+            key, q, eps, model, data, icov = carry
             key, kp, ku = jax.random.split(key, 3)
             p0 = mass.sample_momentum(kp, q)
             U0, _ = vg(q, model, data, icov)
@@ -1279,16 +1295,19 @@ class NUTS(SamplerBase):
             key, qk, (alpha, na), depth = st[0], st[5], st[7], st[9]
             Uk, _ = vg(qk, model, data, icov)
             ap = alpha / jnp.maximum(na, 1)
-            return (key, qk, eps), (qk, Uk, ap, depth)
+            return (key, qk, eps, model, data, icov), (qk, Uk, ap, depth)
 
-        def one_chain(key, q0, eps):
-            (_, qf, _), ys = jax.lax.scan(
-                one_draw, (key, q0, eps), None, length=int(Nsample))
+        def one_chain(key, q0, eps, model, data, icov):
+            (_, qf, *_), ys = jax.lax.scan(
+                one_draw, (key, q0, eps, model, data, icov), None,
+                length=int(Nsample))
             return ys + (qf,)
 
-        runner = jax.jit(jax.vmap(one_chain, in_axes=(0, 0, None)))
-        self._chains_runners[ckey] = runner
-        return runner
+        runner = jax.jit(jax.vmap(
+            one_chain, in_axes=(0, 0, None, None, None, None)))
+        cached = (runner, model, data, icov)
+        self._chains_runners[ckey] = cached
+        return cached
 
     def sample_chains(self, Nsample, Nchain=4, x0=None, seed=None,
                       eps=None):
@@ -1324,8 +1343,9 @@ class NUTS(SamplerBase):
             self.key, krun = jax.random.split(self.key)
         keys = jax.random.split(krun, int(Nchain))
 
-        runner = self._chains_runner(int(Nsample), eps)
-        qs, Us, aps, depths, qf = runner(keys, q0s, eps)
+        runner, model, data, icov = self._chains_runner(int(Nsample), eps)
+        qs, Us, aps, depths, qf = runner(keys, q0s, eps, model, data,
+                                         icov)
         aps = np.asarray(aps)
         return {
             "chain": {k: np.asarray(qs[k]) for k in qs.keys()},
