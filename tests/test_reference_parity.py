@@ -6349,12 +6349,42 @@ def test_rime_posterior_gradient_fuzz():
     ephemeris injected into the reference's conv_cache exactly as there.
     Airy beams stay parameter=False: the reference's diameter gradient
     is silently wrong (torch.special.bessel_j1 has no derivative —
-    pinned in test_airy_diameter_gradient_reference_bug). Reference
-    bar: rime_model.py:13-200, optim.py:385-520, beam_model.py:848-1018.
+    pinned in test_airy_diameter_gradient_reference_bug). For Airy
+    trials the reference's torch.special.bessel_j1 is monkeypatched
+    with a torch port of OUR A&S 9.4.4/9.4.6 polynomial J1
+    (models/bessel.py) so both sides evaluate identical J1 values —
+    otherwise the polynomial's ~2.7e-7 error bars vs torch's J1 leak
+    into the comparison and amplify unboundedly through gradient
+    cancellations (offset-seed sweeps measured 1.9e-8..3.7e-6).
+    Reference bar: rime_model.py:13-200, optim.py:385-520,
+    beam_model.py:848-1018.
     """
     from collections import OrderedDict
     from bayeslim_tpu.models.calibration import JonesModel
     from bayeslim_tpu.utils import viewreal
+
+    def _torch_j1_as(x):
+        # torch port of bayeslim_tpu.models.bessel.j1 (A&S 9.4.4/9.4.6)
+        ax = torch.abs(x)
+        y = x * x
+        p1 = x * (72362614232.0 + y * (-7895059235.0 + y * (242396853.1
+             + y * (-2972611.439 + y * (15704.48260
+             + y * (-30.16036606))))))
+        q1 = (144725228442.0 + y * (2300535178.0 + y * (18583304.74
+              + y * (99447.43394 + y * (376.9991397 + y)))))
+        small = p1 / q1
+        z = 8.0 / torch.where(ax < 1e-30, torch.ones_like(ax), ax)
+        y2 = z * z
+        xx = ax - 2.356194491
+        p2 = (1.0 + y2 * (0.183105e-2 + y2 * (-0.3516396496e-4
+              + y2 * (0.2457520174e-5 + y2 * (-0.240337019e-6)))))
+        q2 = (0.04687499995 + y2 * (-0.2002690873e-3
+              + y2 * (0.8449199096e-5 + y2 * (-0.88228987e-6
+              + y2 * 0.105787412e-6))))
+        large = torch.sqrt(0.636619772 / torch.clamp(ax, min=1e-30)) * \
+            (torch.cos(xx) * p2 - z * torch.sin(xx) * q2)
+        large = large * torch.sign(x)
+        return torch.where(ax < 8.0, small, large)
 
     loc = (21.42827, -30.72148, 1051.69)
     ants, antvecs = bl.utils.make_hex(2)
@@ -6489,13 +6519,15 @@ def test_rime_posterior_gradient_fuzz():
             data=torch.tensor(data),
             icov=torch.tensor(icov) if with_icov else None)
         prob_ref = ba.optim.LogProb(model_ref, ba.dataset.Dataset(vd_ref))
-        v_r = prob_ref.closure()
+        orig_j1 = torch.special.bessel_j1
+        if beam_kind == "airy":
+            torch.special.bessel_j1 = _torch_j1_as
+        try:
+            v_r = prob_ref.closure()
+        finally:
+            torch.special.bessel_j1 = orig_j1
 
-        # Airy trials carry the A&S-9.4 polynomial J1's ~2.7e-7 value
-        # error bars vs torch's bessel_j1 (ours is the differentiable
-        # one — see test_airy_diameter_gradient_reference_bug); offset-
-        # seed sweeps measured up to ~4e-8 relative on loss/grads there
-        tol = 1e-6 if beam_kind == "airy" else 1e-8
+        tol = 1e-8
         assert np.isclose(float(v_j), float(v_r), rtol=tol), \
             (tag, float(v_j), float(v_r))
 
