@@ -407,7 +407,44 @@ class ShardedLogProb:
         icov = icov if icov is not None else jnp.ones((1,), _dtype(data))
         return cache[key][0](dict(pdict), prob.model, data, icov)
 
+    # --- LogProb._batch_fn protocol: the samplers' fused on-device
+    # trajectories (HMC._traj / NUTS._subtree / sample_chains) gate on
+    # hasattr(prob, "_batch_fn") — exposing the PURE smap loss here lets
+    # whole leapfrog trajectories, NUTS tree doublings, and vectorized
+    # multi-chain runs execute over the mesh in one dispatch, with the
+    # psum'd chi^2 inside.
+    @property
+    def Nbatch(self):
+        return getattr(self.prob, "Nbatch", 1)
+
+    @property
+    def grad_mods(self):
+        return getattr(self.prob, "grad_mods", None)
+
+    @property
+    def main_params(self):
+        return getattr(self.prob, "main_params", None)
+
+    def _batch_fn(self, idx):
+        """Pure loss(pdict, model, data, icov) with the shard_map
+        (mesh collectives) inside; accepts ParamDict pdicts (the smap
+        in_specs are built for plain dicts)."""
+        total = self._build_smap_total(idx)
+
+        def fn(q, model, data, icov):
+            return total(dict(q), model, data, icov)
+
+        return fn
+
+    def _batch_args(self, idx):
+        data, icov = self.prob._batch_args(idx)
+        icov = icov if icov is not None else jnp.ones((1,), _dtype(data))
+        return data, icov
+
     def _build_smap_vg(self, idx=0):
+        return jax.jit(jax.value_and_grad(self._build_smap_total(idx)))
+
+    def _build_smap_total(self, idx=0):
         try:
             from jax import shard_map
         except ImportError:  # older jax
@@ -681,7 +718,7 @@ class ShardedLogProb:
             lp = loglike + logprior
             return -lp if negate else lp
 
-        return jax.jit(jax.value_and_grad(total))
+        return total
 
     def __call__(self, pdict=None, **kwargs):
         with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else self.mesh:

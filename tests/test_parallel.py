@@ -1450,3 +1450,43 @@ def test_smap_vs_single_device_fuzz():
                     print("GSPMD GRAD MISMATCH", tag, k)
 
     assert nfail == 0, f"{nfail} sharding-fuzz mismatches (see stdout)"
+
+
+def test_sampler_over_sharded_logprob():
+    """Samplers compose with ShardedLogProb: its _batch_fn exposes the
+    PURE smap loss (psum'd chi^2 inside shard_map), so HMC/NUTS fused
+    on-device trajectories AND the vectorized multi-chain runners
+    execute over the mesh. Sequential HMC over the sharded posterior
+    matches the unsharded sampler draw for draw (same seed, same
+    leapfrog math — only the executables differ)."""
+    from bayeslim_tpu.inference.sampler import HMC, NUTS, Potential
+
+    prob, rime = _build_prob()
+    prob.negate = True
+    prob._jit_cache = {}
+    mesh = make_mesh({"data": 4})
+    sprob = ShardedLogProb(prob, mesh=mesh)
+
+    x0 = sprob.collect_main_params()
+    h_s = HMC(Potential(sprob), x0, eps=1e-4, Nstep=4, seed=11)
+    h_u = HMC(Potential(prob), x0, eps=1e-4, Nstep=4, seed=11)
+    assert h_s._traj is not None and h_u._traj is not None
+    for _ in range(4):
+        h_s.step()
+        h_u.step()
+    ch_s, ch_u = h_s.get_chain(), h_u.get_chain()
+    for k in ch_s:
+        assert np.allclose(ch_s[k], ch_u[k], rtol=1e-5, atol=1e-8), k
+    assert np.allclose(h_s._acceptances, h_u._acceptances, atol=1e-6)
+
+    # vectorized multi-chain over the mesh (vmap over shard_map)
+    out = h_s.sample_chains(4, Nchain=2, seed=5)
+    k = next(iter(out["chain"]))
+    assert out["chain"][k].shape[:2] == (2, 4)
+    assert np.isfinite(out["chain"][k]).all()
+
+    n_s = NUTS(Potential(sprob), x0, eps=1e-4, max_treedepth=3, seed=1)
+    outn = n_s.sample_chains(3, Nchain=2, seed=5)
+    assert outn["chain"][k].shape[:2] == (2, 3)
+    assert np.isfinite(outn["chain"][k]).all()
+    assert (outn["tree_depth"] >= 1).all()
